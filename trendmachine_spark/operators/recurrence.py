@@ -1,0 +1,90 @@
+"""Resilience / Fixity recurrences — the engine's one sequential operator.
+
+Covers SURVEY.md §2 operators O34/O35 (reference main.py:194-227).
+
+The score is a run-based recurrence over the dense per-url daily series:
+whenever the driving key (specimen for Resilience, content for Fixity)
+changes, the current score becomes the new run's ``base`` and the run's
+``scale`` is ``base`` (decay, spread < 0) or ``1 - base`` (growth); each
+day advances ``x`` and sets ``h = base + scale * sigmoid(x)`` with the
+key's (shift, slope, spread). Each run's base depends on the previous
+run's *final* value, so the dependency chain is sequential per url —
+not window-expressible — but urls are independent, so the engine runs it
+as a grouped-map ``applyInPandas`` keyed by url: O(1) state per group,
+embarrassingly parallel across urls, Arrow-batched transport.
+
+Within a run the curve is vectorized with numpy (the reference loops
+day-at-a-time in Python; we only pay Python per *run*).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
+
+
+def _param_table(sigparams) -> dict[str, tuple[float, float, float]]:
+    out = {}
+    for k, v in (sigparams or DEFAULT_SIGPARAMS).items():
+        out[k] = v.as_tuple() if isinstance(v, SigmoidParam) else tuple(v)
+    return out
+
+
+def _run_recurrence(keys: np.ndarray, params: dict, default_key: str) -> np.ndarray:
+    """Sequential run-based recurrence; keys must be in day order."""
+    n = len(keys)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    change = np.ones(n, dtype=bool)
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    h = 0.5  # initial base/scale/h (main.py:197)
+    for s0, e0 in zip(starts, ends):
+        key = keys[s0]
+        p = params.get(key)
+        if p is None:
+            # Documented divergence (SURVEY.md §2.5 end): the reference
+            # raises TypeError on unknown keys; we score them as the
+            # unobserved/unknown class instead.
+            p = params[default_key]
+        shift, slope, spread = p
+        base = h
+        scale = base if spread < 0 else 1.0 - base
+        x = np.arange(1, e0 - s0 + 1, dtype=np.float64)
+        seg = base + scale * (spread / (1.0 + np.exp(shift - x / slope)))
+        out[s0:e0] = seg
+        h = seg[-1]
+    return out
+
+
+def score_daily_series(dense: DataFrame, sigparams=None) -> DataFrame:
+    """Add ``resilience`` and ``fixity`` columns to the dense daily series.
+
+    ``dense`` must contain url, day, specimen, content (one row per
+    calendar day per url). Both recurrences run in a single grouped scan.
+    """
+    params = _param_table(sigparams)
+    known = set(params)
+
+    out_schema = T.StructType(
+        list(dense.schema.fields)
+        + [T.StructField("resilience", T.DoubleType()), T.StructField("fixity", T.DoubleType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        spec = pdf["specimen"].to_numpy(dtype=object)
+        spec = np.where(np.isin(spec, list(known)), spec, "~")
+        pdf["resilience"] = _run_recurrence(spec, params, "~")
+        content = pdf["content"].to_numpy(dtype=object)
+        pdf["fixity"] = _run_recurrence(content, params, "Unknown")
+        return pdf[out_cols]
+
+    return dense.groupBy("url").applyInPandas(score, schema=out_schema)
