@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
+insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+The real surface lives in ``trendmachine_spark.registry``: 35 named
+queries covering SURVEY.md §2's operator inventory (capture pipeline,
+dashboard aggregates) plus the §2.6 extension operators (dedup,
+similarity search, text analysis, multimodal) and relational/TPC-H-
+style queries. 33 have exactly-parallel DuckDB oracles; the O34/O35
+recurrences and the approximate LSH ANN variant are rows-only by
+design (not SQL-expressible / approximate).
 """
 
 from __future__ import annotations
@@ -15,24 +22,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full scored daily
+    series (rollup -> spine -> gap fill -> resilience/fixity/chaos)
+    over every url in the events-as-captures stream."""
+    from trendmachine_spark.pipeline import daily_series
+    from trendmachine_spark.sources.captures import events_as_captures
+
+    caps = events_as_captures(spark, "/root/testdata/sf0.001")
+    return daily_series(caps, fill=2, policy="closest")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from trendmachine_spark.registry import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: qd.builder for name, qd in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from trendmachine_spark.registry import QUERIES
+
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}

@@ -1,0 +1,142 @@
+"""Similarity search over the ``embeddings`` table (array<float>).
+
+Driver-mandated extension operators (SURVEY.md §2.6).
+
+* quantize_embeddings — scale floats by 1000 and round to BIGINT. All
+  downstream dot products are then *exact integer* arithmetic, which
+  makes results order-independent and bit-identical across engines
+  (a float dot product's value depends on accumulation order).
+* brute_force_topk — exact quantized-cosine top-k: the oracle-checkable
+  baseline. Scale: query side is broadcast; candidates never shuffle.
+* srp_buckets / ann_topk — Signed Random Projection LSH: hyperplanes
+  with entries in {-1, +1} derived from md5 bits (deterministic, no
+  RNG), bucket = sign bit per plane. ann_topk searches only within the
+  query's bucket — the 100 TB path (bucket count 2^planes; the
+  candidate join is an equi-join on bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000
+
+
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """(id, qvec: array<bigint>, norm2: bigint) — exact integer geometry."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("long"),
+    )
+    out = emb.select(F.col(id_col).alias("vid"), q.alias("qvec"))
+    norm2 = F.aggregate(
+        F.transform(F.col("qvec"), lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return out.withColumn("norm2", norm2)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k quantized-cosine neighbors for the first ``n_queries`` ids.
+
+    Output: query_id, neighbor_id, rank, cosine (double; identical IEEE
+    expression both engines since dot/norms are exact integers).
+    """
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    queries = qv.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("qvec").alias("q"), F.col("norm2").alias("qn"),
+    )
+    cands = qv.select(
+        F.col("vid").alias("neighbor_id"), F.col("qvec").alias("c"), F.col("norm2").alias("cn"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q"), F.col("c")).cast("double")
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplane_sign(plane, dim):
+    """+1/-1 from bit 0 of md5('plane:dim') — deterministic, engine-portable."""
+    h = F.md5(F.concat_ws(":", plane.cast("string"), dim.cast("string")))
+    last = F.substring(h, 32, 1)
+    val = F.conv(last, 16, 10).cast("int")
+    return (val % 2) * 2 - 1
+
+
+def srp_buckets(qv: DataFrame, n_planes: int = 8) -> DataFrame:
+    """(vid, bucket) — bucket = concat of sign bits across hyperplanes.
+
+    The projection sum is exact integer arithmetic, so bucket ids are
+    deterministic; ties (projection == 0) map to bit 0.
+    """
+    dims = qv.select("vid", "qvec", F.posexplode("qvec").alias("dim", "qval"))
+    planes = dims.select(
+        "vid", "qval", "dim",
+        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane"),
+    )
+    proj = planes.withColumn(
+        "contrib", F.col("qval") * _hyperplane_sign(F.col("plane"), F.col("dim"))
+    ).groupBy("vid", "plane").agg(F.sum("contrib").alias("proj"))
+    bits = proj.withColumn("bit", F.when(F.col("proj") > 0, "1").otherwise("0"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("plane", "bit"))), lambda s: s["bit"]
+    )
+    return bits.groupBy("vid").agg(F.concat_ws("", ordered).alias("bucket"))
+
+
+def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 8,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    SRP bucket. Recall < 1 by design; deterministic output."""
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    buckets = srp_buckets(qv, n_planes)
+    qvb = qv.join(buckets, "vid")
+    queries = qvb.filter(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("qvec").alias("q"),
+        F.col("norm2").alias("qn"), "bucket",
+    )
+    cands = qvb.select(
+        F.col("vid").alias("neighbor_id"), F.col("qvec").alias("c"),
+        F.col("norm2").alias("cn"), "bucket",
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cands, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q"), F.col("c")).cast("double")
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Driver-mandated extension operators (SURVEY.md §2.6): token counting,
+quality scoring, language-ID heuristic, document fingerprinting. All
+pure Catalyst expressions (codegen'd, pushdown-friendly); ratios are
+int/int divisions so values are engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single non-alnum
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+#: tiny per-language stopword marker sets for the n-gram-free heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "de": ("der", "und", "das"),
+    "fr": ("le", "les", "des"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token/quality metrics.
+
+    n_words (whitespace), n_tokens (TOKEN_RE matches), n_chars,
+    n_distinct_words, avg_word_len, stopword_ratio, distinct_ratio —
+    the standard cheap quality signals for corpus filtering.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    total_word_len = F.aggregate(
+        F.transform(words, F.length), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        (total_word_len.cast("double") / n_words).alias("avg_word_len"),
+        (stop.cast("double") / n_words).alias("stopword_ratio"),
+        (n_distinct.cast("double") / n_words).alias("distinct_ratio"),
+    )
+
+
+def quality_flags(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  min_words: int = 20, min_distinct_ratio: float = 0.2) -> DataFrame:
+    """Boolean keep/drop gates in the style of corpus quality filters."""
+    p = text_profile(docs, text_col, id_col)
+    return p.select(
+        id_col,
+        (F.col("n_words") >= min_words).cast("long").alias("passes_length"),
+        (F.col("distinct_ratio") >= min_distinct_ratio).cast("long").alias("passes_diversity"),
+        ((F.col("n_words") >= min_words) & (F.col("distinct_ratio") >= min_distinct_ratio))
+        .cast("long").alias("keep"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: argmax of per-language marker hits
+    (ties and zero scores -> 'und'). Deterministic CASE logic."""
+    words = F.split(F.col(text_col), " ")
+
+    def member_of(markers):
+        # NB: no extra lambda params — Spark binds a Column to every one
+        return lambda w: w.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(words, member_of(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    d = docs.select(F.col(id_col), *[v.alias(f"s_{k}") for k, v in scores.items()])
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{k}") for k in langs])
+    n_best = sum(
+        [(F.col(f"s_{k}") == best).cast("int") for k in langs], F.lit(0)
+    )
+    pred = F.when((best == 0) | (n_best > 1), F.lit("und"))
+    for k in langs:  # first language in declaration order wins exact ties? no — ties -> und
+        pred = pred.when(F.col(f"s_{k}") == best, F.lit(k))
+    return d.select(
+        id_col, *[f"s_{k}" for k in langs], pred.alias("lang_pred")
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: full-content md5, normalized md5 (lowercase,
+    squeezed spaces), and min/max shingle hash (rolling-window style)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), " +", " ")
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))))
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.md5(norm).alias("normalized_md5"),
+        F.array_min(grams).alias("min_shingle_md5"),
+        F.array_max(grams).alias("max_shingle_md5"),
+    )

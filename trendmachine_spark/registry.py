@@ -480,3 +480,389 @@ def q_headline_metrics(spark, sf_dir):
             F.to_date("_spine_end"), F.to_date("last_observed_day")
         ).cast("long").alias("inactive_days"),
     )
+
+
+# ===================================================================
+# Extension operators (SURVEY.md §2.6): dedup / similarity / text /
+# multimodal over documents + embeddings, and relational/TPC-H-style
+# queries over the star schema.
+# ===================================================================
+
+from trendmachine_spark.extensions.dedup import (  # noqa: E402
+    exact_dedup, minhash_near_dup, ngram_jaccard, simhash64,
+)
+from trendmachine_spark.extensions.multimodal import media_metadata  # noqa: E402
+from trendmachine_spark.extensions.similarity import ann_topk, brute_force_topk  # noqa: E402
+from trendmachine_spark.extensions.text import (  # noqa: E402
+    fingerprints, lang_id, quality_flags, text_profile,
+)
+from trendmachine_spark.sources.tables import load_table  # noqa: E402
+
+#: word-shingle CTE shared by the dedup oracles (mirrors dedup.shingles)
+_SHINGLES_SQL = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+)"""
+
+
+@register(
+    "dedup_exact",
+    """SELECT md5(text) AS content_md5,
+              CAST(min(doc_id) AS BIGINT) AS keeper_id,
+              CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH {_SHINGLES_SQL},
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    mh AS (
+      SELECT doc_id, seed, min(md5(concat(shingle, '#', seed))) AS minhash
+      FROM sh, seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
+      FROM mh GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_near_dup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes na ON inter.id_a = na.doc_id
+    JOIN sizes nb ON inter.id_b = nb.doc_id""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash",
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    hashed AS (SELECT doc_id, md5(w) AS h FROM words),
+    pos AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS p FROM hashed),
+    bits AS (
+      SELECT doc_id, p,
+             ((CAST(strpos('0123456789abcdef', substr(h, (p // 4) + 1, 1)) AS INT) - 1)
+              // CAST(pow(2, 3 - p % 4) AS INT)) % 2 AS bit
+      FROM pos
+    ),
+    votes AS (
+      SELECT doc_id, p, SUM(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, p
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id""",
+)
+def q_dedup_simhash(spark, sf_dir):
+    return simhash64(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "similarity_topk",
+    """WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
+      FROM qv
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                                          i -> a.q[i] * b.q[i])) AS DOUBLE)
+               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+      FROM nv a, nv b
+      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5""",
+)
+def q_similarity_topk(spark, sf_dir):
+    return brute_force_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+@register("similarity_ann_lsh", None)  # approximate variant: rows-only check
+def q_similarity_ann_lsh(spark, sf_dir):
+    return ann_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+_TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_profile",
+    f"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+           CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS avg_word_len,
+           CAST(len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+             / len(words) AS stopword_ratio,
+           CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
+    FROM w""",
+)
+def q_text_profile(spark, sf_dir):
+    return text_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_flags",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    p AS (
+      SELECT doc_id, len(words) AS n_words,
+             CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END AS BIGINT) AS passes_length,
+           CAST(CASE WHEN distinct_ratio >= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS passes_diversity,
+           CAST(CASE WHEN n_words >= 20 AND distinct_ratio >= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM p""",
+)
+def q_text_quality_flags(spark, sf_dir):
+    return quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(words, x -> x IN ('the','and','of'))) AS INT) AS s_en,
+             CAST(len(list_filter(words, x -> x IN ('el','la','los'))) AS INT) AS s_es,
+             CAST(len(list_filter(words, x -> x IN ('der','und','das'))) AS INT) AS s_de,
+             CAST(len(list_filter(words, x -> x IN ('le','les','des'))) AS INT) AS s_fr
+      FROM w
+    )
+    SELECT doc_id, s_en, s_es, s_de, s_fr,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN (CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
+                    + CASE WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
+                    + CASE WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
+                    + CASE WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END) > 1 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s""",
+)
+def q_text_lang_id(spark, sf_dir):
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+    g AS (
+      SELECT doc_id, text,
+             list_transform(generate_series(1, greatest(len(words) - 4, 0)),
+                            i -> md5(array_to_string(words[i:i+4], ' '))) AS grams
+      FROM w
+    )
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS normalized_md5,
+           list_min(grams) AS min_shingle_md5,
+           list_max(grams) AS max_shingle_md5
+    FROM g""",
+)
+def q_text_fingerprints(spark, sf_dir):
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_metadata",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS content_md5,
+              CAST(octet_length(encode(text)) % 1920 AS INT) AS fake_width,
+              CAST(octet_length(encode(text)) % 1080 AS INT) AS fake_height,
+              CAST(3 AS INT) AS fake_channels
+       FROM documents""",
+)
+def q_multimodal_metadata(spark, sf_dir):
+    return media_metadata(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------- relational / TPC-H
+
+@register(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+              CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_revenue_customers",
+    """WITH rev AS (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, n.n_name, r.revenue, r.n_orders, rk.rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS INT) AS rank
+      FROM rev
+    ) rk
+    JOIN rev r ON rk.o_custkey = r.o_custkey
+    JOIN customer c ON r.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE rk.rank <= 20""",
+)
+def q_top_revenue_customers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    top = rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    return (
+        top.join(F.broadcast(customer), top.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_orders", "rank")
+    )
+
+
+@register(
+    "region_revenue",
+    """SELECT r.r_name, n.n_name,
+              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+              CAST(count(*) AS BIGINT) AS n_orders
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name, n.n_name""",
+)
+def q_region_revenue(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "event_sessionization",
+    """WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ep,
+             CASE WHEN ep - lag(ep) OVER w > 1800 OR lag(ep) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) AS DOUBLE) / SUM(new_session) AS events_per_session
+    FROM flagged GROUP BY user_id""",
+)
+def q_event_sessionization(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ep") - F.lag("ep").over(w) > 1800) | F.lag("ep").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)).cast("double") / F.sum("new_session")).alias("events_per_session"),
+    )
+
+
+# ------------------------------------------- non-SQL-expressible (goldens)
+
+@register("resilience_daily_series", None)  # O34/O35 recurrences: rows-only
+def q_resilience_daily_series(spark, sf_dir):
+    caps = events_as_captures(spark, sf_dir)
+    return daily_series(caps, fill=2, policy="closest")
