@@ -60,7 +60,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from trendmachine_spark.registry import QUERIES
+    from trendmachine_spark.registry import QUERIES, _daily, _dense
+
+    # Warm the shared-plan caches (the engine's analog of the reference's
+    # persisted load_cdx/load_data cache layers, main.py:129/:186): the
+    # daily rollup and dense spine are session-persistent state, built
+    # once and reused by every query. Timings below are per-query latency
+    # on the warmed engine.
+    t0 = time.perf_counter()
+    _daily(spark, sf_dir).count()
+    _dense(spark, sf_dir).count()
+    _dense(spark, sf_dir, fill=2, policy="closest").count()
+    warmup = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -68,6 +79,7 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    timings["_cache_warmup"] = warmup
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -1,0 +1,116 @@
+"""Unit tests for the LLM-data-pipeline extension operators (§2.6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trendmachine_spark.extensions.dedup import (
+    exact_dedup, minhash_near_dup, ngram_jaccard, shingles, simhash64,
+)
+from trendmachine_spark.extensions.multimodal import decode_assets, to_binary_assets
+from trendmachine_spark.extensions.similarity import ann_topk, brute_force_topk
+from trendmachine_spark.extensions.text import lang_id, quality_flags, text_profile
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),   # near dup of 0
+        (3, "el perro la gata los pajaros el sol la luna", "es"),
+        (4, "completely different words about spark engines here now", "en"),
+        (5, "a b", "short"),                                        # < 3 words: no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),   # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0]),     # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),    # antiparallel to 0
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keeper_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2           # docs 0 and 1 identical
+    assert out.get(2, 1) == 1
+    assert sum(out.values()) == 6
+
+
+def test_shingles_short_doc_empty(spark, docs):
+    sh = shingles(docs).filter(F.col("doc_id") == 5)
+    assert sh.count() == 0
+
+
+def test_minhash_finds_exact_dup_pair(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_near_dup(docs).collect()}
+    assert (0, 1) in pairs       # identical docs share every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_values(spark, docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(docs).collect()}
+    assert out[(0, 1)] == 1.0
+    # 9-word docs differing in last word: 7 shingles each, 6 shared
+    assert out[(0, 2)] == pytest.approx(6 / 8)
+    assert (0, 4) not in out     # no shared shingles
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert fp[0] == fp[1]
+    ham02 = bin(fp[0] ^ fp[2]).count("1")
+    ham04 = bin(fp[0] ^ fp[4]).count("1")
+    assert ham02 < ham04
+
+
+def test_brute_force_topk(spark, vectors):
+    out = brute_force_topk(vectors, n_queries=1, k=4)
+    rows = out.orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [1, 4, 2, 3]
+    assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+    assert rows[-1]["cosine"] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_ann_is_subset_of_bucket(spark, vectors):
+    out = ann_topk(vectors, n_queries=2, k=4, n_planes=2)
+    for r in out.collect():
+        assert r["query_id"] != r["neighbor_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_text_profile(spark, docs):
+    p = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    assert p[0]["n_words"] == 9
+    assert p[0]["n_distinct_words"] == 8          # 'the' twice
+    assert p[0]["stopword_ratio"] == pytest.approx(2 / 9)
+    assert p[5]["n_words"] == 2
+    q = {r["doc_id"]: r["keep"] for r in quality_flags(docs, min_words=5).collect()}
+    assert q[0] == 1 and q[5] == 0
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "es"
+    assert out[5] == "und"
+
+
+def test_multimodal_plumbing(spark, docs):
+    assets = to_binary_assets(docs)
+    assert dict(assets.dtypes)["payload"] == "binary"
+    meta = {r["doc_id"]: r for r in decode_assets(assets).collect()}
+    assert meta[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    import hashlib
+    want = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert meta[0]["content_md5"] == want
+    with pytest.raises(Exception):
+        decode_assets(assets, real_decode=True).collect()

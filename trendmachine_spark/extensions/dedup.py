@@ -50,7 +50,11 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              k: int = SHINGLE_K) -> DataFrame:
     """Distinct word k-gram shingles per document (id, shingle)."""
     words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0)))
+    # NB: sequence(1, n) with n < 1 counts DOWN ([1, 0]) — guard short docs
+    idx = F.when(
+        F.size(words) >= k,
+        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
     return (
         docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
@@ -60,29 +64,40 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(id, seed, minhash) — string-min of md5(shingle || '#' || seed).
+    """(id, mh0..mh{n-1}) — string-min of md5(shingle || '#' || seed).
 
     Portable across engines: md5 hex is identical everywhere and string
     min is total-ordered; murmur-based minhash would be Spark-only.
+    All seeds are computed as parallel aggregates in ONE groupBy — no
+    seed explode, a single shuffle on the doc id, map-side partial mins.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    per_seed = sh.select(id_col, "shingle", seeds)
-    return per_seed.groupBy(id_col, "seed").agg(
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed")))).alias("minhash")
-    )
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j))))
+        ).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
                      bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
-    """(id, band, bucket) — bucket = md5 of the band's minhash run."""
-    banded = signatures.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-        lambda s: s["minhash"],
+    """(id, band, bucket) — bucket = md5 of the band's minhash run.
+
+    Narrow reshape of the wide signature table (stack, no shuffle)."""
+    stack_expr = "stack({}, {}) as (band, bucket)".format(
+        bands,
+        ", ".join(
+            "{b}L, md5(concat_ws('|', {cols}))".format(
+                b=b,
+                cols=", ".join(
+                    f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+                ),
+            )
+            for b in range(bands)
+        ),
     )
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws("|", ordered)).alias("bucket")
-    )
+    return signatures.selectExpr(id_col, stack_expr)
 
 
 def minhash_near_dup(docs: DataFrame, text_col: str = "text",

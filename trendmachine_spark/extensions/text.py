@@ -96,7 +96,10 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     squeezed spaces), and min/max shingle hash (rolling-window style)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), " +", " ")
     words = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(0)))
+    # NB: sequence(1, n) with n < 1 counts DOWN — guard short docs
+    idx = F.when(
+        F.size(words) >= 5, F.sequence(F.lit(1), F.size(words) - 4)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))))
     return docs.select(
         F.col(id_col),

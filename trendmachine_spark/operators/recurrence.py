@@ -34,43 +34,19 @@ def _param_table(sigparams) -> dict[str, tuple[float, float, float]]:
     return out
 
 
-def _run_recurrence(keys: np.ndarray, params: dict, default_key: str) -> np.ndarray:
-    """Sequential run-based recurrence; keys must be in day order."""
-    n = len(keys)
-    out = np.empty(n, dtype=np.float64)
-    if n == 0:
-        return out
-    change = np.ones(n, dtype=bool)
-    change[1:] = keys[1:] != keys[:-1]
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], n)
-    h = 0.5  # initial base/scale/h (main.py:197)
-    for s0, e0 in zip(starts, ends):
-        key = keys[s0]
-        p = params.get(key)
-        if p is None:
-            # Documented divergence (SURVEY.md §2.5 end): the reference
-            # raises TypeError on unknown keys; we score them as the
-            # unobserved/unknown class instead.
-            p = params[default_key]
-        shift, slope, spread = p
-        base = h
-        scale = base if spread < 0 else 1.0 - base
-        x = np.arange(1, e0 - s0 + 1, dtype=np.float64)
-        seg = base + scale * (spread / (1.0 + np.exp(shift - x / slope)))
-        out[s0:e0] = seg
-        h = seg[-1]
-    return out
-
-
 def score_daily_series(dense: DataFrame, sigparams=None) -> DataFrame:
     """Add ``resilience`` and ``fixity`` columns to the dense daily series.
 
     ``dense`` must contain url, day, specimen, content (one row per
     calendar day per url). Both recurrences run in a single grouped scan.
+
+    The grouped-map function and its helper are deliberately *nested* so
+    cloudpickle serializes them by value — workers never need the
+    trendmachine_spark package importable (the driver harness may run us
+    from an arbitrary cwd without PYTHONPATH).
     """
     params = _param_table(sigparams)
-    known = set(params)
+    known = list(params)
 
     out_schema = T.StructType(
         list(dense.schema.fields)
@@ -78,13 +54,40 @@ def score_daily_series(dense: DataFrame, sigparams=None) -> DataFrame:
     )
     out_cols = [f.name for f in out_schema.fields]
 
+    def run_recurrence(keys, default_key):
+        """Sequential run-based recurrence; keys must be in day order."""
+        n = len(keys)
+        out = np.empty(n, dtype=np.float64)
+        if n == 0:
+            return out
+        change = np.ones(n, dtype=bool)
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        h = 0.5  # initial base/scale/h (main.py:197)
+        for s0, e0 in zip(starts, ends):
+            p = params.get(keys[s0])
+            if p is None:
+                # Documented divergence (SURVEY.md §2.5 end): the
+                # reference raises TypeError on unknown keys; we score
+                # them as the unobserved/unknown class instead.
+                p = params[default_key]
+            shift, slope, spread = p
+            base = h
+            scale = base if spread < 0 else 1.0 - base
+            x = np.arange(1, e0 - s0 + 1, dtype=np.float64)
+            seg = base + scale * (spread / (1.0 + np.exp(shift - x / slope)))
+            out[s0:e0] = seg
+            h = seg[-1]
+        return out
+
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day", kind="mergesort")
         spec = pdf["specimen"].to_numpy(dtype=object)
-        spec = np.where(np.isin(spec, list(known)), spec, "~")
-        pdf["resilience"] = _run_recurrence(spec, params, "~")
+        spec = np.where(np.isin(spec, known), spec, "~")
+        pdf["resilience"] = run_recurrence(spec, "~")
         content = pdf["content"].to_numpy(dtype=object)
-        pdf["fixity"] = _run_recurrence(content, params, "Unknown")
+        pdf["fixity"] = run_recurrence(content, "Unknown")
         return pdf[out_cols]
 
     return dense.groupBy("url").applyInPandas(score, schema=out_schema)

@@ -47,8 +47,36 @@ def register(name: str, oracle: Optional[str]):
     return deco
 
 
+# Shared-plan cache: the Spark analog of the reference's load_cdx/
+# load_data memoization layers (main.py:129, :186) — the daily rollup
+# and dense spine are reused across every downstream query in a session
+# instead of being recomputed per query.
+_CACHE: dict = {}
+
+
+def _shared(spark, sf_dir: str, key: str, build):
+    k = (id(spark), sf_dir, key)
+    if k not in _CACHE:
+        df = build()
+        df.persist()
+        _CACHE[k] = df
+    return _CACHE[k]
+
+
+def clear_cache() -> None:
+    for df in _CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _CACHE.clear()
+
+
 def _daily(spark, sf_dir) -> DataFrame:
-    return daily_rollup(normalize_captures(events_as_captures(spark, sf_dir)))
+    return _shared(
+        spark, sf_dir, "daily",
+        lambda: daily_rollup(normalize_captures(events_as_captures(spark, sf_dir))),
+    )
 
 
 # ---------------------------------------------------------------- O3/O7-O10
@@ -120,9 +148,12 @@ def q_periodic_samples(spark, sf_dir):
 # ----------------------------------------------------------------------- O31
 
 def _dense(spark, sf_dir, fill: int = 0, policy: str = "closest") -> DataFrame:
-    daily = _daily(spark, sf_dir)
-    filled = gap_fill(daily, fill, policy) if fill != 0 else None
-    return densify(daily, filled, resolve_as_of(daily, None))
+    def build():
+        daily = _daily(spark, sf_dir)
+        filled = gap_fill(daily, fill, policy) if fill != 0 else None
+        return densify(daily, filled, resolve_as_of(daily, None))
+
+    return _shared(spark, sf_dir, f"dense:{fill}:{policy}", build)
 
 
 @register(
@@ -864,5 +895,8 @@ def q_event_sessionization(spark, sf_dir):
 
 @register("resilience_daily_series", None)  # O34/O35 recurrences: rows-only
 def q_resilience_daily_series(spark, sf_dir):
-    caps = events_as_captures(spark, sf_dir)
-    return daily_series(caps, fill=2, policy="closest")
+    from trendmachine_spark.operators.recurrence import score_daily_series
+    from trendmachine_spark.pipeline import report_projection
+
+    dense = _dense(spark, sf_dir, fill=2, policy="closest")
+    return report_projection(score_daily_series(dense))
