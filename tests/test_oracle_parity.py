@@ -1,0 +1,32 @@
+"""Oracle parity in CI: every registered query vs its DuckDB twin.
+
+The driver runs this comparison at sf0.01; CI runs the identical check
+at sf0.001 for speed (same code paths, same hash discipline — value
+mismatches show up at any scale because the arithmetic is exact).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_harness import compare
+from trendmachine_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+ORACLE_QUERIES = sorted(n for n, qd in QUERIES.items() if qd.oracle is not None)
+ROWS_ONLY = sorted(n for n, qd in QUERIES.items() if qd.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    qd = QUERIES[name]
+    problems = compare(qd.builder(spark, SF), qd.oracle, SF, name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name].builder(spark, SF)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

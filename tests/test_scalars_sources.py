@@ -1,0 +1,63 @@
+"""Unit tests: scalar builders, CDX live-source planning, sigmoid preview."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trendmachine_spark.functions.scalars import ensure_scheme, status_class
+from trendmachine_spark.operators.sigmoid_preview import sigmoid_shape, sigmoid_shapes_all
+from trendmachine_spark.params import DEFAULT_SIGPARAMS
+from trendmachine_spark.sources.cdx_live import cdx_page_url
+
+
+def test_ensure_scheme(spark):
+    df = spark.createDataFrame(
+        [("example.com",), ("http://a.org",), ("https://b.org",)], "u string"
+    ).select(ensure_scheme(F.col("u")).alias("fixed"))
+    assert [r["fixed"] for r in df.collect()] == [
+        "https://example.com", "http://a.org", "https://b.org",
+    ]
+
+
+def test_status_class_edges(spark):
+    df = spark.createDataFrame(
+        [("200",), ("599",), ("3abc",), ("1999",), ("-",), ("0",), ("robot",)],
+        "s string",
+    ).select("s", status_class(F.col("s")).alias("c"))
+    got = {r["s"]: r["c"] for r in df.collect()}
+    # lexicographic range semantics, bug-compatible with main.py:147
+    assert got == {"200": "2xx", "599": "5xx", "3abc": "3xx",
+                   "1999": "1999", "-": "-", "0": "0", "robot": "robot"}
+
+
+def test_cdx_page_url_matches_reference_shape():
+    # main.py:115-118: count probe, then fl-projected page pulls
+    assert cdx_page_url("https://example.com/", count_pages=True) == (
+        "https://web.archive.org/cdx/search/cdx?url=https%3A%2F%2Fexample.com%2F&showNumPages=true"
+    )
+    assert cdx_page_url("https://example.com/", page=3) == (
+        "https://web.archive.org/cdx/search/cdx?url=https%3A%2F%2Fexample.com%2F"
+        "&fl=timestamp,statuscode,digest&page=3"
+    )
+
+
+def test_sigmoid_shape_golden(spark):
+    # 2xx defaults (shift 4, slope 1, spread 1): sigmoid(4) = 1/2 -> 0.5
+    rows = {r["Time"]: r["Resilience"] for r in
+            sigmoid_shape(spark, DEFAULT_SIGPARAMS["2xx"]).collect()}
+    assert len(rows) == 101
+    assert rows[4] == pytest.approx(0.5)
+    assert rows[100] == pytest.approx(1.0, abs=1e-9)
+    # decay curve starts at initial=1 (spread < 0)
+    rows4 = {r["Time"]: r["Resilience"] for r in
+             sigmoid_shape(spark, DEFAULT_SIGPARAMS["4xx"]).collect()}
+    assert rows4[0] == pytest.approx(1.0 - 1.0 / (1.0 + 2.718281828459045 ** 5), abs=1e-9)
+    assert rows4[100] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_sigmoid_shapes_all(spark):
+    df = sigmoid_shapes_all(spark)
+    assert df.count() == 101 * len(DEFAULT_SIGPARAMS)
+    bounds = df.agg(F.min("Resilience"), F.max("Resilience")).collect()[0]
+    assert bounds[0] >= -1e-9 and bounds[1] <= 1.0 + 1e-9

@@ -62,22 +62,35 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _hash_mask(j: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"seed:{j}".encode()).hexdigest()[:15], 16)
+
+
+#: deterministic 60-bit xor masks, one per hash function — engine-portable
+HASH_MASKS = tuple(_hash_mask(j) for j in range(NUM_HASHES))
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(id, mh0..mh{n-1}) — string-min of md5(shingle || '#' || seed).
+    """(id, mh0..mh{n-1}) — minhash over the xor-mask hash family.
 
-    Portable across engines: md5 hex is identical everywhere and string
-    min is total-ordered; murmur-based minhash would be Spark-only.
-    All seeds are computed as parallel aggregates in ONE groupBy — no
-    seed explode, a single shuffle on the doc id, map-side partial mins.
+    Each shingle is hashed ONCE (md5 hex -> 60-bit int); the j-th hash
+    is ``h XOR mask_j`` with deterministic md5-derived masks, so the
+    family costs one md5 + n xors per shingle instead of n md5s, and
+    ``min(bigint)`` is HashAggregate-able (map-side partial combine).
+    Engine-portable: DuckDB computes the identical ints (hex cast + xor).
+    All seeds are parallel aggregates in ONE groupBy — a single shuffle
+    on the doc id.
     """
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    with_h = sh.withColumn("_h", h)
     aggs = [
-        F.min(
-            F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j))))
-        ).alias(f"mh{j}")
+        F.min(F.expr(f"_h ^ {HASH_MASKS[j]}L")).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return with_h.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",

@@ -549,23 +549,31 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""WITH {_SHINGLES_SQL},
-    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
-    mh AS (
-      SELECT doc_id, seed, min(md5(concat(shingle, '#', seed))) AS minhash
-      FROM sh, seeds GROUP BY doc_id, seed
-    ),
-    bands AS (
-      SELECT doc_id, seed // 4 AS band,
-             md5(string_agg(minhash, '|' ORDER BY seed)) AS bucket
-      FROM mh GROUP BY doc_id, seed // 4
+def _minhash_oracle() -> str:
+    from trendmachine_spark.extensions.dedup import BANDS, HASH_MASKS, ROWS_PER_BAND
+
+    sig_cols = ", ".join(
+        f"min(xor(h, {m})) AS mh{j}" for j, m in enumerate(HASH_MASKS)
     )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""WITH {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
+    bands AS ({band_rows})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
-)
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_near_dup(load_table(spark, sf_dir, "documents"))
 
@@ -900,3 +908,41 @@ def q_resilience_daily_series(spark, sf_dir):
 
     dense = _dense(spark, sf_dir, fill=2, policy="closest")
     return report_projection(score_daily_series(dense))
+
+
+# ----------------------------------------------------------------------- O37
+
+@register(
+    "chaos_melt",
+    f"""WITH {osql.SPINE},
+    dense AS (
+      SELECT s.url, s.day, d.chaos, d.chaosn
+      FROM spine s LEFT JOIN daily d ON s.url = d.url AND s.day = d.day
+    ),
+    filled AS (
+      SELECT url, day,
+             coalesce(last_value(chaos IGNORE NULLS) OVER w, 0.0) AS chaos,
+             coalesce(last_value(chaosn IGNORE NULLS) OVER w, 0.0) AS chaosn
+      FROM dense
+      WINDOW w AS (PARTITION BY url ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT url, day, win, chaos FROM (
+      SELECT url, day, chaos, chaosn FROM filled
+    ) UNPIVOT (chaos FOR win IN (chaos AS 'All', chaosn AS 'Last1000'))""",
+)
+def q_chaos_melt(spark, sf_dir):
+    dense = _dense(spark, sf_dir)
+    return dense.selectExpr(
+        "url", "day_str as day",
+        "stack(2, 'All', chaos, 'Last1000', chaosn) as (win, chaos)",
+    )
+
+
+# ----------------------------------------------------------------------- O36
+
+@register("sigmoid_preview", None)  # exp() differs in last ulp across libms
+def q_sigmoid_preview(spark, sf_dir):
+    from trendmachine_spark.operators.sigmoid_preview import sigmoid_shapes_all
+
+    return sigmoid_shapes_all(spark)
