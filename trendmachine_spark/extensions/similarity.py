@@ -140,3 +140,24 @@ def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 8,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def embedding_near_dup(emb: DataFrame, min_cosine: float = 0.95,
+                       vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Exact quantized-cosine over all pairs — the oracle-checkable
+    baseline for embedding dedup. At 100 TB the same predicate runs
+    over SRP-bucket candidates (srp_buckets equi-join) instead of the
+    full cross product; see ann_topk for the bucketed pattern.
+    """
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    a = qv.select(F.col("vid").alias("id_a"), F.col("qvec").alias("qa"), F.col("norm2").alias("na"))
+    b = qv.select(F.col("vid").alias("id_b"), F.col("qvec").alias("qb"), F.col("norm2").alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "cosine",
+        _dot(F.col("qa"), F.col("qb")).cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+    )
+    return scored.filter(F.col("cosine") >= min_cosine).select("id_a", "id_b", "cosine")

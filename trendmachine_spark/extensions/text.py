@@ -108,3 +108,22 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.array_min(grams).alias("min_shingle_md5"),
         F.array_max(grams).alias("max_shingle_md5"),
     )
+
+
+def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, term) frequency + corpus document frequency (TF-IDF
+    inputs). tf is a ratio of exact integers; idf itself (ln(N/df)) is
+    left to the caller because libm log() is not bit-identical across
+    engines — the oracle checks the exact parts."""
+    words = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_term"))
+    doc_len = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_doc"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        tf.join(doc_len, id_col)
+        .join(df_, "term")
+        .select(
+            id_col, "term", "n_term", "doc_freq",
+            (F.col("n_term").cast("double") / F.col("n_doc")).alias("tf"),
+        )
+    )

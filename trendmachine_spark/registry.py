@@ -946,3 +946,53 @@ def q_sigmoid_preview(spark, sf_dir):
     from trendmachine_spark.operators.sigmoid_preview import sigmoid_shapes_all
 
     return sigmoid_shapes_all(spark)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
+      FROM qv
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                                          i -> a.q[i] * b.q[i])) AS DOUBLE)
+               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+      FROM nv a, nv b WHERE a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3""",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from trendmachine_spark.extensions.similarity import embedding_near_dup
+
+    return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), min_cosine=0.3)
+
+
+@register(
+    "text_term_stats",
+    """WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n_term
+      FROM words GROUP BY doc_id, term
+    ),
+    doc_len AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_doc FROM words GROUP BY doc_id
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term)
+    SELECT tf.doc_id, tf.term, tf.n_term, df.doc_freq,
+           CAST(tf.n_term AS DOUBLE) / doc_len.n_doc AS tf
+    FROM tf JOIN doc_len ON tf.doc_id = doc_len.doc_id
+    JOIN df ON tf.term = df.term""",
+)
+def q_text_term_stats(spark, sf_dir):
+    from trendmachine_spark.extensions.text import term_stats
+
+    return term_stats(load_table(spark, sf_dir, "documents"))
