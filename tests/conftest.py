@@ -15,6 +15,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse-tests")
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")
