@@ -91,3 +91,59 @@ def score_daily_series(dense: DataFrame, sigparams=None) -> DataFrame:
         return pdf[out_cols]
 
     return dense.groupBy("url").applyInPandas(score, schema=out_schema)
+
+
+def score_daily_series_multi(dense: DataFrame, param_sets: dict) -> DataFrame:
+    """Score the same dense series under several sigmoid-parameter sets
+    in ONE grouped scan (reference entry point 2 — slider re-tuning —
+    generalized: the expensive upstream rollup/spine is reused, and a
+    whole parameter sweep costs one pass; output gains a ``param_set``
+    key column).
+    """
+    tables = {name: _param_table(p) for name, p in param_sets.items()}
+    known = {name: list(t) for name, t in tables.items()}
+
+    out_schema = T.StructType(
+        [T.StructField("param_set", T.StringType())]
+        + list(dense.schema.fields)
+        + [T.StructField("resilience", T.DoubleType()), T.StructField("fixity", T.DoubleType())]
+    )
+    base_cols = [f.name for f in dense.schema.fields]
+
+    def run_recurrence(keys, params, default_key):
+        n = len(keys)
+        out = np.empty(n, dtype=np.float64)
+        if n == 0:
+            return out
+        change = np.ones(n, dtype=bool)
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        h = 0.5
+        for s0, e0 in zip(starts, ends):
+            p = params.get(keys[s0]) or params[default_key]
+            shift, slope, spread = p
+            base = h
+            scale = base if spread < 0 else 1.0 - base
+            x = np.arange(1, e0 - s0 + 1, dtype=np.float64)
+            seg = base + scale * (spread / (1.0 + np.exp(shift - x / slope)))
+            out[s0:e0] = seg
+            h = seg[-1]
+        return out
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day", kind="mergesort")
+        outs = []
+        for name, params in tables.items():
+            spec = pdf["specimen"].to_numpy(dtype=object)
+            spec = np.where(np.isin(spec, known[name]), spec, "~")
+            part = pdf[base_cols].copy()
+            part.insert(0, "param_set", name)
+            part["resilience"] = run_recurrence(spec, params, "~")
+            part["fixity"] = run_recurrence(
+                pdf["content"].to_numpy(dtype=object), params, "Unknown"
+            )
+            outs.append(part)
+        return pd.concat(outs, ignore_index=True)
+
+    return dense.groupBy("url").applyInPandas(score, schema=out_schema)

@@ -996,3 +996,34 @@ def q_text_term_stats(spark, sf_dir):
     from trendmachine_spark.extensions.text import term_stats
 
     return term_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "salted_term_counts",
+    """WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY term""",
+)
+def q_salted_term_counts(spark, sf_dir):
+    # two-stage salted aggregation == plain groupBy count, exactly
+    from trendmachine_spark.operators.skew import salted_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return salted_count(words, ["term"], n_salts=16)
+
+
+@register("multi_param_scoring", None)  # recurrence sweep: rows-only
+def q_multi_param_scoring(spark, sf_dir):
+    from trendmachine_spark.operators.recurrence import score_daily_series_multi
+    from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
+
+    dense = _dense(spark, sf_dir, fill=2, policy="closest")
+    fast_decay = dict(DEFAULT_SIGPARAMS)
+    fast_decay["~"] = SigmoidParam(5, 5.0, -0.8)
+    return score_daily_series_multi(
+        dense, {"default": DEFAULT_SIGPARAMS, "fast_decay": fast_decay}
+    )
