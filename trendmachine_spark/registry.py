@@ -1027,3 +1027,27 @@ def q_multi_param_scoring(spark, sf_dir):
     return score_daily_series_multi(
         dense, {"default": DEFAULT_SIGPARAMS, "fast_decay": fast_decay}
     )
+
+
+# ------------------------------------------- MLlib production variants
+
+@register("dedup_minhash_ml", None)  # MLlib estimator: seed-dependent
+def q_dedup_minhash_ml(spark, sf_dir):
+    from trendmachine_spark.extensions.ml import minhash_near_dup_ml
+
+    return minhash_near_dup_ml(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("tfidf_ml", None)  # vector column: not SQL-comparable
+def q_tfidf_ml(spark, sf_dir):
+    from trendmachine_spark.extensions.ml import tfidf_ml
+
+    out = tfidf_ml(load_table(spark, sf_dir, "documents"))
+    # project the vector to stable scalars so the rows-only check is meaningful
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array(F.col("tfidf"))
+    return out.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_nonzero"),
+    )
