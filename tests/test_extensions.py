@@ -114,3 +114,16 @@ def test_multimodal_plumbing(spark, docs):
     assert meta[0]["content_md5"] == want
     with pytest.raises(Exception):
         decode_assets(assets, real_decode=True).collect()
+
+
+def test_ivf_topk(spark, vectors):
+    from trendmachine_spark.extensions.similarity import ivf_topk
+
+    out = ivf_topk(vectors, n_queries=2, k=3, n_cells=3, n_probe=2).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+    # more probes can only widen the candidate set
+    wide = ivf_topk(vectors, n_queries=2, k=3, n_cells=3, n_probe=3).collect()
+    assert len(wide) >= len(out)

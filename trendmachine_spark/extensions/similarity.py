@@ -161,3 +161,73 @@ def embedding_near_dup(emb: DataFrame, min_cosine: float = 0.95,
         / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
     )
     return scored.filter(F.col("cosine") >= min_cosine).select("id_a", "id_b", "cosine")
+
+
+def ivf_assign(qv: DataFrame, n_cells: int = 16) -> DataFrame:
+    """IVF coarse quantizer with deterministic centroids.
+
+    Centroids are the quantized vectors of the ``n_cells`` lowest ids
+    (deterministic, no RNG/k-means dependency); each vector joins its
+    argmax-dot-product cell. Exact integer dots -> stable assignment.
+    """
+    cents = qv.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cell"), F.col("qvec").alias("cvec"), F.col("norm2").alias("cn")
+    )
+    scored = qv.crossJoin(F.broadcast(cents)).withColumn(
+        "_aff",
+        _dot(F.col("qvec"), F.col("cvec")).cast("double")
+        / F.sqrt(F.col("cn").cast("double")),
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("vid").orderBy(F.col("_aff").desc(), F.col("cell"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("vid", "qvec", "norm2", "cell")
+    )
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_cells: int = 16,
+             n_probe: int = 1, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: exact cosine ranking within the query's
+    ``n_probe`` best cells. The 100 TB path partitions the corpus by
+    cell; a query touches n_probe/n_cells of the data."""
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    assigned = ivf_assign(qv, n_cells)
+    cents = qv.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cell"), F.col("qvec").alias("cvec"), F.col("norm2").alias("cn")
+    )
+    queries = assigned.filter(F.col("vid") < n_queries)
+    # probe cells per query: top-n_probe centroid affinities
+    qprobe = queries.select("vid", "qvec", "norm2").crossJoin(F.broadcast(cents)).withColumn(
+        "_aff",
+        _dot(F.col("qvec"), F.col("cvec")).cast("double") / F.sqrt(F.col("cn").cast("double")),
+    )
+    from pyspark.sql import Window
+    wp = Window.partitionBy("vid").orderBy(F.col("_aff").desc(), F.col("cell"))
+    probes = (
+        qprobe.withColumn("_rk", F.row_number().over(wp))
+        .filter(F.col("_rk") <= n_probe)
+        .select(F.col("vid").alias("query_id"), F.col("qvec").alias("q"),
+                F.col("norm2").alias("qn"), "cell")
+    )
+    cands = assigned.select(
+        F.col("vid").alias("neighbor_id"), F.col("qvec").alias("c"),
+        F.col("norm2").alias("cn2"), "cell",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cands, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q"), F.col("c")).cast("double")
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1051,3 +1051,10 @@ def q_tfidf_ml(spark, sf_dir):
         "doc_id",
         F.size(F.filter(arr, lambda x: x > 0)).alias("n_nonzero"),
     )
+
+
+@register("similarity_ivf_topk", None)  # approximate by design: rows-only
+def q_similarity_ivf_topk(spark, sf_dir):
+    from trendmachine_spark.extensions.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5, n_probe=2)
