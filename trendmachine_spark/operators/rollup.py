@@ -14,8 +14,13 @@ one hash aggregation:
   maximum priority wins (strict ``pr > cp`` at main.py:164);
 * chaos: with chg_i = (cls_i != cls_{i-1}), cls_{-1} = '~', the day's
   closing values are chaos = sum(chg)/n cumulative and chaosn =
-  sum(chg) over the trailing 1000 captures / min(1000, n) — the circular
-  buffer at main.py:135-178 computes exactly this (see SURVEY.md O21);
+  sum(chg) over rows(-(SWS-2), 0) / min(SWS, n). NB the frame is
+  SWS-1 = 999 transitions wide, NOT SWS: the ring buffer at
+  main.py:170-178 evicts boundary (i-SWS, i-SWS+1) when processing row
+  i, and at the exact window-fill moment (i = SWS-1) it evicts the
+  virtual initial transition (status[0] vs '~') — so the window holds
+  the 999 *internal* boundaries of its 1000 rows (verified against a
+  ring-buffer simulation in tests/test_chaos_window_eviction.py);
 * content: day's specimen digest vs the previous observed day's
   ('Unchanged'/'Changed'; first day compares to '~' => 'Changed').
 """
@@ -53,8 +58,10 @@ def daily_rollup(normalized: DataFrame, with_chaos: bool = True) -> DataFrame:
         cum = Window.partitionBy("url").orderBy("ts", "seq").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
+        # SWS-1 transitions = the internal boundaries of SWS rows (see
+        # module docstring for the eviction off-by-one)
         sliding = Window.partitionBy("url").orderBy("ts", "seq").rowsBetween(
-            -(SWS - 1), Window.currentRow
+            -(SWS - 2), Window.currentRow
         )
         c = (
             c.withColumn("_chg", chg)

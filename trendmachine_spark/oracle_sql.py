@@ -57,8 +57,10 @@ flags2 AS (
   SELECT *,
          SUM(chg) OVER (PARTITION BY url ORDER BY ts, seq
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS us,
+         -- 998 PRECEDING: the 1000-row window holds 999 internal
+         -- boundaries (ring-buffer eviction off-by-one; rollup.py)
          SUM(chg) OVER (PARTITION BY url ORDER BY ts, seq
-                        ROWS BETWEEN 999 PRECEDING AND CURRENT ROW) AS uw
+                        ROWS BETWEEN 998 PRECEDING AND CURRENT ROW) AS uw
   FROM flags
 )"""
 
