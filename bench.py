@@ -55,6 +55,7 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")  # keep stdout pure JSON
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
