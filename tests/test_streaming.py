@@ -77,3 +77,36 @@ def test_streaming_chaos_state_matches_batch_final(spark):
         assert r["url"] in got
         assert got[r["url"]]["chaos"] == pytest.approx(r["chaos"], abs=1e-12), r["url"]
         assert got[r["url"]]["chaosn"] == pytest.approx(r["chaosn"], abs=1e-12), r["url"]
+
+
+def test_streaming_resilience_matches_batch_closed_days(spark):
+    from trendmachine_spark.streaming.capture_stream import resilience_scores_stream
+
+    stream = events_capture_stream(spark, SF)
+    _run_to_memory(resilience_scores_stream(stream), "res_stream", "append")
+    got = {
+        (r["url"], r["day"]): (r["specimen"], r["resilience"])
+        for r in spark.sql("SELECT * FROM res_stream").collect()
+    }
+
+    from trendmachine_spark.pipeline import daily_series
+    from trendmachine_spark.sources.captures import events_as_captures
+
+    caps = events_as_captures(spark, SF)
+    batch = daily_series(caps, fill=0)
+    last_observed = {
+        r["url"]: r["mx"]
+        for r in batch.filter(F.col("All") != 0)
+        .groupBy("url").agg(F.max("Day").alias("mx")).collect()
+    }
+    checked = 0
+    for r in batch.collect():
+        if r["Day"] >= last_observed[r["url"]]:
+            continue  # the open day + trailing spine are not yet closed in streaming
+        key = (r["url"], r["Day"])
+        assert key in got, key
+        spec = r["Specimen"] if r["Specimen"] in ("2xx", "3xx", "4xx", "5xx", "~") else "~"
+        assert got[key][0] == spec, key
+        assert got[key][1] == pytest.approx(r["Resilience"], abs=1e-12), key
+        checked += 1
+    assert checked > 300

@@ -1058,3 +1058,25 @@ def q_similarity_ivf_topk(spark, sf_dir):
     from trendmachine_spark.extensions.similarity import ivf_topk
 
     return ivf_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5, n_probe=2)
+
+
+@register("resilience_streaming", None)  # streaming stateful: rows-only
+def q_resilience_streaming(spark, sf_dir):
+    """Streaming O34 driven to completion over the sf parquet (the
+    batch-equivalence test lives in tests/test_streaming.py)."""
+    from trendmachine_spark.streaming.capture_stream import (
+        events_capture_stream,
+        resilience_scores_stream,
+    )
+
+    stream = events_capture_stream(spark, sf_dir)
+    q = (
+        resilience_scores_stream(stream)
+        .writeStream.format("memory")
+        .queryName("_res_stream_q")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM _res_stream_q")

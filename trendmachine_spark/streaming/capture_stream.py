@@ -163,3 +163,108 @@ def events_capture_stream(spark, sf_dir: str) -> DataFrame:
         F.coalesce(status, F.col("event_type")).alias("status"),
         F.concat(F.lit("DG"), F.regexp_extract("props", "[0-9]+", 0), F.lit("000000")).alias("digest"),
     )
+
+
+RES_STATE_SCHEMA = (
+    "digests map<string,string>, cur_day string, cur_pr int, cur_spec string, "
+    "base double, scale double, h double, x bigint, prev string"
+)
+RES_OUT_SCHEMA = "url string, day string, specimen string, resilience double"
+
+
+def resilience_scores_stream(stream: DataFrame, sigparams=None) -> DataFrame:
+    """Streaming O34: per-url resilience emitted at each day close.
+
+    State carries the revisit digest map, the open day's best specimen
+    (priority + first-capture-wins, O20), and the recurrence registers
+    (base/scale/h/x/prev). When a capture for a later day arrives, the
+    operator closes the open day, synthesizes any interior missing days
+    as '~' (the reference's dense-spine iteration, O31, done lazily),
+    scores them, and emits one row per closed day. The still-open day
+    is emitted only when a later day's capture (or batch) closes it —
+    identical semantics to the batch engine for in-order input, which
+    the test pins.
+    """
+    from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
+
+    params = {}
+    for k, v in (sigparams or DEFAULT_SIGPARAMS).items():
+        params[k] = v.as_tuple() if isinstance(v, SigmoidParam) else tuple(v)
+    priority = {"2xx": 4, "4xx": 3, "5xx": 2, "3xx": 1}
+
+    def state_fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+        from datetime import date, timedelta
+
+        if state.exists:
+            digests, cur_day, cur_pr, cur_spec, base, scale, h, x, prev = state.get
+            digests = dict(digests)
+        else:
+            digests, cur_day, cur_spec = {}, None, "~"
+            cur_pr = -1
+            base = scale = h = 0.5
+            x = 0
+            prev = "~"
+
+        out_rows = []
+
+        def score_day(day_str, spec):
+            nonlocal base, scale, h, x, prev
+            p = params.get(spec) or params["~"]
+            if spec != prev:
+                base = h
+                scale = base if p[2] < 0 else 1.0 - base
+                prev = spec
+                x = 0
+            x += 1
+            h = base + scale * (p[2] / (1.0 + math.exp(p[0] - x / p[1])))
+            out_rows.append((key[0], day_str, spec, h))
+
+        def close_through(next_day_str):
+            # close the open day, then synthesize '~' days up to next_day
+            nonlocal cur_day, cur_pr, cur_spec
+            if cur_day is None:
+                cur_day = next_day_str
+                cur_pr = -1
+                cur_spec = "~"
+                return
+            if next_day_str == cur_day:
+                return
+            score_day(cur_day, cur_spec if cur_spec in params else "~")
+            d = date.fromisoformat(cur_day) + timedelta(days=1)
+            end = date.fromisoformat(next_day_str)
+            while d < end:
+                score_day(d.isoformat(), "~")
+                d += timedelta(days=1)
+            cur_day = next_day_str
+            cur_pr = -1
+            cur_spec = "~"
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_time", kind="mergesort")
+            for s, dg, ts in zip(pdf["status"], pdf["digest"], pdf["event_time"]):
+                s = s[:1] + "xx" if "200" <= s <= "599" else s
+                if s == "-":
+                    s = digests.get(dg, "~")
+                else:
+                    digests[dg] = s
+                day_str = ts.strftime("%Y-%m-%d")
+                close_through(day_str)
+                pr = priority.get(s, 0)
+                if pr > cur_pr:
+                    cur_spec = s
+                    cur_pr = pr
+
+        state.update((digests, cur_day, cur_pr, cur_spec, base, scale, h, x, prev))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=["url", "day", "specimen", "resilience"])
+
+    return stream.groupBy("url").applyInPandasWithState(
+        state_fn,
+        outputStructType=RES_OUT_SCHEMA,
+        stateStructType=RES_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
