@@ -110,3 +110,35 @@ def test_streaming_resilience_matches_batch_closed_days(spark):
         assert got[key][1] == pytest.approx(r["Resilience"], abs=1e-12), key
         checked += 1
     assert checked > 300
+
+
+def test_streaming_scored_matches_batch_closed_days(spark):
+    from trendmachine_spark.streaming.scored_stream import scored_daily_stream
+
+    stream = events_capture_stream(spark, SF)
+    _run_to_memory(scored_daily_stream(stream), "scored_stream", "append")
+    got = {
+        (r["url"], r["day"]): r
+        for r in spark.sql("SELECT * FROM scored_stream").collect()
+    }
+
+    from trendmachine_spark.pipeline import daily_series
+    from trendmachine_spark.sources.captures import events_as_captures
+
+    caps = events_as_captures(spark, SF)
+    batch = daily_series(caps, fill=0)
+    last_observed = {
+        r["url"]: r["mx"]
+        for r in batch.filter(F.col("All") != 0)
+        .groupBy("url").agg(F.max("Day").alias("mx")).collect()
+    }
+    checked = 0
+    for r in batch.collect():
+        if r["Day"] >= last_observed[r["url"]]:
+            continue
+        g = got[(r["url"], r["Day"])]
+        assert g["content"] == r["Content"], (r["url"], r["Day"])
+        assert g["resilience"] == pytest.approx(r["Resilience"], abs=1e-12)
+        assert g["fixity"] == pytest.approx(r["Fixity"], abs=1e-12)
+        checked += 1
+    assert checked > 300

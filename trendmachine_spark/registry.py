@@ -1080,3 +1080,23 @@ def q_resilience_streaming(spark, sf_dir):
     q.processAllAvailable()
     q.stop()
     return spark.sql("SELECT * FROM _res_stream_q")
+
+
+@register("scored_daily_streaming", None)  # streaming stateful: rows-only
+def q_scored_daily_streaming(spark, sf_dir):
+    """Streaming O34+O35 (resilience + fixity at day close) driven to
+    completion; batch equivalence pinned in tests/test_streaming.py."""
+    from trendmachine_spark.streaming.capture_stream import events_capture_stream
+    from trendmachine_spark.streaming.scored_stream import scored_daily_stream
+
+    stream = events_capture_stream(spark, sf_dir)
+    q = (
+        scored_daily_stream(stream)
+        .writeStream.format("memory")
+        .queryName("_scored_stream_q")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM _scored_stream_q")

@@ -1,0 +1,139 @@
+"""Streaming scored daily series: resilience + fixity at each day close.
+
+Extends streaming/capture_stream.resilience_scores_stream with the
+fixity recurrence (O35): state additionally tracks the open day's
+winning digest and the previous observed day's closing digest, so the
+day's content state ('Unchanged' if the specimen digest repeats, else
+'Changed'; synthesized missing days are 'Unknown' — main.py:155/:168 +
+archive.py:17 semantics) drives the second recurrence. The batch-
+equivalence test pins both scores to 1e-12 on every closed day.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SCORED_STATE_SCHEMA = (
+    "digests map<string,string>, cur_day string, cur_pr int, cur_spec string, "
+    "cur_digest string, prev_close_digest string, "
+    "base double, scale double, h double, x bigint, prev string, "
+    "basec double, scalec double, hc double, xc bigint, prevc string"
+)
+SCORED_OUT_SCHEMA = (
+    "url string, day string, specimen string, content string, "
+    "resilience double, fixity double"
+)
+
+
+def scored_daily_stream(stream: DataFrame, sigparams=None) -> DataFrame:
+    """stream(url, event_time, status, digest) -> closed-day scores."""
+    from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
+
+    params = {}
+    for k, v in (sigparams or DEFAULT_SIGPARAMS).items():
+        params[k] = v.as_tuple() if isinstance(v, SigmoidParam) else tuple(v)
+    priority = {"2xx": 4, "4xx": 3, "5xx": 2, "3xx": 1}
+
+    def state_fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+        from datetime import date, timedelta
+
+        if state.exists:
+            (digests, cur_day, cur_pr, cur_spec, cur_digest, prev_close_digest,
+             base, scale, h, x, prev, basec, scalec, hc, xc, prevc) = state.get
+            digests = dict(digests)
+        else:
+            digests, cur_day, cur_spec, cur_digest = {}, None, "~", "~"
+            prev_close_digest = "~"
+            cur_pr = -1
+            base = scale = h = basec = scalec = hc = 0.5
+            x = xc = 0
+            prev = "~"
+            prevc = "Unknown"
+
+        out_rows = []
+
+        def recur(spec, content):
+            nonlocal base, scale, h, x, prev, basec, scalec, hc, xc, prevc
+            p = params.get(spec) or params["~"]
+            if spec != prev:
+                base = h
+                scale = base if p[2] < 0 else 1.0 - base
+                prev = spec
+                x = 0
+            x += 1
+            h = base + scale * (p[2] / (1.0 + math.exp(p[0] - x / p[1])))
+            cp = params.get(content) or params["Unknown"]
+            if content != prevc:
+                basec = hc
+                scalec = basec if cp[2] < 0 else 1.0 - basec
+                prevc = content
+                xc = 0
+            xc += 1
+            hc = basec + scalec * (cp[2] / (1.0 + math.exp(cp[0] - xc / cp[1])))
+            return h, hc
+
+        def close_through(next_day_str):
+            nonlocal cur_day, cur_pr, cur_spec, cur_digest, prev_close_digest
+            if cur_day is None:
+                cur_day = next_day_str
+                cur_pr = -1
+                cur_spec = "~"
+                cur_digest = "~"
+                return
+            if next_day_str == cur_day:
+                return
+            spec = cur_spec if cur_spec in params else "~"
+            content = "Unchanged" if cur_digest == prev_close_digest else "Changed"
+            r, f = recur(spec, content)
+            out_rows.append((key[0], cur_day, spec, content, r, f))
+            prev_close_digest = cur_digest
+            d = date.fromisoformat(cur_day) + timedelta(days=1)
+            end = date.fromisoformat(next_day_str)
+            while d < end:
+                r, f = recur("~", "Unknown")
+                out_rows.append((key[0], d.isoformat(), "~", "Unknown", r, f))
+                d += timedelta(days=1)
+            cur_day = next_day_str
+            cur_pr = -1
+            cur_spec = "~"
+            cur_digest = "~"
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_time", kind="mergesort")
+            for s, dg, ts in zip(pdf["status"], pdf["digest"], pdf["event_time"]):
+                s = s[:1] + "xx" if "200" <= s <= "599" else s
+                if s == "-":
+                    s = digests.get(dg, "~")
+                else:
+                    digests[dg] = s
+                close_through(ts.strftime("%Y-%m-%d"))
+                pr = priority.get(s, 0)
+                if pr > cur_pr:
+                    cur_spec = s
+                    cur_digest = dg[:8]
+                    cur_pr = pr
+
+        state.update((
+            digests, cur_day, cur_pr, cur_spec, cur_digest, prev_close_digest,
+            base, scale, h, x, prev, basec, scalec, hc, xc, prevc,
+        ))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=["url", "day", "specimen", "content", "resilience", "fixity"],
+            )
+
+    return stream.groupBy("url").applyInPandasWithState(
+        state_fn,
+        outputStructType=SCORED_OUT_SCHEMA,
+        stateStructType=SCORED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
