@@ -1,0 +1,151 @@
+"""End-to-end near-duplicate pipeline: candidates -> verify -> clusters.
+
+The missing last step of every training-data dedup run (driver mandate
+SURVEY.md §2.6): LSH produces candidate *pairs*, the exact verifier
+scores them, but a usable dedup needs *clusters* — connected components
+over the verified pair graph — and one keeper per cluster.
+
+* verify_candidates     — exact Jaccard on candidate pairs only. The
+  pair set is LSH output (tiny vs the corpus), so each pair's
+  intersection is computed with ``array_intersect`` on the two docs'
+  shingle sets — a narrow per-row expression after two hash joins on
+  doc id; NO inverted-index self-join is re-run here.
+* connected_components  — iterative min-label propagation (hash-min):
+  each round every node adopts the smallest label among itself and its
+  neighbors; converges in O(graph diameter) rounds. Near-dup clusters
+  are small and dense (diameter rarely above 2-3), so 3-5 rounds close
+  real corpora. Each round is one shuffle-join + groupBy; intermediate
+  results are persisted and lineage is truncated with localCheckpoint
+  so the plan does not grow with the iteration count.
+* dedup_clusters        — the composed pipeline; output one row per
+  clustered doc with its cluster id (= min doc id in the component)
+  and keeper flag.
+
+Scale: the iterative join is over the *verified-pair* graph — orders of
+magnitude smaller than the corpus. For pathological chain-shaped graphs
+(diameter ~ n) the hash-min rounds degrade; the standard fix at that
+point is large-star/small-star (alternating conditional joins), which
+keeps the same join shape — documented here, not needed for dedup
+workloads where components are near-cliques.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trendmachine_spark.extensions.dedup import (
+    SHINGLE_K,
+    gram_array,
+    minhash_near_dup,
+)
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
+    """(id, sharr, n_sh) — per-doc distinct shingle array; narrow map."""
+    sharr = F.array_distinct(gram_array(text_col, k))
+    return docs.select(
+        F.col(id_col), sharr.alias("sharr")
+    ).withColumn("n_sh", F.size("sharr"))
+
+
+def verify_candidates(candidates: DataFrame, docs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      min_jaccard: float = 0.8) -> DataFrame:
+    """(id_a, id_b, jaccard) for candidate pairs with exact jaccard >= t.
+
+    jaccard = |A ∩ B| / |A ∪ B| over full distinct-shingle sets — exact
+    integer ratio, bit-identical across engines. Two hash joins bring
+    the shingle arrays to the (small) pair set; the intersection size is
+    a narrow array op, so the verifier never touches non-candidate rows.
+    """
+    sets = shingle_sets(docs, text_col, id_col)
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sharr").alias("_sa"),
+                    F.col("n_sh").alias("_na"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sharr").alias("_sb"),
+                    F.col("n_sh").alias("_nb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .withColumn("_ni", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_ni").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_ni")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node, cluster) — cluster = min node id reachable in the pair graph.
+
+    Hash-min label propagation: labels start as the node's own id; each
+    round a node adopts min(own label, neighbors' labels). Converged
+    when no label changes (checked with a scalar count — no data is
+    collected to the driver). Raises if ``max_iter`` rounds do not
+    converge, which for near-dup graphs indicates a pathological chain
+    (see module docstring for the large-star/small-star escalation).
+    """
+    both = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    both = both.persist()
+    labels = (
+        both.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                both.join(labels, both.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("label").alias("_nl"))
+            )
+            new_labels = (
+                labels.join(nbr, labels.node == nbr.dst, "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
+                )
+                .localCheckpoint(eager=True)  # truncate lineage per round
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select("node", F.col("label").alias("cluster"))
+    finally:
+        both.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "graph diameter exceeds the hash-min budget — switch to "
+        "large-star/small-star for chain-shaped graphs"
+    )
+
+
+def dedup_clusters(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_jaccard: float = 0.8) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verify -> connected components.
+
+    Output: (doc_id, cluster_id, is_keeper) for every doc in a verified
+    near-dup cluster; cluster_id = min doc id in the component, the
+    keeper is that doc (deterministic smallest-id policy).
+    """
+    cands = minhash_near_dup(docs, text_col, id_col)
+    verified = verify_candidates(cands, docs, text_col, id_col, min_jaccard)
+    comps = connected_components(verified)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster").alias("cluster_id"),
+        (F.col("node") == F.col("cluster")).cast("long").alias("is_keeper"),
+    )

@@ -5,17 +5,23 @@ Driver-mandated extension operators (SURVEY.md §2.6), designed for
 driver-side state, no UDFs.
 
 * exact_dedup      — content-hash group-by (one shuffle on the hash).
-* minhash_near_dup — shingle -> MinHash signature -> banded LSH
-  bucket join. The minhash uses *string-min over md5(shingle + seed)*,
-  which is engine-portable (same values in DuckDB), unlike murmur3.
+* minhash_near_dup — MinHash signature -> banded LSH bucket join. The
+  signature is computed entirely with array expressions (one md5 per
+  gram + a single fold) so signature computation is a ZERO-SHUFFLE
+  narrow map; only the bucket self-join shuffles. The hash family is
+  *md5(shingle) xor mask_j*, which is engine-portable (same values in
+  DuckDB), unlike murmur3.
 * ngram_jaccard    — exact Jaccard over word-shingle sets for pairs
-  sharing at least one shingle (inverted-index join; the standard
-  exact near-dup verifier downstream of LSH candidates).
+  sharing at least one non-ubiquitous shingle (inverted-index join; the
+  standard exact near-dup verifier downstream of LSH candidates).
+* simhash          — SimHash fingerprint, also a zero-shuffle narrow map.
 
-At 100 TB: the shingle explode multiplies rows by ~doc_len; the
-inverted-index join must be salted on hot shingles (stopword shingles)
-— ngram_jaccard exposes ``max_shingle_freq`` to drop ubiquitous
-shingles, which is both the skew guard and standard practice.
+At 100 TB: the inverted-index join must drop ubiquitous shingles
+(stopword shingles) or a single hot key produces a quadratic join —
+``ngram_jaccard`` guards with ``max_shingle_freq`` (ON by default;
+see MAX_SHINGLE_FREQ). The guard prunes candidate *pairs* only: the
+jaccard value itself is always computed against the full shingle sets,
+so reported similarities stay exact — recall is what's traded.
 """
 
 from __future__ import annotations
@@ -28,6 +34,13 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 SHINGLE_K = 3
+#: default doc-frequency cap for the inverted-index join (skew guard).
+#: A shingle present in more than this many docs is dropped from
+#: candidate generation — at local test SFs nothing exceeds it (max
+#: observed doc-freq is 25 at sf0.1), so results equal the unguarded
+#: run; at corpus scale it is what keeps the self-join from going
+#: quadratic on stopword shingles.
+MAX_SHINGLE_FREQ = 100
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,20 +59,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             k: int = SHINGLE_K) -> DataFrame:
-    """Distinct word k-gram shingles per document (id, shingle)."""
+def gram_array(text_col: str = "text", k: int = SHINGLE_K):
+    """Column: array of word k-grams in document order (may repeat)."""
     words = F.split(F.col(text_col), " ")
     # NB: sequence(1, n) with n < 1 counts DOWN ([1, 0]) — guard short docs
     idx = F.when(
         F.size(words) >= k,
         F.sequence(F.lit(1), F.size(words) - (k - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    return (
-        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = SHINGLE_K, distinct: bool = True) -> DataFrame:
+    """Word k-gram shingles per document (id, shingle).
+
+    ``distinct=True`` dedupes *within* the gram array (array_distinct —
+    still a narrow map, NOT a shuffle) which is exactly set semantics
+    since grams can only repeat within one document.
+    """
+    grams = gram_array(text_col, k)
+    if distinct:
+        grams = F.array_distinct(grams)
+    return docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
 
 
 def _hash_mask(j: int) -> int:
@@ -71,57 +93,98 @@ def _hash_mask(j: int) -> int:
 #: deterministic 60-bit xor masks, one per hash function — engine-portable
 HASH_MASKS = tuple(_hash_mask(j) for j in range(NUM_HASHES))
 
+#: fold initializer — above any 60-bit hash value, below Long.MAX
+_MIN_INIT = 1 << 62
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id",
-                       num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(id, mh0..mh{n-1}) — minhash over the xor-mask hash family.
 
-    Each shingle is hashed ONCE (md5 hex -> 60-bit int); the j-th hash
-    is ``h XOR mask_j`` with deterministic md5-derived masks, so the
-    family costs one md5 + n xors per shingle instead of n md5s, and
-    ``min(bigint)`` is HashAggregate-able (map-side partial combine).
+def minhash_signature_array(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = NUM_HASHES,
+                            k: int = SHINGLE_K) -> DataFrame:
+    """(id, sig: array<long>) — minhash signatures as a zero-shuffle map.
+
+    Each gram is hashed ONCE (md5 hex -> 60-bit int); the j-th hash is
+    ``h XOR mask_j`` with deterministic md5-derived masks, so the family
+    costs one md5 + n xors per gram. All n minima are folded in a
+    SINGLE ``aggregate`` pass over the gram-hash array (zip_with against
+    the mask array), so the whole signature is one narrow projection —
+    no explode, no shuffle, no duplicate-elimination needed (min is
+    duplicate-insensitive, the round-1 ``.distinct()`` here was a wasted
+    full shuffle of the exploded shingle table).
+
+    The signature STAYS one array column: extracting n scalar columns by
+    rebuilding the fold expression per column would evaluate the fold n
+    times (higher-order functions are interpreted and not CSE'd — this
+    exact mistake cost 4x in an early round-2 cut).
+
     Engine-portable: DuckDB computes the identical ints (hex cast + xor).
-    All seeds are parallel aggregates in ONE groupBy — a single shuffle
-    on the doc id.
+    Docs with no k-gram (fewer than k words) produce no row, matching
+    the exploded formulation.
     """
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
-    with_h = sh.withColumn("_h", h)
-    aggs = [
-        F.min(F.expr(f"_h ^ {HASH_MASKS[j]}L")).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
-    return with_h.groupBy(id_col).agg(*aggs)
+    masks = F.array(*[F.lit(m).cast("long") for m in HASH_MASKS[:num_hashes]])
+    harr = F.transform(
+        gram_array(text_col, k),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    sig = F.aggregate(
+        F.col("_harr"),
+        F.array_repeat(F.lit(_MIN_INIT).cast("long"), num_hashes),
+        lambda acc, v: F.zip_with(acc, masks, lambda a, m: F.least(a, v.bitwiseXOR(m))),
+    )
+    return (
+        docs.select(F.col(id_col), harr.alias("_harr"))
+        .filter(F.size("_harr") > 0)
+        .select(F.col(id_col), sig.alias("sig"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = NUM_HASHES,
+                       k: int = SHINGLE_K) -> DataFrame:
+    """Wide (id, mh0..mh{n-1}) view of minhash_signature_array.
+
+    The getItem projections reference the materialized ``sig`` column —
+    cheap extraction, the fold itself runs once."""
+    arr = minhash_signature_array(docs, text_col, id_col, num_hashes, k)
+    return arr.select(
+        F.col(id_col), *[F.col("sig")[j].alias(f"mh{j}") for j in range(num_hashes)]
+    )
 
 
 def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
                      bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
-    """(id, band, bucket) — bucket = md5 of the band's minhash run.
+    """(id, band, bucket) from the ARRAY signature table.
 
-    Narrow reshape of the wide signature table (stack, no shuffle)."""
-    stack_expr = "stack({}, {}) as (band, bucket)".format(
-        bands,
-        ", ".join(
-            "{b}L, md5(concat_ws('|', {cols}))".format(
-                b=b,
-                cols=", ".join(
-                    f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+    bucket = md5 of the band's '|'-joined minhash run — computed as one
+    array expression over ``sig`` then posexploded, so the reshape is a
+    narrow generator (no shuffle) and ``sig`` is read, not recomputed.
+    """
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
                 ),
             )
-            for b in range(bands)
         ),
     )
-    return signatures.selectExpr(id_col, stack_expr)
+    return signatures.select(
+        F.col(id_col), F.posexplode(buckets).alias("band", "bucket")
+    )
 
 
 def minhash_near_dup(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing an LSH band.
 
-    Scale: the self-join is on (band, bucket) — co-partitioned by the
-    join key, bucket cardinality ~n_docs so no broadcast needed; hot
-    buckets are bounded by band width.
+    Scale: signatures are a narrow map (see minhash_signature_array);
+    the self-join is on (band, bucket) — co-partitioned by the join key,
+    bucket cardinality ~n_docs so no broadcast needed; hot buckets are
+    bounded by band width.
     """
-    buckets = lsh_band_buckets(minhash_signatures(shingles(docs, text_col, id_col), id_col), id_col)
+    buckets = lsh_band_buckets(minhash_signature_array(docs, text_col, id_col), id_col)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -134,35 +197,53 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
 
 def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   min_jaccard: float = 0.0,
-                  max_shingle_freq: int | None = None) -> DataFrame:
-    """Exact Jaccard similarity for pairs sharing >= 1 shingle.
+                  max_shingle_freq: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
+    """Exact Jaccard similarity for pairs sharing >= 1 surviving shingle.
 
     jaccard = |A ∩ B| / |A ∪ B| — a ratio of exact integers, so the
-    value is bit-identical across engines. ``max_shingle_freq`` drops
-    shingles appearing in more than that many docs (skew guard: a
-    stopword shingle would otherwise produce a quadratic hot key).
+    value is bit-identical across engines. ``max_shingle_freq`` (ON by
+    default) drops shingles appearing in more than that many docs from
+    candidate generation — the skew guard that stops a stopword shingle
+    from producing a quadratic hot join key at corpus scale. Set sizes
+    |A| and |B| are always the FULL distinct-shingle counts (computed
+    as array sizes — narrow, no extra shuffle/join), so the jaccard of
+    every reported pair is exact; only pairs sharing *solely* hot
+    shingles are missed.
+
+    Shuffle budget: shingle-frequency agg + freq semi-join + self-join
+    (all hash-partitioned on ``shingle`` — exchange-reusable) and the
+    final pair groupBy. Set sizes ride along through the join instead
+    of a separate sizes aggregation + two joins.
     """
-    sh = shingles(docs, text_col, id_col)
+    sharr = F.array_distinct(gram_array(text_col, k=SHINGLE_K))
+    # size() is computed in a projection BEFORE the explode: evaluating
+    # it alongside the generator would force every exploded row to carry
+    # the whole shingle array through the downstream shuffles.
+    sh = (
+        docs.select(F.col(id_col), sharr.alias("_sharr"))
+        .select(F.col(id_col), F.size("_sharr").alias("n_shingles"), "_sharr")
+        .select(F.col(id_col), "n_shingles", F.explode("_sharr").alias("shingle"))
+    )
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq).select("shingle"), "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+        sh = sh.join(
+            freq.filter(F.col("_f") <= max_shingle_freq).select("shingle"), "shingle"
+        )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
+    out = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    out = (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("n_a").alias("_na"),
+            F.min("n_b").alias("_nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
         )
         .select("id_a", "id_b", "n_common", "jaccard")
     )
@@ -171,34 +252,44 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return out
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              bits: int = 32) -> DataFrame:
-    """SimHash fingerprint from md5-derived word-hash bits.
+def _hex_bit(h, p):
+    """Bit ``3 - p%4`` of hex digit ``p//4`` of md5-hex string ``h``."""
+    v = F.conv(F.substring(h, (p / 4).cast("int") + 1, 1), 16, 10).cast("int")
+    return (v / F.pow(F.lit(2.0), (F.lit(3) - p % 4).cast("double"))).cast("int") % 2
 
-    For each of ``bits`` positions p, the word's bit is extracted from
-    its md5 hex digit; the fingerprint bit is the sign of the
-    vote sum over all word occurrences. Uses only md5 + string ops +
-    integer arithmetic, so it is engine-portable.
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint from md5-derived word-hash bits (bits <= 62).
+
+    For each bit position p, the word's bit is extracted from its md5
+    hex digit; the fingerprint bit is the sign of the vote sum over all
+    word occurrences. Computed entirely with array folds — one md5 per
+    word, zero shuffles (the round-1 formulation exploded bits×words
+    rows through two shuffles). Uses only md5 + string ops + integer
+    arithmetic, so it is engine-portable.
     """
-    words = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
-    hashed = words.withColumn("h", F.md5(F.col("w")))
-    pos = hashed.select(
-        id_col, "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("p"),
+    words = F.split(F.col(text_col), " ")
+    hashed = docs.select(
+        F.col(id_col), F.transform(words, F.md5).alias("_h")
     )
-    # hex digit at p//4 (1-based substr), bit (3 - p%4) of its value
-    bit = pos.selectExpr(
-        id_col,
-        "p",
-        f"(CAST(conv(substring(h, CAST(p / 4 AS INT) + 1, 1), 16, 10) AS INT)"
-        f" DIV CAST(pow(2, 3 - p % 4) AS INT)) % 2 AS bit",
+
+    def vote(p):
+        return F.aggregate(
+            F.col("_h"), F.lit(0), lambda acc, h: acc + _hex_bit(h, p) * 2 - 1
+        )
+
+    fp = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(vote(p) > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
-    votes = bit.withColumn("v", F.col("bit") * 2 - 1).groupBy(id_col, "p").agg(
-        F.sum("v").alias("vote")
-    )
-    fp = votes.withColumn(
-        "fpbit", F.when(F.col("vote") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-    ).groupBy(id_col).agg(
-        F.sum(F.expr("fpbit * CAST(pow(2, p) AS BIGINT)")).alias("simhash")
-    )
-    return fp
+    return hashed.select(F.col(id_col), fp.alias("simhash"))
+
+
+#: round-1 name — kept as an alias; the fingerprint width is the
+#: ``bits`` argument (default 32), not 64.
+simhash64 = simhash

@@ -79,33 +79,49 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
-def _hyperplane_sign(plane, dim):
-    """+1/-1 from bit 0 of md5('plane:dim') — deterministic, engine-portable."""
-    h = F.md5(F.concat_ws(":", plane.cast("string"), dim.cast("string")))
-    last = F.substring(h, 32, 1)
-    val = F.conv(last, 16, 10).cast("int")
-    return (val % 2) * 2 - 1
+def srp_sign(plane: int, dim: int) -> int:
+    """+1/-1 from bit 0 of md5('plane:dim') — deterministic, engine-portable
+    (DuckDB: (('0x' || substr(md5(p || ':' || d), 32, 1))::INT % 2) * 2 - 1)."""
+    import hashlib
+
+    return (int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[-1], 16) % 2) * 2 - 1
 
 
 def srp_buckets(qv: DataFrame, n_planes: int = 8) -> DataFrame:
     """(vid, bucket) — bucket = concat of sign bits across hyperplanes.
 
-    The projection sum is exact integer arithmetic, so bucket ids are
-    deterministic; ties (projection == 0) map to bit 0.
+    ZERO-shuffle narrow map: the ±1 hyperplane matrix is deterministic
+    (bit 0 of md5('plane:dim')), so it is materialized once driver-side
+    as a literal constant and each projection is a per-row array fold
+    (the round-1 formulation exploded dims×planes rows through two
+    shuffles). The projection sum is exact integer arithmetic, so
+    bucket ids are deterministic; ties (projection == 0) map to bit 0.
     """
-    dims = qv.select("vid", "qvec", F.posexplode("qvec").alias("dim", "qval"))
-    planes = dims.select(
-        "vid", "qval", "dim",
-        F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane"),
+    dim_row = qv.select(F.size("qvec").alias("d")).first()
+    if dim_row is None or dim_row["d"] is None:
+        return qv.select("vid", F.lit("").alias("bucket")).limit(0)
+    dim = dim_row["d"]
+    signs = F.array(*[
+        F.array(*[F.lit(srp_sign(p, i)) for i in range(dim)])
+        for p in range(n_planes)
+    ])
+
+    def proj(p):
+        return F.aggregate(
+            F.zip_with(
+                F.col("qvec"),
+                F.element_at(signs, p + 1),
+                lambda v, s: v * s.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(proj(p) > 0, F.lit("1")).otherwise(F.lit("0")),
     )
-    proj = planes.withColumn(
-        "contrib", F.col("qval") * _hyperplane_sign(F.col("plane"), F.col("dim"))
-    ).groupBy("vid", "plane").agg(F.sum("contrib").alias("proj"))
-    bits = proj.withColumn("bit", F.when(F.col("proj") > 0, "1").otherwise("0"))
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("plane", "bit"))), lambda s: s["bit"]
-    )
-    return bits.groupBy("vid").agg(F.concat_ws("", ordered).alias("bucket"))
+    return qv.select("vid", F.concat_ws("", bits).alias("bucket"))
 
 
 def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 8,
@@ -159,6 +175,42 @@ def embedding_near_dup(emb: DataFrame, min_cosine: float = 0.95,
         "cosine",
         _dot(F.col("qa"), F.col("qb")).cast("double")
         / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+    )
+    return scored.filter(F.col("cosine") >= min_cosine).select("id_a", "id_b", "cosine")
+
+
+def embedding_near_dup_bucketed(emb: DataFrame, min_cosine: float = 0.95,
+                                n_planes: int = 8, vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-dup, SRP-bucketed — the production path.
+
+    Candidate pairs come from an EQUI-join on the SRP bucket (2^n_planes
+    buckets; each vector compares only within its bucket), then the
+    exact quantized-cosine predicate filters them. Output is a strict
+    subset of ``embedding_near_dup(min_cosine)``: precision is exact
+    (same cosine, same threshold), recall is traded — genuinely similar
+    pairs split across buckets are missed; lower ``n_planes`` (or OR-ing
+    several independent plane sets) raises recall.
+
+    Scale: all-pairs is O(n²) rows through a BroadcastNestedLoop; this
+    is a shuffle-on-bucket self-join whose cost is Σ(bucket size²) —
+    with balanced buckets, n²/2^n_planes.
+    """
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    buckets = srp_buckets(qv, n_planes)
+    qvb = qv.join(buckets, "vid")
+    a = qvb.select(F.col("vid").alias("id_a"), F.col("qvec").alias("qa"),
+                   F.col("norm2").alias("na"), "bucket")
+    b = qvb.select(F.col("vid").alias("id_b"), F.col("qvec").alias("qb"),
+                   F.col("norm2").alias("nb"), "bucket")
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qa"), F.col("qb")).cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
     )
     return scored.filter(F.col("cosine") >= min_cosine).select("id_a", "id_b", "cosine")
 

@@ -257,6 +257,59 @@ def q_transition_matrix(spark, sf_dir):
     )
 
 
+@register(
+    "transition_matrix_filled",
+    # O28 over the FILLED dense series: with fill != 0 the reference's
+    # res list (main.py:238-245) carries valid specimens on filled days,
+    # so they participate in transitions. fill=-1, policy='closest'.
+    f"""WITH {osql.gap_pairs_sql(-1)},
+    fills AS (
+      SELECT url, fill_day AS day,
+             CASE WHEN i < gap / 2.0 THEN specimen ELSE next_specimen END AS specimen
+      FROM interior
+    ),
+    bounds AS (SELECT url, min(day) AS first_day FROM daily GROUP BY url),
+    maxd AS (SELECT max(day) AS last_day FROM daily),
+    spine AS (
+      SELECT url, strftime(d, '%Y-%m-%d') AS day
+      FROM bounds, maxd,
+           unnest(generate_series(CAST(first_day AS DATE), CAST(last_day AS DATE),
+                                  INTERVAL 1 DAY)) AS t(d)
+    ),
+    dense AS (
+      SELECT s.url, s.day, coalesce(d.specimen, f.specimen, '~') AS specimen
+      FROM spine s
+      LEFT JOIN daily2 d ON s.url = d.url AND s.day = d.day
+      LEFT JOIN fills f ON s.url = f.url AND s.day = f.day
+    ),
+    valid AS (
+      SELECT url, day, specimen,
+             lag(specimen) OVER (PARTITION BY url ORDER BY day) AS prev
+      FROM dense WHERE specimen IN ('2xx', '3xx', '4xx', '5xx')
+    ),
+    cnt AS (
+      SELECT url, prev AS source, specimen AS target,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM valid WHERE prev IS NOT NULL GROUP BY url, prev, specimen
+    ),
+    classes AS (SELECT unnest(['2xx', '3xx', '4xx', '5xx']) AS c),
+    cells AS (
+      SELECT DISTINCT d.url, s.c AS source, t.c AS target
+      FROM daily2 d, classes s, classes t
+    )
+    SELECT cells.url, cells.source, cells.target, coalesce(cnt.cnt, 0) AS cnt
+    FROM cells LEFT JOIN cnt
+      ON cells.url = cnt.url AND cells.source = cnt.source AND cells.target = cnt.target""",
+)
+def q_transition_matrix_filled(spark, sf_dir):
+    dense = _dense(spark, sf_dir, fill=-1, policy="closest")
+    out = transition_matrix(dense, dense_cells=True)
+    return out.select(
+        "url", F.col("Source").alias("source"), F.col("Target").alias("target"),
+        F.col("Count").alias("cnt"),
+    )
+
+
 # ----------------------------------------------------------------------- O23
 
 @register(
@@ -520,7 +573,7 @@ def q_headline_metrics(spark, sf_dir):
 # ===================================================================
 
 from trendmachine_spark.extensions.dedup import (  # noqa: E402
-    exact_dedup, minhash_near_dup, ngram_jaccard, simhash64,
+    MAX_SHINGLE_FREQ, exact_dedup, minhash_near_dup, ngram_jaccard, simhash,
 )
 from trendmachine_spark.extensions.multimodal import media_metadata  # noqa: E402
 from trendmachine_spark.extensions.similarity import ann_topk, brute_force_topk  # noqa: E402
@@ -549,7 +602,8 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """CTE chain ending in ``cand`` = the LSH candidate pairs."""
     from trendmachine_spark.extensions.dedup import BANDS, HASH_MASKS, ROWS_PER_BAND
 
     sig_cols = ", ".join(
@@ -562,29 +616,75 @@ def _minhash_oracle() -> str:
         )
         for b in range(BANDS)
     )
-    return f"""WITH {_SHINGLES_SQL},
+    return f"""{_SHINGLES_SQL},
     hashed AS (
       SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
     ),
     sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
-    bands AS ({band_rows})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )"""
 
 
-@register("dedup_minhash_lsh", _minhash_oracle())
+@register("dedup_minhash_lsh", f"WITH {_minhash_ctes()} SELECT id_a, id_b FROM cand")
 def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_near_dup(load_table(spark, sf_dir, "documents"))
 
 
 @register(
+    "dedup_clusters",
+    # candidates (LSH) -> exact-Jaccard verify -> connected components
+    # via recursive transitive closure (min reachable id per node)
+    f"""WITH RECURSIVE {_minhash_ctes()},
+    lists AS (
+      SELECT doc_id, list(shingle) AS ls, CAST(count(*) AS BIGINT) AS n
+      FROM sh GROUP BY doc_id
+    ),
+    verified AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN lists la ON cand.id_a = la.doc_id
+      JOIN lists lb ON cand.id_b = lb.doc_id
+      WHERE CAST(len(list_intersect(la.ls, lb.ls)) AS DOUBLE)
+            / (la.n + lb.n - len(list_intersect(la.ls, lb.ls))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+    FROM comp""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    from trendmachine_spark.extensions.clusters import dedup_clusters
+
+    return dedup_clusters(load_table(spark, sf_dir, "documents"), min_jaccard=0.8)
+
+
+@register(
     "dedup_ngram_jaccard",
+    # the freq CTE mirrors the engine's default max_shingle_freq guard;
+    # sizes stay FULL-set so the jaccard of surviving pairs is exact
     f"""WITH {_SHINGLES_SQL},
     sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    freq AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= {MAX_SHINGLE_FREQ}),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b, n_common,
@@ -616,7 +716,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     FROM votes GROUP BY doc_id""",
 )
 def q_dedup_simhash(spark, sf_dir):
-    return simhash64(load_table(spark, sf_dir, "documents"))
+    return simhash(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -825,8 +925,13 @@ def q_top_revenue_customers(spark, sf_dir):
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
+    # distributed top-k (TakeOrderedAndProject), NOT a global no-partition
+    # window: every executor ships only its local top 20, the driver-side
+    # sort touches 20 rows per partition instead of every customer. The
+    # row_number window then runs on the 20 survivors only.
+    top = rev.orderBy(F.col("revenue").desc(), F.col("o_custkey")).limit(20)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
-    top = rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    top = top.withColumn("rank", F.row_number().over(w))
     return (
         top.join(F.broadcast(customer), top.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -972,6 +1077,50 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     from trendmachine_spark.extensions.similarity import embedding_near_dup
 
     return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), min_cosine=0.3)
+
+
+def _srp_neardup_oracle(n_planes: int = 8, min_cosine: float = 0.3) -> str:
+    """SRP-bucketed near-dup oracle — mirrors similarity.srp_buckets'
+    md5-derived ±1 hyperplanes exactly (bit 0 of md5('plane:dim'))."""
+    bits = []
+    for p in range(n_planes):
+        sign = (
+            f"((('0x' || substr(md5(concat('{p}', ':', CAST(i - 1 AS VARCHAR))), 32, 1))::INT % 2) * 2 - 1)"
+        )
+        bits.append(
+            "CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(q)), "
+            f"i -> q[i] * {sign})) AS BIGINT) > 0 THEN '1' ELSE '0' END"
+        )
+    bucket = "concat(" + ", ".join(bits) + ")"
+    return f"""WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2,
+             {bucket} AS bucket
+      FROM qv
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                                          i -> a.q[i] * b.q[i])) AS DOUBLE)
+               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+      FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {min_cosine}"""
+
+
+@register("dedup_embedding_cosine_bucketed", _srp_neardup_oracle())
+def q_dedup_embedding_cosine_bucketed(spark, sf_dir):
+    """The production embedding near-dup: SRP-bucket equi-join + exact
+    cosine predicate — subset of dedup_embedding_cosine by design."""
+    from trendmachine_spark.extensions.similarity import embedding_near_dup_bucketed
+
+    return embedding_near_dup_bucketed(
+        load_table(spark, sf_dir, "embeddings"), min_cosine=0.3
+    )
 
 
 @register(
