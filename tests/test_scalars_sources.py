@@ -61,3 +61,41 @@ def test_sigmoid_shapes_all(spark):
     assert df.count() == 101 * len(DEFAULT_SIGPARAMS)
     bounds = df.agg(F.min("Resilience"), F.max("Resilience")).collect()[0]
     assert bounds[0] >= -1e-9 and bounds[1] <= 1.0 + 1e-9
+
+
+def test_head_probe_plumbing(spark):
+    """O4: mapInPandas probe with an injected fetcher (no network) —
+    reference-format header blocks, one per redirect hop."""
+    from trendmachine_spark.sources.head_probe import head_probe
+
+    def fake_fetcher(url):
+        hops = [(301, "Moved Permanently", {"Location": url + "/x"})] if "r" in url else []
+        return hops + [(200, "OK", {"Content-Type": "text/html", "X-U": url})]
+
+    urls = spark.createDataFrame([("http://a",), ("http://r",)], "url string")
+    got = {r["url"]: r for r in head_probe(urls, fetcher=fake_fetcher).collect()}
+    assert got["http://a"]["n_hops"] == 1
+    assert got["http://r"]["n_hops"] == 2
+    assert got["http://r"]["final_status"] == 200
+    assert got["http://a"]["header_blocks"][0] == (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-U: http://a\r\n"
+    )
+    assert got["http://r"]["header_blocks"][0].startswith("HTTP/1.1 301 Moved Permanently\r\n")
+
+
+def test_require_captures_raises_on_empty(spark):
+    """main.py:190 error contract: empty input raises ValueError."""
+    import pytest
+
+    from trendmachine_spark.pipeline import daily_series, require_captures
+    from trendmachine_spark.sources.captures import CAPTURES_SCHEMA
+
+    empty = spark.createDataFrame([], CAPTURES_SCHEMA)
+    with pytest.raises(ValueError, match="Empty or malformed"):
+        require_captures(empty)
+    with pytest.raises(ValueError, match="Empty or malformed"):
+        daily_series(empty, require_nonempty=True)
+    nonempty = spark.createDataFrame(
+        [("u", 0, "20240101000000", "200", "D1")], CAPTURES_SCHEMA
+    )
+    assert require_captures(nonempty) is nonempty

@@ -142,3 +142,46 @@ def test_streaming_scored_matches_batch_closed_days(spark):
         assert g["fixity"] == pytest.approx(r["Fixity"], abs=1e-12)
         checked += 1
     assert checked > 300
+
+
+def test_streaming_digest_cap_lru(spark, tmp_path):
+    """Bounded digest state: with an LRU cap the stream still closes the
+    same days; a revisit whose digest was evicted resolves to '~'."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trendmachine_spark.streaming.scored_stream import scored_daily_stream
+
+    def nanos(day):
+        return int(pd.Timestamp(f"2024-01-0{day} 01:00:00").value)
+
+    rows = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "ts": pd.array([nanos(1), nanos(2), nanos(3), nanos(4)], dtype="int64"),
+            "user_id": pd.array([7, 7, 7, 7], dtype="int64"),
+            # click->200 (DG1), purchase->404 (DG2), signup->'-' revisit
+            # of DG1, click closes day 3
+            "event_type": ["click", "purchase", "signup", "click"],
+            "value": [0.0, 0.0, 0.0, 0.0],
+            "props": ["n1x", "n2x", "n1x", "n3x"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), str(tmp_path / "events.parquet"))
+
+    out = {}
+    for name, cap in (("lru_big", 8), ("lru_one", 1)):
+        stream = events_capture_stream(spark, str(tmp_path))
+        _run_to_memory(scored_daily_stream(stream, digest_cap=cap), name, "append")
+        out[name] = {
+            r["day"]: r["specimen"]
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    closed = {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert set(out["lru_big"]) == set(out["lru_one"]) == closed
+    # retained digest: the day-3 revisit resolves to its original class
+    assert out["lru_big"]["2024-01-03"] == "2xx"
+    # cap=1: inserting DG2 evicted DG1 -> the revisit is unresolved
+    assert out["lru_one"]["2024-01-03"] == "~"

@@ -26,7 +26,7 @@ so reported similarities stay exact — recall is what's traded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: signature layout: NUM_HASHES minhashes split into BANDS bands
@@ -74,14 +74,29 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              k: int = SHINGLE_K, distinct: bool = True) -> DataFrame:
     """Word k-gram shingles per document (id, shingle).
 
-    ``distinct=True`` dedupes *within* the gram array (array_distinct —
-    still a narrow map, NOT a shuffle) which is exactly set semantics
-    since grams can only repeat within one document.
+    Fully whole-stage-codegen formulation: explode an index sequence and
+    build each gram with element_at + concat_ws — NO higher-order
+    functions. HOF lambdas (transform/aggregate/zip_with) are evaluated
+    interpreted, per array element; on this exact pipeline the
+    transform-based gram builder measured 2x slower and an
+    aggregate-fold minhash 6x slower than the codegen shapes (sf0.1,
+    warmed session). Shingle semantics are identical to
+    ``transform(sequence(...), i -> concat_ws(' ', slice(words, i, k)))``.
+
+    ``distinct=True`` dedupes with an (id, shingle) shuffle; the shuffle
+    is codegen'd end to end and measures faster than the narrow
+    ``array_distinct`` alternative (whose dedup work is interpreted) —
+    the standing exception to "avoid shuffles when a narrow op exists".
     """
-    grams = gram_array(text_col, k)
-    if distinct:
-        grams = F.array_distinct(grams)
-    return docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), words.alias("_w")).filter(F.size("_w") >= k)
+    idx = base.select(
+        F.col(id_col), "_w",
+        F.explode(F.sequence(F.lit(1), F.size("_w") - (k - 1))).alias("_i"),
+    )
+    gram = F.concat_ws(" ", *[F.element_at(F.col("_w"), F.col("_i") + j) for j in range(k)])
+    sh = idx.select(F.col(id_col), gram.alias("shingle"))
+    return sh.distinct() if distinct else sh
 
 
 def _hash_mask(j: int) -> int:
@@ -93,98 +108,69 @@ def _hash_mask(j: int) -> int:
 #: deterministic 60-bit xor masks, one per hash function — engine-portable
 HASH_MASKS = tuple(_hash_mask(j) for j in range(NUM_HASHES))
 
-#: fold initializer — above any 60-bit hash value, below Long.MAX
-_MIN_INIT = 1 << 62
-
-
-def minhash_signature_array(docs: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id", num_hashes: int = NUM_HASHES,
-                            k: int = SHINGLE_K) -> DataFrame:
-    """(id, sig: array<long>) — minhash signatures as a zero-shuffle map.
-
-    Each gram is hashed ONCE (md5 hex -> 60-bit int); the j-th hash is
-    ``h XOR mask_j`` with deterministic md5-derived masks, so the family
-    costs one md5 + n xors per gram. All n minima are folded in a
-    SINGLE ``aggregate`` pass over the gram-hash array (zip_with against
-    the mask array), so the whole signature is one narrow projection —
-    no explode, no shuffle, no duplicate-elimination needed (min is
-    duplicate-insensitive, the round-1 ``.distinct()`` here was a wasted
-    full shuffle of the exploded shingle table).
-
-    The signature STAYS one array column: extracting n scalar columns by
-    rebuilding the fold expression per column would evaluate the fold n
-    times (higher-order functions are interpreted and not CSE'd — this
-    exact mistake cost 4x in an early round-2 cut).
-
-    Engine-portable: DuckDB computes the identical ints (hex cast + xor).
-    Docs with no k-gram (fewer than k words) produce no row, matching
-    the exploded formulation.
-    """
-    masks = F.array(*[F.lit(m).cast("long") for m in HASH_MASKS[:num_hashes]])
-    harr = F.transform(
-        gram_array(text_col, k),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-    )
-    sig = F.aggregate(
-        F.col("_harr"),
-        F.array_repeat(F.lit(_MIN_INIT).cast("long"), num_hashes),
-        lambda acc, v: F.zip_with(acc, masks, lambda a, m: F.least(a, v.bitwiseXOR(m))),
-    )
-    return (
-        docs.select(F.col(id_col), harr.alias("_harr"))
-        .filter(F.size("_harr") > 0)
-        .select(F.col(id_col), sig.alias("sig"))
-    )
-
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = NUM_HASHES,
                        k: int = SHINGLE_K) -> DataFrame:
-    """Wide (id, mh0..mh{n-1}) view of minhash_signature_array.
+    """(id, mh0..mh{n-1}) — minhash over the xor-mask hash family.
 
-    The getItem projections reference the materialized ``sig`` column —
-    cheap extraction, the fold itself runs once."""
-    arr = minhash_signature_array(docs, text_col, id_col, num_hashes, k)
-    return arr.select(
-        F.col(id_col), *[F.col("sig")[j].alias(f"mh{j}") for j in range(num_hashes)]
-    )
+    Each gram is hashed ONCE (md5 hex -> 60-bit int, all codegen'd); the
+    j-th hash is ``h XOR mask_j`` with deterministic md5-derived masks,
+    so the family costs one md5 + n xors per gram, and ``min(bigint)``
+    is HashAggregate-able: all n minima are parallel partial aggregates
+    in ONE doc-id groupBy — map-side combine shrinks the shuffle to
+    ~one row per (doc, partition). No duplicate-elimination first: min
+    is duplicate-insensitive, so the round-1 ``.distinct()`` here was a
+    wasted full shuffle of the exploded shingle table.
+
+    This explode+HashAggregate shape beats both array formulations
+    measured against it (interpreted transform-grams: 2x slower; a
+    zero-shuffle aggregate/zip_with fold: 6x slower) because every
+    expression stays inside whole-stage codegen.
+
+    Engine-portable: DuckDB computes the identical ints (hex cast + xor).
+    Docs with no k-gram (fewer than k words) produce no row.
+    """
+    sh = shingles(docs, text_col, id_col, k, distinct=False)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    with_h = sh.withColumn("_h", h)
+    aggs = [
+        F.min(F.expr(f"_h ^ {HASH_MASKS[j]}L")).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return with_h.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
                      bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
-    """(id, band, bucket) from the ARRAY signature table.
+    """(id, band, bucket) — bucket = md5 of the band's minhash run.
 
-    bucket = md5 of the band's '|'-joined minhash run — computed as one
-    array expression over ``sig`` then posexploded, so the reshape is a
-    narrow generator (no shuffle) and ``sig`` is read, not recomputed.
-    """
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    lambda v: v.cast("string"),
+    Narrow reshape of the wide signature table (stack, no shuffle)."""
+    stack_expr = "stack({}, {}) as (band, bucket)".format(
+        bands,
+        ", ".join(
+            "{b}L, md5(concat_ws('|', {cols}))".format(
+                b=b,
+                cols=", ".join(
+                    f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
                 ),
             )
+            for b in range(bands)
         ),
     )
-    return signatures.select(
-        F.col(id_col), F.posexplode(buckets).alias("band", "bucket")
-    )
+    return signatures.selectExpr(id_col, stack_expr)
 
 
 def minhash_near_dup(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing an LSH band.
 
-    Scale: signatures are a narrow map (see minhash_signature_array);
-    the self-join is on (band, bucket) — co-partitioned by the join key,
+    Scale: one shuffle for the signatures (map-combined), then the
+    self-join on (band, bucket) — co-partitioned by the join key,
     bucket cardinality ~n_docs so no broadcast needed; hot buckets are
     bounded by band width.
     """
-    buckets = lsh_band_buckets(minhash_signature_array(docs, text_col, id_col), id_col)
+    buckets = lsh_band_buckets(minhash_signatures(docs, text_col, id_col), id_col)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -210,24 +196,26 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     every reported pair is exact; only pairs sharing *solely* hot
     shingles are missed.
 
-    Shuffle budget: shingle-frequency agg + freq semi-join + self-join
-    (all hash-partitioned on ``shingle`` — exchange-reusable) and the
-    final pair groupBy. Set sizes ride along through the join instead
-    of a separate sizes aggregation + two joins.
+    Shape (all codegen, measured 3x faster than the narrow
+    array_distinct alternative at sf0.1): distinct shingles via one
+    (id, shingle) shuffle; set sizes as a count-window over the id; the
+    doc-frequency guard as a count-window over the shingle — the
+    guard's exchange on ``shingle`` is exactly the partitioning the
+    self-join needs, so both join sides reuse it (ReusedExchange, no
+    third pass). Set sizes ride along through the join instead of a
+    separate sizes aggregation + two joins.
     """
-    sharr = F.array_distinct(gram_array(text_col, k=SHINGLE_K))
-    # size() is computed in a projection BEFORE the explode: evaluating
-    # it alongside the generator would force every exploded row to carry
-    # the whole shingle array through the downstream shuffles.
-    sh = (
-        docs.select(F.col(id_col), sharr.alias("_sharr"))
-        .select(F.col(id_col), F.size("_sharr").alias("n_shingles"), "_sharr")
-        .select(F.col(id_col), "n_shingles", F.explode("_sharr").alias("shingle"))
+    sh = shingles(docs, text_col, id_col, distinct=True)
+    sh = sh.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = sh.join(
-            freq.filter(F.col("_f") <= max_shingle_freq).select("shingle"), "shingle"
+        sh = (
+            sh.withColumn(
+                "_f", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_f") <= max_shingle_freq)
+            .drop("_f")
         )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")

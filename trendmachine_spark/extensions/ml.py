@@ -62,10 +62,23 @@ def minhash_near_dup_ml(docs: DataFrame, text_col: str = "text",
 
 def ann_topk_ml(emb: DataFrame, n_queries: int = 10, k: int = 5,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                bucket_length: float = 2.0, num_hash_tables: int = 3) -> DataFrame:
-    """MLlib BucketedRandomProjectionLSH approxNearestNeighbors per query."""
+                bucket_length: float = 2.0, num_hash_tables: int = 3,
+                radius: float = float("inf")) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH top-k as ONE distributed job.
+
+    ``approxSimilarityJoin`` of the query subframe against the corpus
+    (candidates = LSH bucket collisions, pruned JVM-side), then a
+    per-query window keeps the k nearest. This replaces the round-1
+    driver-side loop (collect vectors + one ``approxNearestNeighbors``
+    job per query + a unionByName chain): no vectors are collected, the
+    plan size is constant in the number of queries, and all queries
+    share one shuffle. ``radius`` can pre-prune candidates when a
+    meaningful distance bound is known; the default keeps every bucket
+    collision, mirroring approxNearestNeighbors' recall.
+    """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
 
     vecs = emb.select(
         F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
@@ -75,21 +88,22 @@ def ann_topk_ml(emb: DataFrame, n_queries: int = 10, k: int = 5,
         bucketLength=bucket_length, numHashTables=num_hash_tables, seed=42,
     )
     model = lsh.fit(vecs)
-    queries = vecs.filter(F.col(id_col) < n_queries).collect()
-    out = None
-    for row in queries:
-        nn = (
-            model.approxNearestNeighbors(vecs, row["features"], k + 1)
-            .filter(F.col(id_col) != row[id_col])
-            .limit(k)
-            .select(
-                F.lit(row[id_col]).alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                F.col("distCol").alias("euclidean_dist"),
-            )
+    queries = vecs.filter(F.col(id_col) < n_queries)
+    joined = (
+        model.approxSimilarityJoin(queries, vecs, radius, distCol="euclidean_dist")
+        .select(
+            F.col(f"datasetA.{id_col}").alias("query_id"),
+            F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+            "euclidean_dist",
         )
-        out = nn if out is None else out.unionByName(nn)
-    return out
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("euclidean_dist", "neighbor_id")
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
 
 
 def tfidf_ml(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

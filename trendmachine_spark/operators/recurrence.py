@@ -34,11 +34,23 @@ def _param_table(sigparams) -> dict[str, tuple[float, float, float]]:
     return out
 
 
-def score_daily_series(dense: DataFrame, sigparams=None) -> DataFrame:
+def score_daily_series(dense: DataFrame, sigparams=None,
+                       slim_arrow: bool = True) -> DataFrame:
     """Add ``resilience`` and ``fixity`` columns to the dense daily series.
 
     ``dense`` must contain url, day, specimen, content (one row per
     calendar day per url). Both recurrences run in a single grouped scan.
+
+    ``slim_arrow=True`` routes only (url, day, specimen, content)
+    through the Arrow/pandas recurrence and hash-joins the two score
+    columns back on (url, day): the Arrow transfer shrinks ~4x (the
+    recurrence reads exactly those four columns), and the grouped-map
+    shuffle moves 4 slim columns instead of the whole report row. The
+    cost is that the ``dense`` subtree appears twice in the plan (score
+    side + join side) — free when dense is persisted (the registry
+    cache / warmed bench engine, mirroring the reference's cache
+    layers); for a one-shot uncached pipeline where recomputing dense
+    outweighs the wider transfer, pass ``slim_arrow=False``.
 
     The grouped-map function and its helper are deliberately *nested* so
     cloudpickle serializes them by value — workers never need the
@@ -48,8 +60,9 @@ def score_daily_series(dense: DataFrame, sigparams=None) -> DataFrame:
     params = _param_table(sigparams)
     known = list(params)
 
+    src = dense.select("url", "day", "specimen", "content") if slim_arrow else dense
     out_schema = T.StructType(
-        list(dense.schema.fields)
+        list(src.schema.fields)
         + [T.StructField("resilience", T.DoubleType()), T.StructField("fixity", T.DoubleType())]
     )
     out_cols = [f.name for f in out_schema.fields]
@@ -90,25 +103,34 @@ def score_daily_series(dense: DataFrame, sigparams=None) -> DataFrame:
         pdf["fixity"] = run_recurrence(content, "Unknown")
         return pdf[out_cols]
 
-    return dense.groupBy("url").applyInPandas(score, schema=out_schema)
+    scored = src.groupBy("url").applyInPandas(score, schema=out_schema)
+    if slim_arrow:
+        return dense.join(
+            scored.select("url", "day", "resilience", "fixity"), ["url", "day"]
+        )
+    return scored
 
 
-def score_daily_series_multi(dense: DataFrame, param_sets: dict) -> DataFrame:
+def score_daily_series_multi(dense: DataFrame, param_sets: dict,
+                             slim_arrow: bool = True) -> DataFrame:
     """Score the same dense series under several sigmoid-parameter sets
     in ONE grouped scan (reference entry point 2 — slider re-tuning —
     generalized: the expensive upstream rollup/spine is reused, and a
     whole parameter sweep costs one pass; output gains a ``param_set``
-    key column).
+    key column). ``slim_arrow`` as in score_daily_series — here the win
+    is larger still, since the pandas function materializes the input
+    columns once PER PARAMETER SET on the way out.
     """
     tables = {name: _param_table(p) for name, p in param_sets.items()}
     known = {name: list(t) for name, t in tables.items()}
 
+    src = dense.select("url", "day", "specimen", "content") if slim_arrow else dense
     out_schema = T.StructType(
         [T.StructField("param_set", T.StringType())]
-        + list(dense.schema.fields)
+        + list(src.schema.fields)
         + [T.StructField("resilience", T.DoubleType()), T.StructField("fixity", T.DoubleType())]
     )
-    base_cols = [f.name for f in dense.schema.fields]
+    base_cols = [f.name for f in src.schema.fields]
 
     def run_recurrence(keys, params, default_key):
         n = len(keys)
@@ -146,4 +168,15 @@ def score_daily_series_multi(dense: DataFrame, param_sets: dict) -> DataFrame:
             outs.append(part)
         return pd.concat(outs, ignore_index=True)
 
-    return dense.groupBy("url").applyInPandas(score, schema=out_schema)
+    scored = src.groupBy("url").applyInPandas(score, schema=out_schema)
+    if slim_arrow:
+        return dense.join(
+            scored.select("url", "day", "param_set", "resilience", "fixity"),
+            ["url", "day"],
+        ).select(
+            "param_set",
+            *[f.name for f in dense.schema.fields],
+            "resilience",
+            "fixity",
+        )
+    return scored

@@ -79,8 +79,11 @@ def densify(daily: DataFrame, filled: DataFrame | None, as_of: _dt.date) -> Data
     for c in ("_2xx", "_3xx", "_4xx", "_5xx", "all"):
         dense = dense.withColumn(c, F.coalesce(c, F.lit(0)))
 
-    # O33 — chaos forward-fill: observed days always have chaos > 0, so a
-    # null-based running last() reproduces the reference's falsy check.
+    # O33 — chaos forward-fill: a null-based running last() reproduces
+    # the reference's falsy check. NB equivalence does NOT require
+    # observed chaos > 0: an all-revisit url can close a day at 0.0, but
+    # then the reference's falsy forward-fill also propagates 0.0, so
+    # carrying the explicit 0.0 forward yields the same series.
     wff = (
         Window.partitionBy("url")
         .orderBy("day")

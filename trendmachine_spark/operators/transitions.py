@@ -7,6 +7,15 @@ The reference iterates the dense daily list, skipping days whose
 specimen is outside {2xx,3xx,4xx,5xx} *without advancing the lag value*
 — i.e. filter first, then pair consecutive survivors. Output is the
 dense long form (Source, Target, Count) with all 16 cells present.
+
+Known divergence (one edge case): in main.py:238-245 ``pr`` only
+advances on a *successful* count, so if the FIRST day of the series has
+an out-of-domain specimen ('~' or a raw token), the reference's first
+valid day pairs against that stale initial '~' and the whole series
+counts zero transitions; filter-then-lag instead counts every
+consecutive-survivor pair. The reference behavior is arguably a bug
+(one bad leading day silences the matrix), so the Spark semantics are
+kept — same stance as the unknown-specimen divergence in SURVEY §2.5.
 """
 
 from __future__ import annotations

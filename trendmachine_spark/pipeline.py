@@ -45,18 +45,37 @@ def dense_daily(
     return densify(daily, filled, resolve_as_of(daily, as_of))
 
 
+def require_captures(captures: DataFrame) -> DataFrame:
+    """Reference error contract (main.py:190): raise on empty input.
+
+    The reference's ``load_data`` raises ValueError when the CDX
+    response parses to nothing; a lazy DataFrame pipeline would instead
+    flow an empty frame through every operator. This check runs one
+    cheap job (stops at the first row found) — call it where the
+    reference's contract matters; the operators themselves stay lazy.
+    """
+    if captures.isEmpty():
+        raise ValueError("Empty or malformed captures input")
+    return captures
+
+
 def daily_series(
     captures: DataFrame,
     fill: int = 0,
     policy: str = "closest",
     sigparams=None,
     as_of: _dt.date | str | None = None,
+    require_nonempty: bool = False,
 ) -> DataFrame:
     """Full report table (REPORT_COLUMNS order, plus leading ``url``).
 
     One row per url per calendar day from the url's first capture to
     ``as_of`` (default: newest observed day across all urls).
+    ``require_nonempty=True`` applies the reference's empty-input error
+    contract (see require_captures) at the cost of one extra job.
     """
+    if require_nonempty:
+        require_captures(captures)
     dense = dense_daily(captures, fill=fill, policy=policy, as_of=as_of)
     scored = score_daily_series(dense, sigparams)
     return report_projection(scored)

@@ -55,7 +55,10 @@ _CACHE: dict = {}
 
 
 def _shared(spark, sf_dir: str, key: str, build):
-    k = (id(spark), sf_dir, key)
+    # keyed on applicationId, not id(spark): CPython can reuse an object
+    # id after a session is stopped, which would hand back persisted
+    # DataFrames bound to a dead SparkContext
+    k = (spark.sparkContext.applicationId, sf_dir, key)
     if k not in _CACHE:
         df = build()
         df.persist()

@@ -31,6 +31,16 @@ def parse_cdx_lines(lines: DataFrame, url: str | None = None) -> DataFrame:
     Arrival order is preserved per input file via a monotonically
     increasing id (CDX pages are time-sorted, so (ts, seq) reproduces the
     reference's stream order).
+
+    Assumption (multi-file reads): monotonically_increasing_id orders by
+    partition id, so cross-FILE seq follows Spark's file-enumeration
+    order, not necessarily the CDX fetch order — equal-ts tie-breaks
+    (revisit resolution, specimen first-wins) across file boundaries can
+    then differ from the original stream. For a single file (or
+    per-partition CDX dumps where a url never spans files) the order is
+    exact; cdx_live.py namespaces seq per page and is immune. If a url's
+    captures span files AND tie order matters, derive seq from
+    (input_file_name(), line offset) instead.
     """
     parts = F.split(F.trim(F.col("value")), r"\s+")
     out = lines.withColumn("seq", F.monotonically_increasing_id())

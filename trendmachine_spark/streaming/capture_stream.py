@@ -70,9 +70,25 @@ CHAOS_OUT_SCHEMA = (
 )
 
 
-def chaos_scores_stream(stream: DataFrame) -> DataFrame:
+#: default bound on the per-url revisit digest map — the reference's
+#: equivalent dict (and the batch window) are unbounded, which on an
+#: unbounded stream is a state leak; see ``digest_cap`` docstrings.
+DIGEST_CAP = 65536
+
+
+def chaos_scores_stream(stream: DataFrame, digest_cap: int = DIGEST_CAP) -> DataFrame:
     """Streaming O21: emits the running chaos/chaosn per url after each
     micro-batch — the unbounded twin of the batch daily close values.
+
+    ``digest_cap`` bounds the per-url digest->class map with LRU
+    eviction (a revisit touches its digest; inserts evict the least
+    recently used once over cap). Documented divergence from the
+    reference's unbounded dict: a revisit whose digest was evicted
+    resolves to '~' instead of its original class — on real capture
+    logs revisits overwhelmingly reference recent digests, so a cap in
+    the tens of thousands changes nothing while keeping state O(cap)
+    per url on an unbounded stream. LRU recency is exact within a
+    micro-batch and follows map insertion order across batches.
 
     The state function is nested so cloudpickle ships it by value —
     workers don't need this package importable.
@@ -98,9 +114,16 @@ def chaos_scores_stream(stream: DataFrame) -> DataFrame:
             for s, d, ts in zip(pdf["status"], pdf["digest"], pdf["event_time"]):
                 s = s[:1] + "xx" if "200" <= s <= "599" else s
                 if s == "-":
-                    s = digests.get(d, "~")
+                    if d in digests:
+                        s = digests.pop(d)  # pop+reinsert = LRU touch
+                        digests[d] = s
+                    else:
+                        s = "~"
                 else:
+                    digests.pop(d, None)
                     digests[d] = s
+                    if len(digests) > digest_cap:
+                        digests.pop(next(iter(digests)))
                 wp = rs % sws
                 rs += 1
                 if s != prev:
@@ -172,7 +195,8 @@ RES_STATE_SCHEMA = (
 RES_OUT_SCHEMA = "url string, day string, specimen string, resilience double"
 
 
-def resilience_scores_stream(stream: DataFrame, sigparams=None) -> DataFrame:
+def resilience_scores_stream(stream: DataFrame, sigparams=None,
+                             digest_cap: int = DIGEST_CAP) -> DataFrame:
     """Streaming O34: per-url resilience emitted at each day close.
 
     State carries the revisit digest map, the open day's best specimen
@@ -183,7 +207,8 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None) -> DataFrame:
     scores them, and emits one row per closed day. The still-open day
     is emitted only when a later day's capture (or batch) closes it —
     identical semantics to the batch engine for in-order input, which
-    the test pins.
+    the test pins. ``digest_cap``: LRU bound on the digest map (see
+    chaos_scores_stream — same eviction rule and divergence note).
     """
     from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
 
@@ -247,9 +272,16 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None) -> DataFrame:
             for s, dg, ts in zip(pdf["status"], pdf["digest"], pdf["event_time"]):
                 s = s[:1] + "xx" if "200" <= s <= "599" else s
                 if s == "-":
-                    s = digests.get(dg, "~")
+                    if dg in digests:
+                        s = digests.pop(dg)  # pop+reinsert = LRU touch
+                        digests[dg] = s
+                    else:
+                        s = "~"
                 else:
+                    digests.pop(dg, None)
                     digests[dg] = s
+                    if len(digests) > digest_cap:
+                        digests.pop(next(iter(digests)))
                 day_str = ts.strftime("%Y-%m-%d")
                 close_through(day_str)
                 pr = priority.get(s, 0)

@@ -29,9 +29,19 @@ SCORED_OUT_SCHEMA = (
 )
 
 
-def scored_daily_stream(stream: DataFrame, sigparams=None) -> DataFrame:
-    """stream(url, event_time, status, digest) -> closed-day scores."""
+def scored_daily_stream(stream: DataFrame, sigparams=None,
+                        digest_cap: int | None = None) -> DataFrame:
+    """stream(url, event_time, status, digest) -> closed-day scores.
+
+    ``digest_cap`` (default capture_stream.DIGEST_CAP): LRU bound on
+    the per-url digest map — see chaos_scores_stream for the eviction
+    rule and the documented divergence on evicted revisits.
+    """
     from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
+    from trendmachine_spark.streaming.capture_stream import DIGEST_CAP
+
+    if digest_cap is None:
+        digest_cap = DIGEST_CAP
 
     params = {}
     for k, v in (sigparams or DEFAULT_SIGPARAMS).items():
@@ -110,9 +120,16 @@ def scored_daily_stream(stream: DataFrame, sigparams=None) -> DataFrame:
             for s, dg, ts in zip(pdf["status"], pdf["digest"], pdf["event_time"]):
                 s = s[:1] + "xx" if "200" <= s <= "599" else s
                 if s == "-":
-                    s = digests.get(dg, "~")
+                    if dg in digests:
+                        s = digests.pop(dg)  # pop+reinsert = LRU touch
+                        digests[dg] = s
+                    else:
+                        s = "~"
                 else:
+                    digests.pop(dg, None)
                     digests[dg] = s
+                    if len(digests) > digest_cap:
+                        digests.pop(next(iter(digests)))
                 close_through(ts.strftime("%Y-%m-%d"))
                 pr = priority.get(s, 0)
                 if pr > cur_pr:
