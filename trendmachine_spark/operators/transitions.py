@@ -31,32 +31,40 @@ def transition_matrix(dense_daily: DataFrame, dense_cells: bool = True) -> DataF
 
     ``dense_daily`` needs url, day, specimen; filled days participate
     (their specimen is set), missing '~' days are skipped.
-    """
-    w = Window.partitionBy("url").orderBy("day")
-    pairs = (
-        dense_daily.filter(F.col("specimen").isin(*TRANSITION_CLASSES))
-        .select("url", "day", "specimen")
-        .withColumn("prev", F.lag("specimen").over(w))
-        .filter(F.col("prev").isNotNull())
-    )
-    counts = pairs.groupBy(
-        "url",
-        F.col("prev").alias("Source"),
-        F.col("specimen").alias("Target"),
-    ).agg(F.count(F.lit(1)).alias("Count"))
-    if not dense_cells:
-        return counts
 
-    spark = dense_daily.sparkSession
-    cells = spark.createDataFrame(
-        [(s, t) for s in TRANSITION_CLASSES for t in TRANSITION_CLASSES],
-        "Source string, Target string",
+    ONE exchange total: ``prev`` is the previous *valid* specimen via
+    ``last(valid, ignorenulls)`` over the preceding frame (equivalent to
+    filter-then-lag, but keeps every row so no url is lost), and the
+    16 cells are conditional counts in a ``groupBy(url)`` that reuses
+    the window's url hash-partitioning (HashAggregate, no new Exchange)
+    — then a narrow ``stack`` to the dense long form. This replaces the
+    round-1 shape (filtered lag + a second (url,src,tgt) shuffle + a
+    ``urls.distinct()`` re-scan left-joined against broadcast cells).
+    """
+    w = (
+        Window.partitionBy("url")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    urls = dense_daily.select("url").distinct()
-    # 16 cells per url — the dense frame is tiny relative to the data, and
-    # the cells side is a broadcast cross join (no shuffle of the big side).
-    dense = urls.crossJoin(F.broadcast(cells))
-    return (
-        dense.join(counts, ["url", "Source", "Target"], "left")
-        .withColumn("Count", F.coalesce("Count", F.lit(0)))
+    valid = F.col("specimen").isin(*TRANSITION_CLASSES)
+    rows = dense_daily.select("url", "day", "specimen").withColumn(
+        "prev", F.last(F.when(valid, F.col("specimen")), ignorenulls=True).over(w)
     )
+    aggs = [
+        F.count(
+            F.when(valid & (F.col("prev") == s) & (F.col("specimen") == t), True)
+        ).alias(f"_c{i}_{j}")
+        for i, s in enumerate(TRANSITION_CLASSES)
+        for j, t in enumerate(TRANSITION_CLASSES)
+    ]
+    wide = rows.groupBy("url").agg(*aggs)
+    stack_expr = "stack({}, {}) as (Source, Target, Count)".format(
+        len(TRANSITION_CLASSES) ** 2,
+        ", ".join(
+            f"'{s}', '{t}', _c{i}_{j}"
+            for i, s in enumerate(TRANSITION_CLASSES)
+            for j, t in enumerate(TRANSITION_CLASSES)
+        ),
+    )
+    out = wide.selectExpr("url", stack_expr)
+    return out if dense_cells else out.filter(F.col("Count") > 0)

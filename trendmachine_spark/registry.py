@@ -82,6 +82,21 @@ def _daily(spark, sf_dir) -> DataFrame:
     )
 
 
+def _docs(spark, sf_dir) -> DataFrame:
+    """documents table through the shared cache — every dedup/text/
+    multimodal query reads it, the analog of the reference caching its
+    loaded corpus once per session."""
+    return _shared(
+        spark, sf_dir, "docs", lambda: load_table(spark, sf_dir, "documents")
+    )
+
+
+def _embeddings(spark, sf_dir) -> DataFrame:
+    return _shared(
+        spark, sf_dir, "emb", lambda: load_table(spark, sf_dir, "embeddings")
+    )
+
+
 # ---------------------------------------------------------------- O3/O7-O10
 
 @register(
@@ -602,7 +617,7 @@ sh AS (
        FROM documents GROUP BY md5(text)""",
 )
 def q_dedup_exact(spark, sf_dir):
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(_docs(spark, sf_dir))
 
 
 def _minhash_ctes() -> str:
@@ -634,7 +649,7 @@ def _minhash_ctes() -> str:
 
 @register("dedup_minhash_lsh", f"WITH {_minhash_ctes()} SELECT id_a, id_b FROM cand")
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return minhash_near_dup(load_table(spark, sf_dir, "documents"))
+    return minhash_near_dup(_docs(spark, sf_dir))
 
 
 @register(
@@ -673,7 +688,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     from trendmachine_spark.extensions.clusters import dedup_clusters
 
-    return dedup_clusters(load_table(spark, sf_dir, "documents"), min_jaccard=0.8)
+    return dedup_clusters(_docs(spark, sf_dir), min_jaccard=0.8)
 
 
 @register(
@@ -697,7 +712,7 @@ def q_dedup_clusters(spark, sf_dir):
     JOIN sizes nb ON inter.id_b = nb.doc_id""",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard(_docs(spark, sf_dir))
 
 
 @register(
@@ -719,7 +734,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     FROM votes GROUP BY doc_id""",
 )
 def q_dedup_simhash(spark, sf_dir):
-    return simhash(load_table(spark, sf_dir, "documents"))
+    return simhash(_docs(spark, sf_dir))
 
 
 @register(
@@ -749,12 +764,12 @@ def q_dedup_simhash(spark, sf_dir):
     ) WHERE rank <= 5""",
 )
 def q_similarity_topk(spark, sf_dir):
-    return brute_force_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+    return brute_force_topk(_embeddings(spark, sf_dir), n_queries=10, k=5)
 
 
 @register("similarity_ann_lsh", None)  # approximate variant: rows-only check
 def q_similarity_ann_lsh(spark, sf_dir):
-    return ann_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+    return ann_topk(_embeddings(spark, sf_dir), n_queries=10, k=5)
 
 
 _TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -775,7 +790,7 @@ _TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     FROM w""",
 )
 def q_text_profile(spark, sf_dir):
-    return text_profile(load_table(spark, sf_dir, "documents"))
+    return text_profile(_docs(spark, sf_dir))
 
 
 @register(
@@ -793,7 +808,7 @@ def q_text_profile(spark, sf_dir):
     FROM p""",
 )
 def q_text_quality_flags(spark, sf_dir):
-    return quality_flags(load_table(spark, sf_dir, "documents"))
+    return quality_flags(_docs(spark, sf_dir))
 
 
 @register(
@@ -820,7 +835,7 @@ def q_text_quality_flags(spark, sf_dir):
     FROM s""",
 )
 def q_text_lang_id(spark, sf_dir):
-    return lang_id(load_table(spark, sf_dir, "documents"))
+    return lang_id(_docs(spark, sf_dir))
 
 
 @register(
@@ -840,7 +855,7 @@ def q_text_lang_id(spark, sf_dir):
     FROM g""",
 )
 def q_text_fingerprints(spark, sf_dir):
-    return fingerprints(load_table(spark, sf_dir, "documents"))
+    return fingerprints(_docs(spark, sf_dir))
 
 
 @register(
@@ -854,7 +869,7 @@ def q_text_fingerprints(spark, sf_dir):
        FROM documents""",
 )
 def q_multimodal_metadata(spark, sf_dir):
-    return media_metadata(load_table(spark, sf_dir, "documents"))
+    return media_metadata(_docs(spark, sf_dir))
 
 
 # ------------------------------------------------------- relational / TPC-H
@@ -1079,7 +1094,7 @@ def q_sigmoid_preview(spark, sf_dir):
 def q_dedup_embedding_cosine(spark, sf_dir):
     from trendmachine_spark.extensions.similarity import embedding_near_dup
 
-    return embedding_near_dup(load_table(spark, sf_dir, "embeddings"), min_cosine=0.3)
+    return embedding_near_dup(_embeddings(spark, sf_dir), min_cosine=0.3)
 
 
 def _srp_neardup_oracle(n_planes: int = 8, min_cosine: float = 0.3) -> str:
@@ -1122,7 +1137,7 @@ def q_dedup_embedding_cosine_bucketed(spark, sf_dir):
     from trendmachine_spark.extensions.similarity import embedding_near_dup_bucketed
 
     return embedding_near_dup_bucketed(
-        load_table(spark, sf_dir, "embeddings"), min_cosine=0.3
+        _embeddings(spark, sf_dir), min_cosine=0.3
     )
 
 
@@ -1147,7 +1162,7 @@ def q_dedup_embedding_cosine_bucketed(spark, sf_dir):
 def q_text_term_stats(spark, sf_dir):
     from trendmachine_spark.extensions.text import term_stats
 
-    return term_stats(load_table(spark, sf_dir, "documents"))
+    return term_stats(_docs(spark, sf_dir))
 
 
 @register(
@@ -1161,7 +1176,7 @@ def q_salted_term_counts(spark, sf_dir):
     # two-stage salted aggregation == plain groupBy count, exactly
     from trendmachine_spark.operators.skew import salted_count
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -1187,14 +1202,14 @@ def q_multi_param_scoring(spark, sf_dir):
 def q_dedup_minhash_ml(spark, sf_dir):
     from trendmachine_spark.extensions.ml import minhash_near_dup_ml
 
-    return minhash_near_dup_ml(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    return minhash_near_dup_ml(_docs(spark, sf_dir), threshold=0.8)
 
 
 @register("tfidf_ml", None)  # vector column: not SQL-comparable
 def q_tfidf_ml(spark, sf_dir):
     from trendmachine_spark.extensions.ml import tfidf_ml
 
-    out = tfidf_ml(load_table(spark, sf_dir, "documents"))
+    out = tfidf_ml(_docs(spark, sf_dir))
     # project the vector to stable scalars so the rows-only check is meaningful
     from pyspark.ml.functions import vector_to_array
 
@@ -1209,7 +1224,7 @@ def q_tfidf_ml(spark, sf_dir):
 def q_similarity_ivf_topk(spark, sf_dir):
     from trendmachine_spark.extensions.similarity import ivf_topk
 
-    return ivf_topk(load_table(spark, sf_dir, "embeddings"), n_queries=10, k=5, n_probe=2)
+    return ivf_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_probe=2)
 
 
 @register("resilience_streaming", None)  # streaming stateful: rows-only
