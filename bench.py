@@ -102,7 +102,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     timings["_cache_warmup"] = warmup
     print(json.dumps({
-        "metric": "trendmachine_spark bench suite wall-clock (warmed engine; best-of-2; _cache_warmup reported separately)",
+        "metric": "trendmachine_spark bench suite wall-clock (warmed engine; best-of-3 interleaved; _cache_warmup reported separately)",
         "value": total,
         "unit": "sec",
         "queries": timings,
