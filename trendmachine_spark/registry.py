@@ -935,12 +935,19 @@ def q_top_revenue_customers(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     price = F.col("l_extendedprice").cast("decimal(14,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
+    # pre-aggregate lineitem to (orderkey, order revenue) BEFORE the join:
+    # the join input shrinks ~4x (one row per order, not per line item)
+    # and n_orders becomes a plain count — no countDistinct expand. The
+    # decimal sum-of-sums is exactly the flat sum, so oracle parity holds.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(price * (F.lit(1) - disc)).alias("order_rev")
+    )
     rev = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
         .agg(
-            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
     # distributed top-k (TakeOrderedAndProject), NOT a global no-partition
