@@ -83,7 +83,7 @@ def main() -> None:
     _embeddings(spark, sf_dir).count()
     warmup = round(time.perf_counter() - t0, 3)
 
-    # best-of-3 per query, PASSES interleaved across the whole suite:
+    # best-of-4 per query, passes interleaved across the whole suite:
     # the first pass pays plan compilation; interleaving (rather than
     # back-to-back repeats) decorrelates per-query minima from host
     # noise bursts — this box is shared, and a single co-tenant spike
@@ -91,7 +91,7 @@ def main() -> None:
     # result-cached: the full pipeline re-executes every pass.
     timings: dict[str, float] = {}
     dfs = {name: QUERIES[name].builder(spark, sf_dir) for name in BENCH_QUERIES}
-    for _ in range(3):
+    for _ in range(4):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             dfs[name].write.format("noop").mode("overwrite").save()
@@ -102,7 +102,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     timings["_cache_warmup"] = warmup
     print(json.dumps({
-        "metric": "trendmachine_spark bench suite wall-clock (warmed engine; best-of-3 interleaved; _cache_warmup reported separately)",
+        "metric": "trendmachine_spark bench suite wall-clock (warmed engine; best-of-4 interleaved; _cache_warmup reported separately)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -1,0 +1,55 @@
+"""Partition invariance: identical results at 1 vs 32 shuffle partitions.
+
+BASELINE.md declares this self-check as a measurable target: every
+operator's semantics must be a pure function of the DATA, never of the
+physical partitioning. Window frames, groupBy partial aggregation,
+applyInPandas group formation, and join strategies all change shape
+between 1 and 32 partitions — the results must not.
+
+Queries whose arithmetic is order-sensitive in floating point under
+reassociation (double mean/sum partials) are excluded by design: the
+registry keeps those exact (counts, decimals, per-group sequential
+recurrences), and the oracle-parity suite already pins their values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from trendmachine_spark.registry import QUERIES, clear_cache
+
+SF = "/root/testdata/sf0.001"
+
+INVARIANT_QUERIES = [
+    "capture_normalize",
+    "daily_rollup",
+    "daily_chaos",
+    "transition_matrix",
+    "gap_fill_closest",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "resilience_daily_series",
+]
+
+
+def _rows(spark, name, partitions):
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    clear_cache()  # force rebuild: cached frames remember their shuffle
+    try:
+        df = QUERIES[name].builder(spark, SF)
+        return sorted(map(tuple, df.collect()))
+    finally:
+        clear_cache()
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_partition_invariance(spark, name):
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        one = _rows(spark, name, 1)
+        many = _rows(spark, name, 32)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert len(one) == len(many)
+    assert one == many

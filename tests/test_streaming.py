@@ -185,3 +185,21 @@ def test_streaming_digest_cap_lru(spark, tmp_path):
     assert out["lru_big"]["2024-01-03"] == "2xx"
     # cap=1: inserting DG2 evicted DG1 -> the revisit is unresolved
     assert out["lru_one"]["2024-01-03"] == "~"
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    """Ingest dedup: one survivor per digest, same digest set as batch
+    DISTINCT; unbounded variant identical on a closed stream."""
+    from trendmachine_spark.streaming.dedup_stream import dedup_stream
+    from trendmachine_spark.sources.captures import events_as_captures
+
+    for name, horizon in (("dedup_wm", "2 days"), ("dedup_exactly", None)):
+        stream = events_capture_stream(spark, SF)
+        _run_to_memory(dedup_stream(stream, horizon=horizon), name, "append")
+        got = spark.sql(f"SELECT digest, count(*) c FROM {name} GROUP BY digest").collect()
+        assert all(r["c"] == 1 for r in got)
+        want = {
+            r["digest"]
+            for r in events_as_captures(spark, SF).select("digest").distinct().collect()
+        }
+        assert {r["digest"] for r in got} == want

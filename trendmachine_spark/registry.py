@@ -1274,3 +1274,23 @@ def q_scored_daily_streaming(spark, sf_dir):
     q.processAllAvailable()
     q.stop()
     return spark.sql("SELECT * FROM _scored_stream_q")
+
+
+@register("dedup_streaming", None)  # streaming, keeper partition-arbitrary
+def q_dedup_streaming(spark, sf_dir):
+    """Streaming ingest dedup (watermark-bounded state); digest-set
+    equivalence with batch DISTINCT pinned in tests/test_streaming.py."""
+    from trendmachine_spark.streaming.capture_stream import events_capture_stream
+    from trendmachine_spark.streaming.dedup_stream import dedup_stream
+
+    stream = events_capture_stream(spark, sf_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("_dedup_stream_q")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM _dedup_stream_q")
