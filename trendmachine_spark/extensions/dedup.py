@@ -204,6 +204,12 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     self-join needs, so both join sides reuse it (ReusedExchange, no
     third pass). Set sizes ride along through the join instead of a
     separate sizes aggregation + two joins.
+
+    Variants measured and REJECTED at sf0.1 (in-process best-of-4):
+    groupBy+join guard instead of count-windows (3.32 s vs 1.99 s);
+    60-bit-md5 join keys instead of shingle strings (2.12 s vs 1.44 s —
+    the per-occurrence md5 costs more than the string shuffle saves;
+    revisit if shuffle volume dominates at cluster scale).
     """
     sh = shingles(docs, text_col, id_col, distinct=True)
     sh = sh.withColumn(
