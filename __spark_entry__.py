@@ -5,11 +5,11 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The real surface lives in ``trendmachine_spark.registry``: 50 named
+The real surface lives in ``trendmachine_spark.registry``: 51 named
 queries covering SURVEY.md §2's operator inventory (capture pipeline,
 dashboard aggregates) plus the §2.6 extension operators (dedup incl.
 end-to-end clustering, similarity search, text analysis, multimodal)
-and relational/TPC-H-style queries. 40 have exactly-parallel DuckDB
+and relational/TPC-H-style queries. 41 have exactly-parallel DuckDB
 oracles (dedup clustering is oracled via a recursive-CTE transitive
 closure); the O34/O35 recurrences, streaming operators, and the
 approximate LSH/IVF ANN variants are rows-only by design (not

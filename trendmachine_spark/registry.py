@@ -692,6 +692,106 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "training_corpus",
+    # the composed training-data pipeline: exact dedup (md5 keeper) ->
+    # near-dup cluster non-keepers removed -> quality gate -> lang id +
+    # token counts. CTEs reuse the oracled building blocks verbatim.
+    f"""WITH RECURSIVE {_minhash_ctes()},
+    lists AS (
+      SELECT doc_id, list(shingle) AS ls, CAST(count(*) AS BIGINT) AS n
+      FROM sh GROUP BY doc_id
+    ),
+    verified AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN lists la ON cand.id_a = la.doc_id
+      JOIN lists lb ON cand.id_b = lb.doc_id
+      WHERE CAST(len(list_intersect(la.ls, lb.ls)) AS DOUBLE)
+            / (la.n + lb.n - len(list_intersect(la.ls, lb.ls))) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM verified
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    exact AS (
+      SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS _kid
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text FROM exact
+      WHERE doc_id = _kid
+        AND doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+    ),
+    w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM kept),
+    p AS (
+      SELECT doc_id, text, len(words) AS n_words,
+             CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dr,
+             CAST(len(list_filter(words, x -> x IN ('the','and','of'))) AS INT) AS s_en,
+             CAST(len(list_filter(words, x -> x IN ('el','la','los'))) AS INT) AS s_es,
+             CAST(len(list_filter(words, x -> x IN ('der','und','das'))) AS INT) AS s_de,
+             CAST(len(list_filter(words, x -> x IN ('le','les','des'))) AS INT) AS s_fr
+      FROM w
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN (CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
+                    + CASE WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
+                    + CASE WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
+                    + CASE WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END) > 1 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM p WHERE n_words >= 20 AND dr >= 0.2""",
+)
+def q_training_corpus(spark, sf_dir):
+    """End-to-end training-data pipeline over the documents corpus —
+    every stage is an already-oracled operator, composed: exact dedup
+    keeps min doc_id per content md5; near-dup cluster NON-keepers
+    (LSH -> exact-Jaccard 0.8 -> connected components) are dropped;
+    the quality gate (length + diversity) filters; language ID and
+    token counts annotate the surviving corpus.
+
+    Scale: exact keeper = one md5 window; the near-dup drop list is a
+    left-anti hash join against the (tiny) clustered-doc set; quality +
+    lang + tokens are narrow expressions. Nothing here adds a shuffle
+    beyond the component operators' own budgets."""
+    from trendmachine_spark.extensions.clusters import dedup_clusters
+    from trendmachine_spark.extensions.text import lang_id, text_profile
+
+    docs = _docs(spark, sf_dir)
+    exact_keep = (
+        docs.withColumn(
+            "_kid", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("_kid"))
+        .select("doc_id", "text")
+    )
+    drop = (
+        dedup_clusters(docs, min_jaccard=0.8)
+        .filter(F.col("is_keeper") == 0)
+        .select("doc_id")
+    )
+    kept = exact_keep.join(drop, "doc_id", "left_anti")
+    prof = text_profile(kept).select("doc_id", "n_words", "n_tokens", "distinct_ratio")
+    lang = lang_id(kept).select("doc_id", "lang_pred")
+    return (
+        prof.filter((F.col("n_words") >= 20) & (F.col("distinct_ratio") >= 0.2))
+        .join(lang, "doc_id")
+        .select("doc_id", "n_words", "n_tokens", "lang_pred")
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     # the freq CTE mirrors the engine's default max_shingle_freq guard;
     # sizes stay FULL-set so the jaccard of surviving pairs is exact
