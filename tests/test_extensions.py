@@ -127,3 +127,28 @@ def test_ivf_topk(spark, vectors):
     # more probes can only widen the candidate set
     wide = ivf_topk(vectors, n_queries=2, k=3, n_cells=3, n_probe=3).collect()
     assert len(wide) >= len(out)
+
+
+def test_training_corpus_invariants(spark):
+    """Composed pipeline invariants the oracle can't state directly:
+    kept docs are unique by content md5 and never cluster non-keepers."""
+    from pyspark.sql import functions as F
+
+    from trendmachine_spark.extensions.clusters import dedup_clusters
+    from trendmachine_spark.registry import QUERIES
+    from trendmachine_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    kept = QUERIES["training_corpus"].builder(spark, sf)
+    docs = load_table(spark, sf, "documents")
+
+    joined = kept.join(docs, "doc_id").select("doc_id", F.md5("text").alias("h"))
+    per_hash = joined.groupBy("h").count().filter(F.col("count") > 1)
+    assert per_hash.count() == 0  # exact dedup held
+
+    non_keepers = dedup_clusters(docs, min_jaccard=0.8).filter(F.col("is_keeper") == 0)
+    leaked = kept.join(non_keepers, "doc_id")
+    assert leaked.count() == 0  # near-dup drop held
+
+    # quality gate floor: every survivor satisfies the length bound
+    assert kept.filter(F.col("n_words") < 20).count() == 0
