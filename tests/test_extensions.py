@@ -116,6 +116,53 @@ def test_multimodal_plumbing(spark, docs):
         decode_assets(assets, real_decode=True).collect()
 
 
+def test_multimodal_resize(spark, docs):
+    from trendmachine_spark.extensions.multimodal import resize_assets
+
+    assets = to_binary_assets(docs)
+    out = {r["doc_id"]: r for r in resize_assets(assets, 4, 2).collect()}
+    import hashlib
+
+    # doc 0: 43 chars, budget 4*2=8 -> first 8 chars md5'd
+    assert out[0]["n_chars_in"] == 43
+    assert out[0]["n_chars_out"] == 8
+    assert out[0]["resized_md5"] == hashlib.md5(b"the quic").hexdigest()
+    # doc 5 ("a b"): shorter than the budget -> whole text
+    assert out[5]["n_chars_out"] == 3
+    assert out[5]["resized_md5"] == hashlib.md5(b"a b").hexdigest()
+    assert out[0]["out_width"] == 4 and out[0]["out_height"] == 2
+    with pytest.raises(Exception):
+        resize_assets(assets, real_resize=True).collect()
+
+
+def test_multimodal_frame_sample(spark, docs):
+    from trendmachine_spark.extensions.multimodal import frame_sample
+
+    assets = to_binary_assets(docs)
+    # frame_len=4: doc 0 (43 chars) has 10 full frames; every 2nd, max 3
+    rows = (
+        frame_sample(assets, frame_len=4, every_n=2, max_frames=3)
+        .filter(F.col("doc_id") == 0)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    import hashlib
+
+    text = "the quick brown fox jumps over the lazy dog"
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["sample_ord"] for r in rows] == [0, 1, 2]
+    for r in rows:
+        frame = text[r["frame_idx"] * 4:(r["frame_idx"] + 1) * 4]
+        assert r["frame_md5"] == hashlib.md5(frame.encode()).hexdigest()
+    # doc 5 ("a b", 3 chars) is shorter than one frame -> zero rows
+    short = frame_sample(assets, frame_len=4).filter(F.col("doc_id") == 5)
+    assert short.count() == 0
+    # per-asset output is bounded by max_frames even for long payloads
+    all_rows = frame_sample(assets, frame_len=2, every_n=1, max_frames=2)
+    counts = all_rows.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
 def test_ivf_topk(spark, vectors):
     from trendmachine_spark.extensions.similarity import ivf_topk
 

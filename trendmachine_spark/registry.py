@@ -972,6 +972,49 @@ def q_multimodal_metadata(spark, sf_dir):
     return media_metadata(_docs(spark, sf_dir))
 
 
+@register(
+    "multimodal_resize",
+    """SELECT doc_id,
+              CAST(64 AS INT) AS out_width,
+              CAST(64 AS INT) AS out_height,
+              CAST(length(text) AS BIGINT) AS n_chars_in,
+              CAST(least(length(text), 4096) AS BIGINT) AS n_chars_out,
+              md5(substr(text, 1, 4096)) AS resized_md5
+       FROM documents""",
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Deterministic fake resize (PIL slot) over binary assets —
+    char-truncate + md5, engine-portable (see resize_assets)."""
+    from trendmachine_spark.extensions.multimodal import resize_assets, to_binary_assets
+
+    return resize_assets(to_binary_assets(_docs(spark, sf_dir)))
+
+
+@register(
+    "multimodal_frame_sample",
+    """WITH f AS (
+      SELECT doc_id, text, length(text) // 32 AS n_frames FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(least(n_frames, 32) AS BIGINT))) AS i
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i // 4 AS INT) AS sample_ord,
+           md5(substr(text, CAST(i*32 + 1 AS BIGINT), 32)) AS frame_md5
+    FROM g WHERE i % 4 = 0""",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Deterministic fake frame sampling (ffmpeg slot): every 4th
+    32-char frame, at most 8 samples per asset (cap = 4*8 = 32 frames,
+    mirrored in the oracle as ``least(n_frames, 32)``)."""
+    from trendmachine_spark.extensions.multimodal import frame_sample, to_binary_assets
+
+    return frame_sample(to_binary_assets(_docs(spark, sf_dir)))
+
+
 # ------------------------------------------------------- relational / TPC-H
 
 @register(
