@@ -116,6 +116,23 @@ def test_multimodal_plumbing(spark, docs):
         decode_assets(assets, real_decode=True).collect()
 
 
+def test_simhash_near_dup(spark, docs):
+    from trendmachine_spark.extensions.dedup import simhash, simhash_near_dup
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dup(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0        # identical docs: hamming 0
+    assert all(h <= 3 for h in pairs.values())
+    # exactness: every fingerprint pair within hamming<=3 is reported
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {
+        (a, b)
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert set(pairs) == want
+
+
 def test_multimodal_resize(spark, docs):
     from trendmachine_spark.extensions.multimodal import resize_assets
 

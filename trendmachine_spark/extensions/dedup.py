@@ -287,3 +287,51 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 #: round-1 name — kept as an alias; the fingerprint width is the
 #: ``bits`` argument (default 32), not 64.
 simhash64 = simhash
+
+
+def simhash_near_dup(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", bits: int = 32,
+                     bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by banded hamming LSH over simhash fingerprints.
+
+    The Manku et al. (WWW'07) construction: split the ``bits``-bit
+    fingerprint into ``bands`` contiguous bands; two fingerprints within
+    hamming distance ``max_hamming`` differ in at most ``max_hamming``
+    bands, so with ``bands > max_hamming`` the pigeonhole principle
+    guarantees they agree on at least one band — banding is EXACT here
+    (no recall loss), unlike minhash LSH's probabilistic banding.
+
+    Shape mirrors :func:`minhash_near_dup`: narrow ``stack`` reshape of
+    the fingerprint table, equi-join on (band, band_value), then the
+    hamming verify is a narrow xor+bit_count on the joined rows — no
+    second pass over the corpus. One shuffle for the fingerprint
+    groupBy, one for the bucket join.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
+    """
+    assert bands > max_hamming, "exactness needs bands > max_hamming"
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(docs, text_col, id_col, bits)
+    stack_expr = "stack({}, {}) as (band, bv)".format(
+        bands,
+        ", ".join(
+            f"{b}, shiftright(simhash, {b * width}) & {mask}L" for b in range(bands)
+        ),
+    )
+    buckets = fp.selectExpr(id_col, "simhash", stack_expr)
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "band", "bv"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -838,6 +838,45 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_near_dup",
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    hashed AS (SELECT doc_id, md5(w) AS h FROM words),
+    pos AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS p FROM hashed),
+    bits AS (
+      SELECT doc_id, p,
+             ((CAST(strpos('0123456789abcdef', substr(h, (p // 4) + 1, 1)) AS INT) - 1)
+              // CAST(pow(2, 3 - p % 4) AS INT)) % 2 AS bit
+      FROM pos
+    ),
+    votes AS (
+      SELECT doc_id, p, SUM(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, p
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    bandsx AS (
+      SELECT doc_id, simhash, b, (simhash >> CAST(b * 8 AS BIGINT)) & 255 AS bv
+      FROM fp, unnest(generate_series(0, 3)) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM bandsx a JOIN bandsx b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
+)
+def q_dedup_simhash_near_dup(spark, sf_dir):
+    """Banded hamming LSH over simhash — EXACT for hamming<=3 with 4
+    bands (pigeonhole); same bucketed equi-join shape as minhash LSH."""
+    from trendmachine_spark.extensions.dedup import simhash_near_dup
+
+    return simhash_near_dup(_docs(spark, sf_dir))
+
+
+@register(
     "similarity_topk",
     """WITH qv AS (
       SELECT vec_id,
