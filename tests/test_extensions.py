@@ -180,6 +180,41 @@ def test_multimodal_frame_sample(spark, docs):
     assert all(r["count"] <= 2 for r in counts)
 
 
+def test_sampling_deterministic_and_stratified(spark):
+    from trendmachine_spark.extensions.sampling import (
+        corpus_sample, stratified_sample, train_eval_split,
+    )
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("de").alias("lang"),
+    )
+    # determinism: same salt -> identical membership across invocations
+    s1 = {r["doc_id"] for r in corpus_sample(docs, 0.3, salt="a").collect()}
+    s2 = {r["doc_id"] for r in corpus_sample(docs, 0.3, salt="a").collect()}
+    assert s1 == s2
+    # a different salt gives a different (independent) sample
+    s3 = {r["doc_id"] for r in corpus_sample(docs, 0.3, salt="b").collect()}
+    assert s1 != s3
+    # rate is approximately honored
+    assert 0.2 < len(s1) / 2000 < 0.4
+    # nested rates: a doc kept at 0.1 is always kept at 0.3 (same salt)
+    s_small = {r["doc_id"] for r in corpus_sample(docs, 0.1, salt="a").collect()}
+    assert s_small <= s1
+    # stratified: en kept at ~0.8, de at ~0.1
+    st = stratified_sample(docs, rates={"en": 0.8}, default_rate=0.1)
+    by_lang = {r["lang"]: r["n"] for r in
+               st.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["en"] / 500 > 0.6
+    assert by_lang["de"] / 1500 < 0.2
+    # split: disjoint and exhaustive
+    train, ev = train_eval_split(docs, eval_rate=0.2)
+    t = {r["doc_id"] for r in train.collect()}
+    e = {r["doc_id"] for r in ev.collect()}
+    assert t.isdisjoint(e)
+    assert len(t) + len(e) == 2000
+
+
 def test_ivf_topk(spark, vectors):
     from trendmachine_spark.extensions.similarity import ivf_topk
 

@@ -1,0 +1,75 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Driver-mandated extension territory (SURVEY.md §2.6): every real
+training-data run downsamples — per-language/per-source rate schedules
+("keep 50% of en, 20% of everything else"), or a flat rate for eval
+splits. Random sampling (``df.sample``) is the wrong tool at corpus
+scale: results change across retries/partitions, and a resumed job
+re-samples differently. The standard fix is HASH sampling: a
+deterministic uniform in [0, 1) derived from the stable document id,
+so membership is a pure function of (salt, id) — reproducible across
+runs, engines, partitionings, and cluster sizes, and disjoint salts
+give independent samples (train/eval splits that never overlap).
+
+Scale: the uniform is a narrow md5-on-id projection — zero shuffles,
+fully whole-stage-codegen; the filter pushes down like any predicate.
+Engine-portable: DuckDB computes the identical uniform via
+``('0x' || substr(md5(...), 1, 15))::BIGINT / 2^60`` — same IEEE
+double ops, bit-identical outcomes (see registry oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 16^15 == 2^60 — the hash domain size for the 15-hex-digit prefix
+HASH_DOMAIN = float(1 << 60)
+
+
+def hash_uniform(id_col: Column, salt: str = "tm") -> Column:
+    """Deterministic uniform in [0, 1) from (salt, id) — md5-derived.
+
+    Same construction as the minhash hash family (one md5, 60-bit
+    prefix): u = int(md5(salt ':' id)[:15], 16) / 2^60. Different salts
+    give independent uniforms, so disjoint splits use disjoint salts.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    return h / F.lit(HASH_DOMAIN)
+
+
+def corpus_sample(docs: DataFrame, rate: float, salt: str = "tm",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Flat deterministic Bernoulli(rate) sample: keep iff u < rate."""
+    return docs.filter(hash_uniform(F.col(id_col), salt) < rate)
+
+
+def stratified_sample(docs: DataFrame, strata_col: str = "lang",
+                      rates: dict[str, float] | None = None,
+                      default_rate: float = 0.2, salt: str = "tm",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum deterministic sampling: keep iff u < rate(stratum).
+
+    ``rates`` maps stratum value -> keep probability; strata not listed
+    use ``default_rate``. The membership decision depends only on
+    (salt, id), NOT on the stratum — so re-binning documents into
+    different strata with the same rates never flips membership of a
+    document whose rate is unchanged (stable under taxonomy edits).
+    """
+    rate = F.lit(default_rate)
+    for value, r in (rates or {}).items():
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return docs.filter(hash_uniform(F.col(id_col), salt) < rate)
+
+
+def train_eval_split(docs: DataFrame, eval_rate: float = 0.05,
+                     salt: str = "split", id_col: str = "doc_id"
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, eval) split off ONE uniform: a doc
+    is eval iff u < eval_rate, train otherwise. One narrow projection,
+    both frames share the scan; no doc is in both, none is dropped."""
+    u = hash_uniform(F.col(id_col), salt)
+    return docs.filter(u >= eval_rate), docs.filter(u < eval_rate)

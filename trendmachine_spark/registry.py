@@ -1012,6 +1012,26 @@ def q_multimodal_metadata(spark, sf_dir):
 
 
 @register(
+    "corpus_sample_stratified",
+    """SELECT doc_id, lang, source
+       FROM documents
+       WHERE ('0x' || substr(md5('tm:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             / 1152921504606846976.0
+             < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END""",
+)
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Deterministic per-language hash sampling (keep 50% en / 20%
+    rest) — membership is a pure function of (salt, doc_id), so the
+    sample is reproducible across runs, engines, and partitionings."""
+    from trendmachine_spark.extensions.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), strata_col="lang", rates={"en": 0.5},
+        default_rate=0.2,
+    ).select("doc_id", "lang", "source")
+
+
+@register(
     "multimodal_resize",
     """SELECT doc_id,
               CAST(64 AS INT) AS out_width,
