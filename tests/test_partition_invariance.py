@@ -29,6 +29,9 @@ INVARIANT_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_simhash_near_dup",
+    "corpus_sample_stratified",
+    "multimodal_frame_sample",
     "resilience_daily_series",
 ]
 
