@@ -180,6 +180,27 @@ def test_multimodal_frame_sample(spark, docs):
     assert all(r["count"] <= 2 for r in counts)
 
 
+def test_decontaminate(spark):
+    from trendmachine_spark.extensions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # contains eval 4-gram
+            (1, "one two three four five six"),           # clean
+            (2, "x alpha beta gamma delta y"),            # same 4-gram, shifted
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_contaminated_ngrams"]
+           for r in decontaminate(train, evals, k=4).collect()}
+    assert out == {0: 1, 2: 1}     # doc 1 absent = clean
+    # stricter k: the 4-gram no longer matches at k=5
+    assert decontaminate(train, evals, k=5).count() == 0
+
+
 def test_sampling_deterministic_and_stratified(spark):
     from trendmachine_spark.extensions.sampling import (
         corpus_sample, stratified_sample, train_eval_split,

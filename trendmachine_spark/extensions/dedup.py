@@ -246,6 +246,36 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return out
 
 
+def decontaminate(train: DataFrame, eval_docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 8) -> DataFrame:
+    """Eval-set decontamination: training docs sharing word k-grams with
+    an eval benchmark (the GPT-3/PaLM-style n-gram overlap check every
+    LLM training run performs before the corpus ships).
+
+    Output: (doc_id, n_contaminated_ngrams) — one row per FLAGGED train
+    doc with the count of distinct k-grams it shares with any eval doc.
+    Docs absent from the output are clean at this k.
+
+    Scale: eval benchmarks are tiny next to a 100 TB corpus, so the
+    distinct eval shingle set is BROADCAST — the train shingle table
+    never shuffles on the join; the only exchange is the per-doc count
+    aggregation (map-side combined). k=8+ keeps stopword runs from
+    flagging everything; raise k for stricter precision.
+    """
+    tr = shingles(train, text_col, id_col, k, distinct=True)
+    ev = (
+        shingles(eval_docs, text_col, id_col, k, distinct=False)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
 def _hex_bit(h, p):
     """Bit ``3 - p%4`` of hex digit ``p//4`` of md5-hex string ``h``."""
     v = F.conv(F.substring(h, (p / 4).cast("int") + 1, 1), 16, 10).cast("int")

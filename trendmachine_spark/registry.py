@@ -1012,6 +1012,36 @@ def q_multimodal_metadata(spark, sf_dir):
 
 
 @register(
+    "corpus_decontaminate",
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tr AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+      WHERE doc_id % 20 <> 0
+    ),
+    ev AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+      WHERE doc_id % 20 = 0
+    )
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+    FROM tr JOIN ev USING (s) GROUP BY tr.doc_id""",
+)
+def q_corpus_decontaminate(spark, sf_dir):
+    """Eval decontamination demo split: every 20th doc plays the eval
+    benchmark, the rest are the training corpus; flags train docs
+    sharing an 8-gram with eval (broadcast eval shingle set)."""
+    from trendmachine_spark.extensions.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        k=8,
+    )
+
+
+@register(
     "corpus_sample_stratified",
     """SELECT doc_id, lang, source
        FROM documents
