@@ -180,6 +180,28 @@ def test_multimodal_frame_sample(spark, docs):
     assert all(r["count"] <= 2 for r in counts)
 
 
+def test_repetition_stats(spark):
+    from trendmachine_spark.extensions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),          # total repetition
+            (1, "one two three four five six seven"),      # no repeats
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 0: 5 bigrams, all "spam spam" -> count 5, covers 5*9/29 chars
+    assert out[0]["top_bigram"] == "spam spam"
+    assert out[0]["top_bigram_count"] == 5
+    assert out[0]["top_bigram_char_frac"] == pytest.approx(45 / 29)
+    assert out[0]["dup_5gram_frac"] == 1.0        # both 5-grams identical
+    # doc 1: every bigram unique -> lexicographic tie-break, zero dup
+    assert out[1]["top_bigram_count"] == 1
+    assert out[1]["top_bigram"] == "five six"
+    assert out[1]["dup_5gram_frac"] == 0.0
+
+
 def test_decontaminate(spark):
     from trendmachine_spark.extensions.dedup import decontaminate
 

@@ -8,7 +8,7 @@ int/int divisions so values are engine-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: BPE-ish token pattern: letter runs, digit runs, single non-alnum
@@ -107,6 +107,56 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.md5(norm).alias("normalized_md5"),
         F.array_min(grams).alias("min_shingle_md5"),
         F.array_max(grams).alias("max_shingle_md5"),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition metrics for corpus quality filtering.
+
+    Per doc: the most frequent word bigram (ties broken lexicographically),
+    its occurrence count, the fraction of characters it covers
+    (``count * len(bigram) / n_chars``), and the fraction of 5-gram
+    occurrences whose gram repeats within the doc. High values flag
+    boilerplate/spam (navigation bars, keyword stuffing) that
+    length/diversity gates miss. All ratios are exact-integer divisions,
+    so values are bit-identical across engines.
+
+    Docs with fewer than 5 words (no 5-gram) produce no row — the
+    length gate in :func:`quality_flags` already rejects those.
+
+    Scale: two explode+groupBy passes (bigrams, 5-grams), both
+    map-side combined on (id, gram); the per-doc argmax is a window
+    over the (small) per-doc gram-count table. No UDFs.
+    """
+    from trendmachine_spark.extensions.dedup import gram_array
+
+    bg = docs.select(F.col(id_col), F.explode(gram_array(text_col, 2)).alias("g"))
+    bc = bg.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), "g")
+    topb = (
+        bc.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("g").alias("top_bigram"), F.col("c").alias("top_bigram_count"))
+    )
+    g5 = docs.select(F.col(id_col), F.explode(gram_array(text_col, 5)).alias("g"))
+    c5 = g5.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    d5 = c5.groupBy(id_col).agg(
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("_dup"),
+        F.sum("c").alias("_tot"),
+    )
+    chars = docs.select(F.col(id_col), F.length(text_col).alias("_nc"))
+    return (
+        chars.join(topb, id_col).join(d5, id_col)
+        .select(
+            id_col, "top_bigram",
+            F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
+            (
+                (F.col("top_bigram_count") * F.length("top_bigram")).cast("double")
+                / F.col("_nc")
+            ).alias("top_bigram_char_frac"),
+            (F.col("_dup").cast("double") / F.col("_tot")).alias("dup_5gram_frac"),
+        )
     )
 
 

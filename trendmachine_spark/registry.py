@@ -1012,6 +1012,49 @@ def q_multimodal_metadata(spark, sf_dir):
 
 
 @register(
+    "text_repetition_stats",
+    """WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM words, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+    ),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    topb AS (
+      SELECT doc_id, g, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+        FROM bc
+      ) WHERE rk = 1
+    ),
+    g5 AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM words, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+    ),
+    c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+    d5 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+             SUM(c) AS tot
+      FROM c5 GROUP BY doc_id
+    ),
+    chars AS (SELECT doc_id, length(text) AS nc FROM documents)
+    SELECT chars.doc_id,
+           topb.g AS top_bigram,
+           CAST(topb.c AS BIGINT) AS top_bigram_count,
+           CAST(topb.c * length(topb.g) AS DOUBLE) / nc AS top_bigram_char_frac,
+           CAST(dup_occ AS DOUBLE) / tot AS dup_5gram_frac
+    FROM chars
+    JOIN topb ON chars.doc_id = topb.doc_id
+    JOIN d5 ON chars.doc_id = d5.doc_id""",
+)
+def q_text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition metrics (top-bigram coverage, duplicate
+    5-gram fraction) — the boilerplate/spam filter axis."""
+    from trendmachine_spark.extensions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
     "corpus_decontaminate",
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     tr AS (
