@@ -180,6 +180,27 @@ def test_multimodal_frame_sample(spark, docs):
     assert all(r["count"] <= 2 for r in counts)
 
 
+def test_pii_stats(spark):
+    from trendmachine_spark.extensions.text import pii_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact me at alice@example.com or bob@test.org thanks"),
+            (1, "server 192.168.1.1 and 10.0.0.255 are up"),
+            (2, "call 555-123-4567 ssn 123-45-6789"),
+            (3, "no personal information in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["has_pii"] == 1
+    assert out[1]["n_ipv4"] == 2
+    assert out[2]["n_phones"] == 1 and out[2]["n_ssn_like"] == 1
+    assert out[3]["has_pii"] == 0
+    assert all(out[3][c] == 0 for c in
+               ("n_emails", "n_ipv4", "n_phones", "n_ssn_like"))
+
+
 def test_repetition_stats(spark):
     from trendmachine_spark.extensions.text import repetition_stats
 

@@ -160,6 +160,42 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+#: PII detection patterns — simple enough to behave identically under
+#: Java regex (Spark) and RE2 (DuckDB): literal classes, bounded reps,
+#: no backrefs/lookaround.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "n_phones": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "n_ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII pattern counts — the redaction/filter axis every
+    public-web training corpus applies before shipping.
+
+    Non-overlapping match counts per pattern plus a ``has_pii`` flag.
+    Patterns are deliberately RE2-safe (no lookaround/backrefs) so
+    Spark and DuckDB count identically. Counts, not spans: the filter
+    decision needs magnitudes; actual redaction would be a follow-up
+    ``regexp_replace`` with the same patterns.
+
+    Scale: one narrow codegen'd projection — no shuffle, no UDF; the
+    regex runs JVM-side per row.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(name)
+        for name, p in PII_PATTERNS.items()
+    ]
+    out = docs.select(F.col(id_col), *counts)
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(name) > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag.cast("long"))
+
+
 def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-(doc, term) frequency + corpus document frequency (TF-IDF
     inputs). tf is a ratio of exact integers; idf itself (ln(N/df)) is

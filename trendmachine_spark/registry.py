@@ -1012,6 +1012,27 @@ def q_multimodal_metadata(spark, sf_dir):
 
 
 @register(
+    "text_pii_stats",
+    r"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn_like,
+              CAST((len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+                 OR len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) > 0
+                 OR len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0
+                 OR len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) > 0) AS BIGINT) AS has_pii
+       FROM documents""",
+)
+def q_text_pii_stats(spark, sf_dir):
+    """PII pattern counts (email / ipv4 / phone / ssn-like) — RE2-safe
+    regexes count identically in Spark and DuckDB."""
+    from trendmachine_spark.extensions.text import pii_stats
+
+    return pii_stats(_docs(spark, sf_dir))
+
+
+@register(
     "text_repetition_stats",
     """WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
     bg AS (
