@@ -315,3 +315,36 @@ def test_training_corpus_invariants(spark):
 
     # quality gate floor: every survivor satisfies the length bound
     assert kept.filter(F.col("n_words") < 20).count() == 0
+
+
+def test_training_corpus_safe_invariants(spark):
+    """Funnel invariants: survivors carry no PII, no eval contamination,
+    bounded repetition, and membership is sample-deterministic."""
+    from pyspark.sql import functions as F
+
+    from trendmachine_spark.extensions.dedup import decontaminate
+    from trendmachine_spark.extensions.text import pii_stats
+    from trendmachine_spark.registry import QUERIES, clear_cache
+    from trendmachine_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    safe = QUERIES["training_corpus_safe"].builder(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+
+    # no eval doc ids, no contaminated docs, no PII carriers
+    assert safe.filter(F.col("doc_id") % 20 == 0).count() == 0
+    flagged = decontaminate(train, evals, k=8).select("doc_id")
+    assert safe.join(flagged, "doc_id").count() == 0
+    pii = pii_stats(train).filter(F.col("has_pii") == 1).select("doc_id")
+    assert safe.join(pii, "doc_id").count() == 0
+    # repetition bound holds on the output column itself
+    assert safe.filter(F.col("dup_5gram_frac") >= 0.3).count() == 0
+    # determinism: a rebuild selects the identical membership
+    ids1 = {r["doc_id"] for r in safe.select("doc_id").collect()}
+    clear_cache()
+    ids2 = {r["doc_id"] for r in
+            QUERIES["training_corpus_safe"].builder(spark, sf)
+            .select("doc_id").collect()}
+    assert ids1 == ids2

@@ -1012,6 +1012,92 @@ def q_multimodal_metadata(spark, sf_dir):
 
 
 @register(
+    "training_corpus_safe",
+    r"""WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    prof AS (
+      SELECT doc_id, text, w, len(w) AS n_words,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr
+      FROM words
+    ),
+    g5 AS (
+      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM words, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+    ),
+    c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+    d5 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup5
+      FROM c5 GROUP BY doc_id
+    ),
+    tr8 AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+      WHERE doc_id % 20 <> 0
+    ),
+    ev8 AS (
+      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS s
+      FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+      WHERE doc_id % 20 = 0
+    ),
+    contaminated AS (SELECT DISTINCT tr8.doc_id FROM tr8 JOIN ev8 USING (s))
+    SELECT p.doc_id,
+           CAST(p.n_words AS BIGINT) AS n_words,
+           d5.dup5 AS dup_5gram_frac
+    FROM prof p
+    JOIN d5 ON p.doc_id = d5.doc_id
+    WHERE p.doc_id % 20 <> 0
+      AND p.n_words >= 20 AND p.dr >= 0.2
+      AND d5.dup5 < 0.3
+      AND len(regexp_extract_all(p.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+      AND len(regexp_extract_all(p.text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) = 0
+      AND len(regexp_extract_all(p.text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) = 0
+      AND len(regexp_extract_all(p.text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) = 0
+      AND p.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      AND ('0x' || substr(md5('safe:' || CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0 < 0.5""",
+)
+def q_training_corpus_safe(spark, sf_dir):
+    """The modern data-prep funnel composed from the oracled building
+    blocks: quality gate (length+diversity) -> repetition cap
+    (dup-5gram < 0.3) -> PII-free -> eval-decontaminated (8-gram,
+    19:1 demo split) -> deterministic 50% hash sample.
+
+    Scale: profile/PII/sample are narrow projections on the scan;
+    repetition adds its two gram aggregations; the contamination drop
+    is a left-anti hash join against the (tiny) flagged set. Filters
+    compose as predicates — Catalyst pushes the cheap ones below the
+    joins."""
+    from trendmachine_spark.extensions.dedup import decontaminate
+    from trendmachine_spark.extensions.sampling import hash_uniform
+    from trendmachine_spark.extensions.text import (
+        pii_stats, repetition_stats, text_profile,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    prof = text_profile(train).select("doc_id", "n_words", "distinct_ratio")
+    rep = repetition_stats(train).select("doc_id", "dup_5gram_frac")
+    pii = pii_stats(train).select("doc_id", "has_pii")
+    flagged = decontaminate(train, evals, k=8).select("doc_id")
+    return (
+        train.select("doc_id")
+        .join(prof, "doc_id")
+        .join(rep, "doc_id")
+        .join(pii, "doc_id")
+        .join(flagged, "doc_id", "left_anti")
+        .filter(
+            (F.col("n_words") >= 20)
+            & (F.col("distinct_ratio") >= 0.2)
+            & (F.col("dup_5gram_frac") < 0.3)
+            & (F.col("has_pii") == 0)
+            & (hash_uniform(F.col("doc_id"), "safe") < 0.5)
+        )
+        .select("doc_id", "n_words", "dup_5gram_frac")
+    )
+
+
+@register(
     "text_pii_stats",
     r"""SELECT doc_id,
               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
