@@ -1411,6 +1411,96 @@ def q_event_sessionization(spark, sf_dir):
     )
 
 
+@register(
+    "event_asof_join",
+    """WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    ),
+    l AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'error'),
+    r AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'click'),
+    u AS (
+      SELECT user_id, ep, 1 AS side, CAST(0 AS BIGINT) AS ord,
+             event_id AS l_id, NULL AS r_id, NULL AS r_ep
+      FROM l
+      UNION ALL
+      SELECT user_id, ep, 0, event_id, NULL, event_id, ep FROM r
+    ),
+    m AS (
+      SELECT user_id, ep, side, l_id,
+             last_value(r_id IGNORE NULLS) OVER w AS click_id,
+             last_value(r_ep IGNORE NULLS) OVER w AS click_ep
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ep, side, ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_id AS event_id, user_id, ep,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(click_ep AS BIGINT) AS click_ep,
+           CAST(ep - click_ep AS BIGINT) AS lag_sec
+    FROM m WHERE side = 1""",
+)
+def q_event_asof_join(spark, sf_dir):
+    """As-of join: each 'error' event matched to the latest at-or-before
+    'click' by the same user (union+window — one key shuffle, no range
+    predicate; see operators/asof.py). Generalizes the reference's
+    nearest-observed-day gap fill (main.py:192-199) to two tables."""
+    from trendmachine_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ep"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ep"
+    )
+    out = asof_join(
+        errors, clicks, on="user_id", ts="ep",
+        right_order="event_id", payload=["event_id"], prefix="click_",
+    )
+    return out.select(
+        "event_id", "user_id", "ep",
+        F.col("click_event_id").alias("click_id"),
+        F.col("click_ep").cast("long").alias("click_ep"),
+        (F.col("ep") - F.col("click_ep")).cast("long").alias("lag_sec"),
+    )
+
+
+@register(
+    "event_range_join",
+    """WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    ),
+    l AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'error'),
+    r AS (SELECT ep FROM e WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, l.ep,
+           CAST(count(r.ep) AS BIGINT) AS n_prior_clicks
+    FROM l LEFT JOIN r ON r.ep >= l.ep - 60 AND r.ep < l.ep
+    GROUP BY l.event_id, l.user_id, l.ep""",
+)
+def q_event_range_join(spark, sf_dir):
+    """Keyless range join: clicks by ANY user in the 60 s before each
+    error. Time-binned equi-join (operators/asof.range_count_join) —
+    the naive theta-join is a BroadcastNestedLoopJoin at scale."""
+    from trendmachine_spark.operators.asof import range_count_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ep"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("ep")
+    return range_count_join(
+        errors, clicks, ts="ep", lo=60, hi=0, count_col="n_prior_clicks"
+    )
+
+
 # ------------------------------------------- non-SQL-expressible (goldens)
 
 @register("resilience_daily_series", None)  # O34/O35 recurrences: rows-only
