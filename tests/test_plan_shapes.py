@@ -1,0 +1,75 @@
+"""Physical-plan shape guards for the scale-critical queries.
+
+PLANS.md documents the intended plan for each flagship query; these
+tests pin the properties that make those plans survive a 100 TB /
+1000-executor scale-up, so a future edit cannot silently regress them:
+
+* no BroadcastNestedLoopJoin / CartesianProduct on any corpus-sized
+  path (the one allowed BNLJ is ``similarity_topk``, whose broadcast
+  side is the 10-row query set — the exact brute-force baseline);
+* distributed top-k (``TakeOrderedAndProject``), never a global
+  single-partition window over all customers;
+* shuffle budgets: upper bounds on ``Exchange hashpartitioning``
+  counts (AQE's initial plan — deterministic at analysis time).
+
+Counts are UPPER bounds: fewer exchanges (e.g. a reused exchange) is
+progress, more is a regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from trendmachine_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name].builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+# name -> (max hash exchanges, forbid nested-loop/cartesian)
+SHUFFLE_BUDGETS = {
+    "pricing_summary": (1, True),
+    "daily_rollup": (2, True),
+    "dedup_minhash_lsh": (2, True),
+    "dedup_embedding_cosine_bucketed": (2, True),
+    # 2 upstream (capture normalize + rollup; persisted/reused in bench)
+    # + 1 for the matrix itself — the operator adds ONE exchange.
+    "transition_matrix": (3, True),
+    "event_asof_join": (1, True),
+    "event_range_join": (2, True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget(spark, name):
+    budget, forbid_nlj = SHUFFLE_BUDGETS[name]
+    plan = _plan(spark, name)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= budget, f"{name}: {n} hash exchanges > budget {budget}"
+    if forbid_nlj:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_top_revenue_is_distributed_topk(spark):
+    plan = _plan(spark, "top_revenue_customers")
+    # the round-1 regression: a global no-partition window over every
+    # customer aggregate; the fix is orderBy+limit -> TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_asof_join_has_no_join_operator(spark):
+    # the union+window as-of join must not plan any join at all
+    plan = _plan(spark, "event_asof_join")
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, f"asof join planned a {op}"
+
+
+def test_pricing_summary_pushes_filters_to_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
