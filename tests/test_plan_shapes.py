@@ -40,6 +40,9 @@ SHUFFLE_BUDGETS = {
     "transition_matrix": (3, True),
     "event_asof_join": (1, True),
     "event_range_join": (2, True),
+    # repartition(id) satisfies distinct + id-window (subset
+    # partitioning); shingle-window exchange reused by both join sides
+    "dedup_ngram_jaccard": (5, True),
 }
 
 

@@ -196,22 +196,30 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     every reported pair is exact; only pairs sharing *solely* hot
     shingles are missed.
 
-    Shape (all codegen, measured 3x faster than the narrow
-    array_distinct alternative at sf0.1): distinct shingles via one
-    (id, shingle) shuffle; set sizes as a count-window over the id; the
-    doc-frequency guard as a count-window over the shingle — the
-    guard's exchange on ``shingle`` is exactly the partitioning the
-    self-join needs, so both join sides reuse it (ReusedExchange, no
-    third pass). Set sizes ride along through the join instead of a
-    separate sizes aggregation + two joins.
+    Shape (all codegen; subset-partitioning, 5 exchanges): ONE
+    ``repartition(id)`` up front satisfies BOTH the (id, shingle)
+    dropDuplicates (ClusteredDistribution on a superset of the
+    partitioning key is satisfied — same-keyed rows are co-located)
+    AND the per-id set-size count-window, so distinct + sizes cost a
+    single exchange instead of two; the doc-frequency guard is a
+    count-window over the shingle, and the guard's exchange on
+    ``shingle`` is exactly the partitioning the self-join needs, so
+    both join sides reuse it (ReusedExchange, no third pass). Set
+    sizes ride along through the join instead of a separate sizes
+    aggregation + two joins.
 
     Variants measured and REJECTED at sf0.1 (in-process best-of-4):
-    groupBy+join guard instead of count-windows (3.32 s vs 1.99 s);
-    60-bit-md5 join keys instead of shingle strings (2.12 s vs 1.44 s —
-    the per-occurrence md5 costs more than the string shuffle saves;
-    revisit if shuffle volume dominates at cluster scale).
+    distinct + id-window as two separate exchanges (1.77 s vs 1.31 s
+    for this shape, 7 exchanges vs 5); groupBy+join guard instead of
+    count-windows (3.32 s vs 1.99 s); 60-bit-md5 join keys instead of
+    shingle strings (2.12 s vs 1.44 s — the per-occurrence md5 costs
+    more than the string shuffle saves; revisit if shuffle volume
+    dominates at cluster scale). Skew note: repartition(id) keys on
+    the doc id, so per-partition volume is bounded by document
+    length — no hot key unless a single document dwarfs the corpus.
     """
-    sh = shingles(docs, text_col, id_col, distinct=True)
+    sh = shingles(docs, text_col, id_col, distinct=False)
+    sh = sh.repartition(id_col).dropDuplicates([id_col, "shingle"])
     sh = sh.withColumn(
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
