@@ -28,5 +28,8 @@ def test_oracle_parity(spark, name):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name].builder(spark, SF)
-    assert df.count() >= 0
+    # > 0, not >= 0: every registered query has nonempty output on the
+    # testdata, and a dead query (e.g. a stream whose event_time
+    # collapsed, round 2's regression) must fail here, not pass.
+    assert df.count() > 0
     assert len(df.columns) > 0

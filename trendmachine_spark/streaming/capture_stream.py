@@ -161,15 +161,21 @@ def chaos_scores_stream(stream: DataFrame, digest_cap: int = DIGEST_CAP) -> Data
 
 def events_capture_stream(spark, sf_dir: str) -> DataFrame:
     """File-source streaming read of the events table as a capture stream
-    (one-shot batch of files driven by processAllAvailable in tests)."""
+    (one-shot batch of files driven by processAllAvailable in tests).
+
+    readStream requires an explicit schema, but the testdata's physical
+    ``ts`` layout has changed across driver builds (INT64 TIMESTAMP(NANOS)
+    vs proper ``timestamp[us]``). Rather than hardcode one layout, borrow
+    the schema from a batch read of the same file (a footer-only read at
+    stream-definition time — no data scan) and normalize ``ts`` with the
+    same rule :func:`~trendmachine_spark.sources.tables.load_table` uses,
+    so stream and batch can never disagree on event_time again.
+    """
     from trendmachine_spark.sources.captures import EVENT_STATUS
     from trendmachine_spark.sources.tables import configure
 
     configure(spark)
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the filter must match ONLY the events file — a bare directory would
     # pull every table's parquet in with mismatched (all-null) schemas
     e = (
@@ -177,12 +183,17 @@ def events_capture_stream(spark, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"]
+    if ts_type == "bigint":  # legacy nanos layout
+        event_time = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        event_time = F.col("ts").cast("timestamp")
     status = F.lit(None).cast("string")
     for k, v in EVENT_STATUS.items():
         status = F.when(F.col("event_type") == k, F.lit(v)).otherwise(status)
     return e.select(
         F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("url"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        event_time.alias("event_time"),
         F.coalesce(status, F.col("event_type")).alias("status"),
         F.concat(F.lit("DG"), F.regexp_extract("props", "[0-9]+", 0), F.lit("000000")).alias("digest"),
     )
