@@ -203,3 +203,71 @@ def test_streaming_dedup_matches_batch_distinct(spark):
             for r in events_as_captures(spark, SF).select("digest").distinct().collect()
         }
         assert {r["digest"] for r in got} == want
+
+
+def test_streaming_final_day_flushes_on_watermark(spark, tmp_path):
+    """Event-time timeout: a url that goes quiet still emits its final
+    open day once the watermark (driven by other traffic) passes the
+    day's end — values batch-equivalent at 1e-12. A url whose open day
+    the watermark has NOT passed stays open (no premature emission)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trendmachine_spark.streaming.capture_stream import resilience_scores_stream
+    from trendmachine_spark.streaming.scored_stream import scored_daily_stream
+
+    def us(day_ts):
+        return pd.Timestamp(day_ts)
+
+    rows = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            # user-7 active Jan 1-3 then quiet; user-9's Jan 20 event
+            # advances the watermark past user-7's open day
+            "ts": pa.array(
+                [us("2024-01-01 01:00:00"), us("2024-01-02 01:00:00"),
+                 us("2024-01-03 01:00:00"), us("2024-01-20 01:00:00")],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 7, 9], type=pa.int64()),
+            "event_type": ["click", "purchase", "click", "click"],
+            "value": [0.0, 0.0, 0.0, 0.0],
+            "props": ["n1x", "n2x", "n3x", "n4x"],
+        }
+    )
+    pq.write_table(rows, str(tmp_path / "events.parquet"))
+
+    from trendmachine_spark.pipeline import daily_series
+    from trendmachine_spark.sources.captures import events_as_captures
+
+    batch = {
+        (r["url"], r["Day"]): r
+        for r in daily_series(
+            events_as_captures(spark, str(tmp_path)), fill=0
+        ).collect()
+    }
+
+    for name, build in (
+        ("flush_res", resilience_scores_stream),
+        ("flush_scored", scored_daily_stream),
+    ):
+        stream = events_capture_stream(spark, str(tmp_path))
+        _run_to_memory(build(stream), name, "append")
+        got = {
+            (r["url"], r["day"]): r
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        # final day 2024-01-03 closed by TIMEOUT (no later user-7 event)
+        assert set(got) == {
+            ("user-7", "2024-01-01"), ("user-7", "2024-01-02"),
+            ("user-7", "2024-01-03"),
+        }, name
+        for k, g in got.items():
+            assert g["resilience"] == pytest.approx(
+                batch[k]["Resilience"], abs=1e-12), (name, k)
+        if name == "flush_scored":
+            for k, g in got.items():
+                assert g["fixity"] == pytest.approx(
+                    batch[k]["Fixity"], abs=1e-12), k
+                assert g["content"] == batch[k]["Content"], k

@@ -201,13 +201,14 @@ def events_capture_stream(spark, sf_dir: str) -> DataFrame:
 
 RES_STATE_SCHEMA = (
     "digests map<string,string>, cur_day string, cur_pr int, cur_spec string, "
-    "base double, scale double, h double, x bigint, prev string"
+    "base double, scale double, h double, x bigint, prev string, closed boolean"
 )
 RES_OUT_SCHEMA = "url string, day string, specimen string, resilience double"
 
 
 def resilience_scores_stream(stream: DataFrame, sigparams=None,
-                             digest_cap: int = DIGEST_CAP) -> DataFrame:
+                             digest_cap: int = DIGEST_CAP,
+                             watermark: str = "1 day") -> DataFrame:
     """Streaming O34: per-url resilience emitted at each day close.
 
     State carries the revisit digest map, the open day's best specimen
@@ -215,11 +216,22 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None,
     (base/scale/h/x/prev). When a capture for a later day arrives, the
     operator closes the open day, synthesizes any interior missing days
     as '~' (the reference's dense-spine iteration, O31, done lazily),
-    scores them, and emits one row per closed day. The still-open day
-    is emitted only when a later day's capture (or batch) closes it —
-    identical semantics to the batch engine for in-order input, which
-    the test pins. ``digest_cap``: LRU bound on the digest map (see
-    chaos_scores_stream — same eviction rule and divergence note).
+    scores them, and emits one row per closed day.
+
+    The still-open day additionally closes by EVENT-TIME TIMEOUT: each
+    key arms a timer at its open day's end, and once the stream's
+    watermark (``watermark`` behind max event time) passes it with no
+    newer capture, the day is scored and emitted — so a url that goes
+    quiet still surfaces its final day, batch-equivalent. A ``closed``
+    flag in state makes the flush idempotent: a later capture resumes
+    the spine from the flushed day without re-scoring it (late events
+    for an already-flushed day are dropped, standard watermark
+    semantics). Flushed keys retain their ~few-hundred-byte recurrence
+    state so a revival continues the exact series; at 100 TB scale an
+    idle-key GC timer (far-future timeout + state.remove) can bound
+    this if url churn demands it. ``digest_cap``: LRU bound on the
+    digest map (see chaos_scores_stream — same eviction rule and
+    divergence note).
     """
     from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
 
@@ -232,10 +244,11 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None,
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import math
-        from datetime import date, timedelta
+        from datetime import date, datetime, time, timedelta, timezone
 
         if state.exists:
-            digests, cur_day, cur_pr, cur_spec, base, scale, h, x, prev = state.get
+            (digests, cur_day, cur_pr, cur_spec,
+             base, scale, h, x, prev, closed) = state.get
             digests = dict(digests)
         else:
             digests, cur_day, cur_spec = {}, None, "~"
@@ -243,6 +256,7 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None,
             base = scale = h = 0.5
             x = 0
             prev = "~"
+            closed = False
 
         out_rows = []
 
@@ -258,17 +272,41 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None,
             h = base + scale * (p[2] / (1.0 + math.exp(p[0] - x / p[1])))
             out_rows.append((key[0], day_str, spec, h))
 
+        def finish():
+            state.update((digests, cur_day, cur_pr, cur_spec,
+                          base, scale, h, x, prev, closed))
+            if cur_day is not None and not closed:
+                nxt = date.fromisoformat(cur_day) + timedelta(days=1)
+                end_ms = int(datetime.combine(
+                    nxt, time.min, tzinfo=timezone.utc).timestamp() * 1000)
+                # timers must be strictly ahead of the current watermark
+                state.setTimeoutTimestamp(
+                    max(end_ms, state.getCurrentWatermarkMs() + 1))
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows, columns=["url", "day", "specimen", "resilience"])
+
+        if state.hasTimedOut:
+            # watermark passed the open day's end with no newer capture
+            if cur_day is not None and not closed:
+                score_day(cur_day, cur_spec if cur_spec in params else "~")
+                closed = True
+            yield from finish()
+            return
+
         def close_through(next_day_str):
             # close the open day, then synthesize '~' days up to next_day
-            nonlocal cur_day, cur_pr, cur_spec
+            nonlocal cur_day, cur_pr, cur_spec, closed
             if cur_day is None:
                 cur_day = next_day_str
                 cur_pr = -1
                 cur_spec = "~"
+                closed = False
                 return
             if next_day_str == cur_day:
                 return
-            score_day(cur_day, cur_spec if cur_spec in params else "~")
+            if not closed:
+                score_day(cur_day, cur_spec if cur_spec in params else "~")
             d = date.fromisoformat(cur_day) + timedelta(days=1)
             end = date.fromisoformat(next_day_str)
             while d < end:
@@ -277,6 +315,7 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None,
             cur_day = next_day_str
             cur_pr = -1
             cur_spec = "~"
+            closed = False
 
         for pdf in pdfs:
             pdf = pdf.sort_values("event_time", kind="mergesort")
@@ -300,14 +339,12 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None,
                     cur_spec = s
                     cur_pr = pr
 
-        state.update((digests, cur_day, cur_pr, cur_spec, base, scale, h, x, prev))
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=["url", "day", "specimen", "resilience"])
+        yield from finish()
 
-    return stream.groupBy("url").applyInPandasWithState(
+    return stream.withWatermark("event_time", watermark).groupBy("url").applyInPandasWithState(
         state_fn,
         outputStructType=RES_OUT_SCHEMA,
         stateStructType=RES_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

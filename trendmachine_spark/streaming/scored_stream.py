@@ -21,7 +21,8 @@ SCORED_STATE_SCHEMA = (
     "digests map<string,string>, cur_day string, cur_pr int, cur_spec string, "
     "cur_digest string, prev_close_digest string, "
     "base double, scale double, h double, x bigint, prev string, "
-    "basec double, scalec double, hc double, xc bigint, prevc string"
+    "basec double, scalec double, hc double, xc bigint, prevc string, "
+    "closed boolean"
 )
 SCORED_OUT_SCHEMA = (
     "url string, day string, specimen string, content string, "
@@ -30,12 +31,18 @@ SCORED_OUT_SCHEMA = (
 
 
 def scored_daily_stream(stream: DataFrame, sigparams=None,
-                        digest_cap: int | None = None) -> DataFrame:
+                        digest_cap: int | None = None,
+                        watermark: str = "1 day") -> DataFrame:
     """stream(url, event_time, status, digest) -> closed-day scores.
 
     ``digest_cap`` (default capture_stream.DIGEST_CAP): LRU bound on
     the per-url digest map — see chaos_scores_stream for the eviction
     rule and the documented divergence on evicted revisits.
+
+    Like resilience_scores_stream, the open day closes by event-time
+    timeout once the watermark passes its end, so a quiet url still
+    emits its final day (both scores + the fixity digest carry-over are
+    applied at flush, exactly as a capture-driven close would).
     """
     from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
     from trendmachine_spark.streaming.capture_stream import DIGEST_CAP
@@ -56,7 +63,8 @@ def scored_daily_stream(stream: DataFrame, sigparams=None,
 
         if state.exists:
             (digests, cur_day, cur_pr, cur_spec, cur_digest, prev_close_digest,
-             base, scale, h, x, prev, basec, scalec, hc, xc, prevc) = state.get
+             base, scale, h, x, prev, basec, scalec, hc, xc, prevc,
+             closed) = state.get
             digests = dict(digests)
         else:
             digests, cur_day, cur_spec, cur_digest = {}, None, "~", "~"
@@ -66,6 +74,7 @@ def scored_daily_stream(stream: DataFrame, sigparams=None,
             x = xc = 0
             prev = "~"
             prevc = "Unknown"
+            closed = False
 
         out_rows = []
 
@@ -89,21 +98,55 @@ def scored_daily_stream(stream: DataFrame, sigparams=None,
             hc = basec + scalec * (cp[2] / (1.0 + math.exp(cp[0] - xc / cp[1])))
             return h, hc
 
-        def close_through(next_day_str):
-            nonlocal cur_day, cur_pr, cur_spec, cur_digest, prev_close_digest
-            if cur_day is None:
-                cur_day = next_day_str
-                cur_pr = -1
-                cur_spec = "~"
-                cur_digest = "~"
-                return
-            if next_day_str == cur_day:
-                return
+        def close_day():
+            # score + emit the open day and roll the fixity digest
+            nonlocal prev_close_digest, closed
             spec = cur_spec if cur_spec in params else "~"
             content = "Unchanged" if cur_digest == prev_close_digest else "Changed"
             r, f = recur(spec, content)
             out_rows.append((key[0], cur_day, spec, content, r, f))
             prev_close_digest = cur_digest
+            closed = True
+
+        def finish():
+            state.update((
+                digests, cur_day, cur_pr, cur_spec, cur_digest, prev_close_digest,
+                base, scale, h, x, prev, basec, scalec, hc, xc, prevc, closed,
+            ))
+            if cur_day is not None and not closed:
+                from datetime import datetime, time, timezone
+
+                nxt = date.fromisoformat(cur_day) + timedelta(days=1)
+                end_ms = int(datetime.combine(
+                    nxt, time.min, tzinfo=timezone.utc).timestamp() * 1000)
+                state.setTimeoutTimestamp(
+                    max(end_ms, state.getCurrentWatermarkMs() + 1))
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["url", "day", "specimen", "content",
+                             "resilience", "fixity"],
+                )
+
+        if state.hasTimedOut:
+            if cur_day is not None and not closed:
+                close_day()
+            yield from finish()
+            return
+
+        def close_through(next_day_str):
+            nonlocal cur_day, cur_pr, cur_spec, cur_digest, closed
+            if cur_day is None:
+                cur_day = next_day_str
+                cur_pr = -1
+                cur_spec = "~"
+                cur_digest = "~"
+                closed = False
+                return
+            if next_day_str == cur_day:
+                return
+            if not closed:
+                close_day()
             d = date.fromisoformat(cur_day) + timedelta(days=1)
             end = date.fromisoformat(next_day_str)
             while d < end:
@@ -114,6 +157,7 @@ def scored_daily_stream(stream: DataFrame, sigparams=None,
             cur_pr = -1
             cur_spec = "~"
             cur_digest = "~"
+            closed = False
 
         for pdf in pdfs:
             pdf = pdf.sort_values("event_time", kind="mergesort")
@@ -137,20 +181,12 @@ def scored_daily_stream(stream: DataFrame, sigparams=None,
                     cur_digest = dg[:8]
                     cur_pr = pr
 
-        state.update((
-            digests, cur_day, cur_pr, cur_spec, cur_digest, prev_close_digest,
-            base, scale, h, x, prev, basec, scalec, hc, xc, prevc,
-        ))
-        if out_rows:
-            yield pd.DataFrame(
-                out_rows,
-                columns=["url", "day", "specimen", "content", "resilience", "fixity"],
-            )
+        yield from finish()
 
-    return stream.groupBy("url").applyInPandasWithState(
+    return stream.withWatermark("event_time", watermark).groupBy("url").applyInPandasWithState(
         state_fn,
         outputStructType=SCORED_OUT_SCHEMA,
         stateStructType=SCORED_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
