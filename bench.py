@@ -43,6 +43,18 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # --sf-multiple K: run the suite on a derived K-multiple of sf_dir
+    # (key-shifted copies, content-salted documents — see
+    # tools/scale_testdata.py) so data costs, not Spark's fixed
+    # per-action overhead, dominate the measurement.
+    if "--sf-multiple" in sys.argv:
+        k = int(sys.argv[sys.argv.index("--sf-multiple") + 1])
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.scale_testdata import scale_dir
+
+        sf_dir = scale_dir(sf_dir, f"/tmp/trendmachine_scaled_x{k}", k)
+        sf = f"{sf}x{k}"
+
     from pyspark.sql import SparkSession
 
     spark = (
