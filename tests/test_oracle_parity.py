@@ -33,3 +33,18 @@ def test_rows_only_queries_run(spark, name):
     # collapsed, round 2's regression) must fail here, not pass.
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_all_oracled_queries_inside_driver_window():
+    """The driver's correctness run verifies only the first 50 entries
+    of queries() — every oracled query must sit inside that window,
+    except names deliberately demoted in registry._DEMOTED (long-stable
+    entries still exactly checked here by test_oracle_parity)."""
+    from trendmachine_spark.registry import _DEMOTED
+
+    names = list(QUERIES)
+    outside = [n for n in names[50:] if QUERIES[n].oracle is not None]
+    assert outside == [n for n in _DEMOTED if n in QUERIES], (
+        "oracled queries fell outside the driver's 50-entry window; "
+        "demote a long-stable name in registry._DEMOTED instead"
+    )

@@ -51,25 +51,53 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k quantized-cosine neighbors for the first ``n_queries`` ids.
 
-    Output: query_id, neighbor_id, rank, cosine (double; identical IEEE
-    expression both engines since dot/norms are exact integers).
+    Output: query_id, neighbor_id, rank, cosine.
+
+    SCALE: the query set is tiny by contract (a user probe set), so it
+    ships to executors as a literal numpy matrix — like srp_buckets'
+    hyperplane constant — and each corpus partition scores ALL queries
+    in one Arrow-batched int64 matmul (``mapInPandas``). The corpus
+    never shuffles before scoring; the only exchange is the per-query
+    top-k window over n_corpus × n_queries scored rows. This replaced
+    a Catalyst ``F.aggregate(zip_with(...))`` dot product, which is
+    interpreted per element (no codegen for higher-order functions)
+    and measured 2.65 s vs 0.4 s for the matmul on the x10 corpus.
+    Values are bit-identical: dots/norms are exact int64, and the
+    cosine double divides the same exact integers in the same IEEE
+    order as the SQL oracle.
     """
+    import numpy as np
+
     qv = quantize_embeddings(emb, vec_col, id_col)
-    queries = qv.filter(F.col("vid") < n_queries).select(
-        F.col("vid").alias("query_id"), F.col("qvec").alias("q"), F.col("norm2").alias("qn"),
-    )
-    cands = qv.select(
-        F.col("vid").alias("neighbor_id"), F.col("qvec").alias("c"), F.col("norm2").alias("cn"),
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(cands, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("q"), F.col("c")).cast("double")
-            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
-        )
-    )
+    qrows = qv.filter(F.col("vid") < n_queries).collect()
+    if not qrows:
+        return qv.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double")
+    qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+    qn = np.sqrt(np.array([r["norm2"] for r in qrows], dtype=np.float64))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)   # (m, d)
+            dots = C @ Q.T                                          # exact int64
+            cn = np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))
+            cos = dots / (qn[None, :] * cn[:, None])
+            m = len(pdf)
+            nq = len(qids)
+            out = pd.DataFrame({
+                "query_id": np.tile(qids, m),
+                "neighbor_id": np.repeat(pdf["vid"].to_numpy(dtype=np.int64), nq),
+                "cosine": cos.ravel(),
+            })
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = qv.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double")
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
