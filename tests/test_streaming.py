@@ -271,3 +271,144 @@ def test_streaming_final_day_flushes_on_watermark(spark, tmp_path):
                 assert g["fixity"] == pytest.approx(
                     batch[k]["Fixity"], abs=1e-12), k
                 assert g["content"] == batch[k]["Content"], k
+
+
+def test_tws_resilience_equivalent_to_applyinpandaswithstate(spark):
+    """The transformWithStateInPandas port emits exactly the same
+    (url, day) -> (specimen, resilience) set as the
+    applyInPandasWithState implementation, including timer-flushed
+    final days. Skips where the TWS runtime can't start (its state
+    server needs the protobuf package, absent in this sandbox)."""
+    from trendmachine_spark.streaming.capture_stream import resilience_scores_stream
+    from trendmachine_spark.streaming.tws_stream import (
+        resilience_scores_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState runtime unavailable (no protobuf)")
+
+    out = {}
+    for name, build in (("eq_v1", resilience_scores_stream),
+                        ("eq_v2", resilience_scores_tws)):
+        stream = events_capture_stream(spark, SF)
+        _run_to_memory(build(stream), name, "append")
+        out[name] = {
+            (r["url"], r["day"]): (r["specimen"], r["resilience"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    assert len(out["eq_v1"]) > 300
+    assert set(out["eq_v1"]) == set(out["eq_v2"])
+    for k, (spec, res) in out["eq_v1"].items():
+        assert out["eq_v2"][k][0] == spec, k
+        assert out["eq_v2"][k][1] == pytest.approx(res, abs=1e-12), k
+
+
+def test_tws_processor_state_machine_matches_batch(spark):
+    """Drive the TWS processor class directly with fake handle/timer
+    objects (the runtime needs protobuf, absent here) — per-batch
+    ingest + a day-close timer expiry must reproduce the batch engine's
+    resilience series exactly, and a stale timer (armed for a
+    superseded day) must be ignored."""
+    import pandas as pd
+
+    from trendmachine_spark.pipeline import daily_series
+    from trendmachine_spark.sources.captures import events_as_captures
+    from trendmachine_spark.streaming.tws_stream import make_resilience_processor
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+            self.timers = []
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+        def registerTimer(self, ms):
+            self.timers.append(ms)
+
+    class FakeTimerValues:
+        def __init__(self, wm):
+            self.wm = wm
+
+        def getCurrentWatermarkInMs(self):
+            return self.wm
+
+    class FakeExpired:
+        def __init__(self, ms):
+            self.ms = ms
+
+        def getExpiryTimeInMs(self):
+            return self.ms
+
+    caps = events_as_captures(spark, SF)
+    batch = {
+        (r["url"], r["Day"]): r
+        for r in daily_series(caps, fill=0).collect()
+    }
+    url = "user-3"
+    # batch twin of events_capture_stream's projection (a streaming DF
+    # can't be collected)
+    from trendmachine_spark.sources.captures import EVENT_STATUS
+    from trendmachine_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "events")
+    status = F.lit(None).cast("string")
+    for k, v in EVENT_STATUS.items():
+        status = F.when(F.col("event_type") == k, F.lit(v)).otherwise(status)
+    rows = (
+        e.select(
+            F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("url"),
+            F.col("ts").cast("timestamp").alias("event_time"),
+            F.coalesce(status, F.col("event_type")).alias("status"),
+            F.concat(F.lit("DG"), F.regexp_extract("props", "[0-9]+", 0),
+                     F.lit("000000")).alias("digest"),
+        )
+        .filter(F.col("url") == url)
+        .orderBy("event_time")
+        .toPandas()
+    )
+    assert len(rows) > 50
+
+    proc = make_resilience_processor()()
+    handle = FakeHandle()
+    proc.init(handle)
+    got = []
+    # feed in 3 chronological chunks (micro-batches)
+    for chunk in (rows.iloc[:20], rows.iloc[20:40], rows.iloc[40:]):
+        for pdf in proc.handleInputRows((url,), iter([chunk]), FakeTimerValues(0)):
+            got.append(pdf)
+    # stale timer: armed for an old day, must not close the current one
+    n_before = sum(len(p) for p in got)
+    assert list(proc.handleExpiredTimer((url,), FakeTimerValues(0), FakeExpired(0))) == []
+    assert sum(len(p) for p in got) == n_before
+    # real expiry at the armed timestamp closes the final open day
+    assert handle.timers
+    for pdf in proc.handleExpiredTimer(
+        (url,), FakeTimerValues(handle.timers[-1]), FakeExpired(handle.timers[-1])
+    ):
+        got.append(pdf)
+    out = pd.concat(got, ignore_index=True)
+
+    last_day = max(d for (u, d) in batch if u == url)
+    want = {d: batch[(url, d)] for (u, d) in batch if u == url}
+    assert set(out["day"]) == set(want), "streamed days != batch spine days"
+    assert last_day in set(out["day"]), "timer flush missing the final day"
+    for _, r in out.iterrows():
+        b = want[r["day"]]
+        spec = b["Specimen"] if b["Specimen"] in ("2xx", "3xx", "4xx", "5xx", "~") else "~"
+        assert r["specimen"] == spec, r["day"]
+        assert r["resilience"] == pytest.approx(b["Resilience"], abs=1e-12), r["day"]
