@@ -35,10 +35,22 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     words = F.split(F.col(text_col), " ")
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
-    total_word_len = F.aggregate(
-        F.transform(words, F.length), F.lit(0).cast("long"), lambda a, v: a + v
+    # sum(len(word)) == len(text) - (n_words - 1), exactly: splitting on a
+    # single character PARTITIONS the string, so word lengths plus the
+    # n_words-1 separators recompose it (holds for empty tokens too).
+    # Replaces an F.aggregate(transform(...)) fold — higher-order
+    # functions are interpreted per element, never code-generated.
+    total_word_len = (F.length(text_col) - n_words + F.lit(1)).cast("long")
+    # stopword occurrences as full space-delimited tokens: lookaround
+    # regex over the space-padded text == filter(words, isin(STOPWORDS))
+    # (lookarounds consume nothing, so adjacent stopwords sharing one
+    # separator both match; Java regex backtracks the alternation, so a
+    # prefix alternative can't shadow a longer token). Same reason: the
+    # per-word interpreted isin() scan was the query's hot spot.
+    stop_re = "(?<= )(?:" + "|".join(STOPWORDS) + ")(?= )"
+    stop = F.regexp_count(
+        F.concat(F.lit(" "), F.col(text_col), F.lit(" ")), F.lit(stop_re)
     )
-    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
     return docs.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
