@@ -348,3 +348,91 @@ def test_training_corpus_safe_invariants(spark):
             QUERIES["training_corpus_safe"].builder(spark, sf)
             .select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing contract: every doc assigned exactly once; packs respect
+    the budget except single-overflow docs; offsets are the contiguous
+    running sum within each pack; assignment is invariant to the
+    shuffle-partition count (determinism at any cluster size)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from trendmachine_spark.extensions.packing import pack_sequences
+    from trendmachine_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    budget = 512
+    out = pack_sequences(docs, budget=budget, n_buckets=8).collect()
+
+    # exhaustive + unique assignment
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    # token counts match the whitespace tokenizer
+    want_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    packs = defaultdict(list)
+    for r in out:
+        assert r["n_tokens"] == want_tokens[r["doc_id"]]
+        packs[r["pack_id"]].append(r)
+    assert len(packs) > 1
+    saw_multi = saw_overflow = False
+    for rows in packs.values():
+        rows.sort(key=lambda r: r["offset"])
+        total = sum(r["n_tokens"] for r in rows)
+        if total > budget:
+            assert len(rows) == 1, "overflow pack must be a single doc"
+            saw_overflow = True
+        if len(rows) > 1:
+            saw_multi = True
+        # contiguous offsets: each doc starts where the previous ended
+        run = 0
+        for r in rows:
+            assert r["offset"] == run, r
+            run += r["n_tokens"]
+    assert saw_multi  # budget actually packs multiple docs
+
+    # partition invariance: same assignment at 1 shuffle partition
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        again = {(r["pack_id"], r["doc_id"], r["offset"])
+                 for r in pack_sequences(docs, budget=budget, n_buckets=8).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert again == {(r["pack_id"], r["doc_id"], r["offset"]) for r in out}
+
+
+def test_temperature_mix_balances_sources(spark):
+    """alpha=0.5 mixing: the smallest source keeps everything; larger
+    sources keep ~sqrt(min_n/n_s) of their docs; membership is the
+    deterministic hash uniform (subset-stable under re-runs)."""
+    from pyspark.sql import functions as F
+
+    from trendmachine_spark.extensions.sampling import temperature_mix
+    from trendmachine_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    before = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    mixed = temperature_mix(docs)
+    after = {r["source"]: r["n"] for r in
+             mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    mn = min(before.values())
+    smallest = min(before, key=before.get)
+    assert after[smallest] == before[smallest]
+    import math
+    for s, n in before.items():
+        expect = n * math.sqrt(mn / n)
+        assert abs(after.get(s, 0) - expect) <= 4 * math.sqrt(expect) + 2, s
+    # deterministic: rebuild yields identical membership
+    ids1 = {r["doc_id"] for r in mixed.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in temperature_mix(docs).select("doc_id").collect()}
+    assert ids1 == ids2

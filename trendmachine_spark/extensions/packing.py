@@ -1,0 +1,72 @@
+"""Sequence packing: greedy concatenation of documents into fixed
+token budgets — the step between a filtered corpus and a trainer's
+fixed-length batches (every large-scale pretraining pipeline packs;
+see e.g. the T5/GPT-NeoX data loaders).
+
+Spark-first decomposition: packing is an order-dependent scan with a
+running-total RESET (a document that would overflow starts a new
+pack), which no window function expresses — the cumsum-bucket trick
+``floor(cumsum / budget)`` mis-bins every document that straddles a
+boundary. So the scan runs as ``applyInPandas`` per HASH BUCKET:
+
+* bucket = md5(doc_id) mod n_buckets — deterministic, so pack
+  membership is a pure function of (corpus, budget, n_buckets),
+  independent of partitioning/cluster size (same contract as
+  sampling.hash_uniform);
+* within a bucket, docs pack in doc_id order (deterministic greedy
+  first-fit against the running budget);
+* buckets are the parallelism AND memory unit: each task touches
+  ~corpus/n_buckets docs of (id, n_tokens) — two narrow columns, the
+  text itself never moves — so executor memory is bounded regardless
+  of corpus size, and n_buckets scales the fan-out at 100 TB.
+
+Output: (pack_id, doc_id, n_tokens, offset) — the assignment table a
+writer joins back against the corpus to emit packed shards. A single
+document longer than the budget gets its own pack (offset 0),
+recorded rather than truncated; trainers decide whether to split it.
+
+Not SQL-expressible without a recursive CTE, so the registry entry is
+rows-only; invariants (exhaustive/unique assignment, budget respected
+except single-overflow packs, contiguous offsets, partition-count
+invariance) are pinned by tests/test_extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACK_SCHEMA = "pack_id string, doc_id long, n_tokens long, offset long"
+
+
+def pack_sequences(docs: DataFrame, budget: int = 2048, n_buckets: int = 64,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Greedy deterministic packing of whitespace-token counts into
+    ``budget``-sized packs; see module docstring for the contract."""
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_buckets),
+        ).alias("_bucket"),
+    )
+
+    cap = budget
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        bucket = int(pdf["_bucket"].iloc[0])
+        out, pack_i, used = [], 0, 0
+        for doc, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
+            if used > 0 and used + nt > cap:
+                pack_i += 1
+                used = 0
+            out.append((f"b{bucket}p{pack_i}", doc, nt, used))
+            used += nt
+        return pd.DataFrame(out, columns=["pack_id", "doc_id", "n_tokens", "offset"])
+
+    return sized.groupBy("_bucket").applyInPandas(pack, PACK_SCHEMA)

@@ -73,3 +73,38 @@ def train_eval_split(docs: DataFrame, eval_rate: float = 0.05,
     both frames share the scan; no doc is in both, none is dropped."""
     u = hash_uniform(F.col(id_col), salt)
     return docs.filter(u >= eval_rate), docs.filter(u < eval_rate)
+
+
+def temperature_mix(docs: DataFrame, strata_col: str = "source",
+                    salt: str = "mix", id_col: str = "doc_id") -> DataFrame:
+    """Temperature-balanced source mixing (alpha = 0.5), downsampling-only.
+
+    Every LLM corpus recipe reweights sources so huge crawls don't
+    drown curated sets: effective counts ∝ n_s^alpha (GPT-3/Pile-style
+    mixing). A filter can only DOWNsample, so the maximal such mix
+    keeps k_s = min_n^(1-alpha) * n_s^alpha docs of source s — i.e.
+    per-doc keep rate (min_n / n_s)^(1-alpha): 1.0 for the smallest
+    source, shrinking toward balance for the rest. Membership is the
+    same deterministic (salt, id) hash uniform as corpus_sample, so
+    the mix is reproducible and composes with disjoint-salt splits.
+
+    alpha is fixed at 0.5 because rate = sqrt(min_n / n_s) and IEEE
+    754 REQUIRES sqrt (unlike pow) to be correctly rounded — the rate
+    doubles are bit-identical across engines, which a general
+    pow(x, 1-alpha) could not guarantee at the keep/drop boundary.
+
+    Scale: the per-source count table is tiny (one map-combined
+    groupBy) and broadcast back; the corpus itself never shuffles —
+    one scan, a broadcast hash join, a pushable filter.
+    """
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_mn"))
+    rates = counts.crossJoin(mn).select(
+        strata_col,
+        F.sqrt(F.col("_mn").cast("double") / F.col("_n").cast("double")).alias("_rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), strata_col)
+        .filter(hash_uniform(F.col(id_col), salt) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -1801,6 +1801,34 @@ def q_dedup_streaming(spark, sf_dir):
     return spark.sql("SELECT * FROM _dedup_stream_q")
 
 
+@register(
+    "corpus_mix_temperature",
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT min(n) AS mn FROM c),
+    r AS (SELECT source, sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c, m)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0 < r.rate""",
+)
+def q_corpus_mix_temperature(spark, sf_dir):
+    """Temperature-balanced (alpha=0.5) source mixing: keep rate
+    sqrt(min_n/n_s) per source — deterministic hash membership, rates
+    via correctly-rounded sqrt so both engines agree bit-for-bit."""
+    from trendmachine_spark.extensions.sampling import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir)).select("doc_id", "source", "lang")
+
+
+@register("pack_sequences", None)  # order-dependent reset scan: rows-only
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into 2048-token budgets over hash
+    buckets (extensions/packing.py); invariants pinned in tests."""
+    from trendmachine_spark.extensions.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1818,6 +1846,7 @@ def q_dedup_streaming(spark, sf_dir):
 
 _DEMOTED = [
     "gap_fill_identical",  # same impl as the other 3 gap_fill_* variants
+    "gap_fill_forward",    # ditto (demoted for corpus_mix_temperature)
 ]
 
 
