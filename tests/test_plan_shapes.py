@@ -43,6 +43,18 @@ SHUFFLE_BUDGETS = {
     # repartition(id) satisfies distinct + id-window (subset
     # partitioning); shingle-window exchange reused by both join sides
     "dedup_ngram_jaccard": (5, True),
+    # per-source counts agg + the docs-side broadcast join; the one
+    # BNLJ is the 1-row min(count) crossed against the tiny counts
+    # table, so nested-loop is NOT forbidden here (corpus side is a
+    # BroadcastHashJoin — asserted separately below)
+    "corpus_mix_temperature": (2, False),
+    # one bucket shuffle into the grouped packing scan
+    "pack_sequences": (1, True),
+    # corpus scores via MapInPandas without shuffling; one exchange
+    # for the per-query top-k window
+    "similarity_topk": (1, True),
+    # pure per-row projection — no exchange at all
+    "text_profile": (0, True),
 }
 
 
@@ -76,3 +88,18 @@ def test_asof_join_has_no_join_operator(spark):
 def test_pricing_summary_pushes_filters_to_scan(spark):
     plan = _plan(spark, "pricing_summary")
     assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+def test_corpus_mix_docs_side_is_broadcast_join(spark):
+    # the corpus must join the tiny rate table via broadcast hash join —
+    # never shuffle on source (a skewed key at corpus scale)
+    plan = _plan(spark, "corpus_mix_temperature")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_similarity_topk_scores_without_corpus_shuffle(spark):
+    # scoring happens in MapInPandas directly over the scan; the join-
+    # based formulation (broadcast queries x candidates) would plan a
+    # BNLJ and an interpreted higher-order dot product
+    plan = _plan(spark, "similarity_topk")
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
