@@ -31,7 +31,10 @@ def _plan(spark, name: str) -> str:
 
 # name -> (max hash exchanges, forbid nested-loop/cartesian)
 SHUFFLE_BUDGETS = {
-    "pricing_summary": (1, True),
+    # 2 = the (group, partition_id) partial exchange + the final group
+    # exchange — BOTH post-aggregation (~|groups| x |partitions| rows);
+    # the 6M-row map-side combine happens before the first one
+    "pricing_summary": (2, True),
     "daily_rollup": (2, True),
     "dedup_minhash_lsh": (2, True),
     "dedup_embedding_cosine_bucketed": (2, True),

@@ -213,8 +213,12 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     for this shape, 7 exchanges vs 5); groupBy+join guard instead of
     count-windows (3.32 s vs 1.99 s); 60-bit-md5 join keys instead of
     shingle strings (2.12 s vs 1.44 s — the per-occurrence md5 costs
-    more than the string shuffle saves; revisit if shuffle volume
-    dominates at cluster scale). Skew note: repartition(id) keys on
+    more than the string shuffle saves). Round 3 REVISITED the hashed
+    join keys at ×10 data (the "shuffle volume dominates" regime) with
+    interleaved best-of-5: xxhash64 single and double-hash keys tie
+    the string keys at ×10 (3.30/3.32 vs 3.40 s) and lose at sf0.1
+    (0.88/0.99 vs 0.65 s) — string keys stay, keeping exact-equality
+    semantics with zero collision caveat. Skew note: repartition(id) keys on
     the doc id, so per-partition volume is bounded by document
     length — no hot key unless a single document dwarfs the corpus.
     """

@@ -1273,38 +1273,53 @@ def q_multimodal_frame_sample(spark, sf_dir):
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape (reference has no relational layer; extension).
 
-    SCALE: all per-row arithmetic and the sums run in LONG (exact
-    cents / basis points), not decimal — Spark decimal products grow
-    past precision 18, leaving the primitive-long codegen fast path
-    for per-row BigDecimal allocation, which measured 2x slower on the
-    x10 dataset (1.65 s vs 0.80 s). The cents are produced by the same
-    decimal(_,2) cast the oracle uses (then *100 -> long, exact), and
-    decimals reappear only per GROUP for the final divisions, so every
-    output double is bit-identical to the decimal formulation
-    (verified value-equal on x10). The ship-date filter compares the
-    raw timestamp column (pushable to the parquet scan) instead of
-    wrapping it in to_date(), which blocked pushdown.
+    SCALE: all per-row arithmetic and the first-level sums run in LONG
+    (exact cents / basis points), not decimal — Spark decimal products
+    grow past precision 18, leaving the primitive-long codegen fast
+    path for per-row BigDecimal allocation, which measured 2x slower
+    on the x10 dataset (1.65 s vs 0.80 s). The cents are produced by
+    the same decimal(_,2) cast the oracle uses (then *100 -> long,
+    exact). Exactness at ANY scale: the long partials aggregate per
+    (group, input partition) — bounded by partition row count, no
+    overflow for any realistic partition — and a second tiny
+    aggregation (|groups| x |partitions| rows) totals them in
+    decimal(38), so the full sum never wraps even at sf100k where a
+    flat long would. Decimals thus touch ~200 rows instead of 6M
+    (measured cost within noise of the flat-long shape at both
+    scales). Every output double is bit-identical to the all-decimal
+    formulation (sums of the same exact integers). The ship-date
+    filter compares the raw timestamp column (pushable to the parquet
+    scan) instead of wrapping it in to_date(), which blocked pushdown.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    n = F.count(F.lit(1))
     qc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
     pc = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
     dc = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
-    as_d = lambda c, scale: (c.cast("decimal(38,4)") / scale).cast("double")  # noqa: E731
-    return (
+    as_d = lambda c, scale: (c / scale).cast("double")  # noqa: E731
+    partials = (
         li.filter(
             # cast the literal to the column's own type (timestamp_ntz in
             # the current testdata, timestamp under the legacy nanos
             # layout) — session tz is pinned UTC so both agree
             F.col("l_shipdate") < F.lit("1998-09-03").cast(li.schema["l_shipdate"].dataType)
         )
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_part"))
         .agg(
             F.sum(qc).alias("_q"),
             F.sum(pc).alias("_p"),
             F.sum(pc * (100 - dc)).alias("_dp"),
             F.sum(dc).alias("_d"),
-            n.alias("count_order"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        partials.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("_q").cast("decimal(38,0)")).alias("_q"),
+            F.sum(F.col("_p").cast("decimal(38,0)")).alias("_p"),
+            F.sum(F.col("_dp").cast("decimal(38,0)")).alias("_dp"),
+            F.sum(F.col("_d").cast("decimal(38,0)")).alias("_d"),
+            F.sum("_n").alias("count_order"),
         )
         .select(
             "l_returnflag",
