@@ -5,8 +5,10 @@ tests pin the properties that make those plans survive a 100 TB /
 1000-executor scale-up, so a future edit cannot silently regress them:
 
 * no BroadcastNestedLoopJoin / CartesianProduct on any corpus-sized
-  path (the one allowed BNLJ is ``similarity_topk``, whose broadcast
-  side is the 10-row query set — the exact brute-force baseline);
+  path (the one allowed BNLJ is ``corpus_mix_temperature``'s 1-row
+  min(count) crossed against the tiny per-source count table;
+  ``similarity_topk`` lost its query-set BNLJ in round 3 when scoring
+  moved into a MapInPandas matmul);
 * distributed top-k (``TakeOrderedAndProject``), never a global
   single-partition window over all customers;
 * shuffle budgets: upper bounds on ``Exchange hashpartitioning``
