@@ -412,3 +412,104 @@ def test_tws_processor_state_machine_matches_batch(spark):
         spec = b["Specimen"] if b["Specimen"] in ("2xx", "3xx", "4xx", "5xx", "~") else "~"
         assert r["specimen"] == spec, r["day"]
         assert r["resilience"] == pytest.approx(b["Resilience"], abs=1e-12), r["day"]
+
+
+def test_streaming_state_survives_checkpoint_restart(spark, tmp_path):
+    """Recovery semantics: run the resilience stream over an initial
+    file with a checkpoint, stop, add a later file, restart from the
+    SAME checkpoint — the per-url digest/recurrence state must carry
+    across the restart, and the union of both runs' emissions must
+    equal the batch series over the combined input (no re-emission of
+    already-closed days, no gap)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trendmachine_spark.streaming.capture_stream import resilience_scores_stream
+
+    events_dir = tmp_path / "events_src"
+    events_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1]) for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": [r[3] for r in rows],
+            "value": [0.0] * len(rows),
+            "props": [r[4] for r in rows],
+        })
+        pq.write_table(t, str(events_dir / name))
+
+    # first batch of files: days 1-3 for user 7 (click=200, purchase=404)
+    write_file("events.parquet", [
+        (1, "2024-01-01 01:00:00", 7, "click", "n1x"),
+        (2, "2024-01-02 01:00:00", 7, "purchase", "n2x"),
+        (3, "2024-01-03 01:00:00", 7, "click", "n1x"),
+    ])
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # file sink, not memory: only exactly-once sinks support
+        # restarting from a checkpoint
+        stream = events_capture_stream(spark, str(events_dir))
+        q = (
+            resilience_scores_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(out_dir).collect()
+
+    first = run_once()
+    days1 = {r["day"] for r in first}
+    assert days1 == {"2024-01-01", "2024-01-02"}  # day 3 still open
+
+    # a later file arrives under a NEW name while the query is DOWN
+    # (the file source tracks processed paths in the checkpoint);
+    # restart from the same checkpoint
+    write_file("events_0002.parquet", [
+        (4, "2024-01-06 01:00:00", 7, "click", "n3x"),
+    ])
+    combined = run_once()
+
+    # the restarted run must emit ONLY the newly-closed days (3,4,5) —
+    # state carried across the restart: days 1-2 NOT re-emitted (their
+    # rows appear exactly once in the sink), no day skipped
+    days_all = sorted(r["day"] for r in combined)
+    assert days_all == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05",
+    ], days_all
+    second = [r for r in combined if r["day"] not in days1]
+
+    # union equals the batch series over the COMBINED input (both files)
+    from trendmachine_spark.pipeline import daily_series
+    from trendmachine_spark.sources.captures import EVENT_STATUS
+
+    e = spark.read.parquet(str(events_dir))
+    status = F.lit(None).cast("string")
+    for k, v in EVENT_STATUS.items():
+        status = F.when(F.col("event_type") == k, F.lit(v)).otherwise(status)
+    caps = e.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("url"),
+        F.col("event_id").alias("seq"),
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts"),
+        F.coalesce(status, F.col("event_type")).alias("status"),
+        F.concat(F.lit("DG"), F.regexp_extract("props", "[0-9]+", 0),
+                 F.lit("000000")).alias("digest"),
+    )
+    batch = {
+        r["Day"]: r
+        for r in daily_series(caps, fill=0)
+        .filter(F.col("Day") < "2024-01-06").collect()
+    }
+    got = {r["day"]: r for r in [*first, *second]}
+    assert set(got) == set(batch)
+    for d, r in got.items():
+        assert r["resilience"] == pytest.approx(batch[d]["Resilience"], abs=1e-12), d

@@ -176,11 +176,15 @@ def events_capture_stream(spark, sf_dir: str) -> DataFrame:
 
     configure(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the filter must match ONLY the events file — a bare directory would
-    # pull every table's parquet in with mismatched (all-null) schemas
+    # the filter must match ONLY event files — a bare directory would
+    # pull every table's parquet in with mismatched (all-null) schemas.
+    # 'events*' (not the literal name): a live ingest dir receives NEW
+    # files (events_0001.parquet, ...) — the file source tracks
+    # processed paths in the checkpoint, so appends must arrive under
+    # fresh names (exercised by the checkpoint-restart test)
     e = (
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
     ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema)["ts"]
