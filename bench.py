@@ -41,7 +41,8 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    sf = tail.rsplit("sf", 1)[-1] if "sf" in tail else tail
 
     # --sf-multiple K: run the suite on a derived K-multiple of sf_dir
     # (key-shifted copies, content-salted documents — see

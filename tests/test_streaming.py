@@ -513,3 +513,81 @@ def test_streaming_state_survives_checkpoint_restart(spark, tmp_path):
     assert set(got) == set(batch)
     for d, r in got.items():
         assert r["resilience"] == pytest.approx(batch[d]["Resilience"], abs=1e-12), d
+
+
+def test_streaming_state_ttl_gc(spark, tmp_path):
+    """Idle-key GC: with state_ttl_sec set, a url quiet a full TTL past
+    its flush has its state REMOVED — a later revival restarts the
+    recurrence at the 0.5 priors with no interior '~' spine (the
+    documented divergence from infinite-memory batch)."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trendmachine_spark.params import DEFAULT_SIGPARAMS
+    from trendmachine_spark.streaming.capture_stream import resilience_scores_stream
+
+    events_dir = tmp_path / "src"
+    events_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write_file(name, rows):
+        t = pa.table({
+            "event_id": pa.array(list(range(len(rows))), type=pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[0]) for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "event_type": [r[2] for r in rows],
+            "value": [0.0] * len(rows),
+            "props": ["n1x"] * len(rows),
+        })
+        pq.write_table(t, str(events_dir / name))
+
+    def run_once():
+        stream = events_capture_stream(spark, str(events_dir))
+        q = (
+            resilience_scores_stream(stream, state_ttl_sec=86400)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # run 1: url A (user 7) active Jan 1-3, then quiet; B drives the
+    # watermark to Jan 19 -> A's Jan 3 flushes, GC timer arms at Jan 20
+    write_file("events.parquet", [
+        ("2024-01-01 01:00:00", 7, "click"),
+        ("2024-01-02 01:00:00", 7, "click"),
+        ("2024-01-03 01:00:00", 7, "click"),
+        ("2024-01-20 01:00:00", 9, "click"),
+    ])
+    run_once()
+    # run 2: B again -> watermark Feb 9 passes A's GC time -> A removed
+    write_file("events_0002.parquet", [("2024-02-10 01:00:00", 9, "click")])
+    run_once()
+    # run 3: A revives; B's later event closes A's revived day via flush
+    write_file("events_0003.parquet", [
+        ("2024-02-12 01:00:00", 7, "click"),
+        ("2024-02-14 01:00:00", 9, "click"),
+    ])
+    run_once()
+
+    a_rows = {r["day"]: r for r in spark.read.parquet(out_dir).collect()
+              if r["url"] == "user-7"}
+    # NO interior '~' days between Jan 3 and Feb 12: the state was
+    # dropped, so the revival opens fresh instead of synthesizing the
+    # 40-day gap a retained state would have scored
+    assert set(a_rows) == {"2024-01-01", "2024-01-02", "2024-01-03",
+                           "2024-02-12"}, sorted(a_rows)
+    # the revived day scores from the 0.5 priors, x=1
+    p = DEFAULT_SIGPARAMS["2xx"].as_tuple()
+    fresh = 0.5 + 0.5 * (p[2] / (1.0 + math.exp(p[0] - 1.0 / p[1])))
+    assert a_rows["2024-02-12"]["resilience"] == pytest.approx(fresh, abs=1e-12)
+    # and it does NOT continue the retained-state series (which would
+    # have decayed through 40 '~' days first)
+    assert a_rows["2024-01-03"]["resilience"] != pytest.approx(fresh, abs=1e-9)

@@ -212,7 +212,8 @@ RES_OUT_SCHEMA = "url string, day string, specimen string, resilience double"
 
 def resilience_scores_stream(stream: DataFrame, sigparams=None,
                              digest_cap: int = DIGEST_CAP,
-                             watermark: str = "1 day") -> DataFrame:
+                             watermark: str = "1 day",
+                             state_ttl_sec: int | None = None) -> DataFrame:
     """Streaming O34: per-url resilience emitted at each day close.
 
     State carries the revisit digest map, the open day's best specimen
@@ -231,11 +232,14 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None,
     the spine from the flushed day without re-scoring it (late events
     for an already-flushed day are dropped, standard watermark
     semantics). Flushed keys retain their ~few-hundred-byte recurrence
-    state so a revival continues the exact series; at 100 TB scale an
-    idle-key GC timer (far-future timeout + state.remove) can bound
-    this if url churn demands it. ``digest_cap``: LRU bound on the
-    digest map (see chaos_scores_stream — same eviction rule and
-    divergence note).
+    state so a revival continues the exact series; ``state_ttl_sec``
+    (None = keep forever) bounds total state at 100 TB url churn: after
+    a flush, a GC timer is armed at watermark + ttl, and if the url
+    stays quiet that long its state is REMOVED — a later revival then
+    restarts the recurrence from the 0.5 priors (documented divergence
+    from batch, which remembers all history; test-pinned). ``digest_cap``:
+    LRU bound on the digest map (see chaos_scores_stream — same
+    eviction rule and divergence note).
     """
     from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
 
@@ -286,16 +290,27 @@ def resilience_scores_stream(stream: DataFrame, sigparams=None,
                 # timers must be strictly ahead of the current watermark
                 state.setTimeoutTimestamp(
                     max(end_ms, state.getCurrentWatermarkMs() + 1))
+            elif closed and state_ttl_sec is not None:
+                # idle-key GC: drop this url's state if it stays quiet
+                # a full TTL past the flush
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + state_ttl_sec * 1000)
             if out_rows:
                 yield pd.DataFrame(
                     out_rows, columns=["url", "day", "specimen", "resilience"])
 
         if state.hasTimedOut:
-            # watermark passed the open day's end with no newer capture
             if cur_day is not None and not closed:
+                # watermark passed the open day's end with no newer
+                # capture: close it, then (if a TTL is set) arm the GC
+                # timer — finish() handles both because closed is True
                 score_day(cur_day, cur_spec if cur_spec in params else "~")
                 closed = True
-            yield from finish()
+                yield from finish()
+            else:
+                # the GC timer (only armed when state_ttl_sec is set):
+                # the url stayed quiet a full TTL past its flush
+                state.remove()
             return
 
         def close_through(next_day_str):

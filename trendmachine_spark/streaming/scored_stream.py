@@ -32,7 +32,8 @@ SCORED_OUT_SCHEMA = (
 
 def scored_daily_stream(stream: DataFrame, sigparams=None,
                         digest_cap: int | None = None,
-                        watermark: str = "1 day") -> DataFrame:
+                        watermark: str = "1 day",
+                        state_ttl_sec: int | None = None) -> DataFrame:
     """stream(url, event_time, status, digest) -> closed-day scores.
 
     ``digest_cap`` (default capture_stream.DIGEST_CAP): LRU bound on
@@ -42,7 +43,10 @@ def scored_daily_stream(stream: DataFrame, sigparams=None,
     Like resilience_scores_stream, the open day closes by event-time
     timeout once the watermark passes its end, so a quiet url still
     emits its final day (both scores + the fixity digest carry-over are
-    applied at flush, exactly as a capture-driven close would).
+    applied at flush, exactly as a capture-driven close would), and
+    ``state_ttl_sec`` arms a post-flush GC timer that removes the
+    state of urls quiet a full TTL past their flush (None = keep
+    forever; a revival after GC restarts both recurrences at priors).
     """
     from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
     from trendmachine_spark.streaming.capture_stream import DIGEST_CAP
@@ -121,6 +125,10 @@ def scored_daily_stream(stream: DataFrame, sigparams=None,
                     nxt, time.min, tzinfo=timezone.utc).timestamp() * 1000)
                 state.setTimeoutTimestamp(
                     max(end_ms, state.getCurrentWatermarkMs() + 1))
+            elif closed and state_ttl_sec is not None:
+                # idle-key GC (see resilience_scores_stream)
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + state_ttl_sec * 1000)
             if out_rows:
                 yield pd.DataFrame(
                     out_rows,
@@ -131,7 +139,9 @@ def scored_daily_stream(stream: DataFrame, sigparams=None,
         if state.hasTimedOut:
             if cur_day is not None and not closed:
                 close_day()
-            yield from finish()
+                yield from finish()
+            else:
+                state.remove()  # GC timer: quiet a full TTL past flush
             return
 
         def close_through(next_day_str):
