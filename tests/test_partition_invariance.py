@@ -33,6 +33,8 @@ INVARIANT_QUERIES = [
     "corpus_sample_stratified",
     "multimodal_frame_sample",
     "resilience_daily_series",
+    "corpus_mix_temperature",
+    "pack_sequences",
 ]
 
 
