@@ -59,3 +59,40 @@ def test_report_sink_roundtrip(spark, tmp_path):
     pruned = back.filter(F.col("month") == "2020-01")
     assert pruned.count() == report.count()
     assert "PartitionFilters: [isnotnull(month" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() > 0
+
+
+def test_packed_corpus_sink_roundtrip(spark, tmp_path):
+    """write_packed_corpus: every document lands exactly once; within a
+    shard file rows are (pack_id, offset)-sorted so a sequential read
+    yields packs in concatenation order; bucket partitioning prunes."""
+    from trendmachine_spark.extensions.packing import pack_sequences
+    from trendmachine_spark.sinks import write_packed_corpus
+    from trendmachine_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    asg = pack_sequences(docs, budget=512, n_buckets=8)
+    out = str(tmp_path / "packed")
+    write_packed_corpus(docs, asg, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(r["doc_id"] for r in back.select("doc_id").collect()) == set(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+    # concatenation order within each pack is intact after the roundtrip
+    import collections
+    packs = collections.defaultdict(list)
+    for r in back.select("pack_id", "offset", "n_tokens").collect():
+        packs[r["pack_id"]].append(r)
+    for rows in packs.values():
+        rows.sort(key=lambda r: r["offset"])
+        run = 0
+        for r in rows:
+            assert r["offset"] == run
+            run += r["n_tokens"]
+    # bucket partition pruning
+    one = back.filter(F.col("_bucket") == "b0")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one.count() > 0
