@@ -436,3 +436,92 @@ def test_temperature_mix_balances_sources(spark):
     ids1 = {r["doc_id"] for r in mixed.select("doc_id").collect()}
     ids2 = {r["doc_id"] for r in temperature_mix(docs).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_segment_dedup_semantics(spark):
+    from trendmachine_spark.extensions.dedup import segment_dedup
+
+    boiler = "x1 x2 x3"  # 3-word segment shared by docs 0,1,2 (> cap 1)
+    rows = [
+        (0, boiler + " a1 a2 a3"),
+        (1, boiler + " b1 b2 b3"),
+        (2, boiler + " c1 c2 c3"),
+        (3, "u1 u2 u3 u4 u5"),      # unique: untouched (partial 2nd seg)
+        (4, boiler),                # fully boilerplate: survives, empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_words=3, max_doc_freq=1).collect()
+    }
+    assert len(out) == 5                      # every doc has a row
+    for d in (0, 1, 2):
+        assert out[d]["n_removed"] == 1
+        assert not out[d]["clean_text"].startswith("x1")
+    assert out[0]["clean_text"] == "a1 a2 a3"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "u1 u2 u3 u4 u5"   # order + partial seg
+    assert out[3]["n_segments"] == 2
+    assert out[4]["clean_text"] == ""
+    assert out[4]["n_removed"] == 1
+
+
+def test_segment_dedup_order_preserved(spark):
+    from trendmachine_spark.extensions.dedup import segment_dedup
+
+    # no segment repeats -> clean_text must reconstruct text verbatim
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(25))) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in segment_dedup(docs, seg_words=10, max_doc_freq=1).collect():
+        assert r["clean_text"] == dict(rows)[r["doc_id"]]
+        assert r["n_removed"] == 0
+        assert r["n_segments"] == 3
+
+
+def test_semantic_dedup_subset_of_exact(spark, vectors):
+    from trendmachine_spark.extensions.similarity import (
+        embedding_near_dup, ivf_assign, quantize_embeddings, semantic_dedup,
+    )
+
+    sem = semantic_dedup(vectors, n_cells=2, min_cosine=0.3).collect()
+    assert sem  # vectors 0/1 are nearly parallel -> at least one pair
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(vectors, min_cosine=0.3).collect()
+    }
+    cells = {
+        r["vid"]: r["cell"]
+        for r in ivf_assign(quantize_embeddings(vectors), n_cells=2).collect()
+    }
+    for r in sem:
+        assert (r["id_a"], r["id_b"]) in exact          # subset of exact pairs
+        assert cells[r["id_a"]] == cells[r["id_b"]] == r["cell"]  # same cell
+
+
+def test_chunk_documents_reconstruction(spark):
+    from trendmachine_spark.extensions.text import chunk_documents
+
+    texts = {
+        0: " ".join(f"w{j}" for j in range(50)),  # 2 chunks (stride 24)
+        1: " ".join(f"v{j}" for j in range(10)),  # shorter than one chunk
+        2: " ".join(f"u{j}" for j in range(32)),  # exactly one chunk
+        3: " ".join(f"t{j}" for j in range(33)),  # one word over -> 2 chunks
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_words=32, overlap=8).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {d: len(c) for d, c in by_doc.items()} == {0: 2, 1: 1, 2: 1, 3: 2}
+    for d, rows in by_doc.items():
+        words = texts[d].split(" ")
+        for r in sorted(rows, key=lambda r: r["chunk_id"]):
+            expect = words[r["start_pos"]: r["start_pos"] + 32]
+            assert r["chunk_text"].split(" ") == expect
+            assert r["n_tokens"] == len(expect)
+            assert r["start_pos"] == r["chunk_id"] * 24
+        # stitching chunks minus their 8-word overlaps reconstructs the doc
+        stitched = rows[0]["chunk_text"].split(" ")
+        for r in sorted(rows, key=lambda r: r["chunk_id"])[1:]:
+            stitched += r["chunk_text"].split(" ")[len(stitched) - r["start_pos"]:]
+        assert stitched == words

@@ -60,6 +60,17 @@ SHUFFLE_BUDGETS = {
     "similarity_topk": (1, True),
     # pure per-row projection — no exchange at all
     "text_profile": (0, True),
+    # explode + element_at chunker: pure map stage, zero exchanges
+    "chunk_documents": (0, True),
+    # seg doc-freq agg (1) + probe-side seg exchange if the hot set
+    # outgrows broadcast (at sf it's a BroadcastHashJoin, 0) + final
+    # doc_id reassembly (1); +1 slack for a non-broadcast hot join
+    "dedup_segments": (3, True),
+    # ivf_assign argmax window (vid) x2 sides + cell join x2 sides;
+    # the one BNLJ is the 16-row centroid table crossed against the
+    # corpus (inherent to IVF assignment, same class as
+    # corpus_mix_temperature's 1-row cross) — asserted separately below
+    "dedup_semantic": (4, False),
 }
 
 
@@ -108,3 +119,20 @@ def test_similarity_topk_scores_without_corpus_shuffle(spark):
     plan = _plan(spark, "similarity_topk")
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_segment_dedup_hot_set_is_broadcast_join(spark):
+    # the corpus-sized segment table joins the (df > cap)-filtered
+    # boilerplate set — at test sf that set broadcasts; the full
+    # segment-frequency table must never be the join's build side
+    plan = _plan(spark, "dedup_segments")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_pair_stage_is_cell_equijoin(spark):
+    # the only nested-loop is IVF assignment's n_cells-row centroid
+    # broadcast; the pair stage itself must be an equi-join on cell
+    # (SortMergeJoin/ShuffledHashJoin), never a corpus x corpus BNLJ
+    plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin [cell" in plan) or ("ShuffledHashJoin [cell" in plan)

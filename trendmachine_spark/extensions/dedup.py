@@ -377,3 +377,92 @@ def simhash_near_dup(docs: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  seg_words: int = 10, max_doc_freq: int = 2) -> DataFrame:
+    """Sub-document exact dedup: drop boilerplate segments repeated
+    across the corpus, keep each document's residual text.
+
+    The line-level dedup step of CCNet / RefinedWeb (Penedo et al.
+    2023, §: "line-wise corrections"): headers, cookie banners and
+    navigation chrome repeat across millions of pages, and document-
+    level near-dup misses them because the surrounding text differs.
+    Real corpora segment on newlines; the driver's ``documents`` table
+    is single-line text, so segmentation is deterministic fixed-width —
+    every run of ``seg_words`` consecutive words (last segment partial)
+    is a segment. A segment whose exact text occurs in more than
+    ``max_doc_freq`` DISTINCT documents is boilerplate: it is removed
+    from every document that contains it.
+
+    Output: (doc_id, n_segments, n_removed, clean_text) — one row per
+    input document (docs whose every segment was removed survive with
+    ``clean_text = ''``), ``clean_text`` preserving original segment
+    order.
+
+    Shape (3 exchanges, no UDFs): segments come from an exploded index
+    sequence + ``element_at`` per offset (whole-stage codegen, the
+    ``shingles`` idiom — ``element_at`` past the end is NULL and
+    ``concat_ws`` skips NULLs, which yields the partial last segment
+    for free). Doc-frequency is ONE hash aggregation on ``seg``
+    (map-side partial ``count_distinct``); only segments OVER the cap
+    survive the filter, so the join back is against the small
+    boilerplate set (left join + null-flag, not anti-join, so
+    fully-boilerplate docs keep their output row), and AQE broadcasts
+    it when it fits. Reassembly is one ``groupBy(doc_id)`` —
+    ``array_sort`` on (seg_id, seg) structs restores segment order
+    without relying on collect_list ordering.
+
+    At 100 TB: the hot-segment table is bounded by true boilerplate
+    (df > cap), orders of magnitude smaller than the segment universe;
+    if even that overflows broadcast, the join degrades to a plain
+    shuffled equi-join on ``seg`` whose skew is capped by AQE skew
+    splitting. The doc-frequency aggregation's hot keys are exactly the
+    boilerplate segments, absorbed map-side by partial aggregation.
+    """
+    assert seg_words >= 1
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), words.alias("_w"))
+    nseg = F.floor((F.size("_w") + (seg_words - 1)) / seg_words).cast("int")
+    # try_element_at, not element_at: the last segment is partial, and
+    # under ANSI mode an out-of-bounds element_at raises instead of
+    # yielding the NULL that concat_ws skips
+    seg = F.concat_ws(
+        " ",
+        *[
+            F.try_element_at(F.col("_w"), F.col("seg_id") * seg_words + j + 1)
+            for j in range(seg_words)
+        ],
+    )
+    segs = (
+        base.select(
+            F.col(id_col),
+            nseg.alias("n_segments"),
+            "_w",
+            F.explode(F.sequence(F.lit(0), nseg - 1)).alias("seg_id"),
+        )
+        .select(id_col, "n_segments", "seg_id", seg.alias("seg"))
+    )
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("seg", F.lit(True).alias("_hot"))
+    )
+    flagged = segs.join(hot, "seg", "left")
+    kept_struct = F.when(
+        F.col("_hot").isNull(), F.struct(F.col("seg_id"), F.col("seg"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.first("n_segments").alias("n_segments"),
+            F.count(F.col("_hot")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

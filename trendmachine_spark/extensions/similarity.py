@@ -311,3 +311,59 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_cells: int = 16,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int = 16, min_cosine: float = 0.3,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: IVF-cell partition, then
+    exact within-cell cosine (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication").
+
+    The paper clusters embeddings (k-means), then marks pairs above a
+    cosine threshold *within each cluster* as semantic duplicates —
+    the cluster stage is what makes web-scale pairwise feasible. Here
+    the cluster assignment is :func:`ivf_assign` (deterministic
+    centroids — no RNG, so the result is exactly reproducible and
+    SQL-mirrorable), and the pair stage is an equi-join on ``cell``
+    with exact integer-quantized cosine.
+
+    Output: (id_a, id_b, cell, cosine) with id_a < id_b, cosine >=
+    ``min_cosine`` — a subset of :func:`embedding_near_dup`'s exact
+    pairs restricted to same-cell pairs (tested). Feed into
+    ``extensions.clusters`` for keeper selection like the other
+    near-dup candidate generators.
+
+    At 100 TB: within-cell pairwise is O(sum cell_size^2) — ``n_cells``
+    must grow with the corpus (the paper uses ~100k clusters for
+    ~5 B images; cells of ~sqrt(N) keep the join linear-ish). The join
+    is a cell-partitioned equi-join: no broadcast of the corpus, no
+    cartesian, and a skewed (over-full) cell is split by AQE skew-join
+    handling. Cell assignment itself is one broadcast of n_cells
+    centroids + a narrow argmax — zero corpus shuffles before the join.
+    """
+    from pyspark.sql import Window
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    assigned = ivf_assign(qv, n_cells)
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("qvec").alias("_qa"),
+        F.col("norm2").alias("_na"), "cell",
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("qvec").alias("_qb"),
+        F.col("norm2").alias("_nb"), "cell",
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_qa"), F.col("_qb")).cast("double")
+            / (
+                F.sqrt(F.col("_na").cast("double"))
+                * F.sqrt(F.col("_nb").cast("double"))
+            ),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cell", "cosine")
+    )

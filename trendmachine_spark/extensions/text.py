@@ -225,3 +225,59 @@ def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             (F.col("n_term").cast("double") / F.col("n_doc")).alias("tf"),
         )
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_words: int = 32, overlap: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Overlapping fixed-width word chunks — the RAG / long-context
+    preprocessing step (split each document into windows of
+    ``chunk_words`` words advancing by ``chunk_words - overlap``).
+
+    Chunk i covers words [i*stride, i*stride + chunk_words); the last
+    chunk may be partial; a document shorter than one chunk yields
+    exactly one chunk. Chunk count is 1 + ceil(max(0, n - chunk_words)
+    / stride), all in integer arithmetic so Spark and the DuckDB oracle
+    agree exactly.
+
+    Output: (doc_id, chunk_id, start_pos, n_tokens, chunk_text) —
+    ``start_pos`` 0-based word offset, ``n_tokens`` the actual words in
+    the chunk.
+
+    Shape: ZERO exchanges — split + exploded index sequence +
+    ``element_at`` per offset (codegen, the ``shingles`` idiom;
+    trailing NULLs give the partial last chunk for free). Row growth is
+    the only cost: ~n/stride rows per doc, each a narrow projection.
+    At 100 TB this is a pure map stage that pipelines into whatever
+    sink or embedding step follows; no state, no skew surface.
+    """
+    assert 0 <= overlap < chunk_words
+    stride = chunk_words - overlap
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), words.alias("_w"), F.size(words).alias("_n"))
+    n_extra = F.greatest(F.col("_n") - chunk_words, F.lit(0))
+    n_chunks = (F.lit(1) + F.floor((n_extra + (stride - 1)) / stride)).cast("int")
+    start = (F.col("chunk_id") * stride).alias("start_pos")
+    # try_element_at: the last chunk is partial; ANSI element_at raises
+    # out of bounds where concat_ws needs a skippable NULL
+    chunk = F.concat_ws(
+        " ",
+        *[
+            F.try_element_at(F.col("_w"), F.col("chunk_id") * stride + j + 1)
+            for j in range(chunk_words)
+        ],
+    )
+    return (
+        base.select(
+            F.col(id_col), "_w", "_n",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            start.cast("int").alias("start_pos"),
+            F.least(F.lit(chunk_words), F.col("_n") - F.col("chunk_id") * stride)
+            .cast("int")
+            .alias("n_tokens"),
+            chunk.alias("chunk_text"),
+        )
+    )

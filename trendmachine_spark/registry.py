@@ -1844,6 +1844,113 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir))
 
 
+@register(
+    "dedup_segments",
+    """WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(pos // 10 AS INT) AS seg_id,
+             string_agg(w, ' ' ORDER BY pos) AS seg
+      FROM words GROUP BY doc_id, pos // 10
+    ),
+    nseg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_segments FROM seg GROUP BY doc_id),
+    freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+    SELECT s.doc_id,
+           any_value(n.n_segments) AS n_segments,
+           CAST(count(*) FILTER (WHERE f.df > 2) AS BIGINT) AS n_removed,
+           coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_id)
+                      FILTER (WHERE f.df <= 2), '') AS clean_text
+    FROM seg s JOIN freq f USING (seg) JOIN nseg n USING (doc_id)
+    GROUP BY s.doc_id""",
+)
+def q_dedup_segments(spark, sf_dir):
+    """Sub-document boilerplate removal (CCNet/RefinedWeb line dedup):
+    fixed 10-word segments; segments in > 2 distinct docs are dropped
+    from every doc, residual text reassembled in order."""
+    from trendmachine_spark.extensions.dedup import segment_dedup
+
+    return segment_dedup(_docs(spark, sf_dir), seg_words=10, max_doc_freq=2)
+
+
+def _semantic_dedup_oracle(n_cells: int = 16, min_cosine: float = 0.3) -> str:
+    """Mirrors similarity.ivf_assign (deterministic centroids = lowest
+    n_cells ids, argmax integer-dot/sqrt(centroid norm), tie -> lowest
+    cell) then exact within-cell quantized cosine."""
+    return f"""WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
+      FROM qv
+    ),
+    cents AS (
+      SELECT vec_id AS cell, q AS cvec, norm2 AS cn FROM nv WHERE vec_id < {n_cells}
+    ),
+    aff AS (
+      SELECT v.vec_id, v.q, v.norm2, c.cell,
+             CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+                                          i -> v.q[i] * c.cvec[i])) AS DOUBLE)
+               / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
+      FROM nv v, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, q, norm2, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _aff DESC, cell) AS _rk
+        FROM aff
+      ) WHERE _rk = 1
+    )
+    SELECT id_a, id_b, cell, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                                          i -> a.q[i] * b.q[i])) AS DOUBLE)
+               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {min_cosine}"""
+
+
+@register("dedup_semantic", _semantic_dedup_oracle())
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic near-dup: deterministic IVF cells +
+    exact within-cell quantized cosine (similarity.semantic_dedup)."""
+    from trendmachine_spark.extensions.similarity import semantic_dedup
+
+    return semantic_dedup(_embeddings(spark, sf_dir), n_cells=16, min_cosine=0.3)
+
+
+@register(
+    "chunk_documents",
+    """WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    lens AS (
+      SELECT doc_id, ws, n,
+             CAST(1 + (greatest(n - 32, 0) + 23) // 24 AS INT) AS n_chunks
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_id,
+           CAST(i * 24 AS INT) AS start_pos,
+           CAST(least(32, n - i * 24) AS INT) AS n_tokens,
+           array_to_string(ws[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+    FROM lens, unnest(generate_series(0, n_chunks - 1)) AS t(i)""",
+)
+def q_chunk_documents(spark, sf_dir):
+    """RAG chunking: 32-word windows, 8-word overlap (stride 24);
+    zero-exchange map stage (text.chunk_documents)."""
+    from trendmachine_spark.extensions.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_words=32, overlap=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1862,6 +1969,9 @@ def q_pack_sequences(spark, sf_dir):
 _DEMOTED = [
     "gap_fill_identical",  # same impl as the other 3 gap_fill_* variants
     "gap_fill_forward",    # ditto (demoted for corpus_mix_temperature)
+    "urim_projection",     # trivial scalar projection, golden-pinned (demoted for dedup_segments)
+    "chaos_melt",          # trivial stack/melt, r2 driver-green (demoted for dedup_semantic)
+    "content_value_counts",  # simple value-count, r2 driver-green (demoted for chunk_documents)
 ]
 
 
