@@ -66,11 +66,10 @@ SHUFFLE_BUDGETS = {
     # outgrows broadcast (at sf it's a BroadcastHashJoin, 0) + final
     # doc_id reassembly (1); +1 slack for a non-broadcast hot join
     "dedup_segments": (3, True),
-    # ivf_assign argmax window (vid) x2 sides + cell join x2 sides;
-    # the one BNLJ is the 16-row centroid table crossed against the
-    # corpus (inherent to IVF assignment, same class as
-    # corpus_mix_temperature's 1-row cross) — asserted separately below
-    "dedup_semantic": (4, False),
+    # ivf_assign is a zero-shuffle MapInPandas matmul (literal centroid
+    # matrix, brute_force_topk idiom); the only exchanges are the cell
+    # equi-join's two sides — no BNLJ, no vid window
+    "dedup_semantic": (2, True),
 }
 
 
@@ -130,9 +129,13 @@ def test_segment_dedup_hot_set_is_broadcast_join(spark):
 
 
 def test_semantic_dedup_pair_stage_is_cell_equijoin(spark):
-    # the only nested-loop is IVF assignment's n_cells-row centroid
-    # broadcast; the pair stage itself must be an equi-join on cell
-    # (SortMergeJoin/ShuffledHashJoin), never a corpus x corpus BNLJ
+    # cell assignment is a MapInPandas matmul (zero corpus shuffles);
+    # the pair stage must be an equi-join on cell (SortMergeJoin /
+    # ShuffledHashJoin), never a corpus x corpus nested loop
     plan = _plan(spark, "dedup_semantic")
+    assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
-    assert ("SortMergeJoin [cell" in plan) or ("ShuffledHashJoin [cell" in plan)
+    # any hash-based equi-join keyed on cell qualifies (broadcast at
+    # toy sf where one side fits; sort-merge/shuffled-hash at scale)
+    assert any(f"{op} [cell" in plan for op in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))

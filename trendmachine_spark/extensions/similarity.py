@@ -247,24 +247,49 @@ def ivf_assign(qv: DataFrame, n_cells: int = 16) -> DataFrame:
     """IVF coarse quantizer with deterministic centroids.
 
     Centroids are the quantized vectors of the ``n_cells`` lowest ids
-    (deterministic, no RNG/k-means dependency); each vector joins its
-    argmax-dot-product cell. Exact integer dots -> stable assignment.
+    (deterministic, no RNG/k-means dependency); each vector gets its
+    argmax-affinity cell (affinity = exact int64 dot / sqrt(centroid
+    norm); ties -> lowest cell).
+
+    SCALE: the centroid table is ``n_cells`` tiny rows, so — like
+    ``brute_force_topk``'s query matrix — it ships as a literal int64
+    numpy matrix and each corpus partition computes ALL affinities in
+    one Arrow-batched matmul + argmax (``mapInPandas``). ZERO corpus
+    shuffles, no join operator: this replaced a corpus × n_cells
+    BroadcastNestedLoopJoin with an interpreted higher-order dot
+    product plus a per-vid row_number window (two full-corpus
+    exchanges per consumer self-join side). Values are unchanged and
+    engine-exact: int64 dots, correctly-rounded sqrt, IEEE division;
+    ``np.argmax`` returns the FIRST max index, which is the lowest
+    cell — the same tie-break as the SQL mirror's
+    ``ORDER BY _aff DESC, cell``.
     """
-    cents = qv.filter(F.col("vid") < n_cells).select(
-        F.col("vid").alias("cell"), F.col("qvec").alias("cvec"), F.col("norm2").alias("cn")
-    )
-    scored = qv.crossJoin(F.broadcast(cents)).withColumn(
-        "_aff",
-        _dot(F.col("qvec"), F.col("cvec")).cast("double")
-        / F.sqrt(F.col("cn").cast("double")),
-    )
-    from pyspark.sql import Window
-    w = Window.partitionBy("vid").orderBy(F.col("_aff").desc(), F.col("cell"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("vid", "qvec", "norm2", "cell")
-    )
+    import numpy as np
+
+    spark = qv.sparkSession
+    crows = sorted(qv.filter(F.col("vid") < n_cells).collect(),
+                   key=lambda r: r["vid"])
+    if not crows:
+        return qv.select("vid", "qvec", "norm2").withColumn(
+            "cell", F.lit(None).cast("long"))
+    cells = np.array([r["vid"] for r in crows], dtype=np.int64)
+    C = np.array([r["qvec"] for r in crows], dtype=np.int64)        # (c, d)
+    cn = np.sqrt(np.array([r["norm2"] for r in crows], dtype=np.float64))
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)   # (m, d)
+            aff = (V @ C.T) / cn[None, :]                           # (m, c)
+            pdf = pdf[["vid", "qvec", "norm2"]].copy()
+            pdf["cell"] = cells[np.argmax(aff, axis=1)]
+            yield pdf
+
+    return qv.mapInPandas(
+        assign, "vid long, qvec array<long>, norm2 long, cell long")
 
 
 def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_cells: int = 16,
