@@ -525,3 +525,21 @@ def test_chunk_documents_reconstruction(spark):
         for r in sorted(rows, key=lambda r: r["chunk_id"])[1:]:
             stitched += r["chunk_text"].split(" ")[len(stitched) - r["start_pos"]:]
         assert stitched == words
+
+
+def test_corpus_stats_exact_quantiles(spark):
+    from trendmachine_spark.extensions.text import corpus_stats
+
+    # source A: lengths 1..10 chars ("x"*k); nearest-rank-lower:
+    # p50 -> rank (10-1)//2+1 = 5 -> 5 chars; p90 -> (9*9)//10+1 = 9 -> 9
+    rows = [(k, "x" * k, "A") for k in range(1, 11)]
+    # source B: a single doc — every quantile is that doc
+    rows.append((100, "hello world", "B"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in corpus_stats(docs).collect()}
+    a = out["A"]
+    assert (a["n_docs"], a["p50_chars"], a["p90_chars"]) == (10, 5, 9)
+    assert a["total_tokens"] == 10          # each single-word doc
+    assert a["mean_chars"] == sum(range(1, 11)) / 10
+    b = out["B"]
+    assert (b["n_docs"], b["total_tokens"], b["p50_chars"], b["p90_chars"]) == (1, 2, 11, 11)

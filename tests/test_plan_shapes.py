@@ -62,6 +62,9 @@ SHUFFLE_BUDGETS = {
     "text_profile": (0, True),
     # explode + element_at chunker: pure map stage, zero exchanges
     "chunk_documents": (0, True),
+    # one group-key exchange: the quantile window's sort partitioning
+    # is reused by the stats aggregation (HashAggregate, no 2nd shuffle)
+    "corpus_stats": (1, True),
     # seg doc-freq agg (1) + probe-side seg exchange if the hot set
     # outgrows broadcast (at sf it's a BroadcastHashJoin, 0) + final
     # doc_id reassembly (1); +1 slack for a non-broadcast hot join

@@ -281,3 +281,55 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 32, overlap: int = 8,
             chunk.alias("chunk_text"),
         )
     )
+
+
+def corpus_stats(docs: DataFrame, group_col: str = "source",
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-group corpus report: doc counts, token/char totals, and
+    EXACT engine-portable length quantiles — the summary table every
+    corpus card / mixing decision starts from.
+
+    Quantiles use the deterministic nearest-rank-lower rule: sort the
+    group by (chars, doc_id), pick the value at 1-based rank
+    ``(n-1)*p // 1/p' + 1`` in pure integer arithmetic — bit-identical
+    across engines, unlike interpolated percentiles whose float
+    index arithmetic can differ in the last ulp, and unlike
+    ``percentile_approx`` which is sketch-approximate.
+
+    Output: (group, n_docs, total_tokens, mean_chars, p50_chars,
+    p90_chars).
+
+    Shape: ONE exchange — the row_number window partitions by the
+    group key and the following groupBy reuses that clustering
+    (HashAggregate, no second exchange). The full sort-per-group is
+    what exactness costs; at 100 TB swap the two quantile columns for
+    ``percentile_approx`` (documented approximation) or keep exact and
+    accept the range-sort — n_docs/total_tokens/mean stay one
+    map-combined pass either way.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    base = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        F.length(text_col).alias("_chars"),
+        n_tok.alias("_toks"),
+    )
+    wg = Window.partitionBy("grp")
+    w = wg.orderBy("_chars", id_col)
+    ranked = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+    )
+    p50 = F.expr("(_n - 1) div 2 + 1")
+    p90 = F.expr("((_n - 1) * 9) div 10 + 1")
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_toks").alias("total_tokens"),
+            (F.sum("_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+            F.max(F.when(F.col("_rn") == p50, F.col("_chars"))).cast("long").alias("p50_chars"),
+            F.max(F.when(F.col("_rn") == p90, F.col("_chars"))).cast("long").alias("p90_chars"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -1951,6 +1951,34 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_words=32, overlap=8)
 
 
+@register(
+    "corpus_stats",
+    """WITH base AS (
+      SELECT source AS grp, doc_id, length(text) AS chars,
+             len(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM base
+    )
+    SELECT grp AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(chars) AS DOUBLE) / count(*) AS mean_chars,
+           CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN chars END) AS BIGINT) AS p50_chars,
+           CAST(max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN chars END) AS BIGINT) AS p90_chars
+    FROM ranked GROUP BY grp""",
+)
+def q_corpus_stats(spark, sf_dir):
+    """Per-source corpus report with exact nearest-rank-lower length
+    quantiles (text.corpus_stats) — one exchange, window + reusing agg."""
+    from trendmachine_spark.extensions.text import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1972,6 +2000,7 @@ _DEMOTED = [
     "urim_projection",     # trivial scalar projection, golden-pinned (demoted for dedup_segments)
     "chaos_melt",          # trivial stack/melt, r2 driver-green (demoted for dedup_semantic)
     "content_value_counts",  # simple value-count, r2 driver-green (demoted for chunk_documents)
+    "first_last_capture",  # trivial min/max per url, r2 driver-green (demoted for corpus_stats)
 ]
 
 
