@@ -543,3 +543,24 @@ def test_corpus_stats_exact_quantiles(spark):
     assert a["mean_chars"] == sum(range(1, 11)) / 10
     b = out["B"]
     assert (b["n_docs"], b["total_tokens"], b["p50_chars"], b["p90_chars"]) == (1, 2, 11, 11)
+
+
+def test_semantic_keepers_cover_all_pairs(spark, vectors):
+    from trendmachine_spark.extensions.clusters import semantic_keepers
+    from trendmachine_spark.extensions.similarity import semantic_dedup
+
+    pairs = semantic_dedup(vectors, n_cells=2, min_cosine=0.3).collect()
+    out = semantic_keepers(vectors, n_cells=2, min_cosine=0.3).collect()
+    label = {r["vec_id"]: r["cluster_id"] for r in out}
+    # every paired vector is in a cluster, both ends share a label
+    for p in pairs:
+        assert label[p["id_a"]] == label[p["id_b"]]
+    # cluster id is the min member; exactly that member is the keeper
+    members: dict = {}
+    for r in out:
+        members.setdefault(r["cluster_id"], []).append(r)
+    for cid, ms in members.items():
+        assert cid == min(m["vec_id"] for m in ms)
+        assert sorted(m["is_keeper"] for m in ms) == [0] * (len(ms) - 1) + [1]
+        keeper = [m for m in ms if m["is_keeper"]][0]
+        assert keeper["vec_id"] == cid

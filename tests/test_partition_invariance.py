@@ -35,6 +35,13 @@ INVARIANT_QUERIES = [
     "resilience_daily_series",
     "corpus_mix_temperature",
     "pack_sequences",
+    # round-3 corpus ops: segment reassembly must not depend on
+    # collect_list arrival order (array_sort guard); cell assignment
+    # and quantile ranks are pure functions of the data
+    "dedup_segments",
+    "dedup_semantic",
+    "chunk_documents",
+    "corpus_stats",
 ]
 
 

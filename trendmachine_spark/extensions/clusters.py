@@ -149,3 +149,31 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
         F.col("cluster").alias("cluster_id"),
         (F.col("node") == F.col("cluster")).cast("long").alias("is_keeper"),
     )
+
+
+def semantic_keepers(emb: DataFrame, n_cells: int = 16,
+                     min_cosine: float = 0.3, id_col: str = "vec_id") -> DataFrame:
+    """End-to-end SemDeDup: semantic near-dup pairs -> connected
+    components -> deterministic keeper per semantic cluster.
+
+    Output: (vec_id, cluster_id, is_keeper) for every vector in a
+    semantic-duplicate cluster; cluster_id = min vec id in the
+    component, keeper = that vector (the same smallest-id policy as
+    :func:`dedup_clusters`, making "drop non-keepers" a single
+    anti-join for the corpus pipeline).
+
+    Scale inherits its stages: zero-shuffle cell assignment +
+    cell-partitioned pair join (see ``similarity.semantic_dedup``),
+    then hash-min components over the PAIR graph only — iteration
+    touches verified duplicates, never the full corpus.
+    """
+    from trendmachine_spark.extensions.similarity import semantic_dedup
+
+    pairs = semantic_dedup(emb, n_cells=n_cells, min_cosine=min_cosine,
+                           id_col=id_col)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    return comps.select(
+        F.col("node").alias(id_col),
+        F.col("cluster").alias("cluster_id"),
+        (F.col("node") == F.col("cluster")).cast("long").alias("is_keeper"),
+    )

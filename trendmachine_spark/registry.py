@@ -1879,7 +1879,14 @@ def _semantic_dedup_oracle(n_cells: int = 16, min_cosine: float = 0.3) -> str:
     """Mirrors similarity.ivf_assign (deterministic centroids = lowest
     n_cells ids, argmax integer-dot/sqrt(centroid norm), tie -> lowest
     cell) then exact within-cell quantized cosine."""
-    return f"""WITH qv AS (
+    return (f"WITH {_semantic_cte(n_cells, min_cosine)} "
+            "SELECT id_a, id_b, cell, cosine FROM sem_pairs")
+
+
+def _semantic_cte(n_cells: int = 16, min_cosine: float = 0.3) -> str:
+    """The semantic-pair CTE chain shared by dedup_semantic and
+    dedup_semantic_keepers (mirrors ivf_assign + within-cell cosine)."""
+    return f"""qv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
       FROM embeddings
@@ -1905,14 +1912,16 @@ def _semantic_dedup_oracle(n_cells: int = 16, min_cosine: float = 0.3) -> str:
                                      ORDER BY _aff DESC, cell) AS _rk
         FROM aff
       ) WHERE _rk = 1
-    )
-    SELECT id_a, id_b, cell, cosine FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
-             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-                                          i -> a.q[i] * b.q[i])) AS DOUBLE)
-               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
-      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-    ) WHERE cosine >= {min_cosine}"""
+    ),
+    sem_pairs AS (
+      SELECT id_a, id_b, cell, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+               CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                                            i -> a.q[i] * b.q[i])) AS DOUBLE)
+                 / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
+        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      ) WHERE cosine >= {min_cosine}
+    )"""
 
 
 @register("dedup_semantic", _semantic_dedup_oracle())
@@ -1979,6 +1988,35 @@ def q_corpus_stats(spark, sf_dir):
     return corpus_stats(_docs(spark, sf_dir))
 
 
+@register(
+    "dedup_semantic_keepers",
+    # semantic pairs -> connected components via recursive transitive
+    # closure (min reachable id), keeper = smallest id per component
+    f"""WITH RECURSIVE {_semantic_cte()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM sem_pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM sem_pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS vec_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+    FROM comp""",
+)
+def q_dedup_semantic_keepers(spark, sf_dir):
+    """End-to-end SemDeDup: semantic pairs -> hash-min components ->
+    smallest-id keeper per semantic cluster (clusters.semantic_keepers)."""
+    from trendmachine_spark.extensions.clusters import semantic_keepers
+
+    return semantic_keepers(_embeddings(spark, sf_dir), n_cells=16, min_cosine=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -2001,6 +2039,7 @@ _DEMOTED = [
     "chaos_melt",          # trivial stack/melt, r2 driver-green (demoted for dedup_semantic)
     "content_value_counts",  # simple value-count, r2 driver-green (demoted for chunk_documents)
     "first_last_capture",  # trivial min/max per url, r2 driver-green (demoted for corpus_stats)
+    "status_totals",       # simple per-url class totals, r2 driver-green (demoted for dedup_semantic_keepers)
 ]
 
 
