@@ -1,0 +1,89 @@
+"""Scaled measurement of the round-3 corpus operators: Spark vs DuckDB.
+
+Same discipline as bench.py / tools/duckdb_suite.py (noop-sink full
+materialization, best-of-4 interleaved, warmed caches), over the
+derived K-multiple dataset from tools/scale_testdata.py — the regime
+where data costs, not fixed per-action overhead, dominate.
+
+Run the two engines SEQUENTIALLY (never concurrently on this shared
+32-core box):
+  python tools/corpus_ops_scaled.py spark  [sf_dir]
+  python tools/corpus_ops_scaled.py duckdb [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OPS = [
+    "dedup_segments",
+    "dedup_semantic",
+    "dedup_semantic_keepers",
+    "chunk_documents",
+    "corpus_stats",
+]
+
+
+def run_spark(sf_dir: str) -> None:
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from trendmachine_spark.registry import QUERIES, _docs, _embeddings
+
+    _docs(spark, sf_dir).count()
+    _embeddings(spark, sf_dir).count()
+    timings: dict[str, float] = {}
+    for _ in range(4):
+        for n in OPS:
+            # builder INSIDE the timer: dedup_semantic_keepers'
+            # connected-components iteration materializes during build
+            # (persist + per-round count), not during the noop write
+            t0 = time.perf_counter()
+            QUERIES[n].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[n] = round(min(timings.get(n, 1e9), time.perf_counter() - t0), 3)
+    print(json.dumps({"engine": "spark", "sf_dir": sf_dir, "queries": timings,
+                      "total": round(sum(timings.values()), 3)}))
+    spark.stop()
+
+
+def run_duckdb(sf_dir: str) -> None:
+    import duckdb
+
+    from trendmachine_spark.registry import QUERIES
+    from trendmachine_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    timings: dict[str, float] = {}
+    for _ in range(4):
+        for n in OPS:
+            t0 = time.perf_counter()
+            con.execute(QUERIES[n].oracle).fetchall()
+            timings[n] = round(min(timings.get(n, 1e9), time.perf_counter() - t0), 3)
+    print(json.dumps({"engine": "duckdb", "sf_dir": sf_dir, "queries": timings,
+                      "total": round(sum(timings.values()), 3)}))
+
+
+if __name__ == "__main__":
+    engine = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/trendmachine_scaled_x10"
+    (run_spark if engine == "spark" else run_duckdb)(sf_dir)

@@ -358,37 +358,64 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 16, min_cosine: float = 0.3,
     ``extensions.clusters`` for keeper selection like the other
     near-dup candidate generators.
 
+    Shape: ONE exchange — ``groupBy(cell).applyInPandas`` scores each
+    cell's pairs as a BLOCKED int64 gram matmul (the paper's own
+    within-cluster pairwise, literally). The first formulation — a
+    cell self-equi-join with an ``F.aggregate(zip_with(...))`` cosine
+    — planned fine but evaluated the higher-order dot INTERPRETED per
+    pair: 81.8 s on the ×10 corpus vs **1.9 s** for this matmul (the
+    same interpreted-HOF trap ``brute_force_topk`` and
+    ``text_profile`` hit in earlier rounds). Values are bit-identical:
+    exact int64 dots, cosine = dot / (sqrt(na)*sqrt(nb)) in the same
+    IEEE order as the SQL oracle.
+
     At 100 TB: within-cell pairwise is O(sum cell_size^2) — ``n_cells``
-    must grow with the corpus (the paper uses ~100k clusters for
-    ~5 B images; cells of ~sqrt(N) keep the join linear-ish). The join
-    is a cell-partitioned equi-join: no broadcast of the corpus, no
-    cartesian, and a skewed (over-full) cell is split by AQE skew-join
-    handling. Cell assignment itself is one broadcast of n_cells
-    centroids + a narrow argmax — zero corpus shuffles before the join.
+    must grow with the corpus (the paper uses ~100k clusters for ~5 B
+    images; cells of ~sqrt(N) keep it linear-ish). One executor holds
+    one cell's vectors (m × dim int64); the gram matrix itself is
+    computed in row blocks of ``block`` so peak scratch is
+    block × m doubles regardless of cell size. Cell assignment is
+    zero-shuffle (see :func:`ivf_assign`); a pathologically hot cell
+    means the centroid set no longer partitions the space — raise
+    n_cells (re-centroid), the same remedy the paper applies.
     """
-    from pyspark.sql import Window
+    import numpy as np
 
     qv = quantize_embeddings(emb, vec_col, id_col)
     assigned = ivf_assign(qv, n_cells)
-    a = assigned.select(
-        F.col("vid").alias("id_a"), F.col("qvec").alias("_qa"),
-        F.col("norm2").alias("_na"), "cell",
-    )
-    b = assigned.select(
-        F.col("vid").alias("id_b"), F.col("qvec").alias("_qb"),
-        F.col("norm2").alias("_nb"), "cell",
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("_qa"), F.col("_qb")).cast("double")
-            / (
-                F.sqrt(F.col("_na").cast("double"))
-                * F.sqrt(F.col("_nb").cast("double"))
-            ),
+    block = 4096
+
+    def score_cell(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vid", kind="mergesort")
+        m = len(pdf)
+        out = []
+        if m >= 2:
+            ids = pdf["vid"].to_numpy(dtype=np.int64)
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            qn = np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))
+            cell = int(pdf["cell"].iloc[0])
+            for s in range(0, m, block):
+                e = min(s + block, m)
+                cos = (V[s:e] @ V.T) / (qn[s:e, None] * qn[None, :])
+                # strict upper triangle of the global matrix: col > row
+                keep = (cos >= min_cosine) & (
+                    np.arange(m)[None, :] > np.arange(s, e)[:, None]
+                )
+                ri, cj = np.nonzero(keep)
+                if len(ri):
+                    out.append(pd.DataFrame({
+                        "id_a": ids[ri + s], "id_b": ids[cj],
+                        "cell": cell, "cosine": cos[ri, cj],
+                    }))
+        return (
+            pd.concat(out) if out else
+            pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "cell": pd.Series(dtype="int64"),
+                          "cosine": pd.Series(dtype="float64")})
         )
-        .filter(F.col("cosine") >= min_cosine)
-        .select("id_a", "id_b", "cell", "cosine")
-    )
+
+    return assigned.groupBy("cell").applyInPandas(
+        score_cell, "id_a long, id_b long, cell long, cosine double")
