@@ -39,7 +39,9 @@ SHUFFLE_BUDGETS = {
     "pricing_summary": (2, True),
     "daily_rollup": (2, True),
     "dedup_minhash_lsh": (2, True),
-    "dedup_embedding_cosine_bucketed": (2, True),
+    # one bucket shuffle: MapInPandas bucket bits (literal hyperplane
+    # matmul) -> grouped gram-matmul pair scorer; no join operator
+    "dedup_embedding_cosine_bucketed": (1, True),
     # 2 upstream (capture normalize + rollup; persisted/reused in bench)
     # + 1 for the matrix itself — the operator adds ONE exchange.
     "transition_matrix": (3, True),
