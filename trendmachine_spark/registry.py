@@ -2017,6 +2017,41 @@ def q_dedup_semantic_keepers(spark, sf_dir):
     return semantic_keepers(_embeddings(spark, sf_dir), n_cells=16, min_cosine=0.3)
 
 
+@register(
+    "dedup_multi_signal",
+    # ensemble candidate generation: union of the three oracled pair
+    # generators, each embedded verbatim as a subquery (same SQL the
+    # driver already value-hash-checks individually)
+    f"""SELECT id_a, id_b, 'minhash' AS method
+    FROM ({QUERIES['dedup_minhash_lsh'].oracle})
+    UNION ALL
+    SELECT id_a, id_b, 'simhash' AS method
+    FROM (SELECT id_a, id_b FROM ({QUERIES['dedup_simhash_near_dup'].oracle}))
+    UNION ALL
+    SELECT id_a, id_b, 'embedding' AS method
+    FROM (SELECT id_a, id_b FROM ({QUERIES['dedup_embedding_cosine_bucketed'].oracle}))""",
+)
+def q_dedup_multi_signal(spark, sf_dir):
+    """Ensemble near-dup candidates: the union every production dedup
+    pipeline feeds into clustering — lexical (MinHash LSH), structural
+    (SimHash banded hamming), and semantic (SRP-bucketed embedding
+    cosine) signals, tagged by method. vec_id aligns with doc_id in
+    the driver corpus (one embedding per document). Each branch keeps
+    its own scale shape (documented per operator); the union is a
+    narrow concatenation — no added exchange."""
+    from trendmachine_spark.extensions.dedup import minhash_near_dup, simhash_near_dup
+    from trendmachine_spark.extensions.similarity import embedding_near_dup_bucketed
+
+    docs = _docs(spark, sf_dir)
+    m = (minhash_near_dup(docs).select("id_a", "id_b")
+         .withColumn("method", F.lit("minhash")))
+    s = (simhash_near_dup(docs).select("id_a", "id_b")
+         .withColumn("method", F.lit("simhash")))
+    e = (embedding_near_dup_bucketed(_embeddings(spark, sf_dir), min_cosine=0.3)
+         .select("id_a", "id_b").withColumn("method", F.lit("embedding")))
+    return m.unionByName(s).unionByName(e)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -2040,6 +2075,7 @@ _DEMOTED = [
     "content_value_counts",  # simple value-count, r2 driver-green (demoted for chunk_documents)
     "first_last_capture",  # trivial min/max per url, r2 driver-green (demoted for corpus_stats)
     "status_totals",       # simple per-url class totals, r2 driver-green (demoted for dedup_semantic_keepers)
+    "specimen_breakdown",  # spine-partition breakdown, r2 driver-green + golden/property-tested (demoted for dedup_multi_signal)
 ]
 
 
