@@ -16,7 +16,7 @@ closure); the O34/O35 recurrences, streaming operators, sequence
 packing, and the approximate LSH/IVF ANN variants are rows-only by
 design (not SQL-expressible / approximate). Oracled queries are
 ordered first so all sit inside the driver's 50-entry correctness
-window except seven deliberately demoted long-stable entries
+window except eight deliberately demoted long-stable entries
 (registry._DEMOTED, still exactly checked by tests/test_oracle_parity).
 """
 
