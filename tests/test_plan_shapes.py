@@ -67,6 +67,9 @@ SHUFFLE_BUDGETS = {
     # one group-key exchange: the quantile window's sort partitioning
     # is reused by the stats aggregation (HashAggregate, no 2nd shuffle)
     "corpus_stats": (1, True),
+    # union of three branches: minhash (2) + simhash (2 + its distinct)
+    # + embedding bucket shuffle (1); the union itself adds no exchange
+    "dedup_multi_signal": (6, True),
     # seg doc-freq agg (1) + probe-side seg exchange if the hot set
     # outgrows broadcast (at sf it's a BroadcastHashJoin, 0) + final
     # doc_id reassembly (1); +1 slack for a non-broadcast hot join
