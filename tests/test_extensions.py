@@ -564,3 +564,36 @@ def test_semantic_keepers_cover_all_pairs(spark, vectors):
         assert sorted(m["is_keeper"] for m in ms) == [0] * (len(ms) - 1) + [1]
         keeper = [m for m in ms if m["is_keeper"]][0]
         assert keeper["vec_id"] == cid
+
+
+def test_corpus_ops_short_text_edges(spark):
+    """Empty and single-word docs flow through the new corpus ops with
+    the same boundary semantics as the DuckDB mirrors (split('') ->
+    [''] -> one empty segment/chunk)."""
+    from trendmachine_spark.extensions.dedup import segment_dedup
+    from trendmachine_spark.extensions.text import chunk_documents, corpus_stats
+
+    docs = spark.createDataFrame(
+        [(0, "", "A"), (1, "solo", "A"), (2, "two words", "B")],
+        "doc_id long, text string, source string")
+    seg = {r["doc_id"]: r for r in segment_dedup(docs, seg_words=3, max_doc_freq=1).collect()}
+    assert seg[0]["n_segments"] == 1 and seg[0]["clean_text"] == ""
+    assert seg[1]["clean_text"] == "solo" and seg[1]["n_removed"] == 0
+    assert seg[2]["clean_text"] == "two words"
+
+    ch = {r["doc_id"]: r for r in chunk_documents(docs, chunk_words=32, overlap=8).collect()}
+    assert (ch[0]["chunk_id"], ch[0]["n_tokens"], ch[0]["chunk_text"]) == (0, 1, "")
+    assert ch[1]["chunk_text"] == "solo" and ch[1]["n_tokens"] == 1
+
+    st = {r["source"]: r for r in corpus_stats(docs).collect()}
+    assert st["A"]["n_docs"] == 2 and st["A"]["p50_chars"] == 0  # lengths 0,4 -> rank 1
+    assert st["B"]["p90_chars"] == 9
+
+
+def test_semantic_dedup_empty_and_tiny(spark):
+    from trendmachine_spark.extensions.similarity import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup(empty).count() == 0
+    one = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    assert semantic_dedup(one).count() == 0  # no pair from a single vector
