@@ -906,8 +906,52 @@ def q_similarity_topk(spark, sf_dir):
     return brute_force_topk(_embeddings(spark, sf_dir), n_queries=10, k=5)
 
 
-@register("similarity_ann_lsh", None)  # approximate variant: rows-only check
+def _ann_lsh_oracle(n_queries: int = 10, k: int = 5, n_planes: int = 8) -> str:
+    """Exact mirror of similarity.ann_topk: approximate w.r.t. true
+    neighbors (bucket-restricted recall) but fully DETERMINISTIC —
+    md5-derived buckets, exact integer cosine, (cosine DESC,
+    neighbor_id) tie-break — so the value hash is checkable."""
+    bits = []
+    for p in range(n_planes):
+        sign = (
+            f"((('0x' || substr(md5(concat('{p}', ':', CAST(i - 1 AS VARCHAR))), 32, 1))::INT % 2) * 2 - 1)"
+        )
+        bits.append(
+            "CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(q)), "
+            f"i -> q[i] * {sign})) AS BIGINT) > 0 THEN '1' ELSE '0' END"
+        )
+    bucket = "concat(" + ", ".join(bits) + ")"
+    return f"""WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2,
+             {bucket} AS bucket
+      FROM qv
+    ),
+    scored AS (
+      SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(qs.q)),
+                                          i -> qs.q[i] * n.q[i])) AS DOUBLE)
+               / (sqrt(CAST(qs.norm2 AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE))) AS cosine
+      FROM nv qs JOIN nv n ON qs.bucket = n.bucket AND qs.vec_id != n.vec_id
+      WHERE qs.vec_id < {n_queries}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_ann_lsh", _ann_lsh_oracle())
 def q_similarity_ann_lsh(spark, sf_dir):
+    """Bucket-restricted ANN top-k — approximate recall by design, but
+    deterministic end to end, so it carries a full value-hash oracle
+    (upgraded from the rows-only check of earlier rounds)."""
     return ann_topk(_embeddings(spark, sf_dir), n_queries=10, k=5)
 
 
@@ -2076,6 +2120,7 @@ _DEMOTED = [
     "first_last_capture",  # trivial min/max per url, r2 driver-green (demoted for corpus_stats)
     "status_totals",       # simple per-url class totals, r2 driver-green (demoted for dedup_semantic_keepers)
     "specimen_breakdown",  # spine-partition breakdown, r2 driver-green + golden/property-tested (demoted for dedup_multi_signal)
+    "similarity_ann_lsh",  # oracle upgraded from rows-only this round; demoted at birth — the exact check runs locally, window stays reserved for never-verified entries
 ]
 
 
