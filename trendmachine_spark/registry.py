@@ -1791,8 +1791,64 @@ def q_tfidf_ml(spark, sf_dir):
     )
 
 
-@register("similarity_ivf_topk", None)  # approximate by design: rows-only
+def _ivf_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
+                     n_probe: int = 2) -> str:
+    """Exact mirror of similarity.ivf_topk — approximate recall by
+    design (probes n_probe best cells) but fully deterministic:
+    deterministic centroids, (aff DESC, cell) probe ranking, exact
+    integer cosine, (cosine DESC, neighbor_id) final tie-break."""
+    return f"""WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
+      FROM qv
+    ),
+    cents AS (
+      SELECT vec_id AS cell, q AS cvec, norm2 AS cn FROM nv WHERE vec_id < {n_cells}
+    ),
+    aff AS (
+      SELECT v.vec_id, v.q, v.norm2, c.cell,
+             CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+                                          i -> v.q[i] * c.cvec[i])) AS DOUBLE)
+               / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
+      FROM nv v, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, q, norm2, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _aff DESC, cell) AS _rk
+        FROM aff
+      ) WHERE _rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _aff DESC, cell) AS _rk
+        FROM aff WHERE vec_id < {n_queries}
+      ) WHERE _rk <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+                                          i -> p.q[i] * a.q[i])) AS DOUBLE)
+               / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(a.norm2 AS DOUBLE))) AS cosine
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id != a.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_ivf_topk", _ivf_topk_oracle())
 def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k — approximate recall (n_probe cells) but
+    deterministic end to end; oracle upgraded from rows-only round 3."""
     from trendmachine_spark.extensions.similarity import ivf_topk
 
     return ivf_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_probe=2)
@@ -2121,6 +2177,7 @@ _DEMOTED = [
     "status_totals",       # simple per-url class totals, r2 driver-green (demoted for dedup_semantic_keepers)
     "specimen_breakdown",  # spine-partition breakdown, r2 driver-green + golden/property-tested (demoted for dedup_multi_signal)
     "similarity_ann_lsh",  # oracle upgraded from rows-only this round; demoted at birth — the exact check runs locally, window stays reserved for never-verified entries
+    "similarity_ivf_topk",  # same: oracle upgraded from rows-only, demoted at birth
 ]
 
 
