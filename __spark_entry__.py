@@ -10,14 +10,13 @@ queries covering SURVEY.md §2's operator inventory (capture pipeline,
 dashboard aggregates) plus the §2.6 extension operators (dedup incl.
 end-to-end clustering, segment/semantic dedup, similarity search, text
 analysis, chunking, corpus reporting, multimodal, mixing/packing) and
-relational/TPC-H-style queries. 60 have exactly-parallel DuckDB
+relational/TPC-H-style queries. 61 have exactly-parallel DuckDB
 oracles (dedup clustering is oracled via a recursive-CTE transitive
-closure); the O34/O35 recurrences, streaming operators, sequence
-packing, and the seed-dependent MLlib variants are rows-only by design
+closure); the O34/O35 recurrences, streaming operators, and the seed-dependent MLlib variants are rows-only by design
 (not SQL-expressible; both ANN variants are deterministic and carry
 full oracles). Oracled queries are
 ordered first so all sit inside the driver's 50-entry correctness
-window except ten deliberately demoted long-stable entries
+window except eleven deliberately demoted long-stable entries
 (registry._DEMOTED, still exactly checked by tests/test_oracle_parity).
 """
 

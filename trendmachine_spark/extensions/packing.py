@@ -25,8 +25,8 @@ writer joins back against the corpus to emit packed shards. A single
 document longer than the budget gets its own pack (offset 0),
 recorded rather than truncated; trainers decide whether to split it.
 
-Not SQL-expressible without a recursive CTE, so the registry entry is
-rows-only; invariants (exhaustive/unique assignment, budget respected
+SQL-expressible only via a recursive CTE — which the registry oracle
+now provides (exact per-row walk, value-hash-checked); invariants (exhaustive/unique assignment, budget respected
 except single-overflow packs, contiguous offsets, partition-count
 invariance) are pinned by tests/test_extensions.py.
 """

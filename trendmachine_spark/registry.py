@@ -1935,10 +1935,42 @@ def q_corpus_mix_temperature(spark, sf_dir):
     return temperature_mix(_docs(spark, sf_dir)).select("doc_id", "source", "lang")
 
 
-@register("pack_sequences", None)  # order-dependent reset scan: rows-only
+def _pack_sequences_oracle(budget: int = 2048, n_buckets: int = 64) -> str:
+    """Recursive-CTE mirror of extensions.packing.pack_sequences: the
+    greedy running-budget reset walks each bucket row by row (recursion
+    depth = docs per bucket — fine at oracle scale; the Spark side is
+    the scan that actually scales)."""
+    return f"""WITH RECURSIVE sized AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {n_buckets} AS b
+      FROM documents
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn FROM sized
+    ),
+    walk(b, rn, doc_id, n_tokens, pack_i, off) AS (
+      SELECT b, rn, doc_id, n_tokens, 0, CAST(0 AS BIGINT) FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.b, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN w.off + w.n_tokens > 0
+                       AND w.off + w.n_tokens + o.n_tokens > {budget}
+                  THEN w.pack_i + 1 ELSE w.pack_i END,
+             CASE WHEN w.off + w.n_tokens > 0
+                       AND w.off + w.n_tokens + o.n_tokens > {budget}
+                  THEN CAST(0 AS BIGINT) ELSE w.off + w.n_tokens END
+      FROM ordered o JOIN walk w ON o.b = w.b AND o.rn = w.rn + 1
+    )
+    SELECT concat('b', b, 'p', pack_i) AS pack_id, doc_id, n_tokens,
+           off AS offset
+    FROM walk"""
+
+
+@register("pack_sequences", _pack_sequences_oracle())
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing into 2048-token budgets over hash
-    buckets (extensions/packing.py); invariants pinned in tests."""
+    buckets (extensions/packing.py); invariants pinned in tests, exact
+    assignment value-hash-checked by the recursive-CTE oracle."""
     from trendmachine_spark.extensions.packing import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir))
@@ -2178,6 +2210,7 @@ _DEMOTED = [
     "specimen_breakdown",  # spine-partition breakdown, r2 driver-green + golden/property-tested (demoted for dedup_multi_signal)
     "similarity_ann_lsh",  # oracle upgraded from rows-only this round; demoted at birth — the exact check runs locally, window stays reserved for never-verified entries
     "similarity_ivf_topk",  # same: oracle upgraded from rows-only, demoted at birth
+    "pack_sequences",      # same: recursive-CTE oracle added round 3, demoted at birth
 ]
 
 
