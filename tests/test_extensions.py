@@ -597,3 +597,18 @@ def test_semantic_dedup_empty_and_tiny(spark):
     assert semantic_dedup(empty).count() == 0
     one = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
     assert semantic_dedup(one).count() == 0  # no pair from a single vector
+
+
+def test_packed_text_token_additivity(spark):
+    from trendmachine_spark.extensions.packing import packed_text
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(i % 7 + 1))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packs = packed_text(docs, budget=10, n_buckets=4).collect()
+    # single-space concatenation keeps whitespace token counts additive
+    for p in packs:
+        assert len(p["text"].split(" ")) == p["total_tokens"]
+    assert sum(p["n_docs"] for p in packs) == 40   # exhaustive, no dup
+    # every source word survives exactly once across the packed corpus
+    all_words = sorted(w for p in packs for w in p["text"].split(" "))
+    assert all_words == sorted(w for _, t in rows for w in t.split(" "))

@@ -70,3 +70,37 @@ def pack_sequences(docs: DataFrame, budget: int = 2048, n_buckets: int = 64,
         return pd.DataFrame(out, columns=["pack_id", "doc_id", "n_tokens", "offset"])
 
     return sized.groupBy("_bucket").applyInPandas(pack, PACK_SCHEMA)
+
+
+def packed_text(docs: DataFrame, budget: int = 2048, n_buckets: int = 64,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Trainer-ready packed sequences: each pack's documents joined
+    back to the corpus and concatenated in offset order (single-space
+    separator, so whitespace token counts stay additive:
+    len(split(text)) == total_tokens for every pack).
+
+    Output: (pack_id, n_docs, total_tokens, text).
+
+    Shape: the assignment table shuffles on doc_id to meet the corpus
+    (text moves exactly once, same property as sinks.write_packed_corpus),
+    then one groupBy(pack_id) with an ``array_sort`` on (offset, text)
+    structs so concatenation order never depends on collect_list
+    arrival order. The sink is the shard-file materialization of the
+    same join; this is the queryable twin with a value-hash oracle.
+    """
+    asg = pack_sequences(docs, budget, n_buckets, text_col, id_col)
+    joined = asg.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
+        "doc_id",
+    )
+    return joined.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("offset"), F.col("_t")))),
+                lambda s: s["_t"],
+            ),
+            " ",
+        ).alias("text"),
+    )

@@ -1977,6 +1977,26 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "packed_text",
+    # the recursive packing walk joined back to the corpus: one packed
+    # training sequence per pack, docs concatenated in offset order
+    f"""{_pack_sequences_oracle()[:_pack_sequences_oracle().rindex('SELECT')]}
+    SELECT concat('b', w.b, 'p', w.pack_i) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w.n_tokens) AS BIGINT) AS total_tokens,
+           string_agg(d.text, ' ' ORDER BY w.off) AS text
+    FROM walk w JOIN documents d USING (doc_id)
+    GROUP BY w.b, w.pack_i""",
+)
+def q_packed_text(spark, sf_dir):
+    """Trainer-ready packed sequences (packing.packed_text): assignment
+    joined back to the corpus, concatenated in offset order."""
+    from trendmachine_spark.extensions.packing import packed_text
+
+    return packed_text(_docs(spark, sf_dir))
+
+
+@register(
     "dedup_segments",
     """WITH words AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -2211,6 +2231,7 @@ _DEMOTED = [
     "similarity_ann_lsh",  # oracle upgraded from rows-only this round; demoted at birth — the exact check runs locally, window stays reserved for never-verified entries
     "similarity_ivf_topk",  # same: oracle upgraded from rows-only, demoted at birth
     "pack_sequences",      # same: recursive-CTE oracle added round 3, demoted at birth
+    "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
 ]
 
 
