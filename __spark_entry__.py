@@ -5,12 +5,12 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The real surface lives in ``trendmachine_spark.registry``: 70 named
+The real surface lives in ``trendmachine_spark.registry``: 71 named
 queries covering SURVEY.md §2's operator inventory (capture pipeline,
 dashboard aggregates) plus the §2.6 extension operators (dedup incl.
 end-to-end clustering, segment/semantic dedup, similarity search, text
 analysis, chunking, corpus reporting, multimodal, mixing/packing) and
-relational/TPC-H-style queries. 62 have exactly-parallel DuckDB
+relational/TPC-H-style queries. 63 have exactly-parallel DuckDB
 oracles (dedup clustering is oracled via a recursive-CTE transitive
 closure); the O34/O35 recurrences, streaming operators, and the seed-dependent MLlib variants are rows-only by design
 (not SQL-expressible; both ANN variants are deterministic and carry

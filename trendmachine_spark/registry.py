@@ -2204,6 +2204,81 @@ def q_dedup_multi_signal(spark, sf_dir):
     return m.unionByName(s).unionByName(e)
 
 
+@register(
+    "training_corpus_segmented",
+    # round-3 funnel: boilerplate-segment removal -> drop fully-
+    # boilerplate docs -> drop semantic non-keepers -> residual token
+    # counts. CTEs are the dedup_segments and dedup_semantic_keepers
+    # oracles verbatim, composed.
+    f"""WITH RECURSIVE words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(pos // 10 AS INT) AS seg_id,
+             string_agg(w, ' ' ORDER BY pos) AS seg
+      FROM words GROUP BY doc_id, pos // 10
+    ),
+    freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+    cleaned AS (
+      SELECT s.doc_id,
+             CAST(count(*) FILTER (WHERE f.df > 2) AS BIGINT) AS n_removed_segments,
+             coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_id)
+                        FILTER (WHERE f.df <= 2), '') AS clean_text
+      FROM seg s JOIN freq f USING (seg)
+      GROUP BY s.doc_id
+    ),
+    {_semantic_cte()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM sem_pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM sem_pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    drops AS (
+      SELECT node AS doc_id FROM (
+        SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+      ) WHERE node != cluster_id
+    )
+    SELECT c.doc_id,
+           CAST(len(string_split(c.clean_text, ' ')) AS BIGINT) AS n_tokens,
+           c.n_removed_segments
+    FROM cleaned c
+    WHERE c.clean_text != ''
+      AND c.doc_id NOT IN (SELECT doc_id FROM drops)""",
+)
+def q_training_corpus_segmented(spark, sf_dir):
+    """The round-3 funnel composed from the new oracled blocks:
+    sub-document boilerplate removal (segment_dedup) -> drop docs whose
+    every segment was boilerplate -> drop semantic non-keepers
+    (SemDeDup, vec_id aligns with doc_id) -> residual whitespace token
+    counts. Scale: each stage keeps its own audited shape; the keeper
+    drop is a left-anti join against the (small) non-keeper set."""
+    from trendmachine_spark.extensions.clusters import semantic_keepers
+    from trendmachine_spark.extensions.dedup import segment_dedup
+
+    cleaned = segment_dedup(_docs(spark, sf_dir), seg_words=10, max_doc_freq=2)
+    drops = (
+        semantic_keepers(_embeddings(spark, sf_dir), n_cells=16, min_cosine=0.3)
+        .filter(F.col("is_keeper") == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return (
+        cleaned.filter(F.col("clean_text") != "")
+        .join(drops, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("clean_text"), " ")).cast("long").alias("n_tokens"),
+            F.col("n_removed").alias("n_removed_segments"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -2232,6 +2307,7 @@ _DEMOTED = [
     "similarity_ivf_topk",  # same: oracle upgraded from rows-only, demoted at birth
     "pack_sequences",      # same: recursive-CTE oracle added round 3, demoted at birth
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
+    "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
 ]
 
 
