@@ -42,6 +42,10 @@ INVARIANT_QUERIES = [
     "dedup_semantic",
     "chunk_documents",
     "corpus_stats",
+    # compositions: pack concat + funnel must be pure functions of the
+    # data (array_sort reassembly, anti-join membership)
+    "packed_text",
+    "training_corpus_segmented",
 ]
 
 

@@ -57,6 +57,9 @@ SHUFFLE_BUDGETS = {
     "corpus_mix_temperature": (2, False),
     # one bucket shuffle into the grouped packing scan
     "pack_sequences": (1, True),
+    # pack scan (1 bucket exchange) + doc_id join (2) + pack_id concat
+    # agg (1); text moves exactly once, in the join
+    "packed_text": (4, True),
     # corpus scores via MapInPandas without shuffling; one exchange
     # for the per-query top-k window
     "similarity_topk": (1, True),

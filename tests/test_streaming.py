@@ -591,3 +591,32 @@ def test_streaming_state_ttl_gc(spark, tmp_path):
     # and it does NOT continue the retained-state series (which would
     # have decayed through 40 '~' days first)
     assert a_rows["2024-01-03"]["resilience"] != pytest.approx(fresh, abs=1e-9)
+
+
+def test_stateless_corpus_ops_run_on_streams(spark):
+    """The round-3 stateless corpus operators (chunker as witness) are
+    streaming-ready as-is: a pure-projection plan applies unchanged to
+    a readStream source and emits exactly the batch rows."""
+    from trendmachine_spark.extensions.text import chunk_documents
+    from trendmachine_spark.sources.tables import configure, load_table
+
+    configure(spark)
+    batch_docs = load_table(spark, SF, "documents")
+    schema = spark.read.parquet(f"{SF}/documents.parquet").schema
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(SF)
+    )
+    chunked = chunk_documents(stream_docs, chunk_words=32, overlap=8)
+    assert chunked.isStreaming
+    _run_to_memory(chunked, "chunked_stream", "append")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in spark.sql("SELECT * FROM chunked_stream").collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(batch_docs, chunk_words=32, overlap=8).collect()
+    }
+    assert got == want and got
