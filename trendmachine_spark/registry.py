@@ -2284,7 +2284,7 @@ def q_training_corpus_segmented(spark, sf_dir):
 #
 # The driver's per-round correctness run verifies only the FIRST 50
 # entries of queries() in dict order, and the registry has grown past
-# that (56 oracled + 11 rows-only as of round 3).  Re-key QUERIES so
+# that (63 oracled + 8 rows-only as of round 3).  Re-key QUERIES so
 # every oracled query sits inside the window: oracled entries first (in
 # definition order), then _DEMOTED — long-stable oracled queries we
 # deliberately rotate out when the window oversubscribes (each is still
