@@ -16,7 +16,7 @@ closure); the O34/O35 recurrences, streaming operators, and the seed-dependent M
 (not SQL-expressible; both ANN variants are deterministic and carry
 full oracles). Oracled queries are
 ordered first so all sit inside the driver's 50-entry correctness
-window except twelve deliberately demoted long-stable entries
+window except thirteen deliberately demoted long-stable entries
 (registry._DEMOTED, still exactly checked by tests/test_oracle_parity).
 """
 

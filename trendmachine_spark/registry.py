@@ -2303,9 +2303,9 @@ _DEMOTED = [
     "first_last_capture",  # trivial min/max per url, r2 driver-green (demoted for corpus_stats)
     "status_totals",       # simple per-url class totals, r2 driver-green (demoted for dedup_semantic_keepers)
     "specimen_breakdown",  # spine-partition breakdown, r2 driver-green + golden/property-tested (demoted for dedup_multi_signal)
-    "similarity_ann_lsh",  # oracle upgraded from rows-only this round; demoted at birth — the exact check runs locally, window stays reserved for never-verified entries
-    "similarity_ivf_topk",  # same: oracle upgraded from rows-only, demoted at birth
-    "pack_sequences",      # same: recursive-CTE oracle added round 3, demoted at birth
+    "gap_fill_backward",   # same impl family again (demoted for similarity_ann_lsh's first driver check of its new exact oracle)
+    "date_spine",          # trivial sequence+explode, r1+r2 driver-green (demoted for similarity_ivf_topk's first driver check)
+    "periodic_samples",    # r1+r2 driver-green, golden-pinned (demoted for pack_sequences' first driver check)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
 ]
