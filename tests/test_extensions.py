@@ -64,6 +64,33 @@ def test_ngram_jaccard_values(spark, docs):
     assert (0, 4) not in out     # no shared shingles
 
 
+def test_ngram_containment_catches_embedded_quote(spark):
+    # doc 1 is quoted wholesale inside doc 0: containment on the short
+    # side is 1.0 while jaccard is diluted by the long doc's union
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon"),
+        (1, "eta theta iota kappa lam mu"),
+        (2, "unrelated words entirely about something else altogether"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from trendmachine_spark.extensions.dedup import ngram_containment
+
+    out = {(r["id_a"], r["id_b"]): r for r in ngram_containment(docs).collect()}
+    pair = out[(0, 1)]
+    # all 4 of doc 1's 3-gram shingles appear in doc 0 (18 shingles)
+    assert pair["containment_b"] == 1.0
+    assert pair["containment_a"] == pytest.approx(4 / 18)
+    assert pair["jaccard"] == pytest.approx(4 / 18)  # union == doc 0's set
+    assert (0, 2) not in out and (1, 2) not in out
+    # the filtered form keeps the quote pair, drops nothing else
+    kept = ngram_containment(docs, min_containment=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in kept} == {(0, 1)}
+    # and jaccard at the same threshold would have missed it
+    jac = ngram_jaccard(docs, min_jaccard=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in jac} == set()
+
+
 def test_simhash_close_for_near_dups(spark, docs):
     fp = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
     assert fp[0] == fp[1]

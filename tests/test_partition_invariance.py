@@ -30,6 +30,7 @@ INVARIANT_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash_near_dup",
+    "dedup_containment",
     "corpus_sample_stratified",
     "multimodal_frame_sample",
     "resilience_daily_series",

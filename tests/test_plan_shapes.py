@@ -50,6 +50,7 @@ SHUFFLE_BUDGETS = {
     # repartition(id) satisfies distinct + id-window (subset
     # partitioning); shingle-window exchange reused by both join sides
     "dedup_ngram_jaccard": (5, True),
+    "dedup_containment": (5, True),  # same inverted-index core as jaccard
     # per-source counts agg + the docs-side broadcast join; the one
     # BNLJ is the 1-row min(count) crossed against the tiny counts
     # table, so nested-loop is NOT forbidden here (corpus side is a

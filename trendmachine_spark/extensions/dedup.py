@@ -222,6 +222,26 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     the doc id, so per-partition volume is bounded by document
     length — no hot key unless a single document dwarfs the corpus.
     """
+    out = (
+        _shingle_pair_counts(docs, text_col, id_col, max_shingle_freq)
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+        )
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def _shingle_pair_counts(docs: DataFrame, text_col: str, id_col: str,
+                         max_shingle_freq: int | None) -> DataFrame:
+    """(id_a, id_b, n_common, _na, _nb) for pairs sharing a surviving
+    shingle — the inverted-index core shared by :func:`ngram_jaccard`
+    and :func:`ngram_containment` (shape and rationale documented on
+    the former)."""
     sh = shingles(docs, text_col, id_col, distinct=False)
     sh = sh.repartition(id_col).dropDuplicates([id_col, "shingle"])
     sh = sh.withColumn(
@@ -237,7 +257,7 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
-    out = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -246,15 +266,47 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.min("n_a").alias("_na"),
             F.min("n_b").alias("_nb"),
         )
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("_na") + F.col("_nb") - F.col("n_common")),
-        )
-        .select("id_a", "id_b", "n_common", "jaccard")
     )
-    if min_jaccard > 0.0:
-        out = out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def ngram_containment(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", min_containment: float = 0.0,
+                      max_shingle_freq: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
+    """Asymmetric n-gram containment per candidate pair — the quote /
+    subset-duplication detector jaccard misses.
+
+    ``containment_a = |A ∩ B| / |A|`` (fraction of A's shingles found in
+    B) and symmetrically for B. A short document quoted wholesale inside
+    a long one has near-1.0 containment on the short side but a tiny
+    jaccard (the union is dominated by the long doc), so jaccard-based
+    dedup keeps both copies; containment-based filtering catches the
+    embedded duplicate (Broder's resemblance-vs-containment distinction,
+    SEQUENCES'97). ``min_containment`` filters on the GREATER of the two
+    directions: a pair survives when either side is mostly contained in
+    the other.
+
+    Exactness and scale are inherited from :func:`ngram_jaccard`'s
+    machinery verbatim (one pair-count core, `_shingle_pair_counts`):
+    set sizes are the FULL distinct-shingle counts so both containments
+    are exact ratios of exact integers; ``max_shingle_freq`` prunes only
+    candidate *generation*.
+    """
+    pairs = _shingle_pair_counts(docs, text_col, id_col, max_shingle_freq)
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("_na")).alias("containment_a"),
+        (F.col("n_common").cast("double") / F.col("_nb")).alias("containment_b"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
+    if min_containment > 0.0:
+        out = out.filter(
+            F.greatest("containment_a", "containment_b") >= min_containment
+        )
     return out
 
 

@@ -816,6 +816,37 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    # same inverted-index CTEs as dedup_ngram_jaccard; containment is
+    # n_common over each side's FULL set size (exact integer ratios)
+    f"""WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    freq AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= {MAX_SHINGLE_FREQ}),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT * FROM (
+      SELECT id_a, id_b, n_common,
+             CAST(n_common AS DOUBLE) / na.n AS containment_a,
+             CAST(n_common AS DOUBLE) / nb.n AS containment_b,
+             CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+      FROM inter
+      JOIN sizes na ON inter.id_a = na.doc_id
+      JOIN sizes nb ON inter.id_b = nb.doc_id
+    ) WHERE greatest(containment_a, containment_b) >= 0.5""",
+)
+def q_dedup_containment(spark, sf_dir):
+    """Subset-duplication pairs: either direction >= 50% contained."""
+    from trendmachine_spark.extensions.dedup import ngram_containment
+
+    return ngram_containment(_docs(spark, sf_dir), min_containment=0.5)
+
+
+@register(
     "dedup_simhash",
     """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     hashed AS (SELECT doc_id, md5(w) AS h FROM words),
@@ -2306,6 +2337,7 @@ _DEMOTED = [
     "gap_fill_backward",   # same impl family again (demoted for similarity_ann_lsh's first driver check of its new exact oracle)
     "date_spine",          # trivial sequence+explode, r1+r2 driver-green (demoted for similarity_ivf_topk's first driver check)
     "periodic_samples",    # r1+r2 driver-green, golden-pinned (demoted for pack_sequences' first driver check)
+    "gap_fill_closest",    # last gap_fill variant, r1+r2 driver-green (demoted for dedup_containment)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
 ]
