@@ -64,6 +64,41 @@ def test_ngram_jaccard_values(spark, docs):
     assert (0, 4) not in out     # no shared shingles
 
 
+def test_bpe_pair_stats_hand_counts(spark):
+    # "low" x2, "lower" x1 — the Sennrich et al. worked example shape
+    docs = spark.createDataFrame(
+        [(0, "low low"), (1, "lower")], "doc_id long, text string"
+    )
+    from trendmachine_spark.extensions.text import bpe_pair_stats
+
+    out = {
+        (r["left_sym"], r["right_sym"]): r["pair_count"]
+        for r in bpe_pair_stats(docs).collect()
+    }
+    assert out == {
+        ("l", "o"): 3, ("o", "w"): 3, ("w", "</w>"): 2,
+        ("w", "e"): 1, ("e", "r"): 1, ("r", "</w>"): 1,
+    }
+
+
+def test_vocab_coverage_hand_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    from trendmachine_spark.extensions.text import vocab_coverage
+
+    rows = {r["term"]: r for r in vocab_coverage(docs, top_k=2).collect()}
+    assert set(rows) == {"a", "b"}          # c cut by top_k
+    assert rows["a"]["rank"] == 1 and rows["a"]["cnt"] == 3
+    assert rows["a"]["cum_coverage"] == pytest.approx(3 / 6)
+    assert rows["b"]["rank"] == 2 and rows["b"]["cnt"] == 2
+    # denominator is the FULL corpus (6 tokens), not just the top-k's
+    assert rows["b"]["cum_coverage"] == pytest.approx(5 / 6)
+    # top_k beyond the vocab returns everything, coverage reaching 1.0
+    full = vocab_coverage(docs, top_k=100).collect()
+    assert max(r["cum_coverage"] for r in full) == pytest.approx(1.0)
+
+
 def test_ngram_containment_catches_embedded_quote(spark):
     # doc 1 is quoted wholesale inside doc 0: containment on the short
     # side is 1.0 while jaccard is diluted by the long doc's union

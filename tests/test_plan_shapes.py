@@ -82,6 +82,14 @@ SHUFFLE_BUDGETS = {
     # matrix, brute_force_topk idiom); the pair stage is ONE cell
     # shuffle into a blocked per-cell gram matmul (applyInPandas)
     "dedup_semantic": (1, True),
+    # two map-combined hash aggs: corpus -> word counts, distinct
+    # words -> pair counts; no joins, no windows
+    "bpe_pair_stats": (2, True),
+    # word-count agg (x2 branches: top-k + corpus total; identical
+    # subtrees may reuse); the 1-row total rides a broadcast cross join
+    # (BNLJ allowed, same pattern as corpus_mix_temperature) and the
+    # rank window only ever sees the top_k rows
+    "vocab_coverage": (2, False),
 }
 
 
@@ -102,6 +110,14 @@ def test_top_revenue_is_distributed_topk(spark):
     # customer aggregate; the fix is orderBy+limit -> TakeOrderedAndProject
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_vocab_coverage_topk_is_distributed(spark):
+    # the vocab cut must be per-partition heaps + merge, never a global
+    # sort of the whole vocabulary
+    plan = _plan(spark, "vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_asof_join_has_no_join_operator(spark):

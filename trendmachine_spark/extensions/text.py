@@ -227,6 +227,92 @@ def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def bpe_pair_stats(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", eow: str = "</w>") -> DataFrame:
+    """Adjacent-symbol pair counts over the word-frequency table — the
+    inner statistic of BPE tokenizer training (Sennrich et al. 2016,
+    the counting step each merge iteration repeats; this is iteration 0
+    where every symbol is a single character plus an end-of-word mark).
+
+    For each distinct word with corpus frequency ``wc``, every adjacent
+    character pair contributes ``wc``, and the final character pairs
+    with ``eow`` (so merges can learn word-final units). The argmax row
+    of the output is the first BPE merge; re-running after applying a
+    merge table is the full training loop.
+
+    Output: (left_sym, right_sym, pair_count), exact integers.
+
+    Shape: two map-combined hash aggregations — corpus -> word counts
+    (the explode's agg absorbs Zipf skew map-side: "the" partials
+    combine per partition before the shuffle), then distinct-words ->
+    pair counts. The per-character explode runs over the DISTINCT word
+    table, which is vocabulary-sized, not corpus-sized — at 100 TB the
+    second stage's input is a few hundred million short rows regardless
+    of corpus size. All codegen; no joins, no windows.
+    """
+    words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    wc = (
+        words.filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    n = F.length("word")
+    exploded = wc.select(
+        "word", "wc", F.explode(F.sequence(F.lit(1), n)).alias("_i")
+    )
+    left = F.col("word").substr(F.col("_i"), F.lit(1))
+    right = F.when(
+        F.col("_i") < F.length("word"),
+        F.col("word").substr(F.col("_i") + 1, F.lit(1)),
+    ).otherwise(F.lit(eow))
+    return (
+        exploded.select(
+            left.alias("left_sym"), right.alias("right_sym"), "wc"
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("wc").alias("pair_count"))
+    )
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 1000,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``top_k`` vocabulary with cumulative corpus coverage — the
+    table a tokenizer vocab-size decision reads ("how many word types
+    cover 95% of running tokens?").
+
+    Output: (term, cnt, rank, cum_coverage) where rank orders by
+    (cnt desc, term) — a deterministic total order — and cum_coverage
+    is the running token share covered by ranks 1..rank, denominated
+    by the FULL corpus token count (not just the top-k's).
+
+    Shape: one map-combined word count, then a DISTRIBUTED top-k
+    (orderBy+limit plans TakeOrderedAndProject — per-partition heaps,
+    no global sort); only the ``top_k`` surviving rows pass through the
+    unpartitioned rank/cumsum window, so the single-partition window —
+    normally a scale-killer — is bounded by the parameter, not the
+    data. The corpus total rides in as a broadcast scalar.
+    """
+    words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    wc = (
+        words.filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = wc.agg(F.sum("cnt").cast("double").alias("_total"))
+    top = wc.orderBy(F.col("cnt").desc(), "term").limit(top_k)
+    order = Window.orderBy(F.col("cnt").desc(), "term")
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("rank", F.row_number().over(order).cast("long"))
+        .withColumn("_cum", F.sum("cnt").over(cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term", "cnt", "rank",
+            (F.col("_cum").cast("double") / F.col("_total")).alias("cum_coverage"),
+        )
+    )
+
+
 def chunk_documents(docs: DataFrame, chunk_words: int = 32, overlap: int = 8,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Overlapping fixed-width word chunks — the RAG / long-context

@@ -1768,6 +1768,57 @@ def q_text_term_stats(spark, sf_dir):
 
 
 @register(
+    "bpe_pair_stats",
+    """WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wc FROM words
+      WHERE len(word) > 0 GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 1) AS left_sym,
+             CASE WHEN i < len(word) THEN substr(word, i + 1, 1)
+                  ELSE '</w>' END AS right_sym,
+             wc
+      FROM wc, unnest(generate_series(1, len(word))) AS t(i)
+    )
+    SELECT left_sym, right_sym, CAST(sum(wc) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY left_sym, right_sym""",
+)
+def q_bpe_pair_stats(spark, sf_dir):
+    """BPE tokenizer-training pair counts (iteration-0 merge statistics)."""
+    from trendmachine_spark.extensions.text import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "vocab_coverage",
+    """WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    wc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM words
+      WHERE len(term) > 0 GROUP BY term
+    ),
+    total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM wc),
+    top AS (SELECT term, cnt FROM wc ORDER BY cnt DESC, term LIMIT 1000)
+    SELECT term, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / total.total AS cum_coverage
+    FROM top, total""",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Top-1000 vocabulary with cumulative corpus token coverage."""
+    from trendmachine_spark.extensions.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), top_k=1000)
+
+
+@register(
     "salted_term_counts",
     """WITH words AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -2338,6 +2389,8 @@ _DEMOTED = [
     "date_spine",          # trivial sequence+explode, r1+r2 driver-green (demoted for similarity_ivf_topk's first driver check)
     "periodic_samples",    # r1+r2 driver-green, golden-pinned (demoted for pack_sequences' first driver check)
     "gap_fill_closest",    # last gap_fill variant, r1+r2 driver-green (demoted for dedup_containment)
+    "text_fingerprints",   # trivial hash projections, r2 driver-green + unit-tested (demoted for bpe_pair_stats)
+    "text_lang_id",        # marker-ratio heuristic, r2 driver-green + unit-tested (demoted for vocab_coverage)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
 ]
