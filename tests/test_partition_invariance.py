@@ -31,6 +31,8 @@ INVARIANT_QUERIES = [
     "dedup_clusters",
     "dedup_simhash_near_dup",
     "dedup_containment",
+    "event_funnel",
+    "event_retention",
     "corpus_sample_stratified",
     "multimodal_frame_sample",
     "resilience_daily_series",

@@ -90,6 +90,12 @@ SHUFFLE_BUDGETS = {
     # (BNLJ allowed, same pattern as corpus_mix_temperature) and the
     # rank window only ever sees the top_k rows
     "vocab_coverage": (2, False),
+    # ONE user exchange: the three stacked conditional step-minima
+    # windows and the final groupBy all reuse it
+    "event_funnel": (1, True),
+    # repartition(user) serves the (user, day) dedup + first-day window
+    # (subset partitioning); + the (cohort, offset) distinct-count agg
+    "event_retention": (2, True),
 }
 
 

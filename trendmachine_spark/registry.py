@@ -1624,6 +1624,61 @@ def q_event_range_join(spark, sf_dir):
     )
 
 
+@register(
+    "event_funnel",
+    """WITH e AS (
+      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+    ),
+    s1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN us END) AS t_view
+      FROM e GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, s1.t_view,
+             min(CASE WHEN event_type = 'click' AND s1.t_view IS NOT NULL
+                       AND us > s1.t_view THEN us END) AS t_click
+      FROM e JOIN s1 USING (user_id) GROUP BY e.user_id, s1.t_view
+    ),
+    s3 AS (
+      SELECT e.user_id, s2.t_view, s2.t_click,
+             min(CASE WHEN event_type = 'purchase' AND s2.t_click IS NOT NULL
+                       AND us > s2.t_click THEN us END) AS t_purchase
+      FROM e JOIN s2 USING (user_id) GROUP BY e.user_id, s2.t_view, s2.t_click
+    )
+    SELECT user_id, t_view, t_click, t_purchase,
+           CAST(CASE WHEN t_view IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS steps_reached
+    FROM s3""",
+)
+def q_event_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user (strictly-after
+    step chaining at microsecond precision)."""
+    from trendmachine_spark.operators.funnel import event_funnel
+
+    return event_funnel(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "event_retention",
+    """WITH a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    c AS (SELECT user_id, min(d) AS cohort_day FROM a GROUP BY user_id)
+    SELECT c.cohort_day, CAST(a.d - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY c.cohort_day, day_offset""",
+)
+def q_event_retention(spark, sf_dir):
+    """First-activity cohorts x day-offset distinct-user retention."""
+    from trendmachine_spark.operators.funnel import event_retention
+
+    return event_retention(load_table(spark, sf_dir, "events"))
+
+
 # ------------------------------------------- non-SQL-expressible (goldens)
 
 @register("resilience_daily_series", None)  # O34/O35 recurrences: rows-only
@@ -2391,6 +2446,8 @@ _DEMOTED = [
     "gap_fill_closest",    # last gap_fill variant, r1+r2 driver-green (demoted for dedup_containment)
     "text_fingerprints",   # trivial hash projections, r2 driver-green + unit-tested (demoted for bpe_pair_stats)
     "text_lang_id",        # marker-ratio heuristic, r2 driver-green + unit-tested (demoted for vocab_coverage)
+    "text_quality_flags",  # threshold flags over text_profile, r2 driver-green + unit-tested (demoted for event_funnel)
+    "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
 ]
