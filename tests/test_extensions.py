@@ -64,6 +64,55 @@ def test_ngram_jaccard_values(spark, docs):
     assert (0, 4) not in out     # no shared shingles
 
 
+def test_minhash_narrow_matches_explode(spark, docs):
+    from trendmachine_spark.extensions.dedup import (
+        minhash_signatures, minhash_signatures_narrow,
+    )
+
+    wide = sorted(map(tuple, minhash_signatures(docs).collect()))
+    narrow = sorted(map(tuple, minhash_signatures_narrow(docs).collect()))
+    assert wide == narrow
+    # and the narrow form really is a pure map: zero exchanges
+    plan = (
+        minhash_signatures_narrow(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_incremental_dedup_flags(spark):
+    base = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today ok"),
+            (101, "completely unrelated corpus content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            # exact copy of a base doc
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            # near-dup of base 100 (one word changed)
+            (2, "the quick brown fox jumps over the lazy cat today ok"),
+            # exact dup WITHIN delta (of doc 3)
+            (3, "novel fresh content no corpus overlap here at all now"),
+            (4, "novel fresh content no corpus overlap here at all now"),
+            # genuinely new
+            (5, "another brand new document with its own unique words"),
+        ],
+        "doc_id long, text string",
+    )
+    from trendmachine_spark.extensions.dedup import incremental_dedup
+
+    out = {r["doc_id"]: r for r in incremental_dedup(base, delta, min_jaccard=0.5).collect()}
+    assert out[1]["exact_dup_base"] == 1 and out[1]["is_new"] == 0
+    assert out[2]["exact_dup_base"] == 0 and out[2]["near_dup_base"] == 1
+    assert out[3]["exact_dup_delta"] == 0 and out[3]["is_new"] == 1  # keeper
+    assert out[4]["exact_dup_delta"] == 1 and out[4]["is_new"] == 0
+    assert out[5]["is_new"] == 1
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
 def test_bpe_pair_stats_hand_counts(spark):
     # "low" x2, "lower" x1 — the Sennrich et al. worked example shape
     docs = spark.createDataFrame(

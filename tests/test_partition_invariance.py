@@ -31,6 +31,7 @@ INVARIANT_QUERIES = [
     "dedup_clusters",
     "dedup_simhash_near_dup",
     "dedup_containment",
+    "dedup_incremental",
     "event_funnel",
     "event_retention",
     "corpus_sample_stratified",

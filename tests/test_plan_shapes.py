@@ -90,6 +90,12 @@ SHUFFLE_BUDGETS = {
     # (BNLJ allowed, same pattern as corpus_mix_temperature) and the
     # rank window only ever sees the top_k rows
     "vocab_coverage": (2, False),
+    # every exchange is delta- or candidate-bounded: delta signatures /
+    # hash-window / shingle-set aggs + the candidate verify joins. The
+    # corpus side stays exchange-free (narrow-fold signatures probing
+    # broadcast delta tables; asserted directly by
+    # test_minhash_narrow_matches_explode's zero-exchange check)
+    "dedup_incremental": (11, True),
     # ONE user exchange: the three stacked conditional step-minima
     # windows and the final groupBy all reuse it
     "event_funnel": (1, True),

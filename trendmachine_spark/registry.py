@@ -652,6 +652,89 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_near_dup(_docs(spark, sf_dir))
 
 
+def _side_minhash_ctes(p: str, src: str) -> str:
+    """Shingle/signature/band CTE chain for one side of the incremental
+    dedup, prefixed ``p`` (e.g. 'd'/'b'), reading from CTE ``src``."""
+    from trendmachine_spark.extensions.dedup import BANDS, HASH_MASKS, ROWS_PER_BAND
+
+    sig_cols = ", ".join(
+        f"min(xor(h, {m})) AS mh{j}" for j, m in enumerate(HASH_MASKS)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM {p}sig".format(
+            b=b, p=p,
+            cols=", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""{p}words AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
+    {p}sh AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      FROM {p}words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+    ),
+    {p}hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM {p}sh
+    ),
+    {p}sig AS (SELECT doc_id, {sig_cols} FROM {p}hashed GROUP BY doc_id),
+    {p}bands AS ({band_rows})"""
+
+
+#: deterministic 20% ingest-batch split for the incremental-dedup query
+_INCR_U = ("('0x' || substr(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+           " / 1152921504606846976.0")
+
+
+@register(
+    "dedup_incremental",
+    f"""WITH delta AS (SELECT doc_id, text FROM documents WHERE {_INCR_U} < 0.2),
+    base AS (SELECT doc_id, text FROM documents WHERE {_INCR_U} >= 0.2),
+    {_side_minhash_ctes('d', 'delta')},
+    {_side_minhash_ctes('b', 'base')},
+    dh AS (SELECT doc_id, md5(text) AS h FROM delta),
+    bh AS (SELECT DISTINCT md5(text) AS h FROM base),
+    keeper AS (SELECT h, min(doc_id) AS k FROM dh GROUP BY h),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS base_id, d.doc_id AS delta_id
+      FROM bbands b JOIN dbands d ON b.band = d.band AND b.bucket = d.bucket
+    ),
+    dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id),
+    bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.delta_id, c.base_id, CAST(count(*) AS BIGINT) AS ni
+      FROM cand c
+      JOIN dsh ON dsh.doc_id = c.delta_id
+      JOIN bsh ON bsh.doc_id = c.base_id AND bsh.shingle = dsh.shingle
+      GROUP BY c.delta_id, c.base_id
+    ),
+    near AS (
+      SELECT DISTINCT i.delta_id
+      FROM inter i
+      JOIN dn ON dn.doc_id = i.delta_id
+      JOIN bn ON bn.doc_id = i.base_id
+      WHERE CAST(ni AS DOUBLE) / (dn.n + bn.n - ni) >= 0.8
+    )
+    SELECT dh.doc_id,
+           CAST(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup_base,
+           CAST(CASE WHEN keeper.k < dh.doc_id THEN 1 ELSE 0 END AS BIGINT) AS exact_dup_delta,
+           CAST(CASE WHEN near.delta_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS near_dup_base,
+           CAST(CASE WHEN bh.h IS NULL AND keeper.k >= dh.doc_id
+                      AND near.delta_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+    FROM dh
+    LEFT JOIN bh ON dh.h = bh.h
+    JOIN keeper ON dh.h = keeper.h
+    LEFT JOIN near ON dh.doc_id = near.delta_id""",
+)
+def q_dedup_incremental(spark, sf_dir):
+    """New-batch-vs-corpus dedup: a deterministic 20% hash slice plays
+    the arriving batch, the remaining 80% the existing corpus."""
+    from trendmachine_spark.extensions.dedup import incremental_dedup
+    from trendmachine_spark.extensions.sampling import hash_uniform
+
+    docs = _docs(spark, sf_dir)
+    u = hash_uniform(F.col("doc_id"), "incr")
+    return incremental_dedup(docs.filter(u >= 0.2), docs.filter(u < 0.2))
+
+
 @register(
     "dedup_clusters",
     # candidates (LSH) -> exact-Jaccard verify -> connected components
@@ -2447,6 +2530,7 @@ _DEMOTED = [
     "text_fingerprints",   # trivial hash projections, r2 driver-green + unit-tested (demoted for bpe_pair_stats)
     "text_lang_id",        # marker-ratio heuristic, r2 driver-green + unit-tested (demoted for vocab_coverage)
     "text_quality_flags",  # threshold flags over text_profile, r2 driver-green + unit-tested (demoted for event_funnel)
+    "dedup_simhash",       # fingerprint projection, r2 driver-green; simhash_near_dup stays in-window and recomputes it (demoted for dedup_incremental)
     "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
