@@ -64,6 +64,40 @@ def test_ngram_jaccard_values(spark, docs):
     assert (0, 4) not in out     # no shared shingles
 
 
+def test_quality_score_monotone_and_topk(spark):
+    rows = [
+        (0, "src_a", "the cat sat on the mat and it is a fine day in town today ok yes"),
+        (1, "src_a", "word word word word word word word word word word word word"),
+        (2, "src_a", "x"),
+        (3, "src_b", "a reasonable sentence with the usual mixture of words in it"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from trendmachine_spark.extensions.text import quality_score
+    from trendmachine_spark.operators.topk import top_per_group
+    from pyspark.sql import functions as FF
+
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    # diverse stopword-bearing text beats pure repetition and a bare token
+    assert q[0]["quality"] > q[1]["quality"]
+    assert q[0]["quality"] > q[2]["quality"]
+    assert all(r["keep_quality"] in (0, 1) for r in q.values())
+
+    scored = quality_score(docs, keep_cols=("source",))
+    top = top_per_group(
+        scored.select("doc_id", "source", "quality"),
+        ["source"], [FF.col("quality").desc(), FF.col("doc_id")], k=2,
+    ).collect()
+    by_src = {}
+    for r in top:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["src_a"]) == 2          # k caps the group
+    assert len(by_src["src_b"]) == 1          # smaller group keeps all
+    ranks = sorted(r["rank"] for r in by_src["src_a"])
+    assert ranks == [1, 2]
+    best_a = min(by_src["src_a"], key=lambda r: r["rank"])
+    assert best_a["doc_id"] == 0              # highest quality ranks first
+
+
 def test_minhash_narrow_matches_explode(spark, docs):
     from trendmachine_spark.extensions.dedup import (
         minhash_signatures, minhash_signatures_narrow,

@@ -32,6 +32,7 @@ INVARIANT_QUERIES = [
     "dedup_simhash_near_dup",
     "dedup_containment",
     "dedup_incremental",
+    "top_quality_docs",
     "event_funnel",
     "event_retention",
     "corpus_sample_stratified",

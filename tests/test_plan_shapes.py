@@ -102,6 +102,11 @@ SHUFFLE_BUDGETS = {
     # repartition(user) serves the (user, day) dedup + first-day window
     # (subset partitioning); + the (cohort, offset) distinct-count agg
     "event_retention": (2, True),
+    # linear model scoring is a pure projection
+    "quality_score": (0, True),
+    # one group exchange; the WindowGroupLimit map-side group-limit is
+    # asserted separately below
+    "top_quality_docs": (1, True),
 }
 
 
@@ -122,6 +127,14 @@ def test_top_revenue_is_distributed_topk(spark):
     # customer aggregate; the fix is orderBy+limit -> TakeOrderedAndProject
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_top_quality_docs_group_limit_pushed(spark):
+    # rank-filter must trigger Catalyst's WindowGroupLimit rewrite:
+    # per-partition group heaps BEFORE the shuffle, so the exchange
+    # carries <= k rows per (group, input partition), not the corpus
+    plan = _plan(spark, "top_quality_docs")
+    assert "WindowGroupLimit" in plan
 
 
 def test_vocab_coverage_topk_is_distributed(spark):

@@ -227,6 +227,62 @@ def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+#: deterministic linear quality model: (feature expression name, weight).
+#: Stands in for the fasttext/DSIR-style learned scorer every corpus
+#: pipeline plugs in here — the Spark plumbing (zero-exchange scoring,
+#: threshold gate, per-source selection downstream) is the real part;
+#: swap the weights for a trained model's without touching the plan.
+QUALITY_WEIGHTS = {
+    "bias": -1.0,
+    "length_sat": 2.0,        # saturating length credit, n_words/(n_words+100)
+    "distinct_ratio": 1.5,    # vocabulary diversity
+    "stopword_ratio": 1.0,    # English-like function-word density
+    "avg_word_len_pen": -0.1, # penalty per char of mean word length above 4
+}
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.5,
+                  keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Linear quality score over the :func:`text_profile` features.
+
+    score = bias + w·features, all exact double arithmetic (ratios of
+    exact integers, one fixed evaluation order) — engine-portable, no
+    libm. ``keep_quality`` thresholds it. Zero-exchange projection:
+    composes with the corpus funnel on the same scan; ``keep_cols``
+    carries extra columns through so downstream per-group selection
+    needs no self-join back to the corpus.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    # feature expressions shared with text_profile (same exact-integer
+    # constructions; see its comments for the length identity and the
+    # lookaround stopword regex)
+    avg_word_len = (F.length(text_col) - n_words + F.lit(1)).cast("double") / n_words
+    stop_re = "(?<= )(?:" + "|".join(STOPWORDS) + ")(?= )"
+    stopword_ratio = (
+        F.regexp_count(
+            F.concat(F.lit(" "), F.col(text_col), F.lit(" ")), F.lit(stop_re)
+        ).cast("double") / n_words
+    )
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
+    w = QUALITY_WEIGHTS
+    length_sat = n_words.cast("double") / (n_words + F.lit(100))
+    score = (
+        F.lit(w["bias"])
+        + F.lit(w["length_sat"]) * length_sat
+        + F.lit(w["distinct_ratio"]) * distinct_ratio
+        + F.lit(w["stopword_ratio"]) * stopword_ratio
+        + F.lit(w["avg_word_len_pen"]) * F.greatest(avg_word_len - 4.0, F.lit(0.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        score.alias("quality"),
+        (score >= threshold).cast("long").alias("keep_quality"),
+    )
+
+
 def bpe_pair_stats(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", eow: str = "</w>") -> DataFrame:
     """Adjacent-symbol pair counts over the word-frequency table — the

@@ -1905,6 +1905,68 @@ def q_text_term_stats(spark, sf_dir):
     return term_stats(_docs(spark, sf_dir))
 
 
+#: shared quality-model CTE chain (mirrors extensions.text.quality_score
+#: term by term, same left-associative float order)
+_QUALITY_SQL = """w AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents
+    ),
+    p AS (
+      SELECT doc_id, source,
+             len(words) AS n_words,
+             CAST(length(text) - len(words) + 1 AS DOUBLE) / len(words) AS awl,
+             CAST(len(list_filter(words,
+                  x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / len(words) AS sw,
+             CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dr
+      FROM w
+    ),
+    s AS (
+      SELECT doc_id, source,
+             -1.0 + 2.0 * (CAST(n_words AS DOUBLE) / (n_words + 100))
+                  + 1.5 * dr + 1.0 * sw + -0.1 * greatest(awl - 4.0, 0.0) AS quality
+      FROM p
+    )"""
+
+
+@register(
+    "quality_score",
+    f"""WITH {_QUALITY_SQL}
+    SELECT doc_id, quality,
+           CAST(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep_quality
+    FROM s""",
+)
+def q_quality_score(spark, sf_dir):
+    """Linear quality-model scores (deterministic fasttext-slot stand-in)."""
+    from trendmachine_spark.extensions.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "top_quality_docs",
+    f"""WITH {_QUALITY_SQL}
+    SELECT doc_id, source, quality, rank FROM (
+      SELECT doc_id, source, quality,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+      FROM s
+    ) WHERE rank <= 5""",
+)
+def q_top_quality_docs(spark, sf_dir):
+    """Best 5 documents per source by model quality (WindowGroupLimit
+    distributed per-group top-k)."""
+    from trendmachine_spark.extensions.text import quality_score
+    from trendmachine_spark.operators.topk import top_per_group
+
+    scored = quality_score(_docs(spark, sf_dir), keep_cols=("source",))
+    return top_per_group(
+        scored.select("doc_id", "source", "quality"),
+        ["source"],
+        [F.col("quality").desc(), F.col("doc_id")],
+        k=5,
+    )
+
+
 @register(
     "bpe_pair_stats",
     """WITH words AS (
@@ -2531,6 +2593,8 @@ _DEMOTED = [
     "text_lang_id",        # marker-ratio heuristic, r2 driver-green + unit-tested (demoted for vocab_coverage)
     "text_quality_flags",  # threshold flags over text_profile, r2 driver-green + unit-tested (demoted for event_funnel)
     "dedup_simhash",       # fingerprint projection, r2 driver-green; simhash_near_dup stays in-window and recomputes it (demoted for dedup_incremental)
+    "transition_matrix_filled",  # fill=-1 twin of transition_matrix (which stays in-window), r2 driver-green (demoted for quality_score)
+    "multimodal_resize",   # codec-gated plumbing, r2 driver-green + unit; frame_sample stays in-window (demoted for top_quality_docs)
     "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
