@@ -620,3 +620,81 @@ def test_stateless_corpus_ops_run_on_streams(spark):
         for r in chunk_documents(batch_docs, chunk_words=32, overlap=8).collect()
     }
     assert got == want and got
+
+
+def test_streaming_funnel_matches_batch_across_batches(spark, tmp_path):
+    """Streaming funnel == batch funnel when per-user events arrive in
+    time order across micro-batches (the documented equivalence
+    contract): step chaining must carry through keyed state, including
+    a purchase whose qualifying click arrived in an earlier batch."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trendmachine_spark.operators.funnel import event_funnel
+    from trendmachine_spark.streaming.funnel_stream import (
+        events_raw_stream,
+        funnel_stream,
+    )
+
+    events_dir = tmp_path / "funnel_src"
+    events_dir.mkdir()
+
+    def write_file(name, rows):
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1]) for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": [r[3] for r in rows],
+            "value": [0.0] * len(rows),
+            "props": ["p"] * len(rows),
+        })
+        pq.write_table(t, str(events_dir / name))
+
+    # batch 1 (early half)
+    write_file("events.parquet", [
+        (1, "2024-01-01 09:00:00", 1, "view", None),
+        (2, "2024-01-02 09:00:00", 1, "click", None),
+        (3, "2024-01-01 08:00:00", 2, "purchase", None),  # before any view
+        (4, "2024-01-02 08:00:00", 2, "view", None),
+        (5, "2024-01-01 07:00:00", 3, "view", None),
+        (6, "2024-01-01 06:00:00", 4, "click", None),     # click pre-view
+    ])
+
+    stream = funnel_stream(events_raw_stream(spark, str(events_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("funnel_stream_mem")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2 (later half) — chaining must cross the batch boundary
+    write_file("events_0002.parquet", [
+        (7, "2024-01-03 09:00:00", 1, "purchase", None),  # completes funnel
+        (8, "2024-01-03 08:00:00", 2, "click", None),     # click after view
+        (9, "2024-01-04 08:00:00", 4, "view", None),      # view at last
+    ])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM funnel_stream_mem").collect()
+    latest = {}
+    for r in rows:
+        if r["user_id"] not in latest or r["ver"] > latest[r["user_id"]]["ver"]:
+            latest[r["user_id"]] = r
+
+    batch = {
+        r["user_id"]: r
+        for r in event_funnel(spark.read.parquet(str(events_dir))).collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, b in batch.items():
+        s = latest[uid]
+        for c in ("t_view", "t_click", "t_purchase", "steps_reached"):
+            assert s[c] == b[c], (uid, c, s[c], b[c])
+    # spot-check the cross-batch chain: user 1 fully converted
+    assert latest[1]["steps_reached"] == 3
+    # user 2's early purchase never counts; view->click chain does
+    assert latest[2]["steps_reached"] == 2 and latest[2]["t_purchase"] is None

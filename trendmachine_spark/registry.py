@@ -2136,6 +2136,28 @@ def q_similarity_ivf_topk(spark, sf_dir):
     return ivf_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_probe=2)
 
 
+@register("funnel_streaming", None)  # streaming stateful: rows-only
+def q_funnel_streaming(spark, sf_dir):
+    """Streaming ordered funnel driven to completion over the sf
+    parquet (single micro-batch == batch-equivalent; the cross-batch
+    equivalence test lives in tests/test_streaming.py)."""
+    from trendmachine_spark.streaming.funnel_stream import (
+        events_raw_stream,
+        funnel_stream,
+    )
+
+    q = (
+        funnel_stream(events_raw_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("_funnel_stream_q")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM _funnel_stream_q")
+
+
 @register("resilience_streaming", None)  # streaming stateful: rows-only
 def q_resilience_streaming(spark, sf_dir):
     """Streaming O34 driven to completion over the sf parquet (the
