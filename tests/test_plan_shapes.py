@@ -102,6 +102,13 @@ SHUFFLE_BUDGETS = {
     # repartition(user) serves the (user, day) dedup + first-day window
     # (subset partitioning); + the (cohort, offset) distinct-count agg
     "event_retention": (2, True),
+    # 2 upstream (normalize + rollup, shared/persisted in bench) + the
+    # url window clustering; the moving-average frame adds NO exchange
+    # of its own beyond the url partitioning
+    "daily_moving_avg": (3, True),
+    # single Expand (4 grouping sets) + one hash agg exchange on the
+    # expanded keys + the upstream normalize exchange
+    "status_month_cube": (2, True),
     # linear model scoring is a pure projection
     "quality_score": (0, True),
     # one group exchange; the WindowGroupLimit map-side group-limit is

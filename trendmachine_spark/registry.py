@@ -131,6 +131,62 @@ def q_daily_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "daily_moving_avg",
+    # 7-day trailing mean of the All count per url over observed days —
+    # the dashboard trend-smoothing companion to the daily pivot. Exact:
+    # sum and count are integers, one IEEE division.
+    f"""WITH {osql.DAILY}
+    SELECT url, day, all_cnt,
+           CAST(sum(all_cnt) OVER w AS BIGINT) AS sum7,
+           CAST(sum(all_cnt) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+    FROM daily2
+    WINDOW w AS (PARTITION BY url ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+)
+def q_daily_moving_avg(spark, sf_dir):
+    """7-day trailing moving average per url (rows frame over observed
+    days; reuses the shared rollup's url partitioning — zero extra
+    exchanges beyond the rollup)."""
+    d = _daily(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy("day_str").rowsBetween(-6, 0)
+    return d.select(
+        "url",
+        F.col("day_str").alias("day"),
+        F.col("all").alias("all_cnt"),
+        F.sum("all").over(w).alias("sum7"),
+        (F.sum("all").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("ma7"),
+    )
+
+
+@register(
+    "status_month_cube",
+    # totals-with-margins: counts by (class, month) with all CUBE
+    # margins; sentinel '(all)' marks rolled-up dimensions so the
+    # output needs no engine-specific grouping-id bit conventions
+    f"""WITH {osql.NORM}
+    SELECT coalesce(cls, '(all)') AS cls,
+           coalesce(month, '(all)') AS month,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT cls, substr(day, 1, 7) AS month FROM norm)
+    GROUP BY CUBE (cls, month)""",
+)
+def q_status_month_cube(spark, sf_dir):
+    """OLAP cube over (status class, month): every margin in one pass
+    (Spark plans a single Expand + hash agg — one exchange)."""
+    n = normalize_captures(events_as_captures(spark, sf_dir))
+    base = n.select("cls", F.substring(F.col("day_str"), 1, 7).alias("month"))
+    return (
+        base.cube("cls", "month")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("cls"), F.lit("(all)")).alias("cls"),
+            F.coalesce(F.col("month"), F.lit("(all)")).alias("month"),
+            "n",
+        )
+    )
+
+
 # ----------------------------------------------------------------------- O21
 
 @register(
@@ -2617,6 +2673,8 @@ _DEMOTED = [
     "dedup_simhash",       # fingerprint projection, r2 driver-green; simhash_near_dup stays in-window and recomputes it (demoted for dedup_incremental)
     "transition_matrix_filled",  # fill=-1 twin of transition_matrix (which stays in-window), r2 driver-green (demoted for quality_score)
     "multimodal_resize",   # codec-gated plumbing, r2 driver-green + unit; frame_sample stays in-window (demoted for top_quality_docs)
+    "corpus_sample_stratified",  # deterministic hash sampling, r2 driver-green + determinism units (demoted for daily_moving_avg)
+    "event_range_join",    # time-binned range join, r2 driver-green + unit; event_asof_join stays in-window (demoted for status_month_cube)
     "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
