@@ -106,6 +106,9 @@ SHUFFLE_BUDGETS = {
     # url window clustering; the moving-average frame adds NO exchange
     # of its own beyond the url partitioning
     "daily_moving_avg": (3, True),
+    # typed from_json is a pure projection; one map-combined type agg.
+    # test_event_props_scan_pruned asserts the 3-column ReadSchema
+    "event_props_stats": (1, True),
     # single Expand (4 grouping sets) + one hash agg exchange on the
     # expanded keys + the upstream normalize exchange
     "status_month_cube": (2, True),
@@ -134,6 +137,18 @@ def test_top_revenue_is_distributed_topk(spark):
     # customer aggregate; the fix is orderBy+limit -> TakeOrderedAndProject
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_event_props_scan_pruned(spark):
+    # the JSON parse must not widen the scan: only the three consumed
+    # columns may reach the parquet reader
+    plan = _plan(spark, "event_props_stats")
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = sorted(f.split(":")[0] for f in m.group(1).split(",") if f)
+    assert cols == ["event_type", "props", "value"], cols
 
 
 def test_top_quality_docs_group_limit_pushed(spark):

@@ -1764,6 +1764,46 @@ def q_event_range_join(spark, sf_dir):
 
 
 @register(
+    "event_props_stats",
+    """WITH p AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k,
+           CAST(sum(k) AS DOUBLE) / count(*) AS avg_k,
+           CAST(count(CASE WHEN value > 50 THEN 1 END) AS BIGINT) AS n_high_value
+    FROM p GROUP BY event_type""",
+)
+def q_event_props_stats(spark, sf_dir):
+    """Semi-structured extraction: typed ``from_json`` over the JSON
+    props column, aggregated per event type. The parse is a pure
+    projection (JacksonParser inside codegen, no UDF); the only
+    exchange is the map-combined per-type aggregation, and column
+    pruning still reaches the scan (props + value + event_type only).
+    """
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k int").getField("k").alias("k"),
+        "value",
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        F.count(F.when(F.col("value") > 50, 1)).alias("n_high_value"),
+    )
+
+
+@register(
     "event_funnel",
     """WITH e AS (
       SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
@@ -2675,6 +2715,7 @@ _DEMOTED = [
     "multimodal_resize",   # codec-gated plumbing, r2 driver-green + unit; frame_sample stays in-window (demoted for top_quality_docs)
     "corpus_sample_stratified",  # deterministic hash sampling, r2 driver-green + determinism units (demoted for daily_moving_avg)
     "event_range_join",    # time-binned range join, r2 driver-green + unit; event_asof_join stays in-window (demoted for status_month_cube)
+    "corpus_decontaminate",  # broadcast eval-shingle overlap, r2 driver-green + k-sensitivity units (demoted for event_props_stats)
     "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
