@@ -98,6 +98,33 @@ def test_quality_score_monotone_and_topk(spark):
     assert best_a["doc_id"] == 0              # highest quality ranks first
 
 
+def test_corpus_card_hand_values(spark):
+    rows = [
+        (0, "s1", "aa bb"),            # 5 chars, 2 toks
+        (1, "s1", "aa bb"),            # exact dup of 0
+        (2, "s1", "ccc ddd eee"),      # 11 chars, 3 toks
+        (3, "s2", "x y z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    from trendmachine_spark.extensions.text import corpus_card
+
+    card = {
+        (r["source"], r["metric"]): r["value"] for r in corpus_card(docs).collect()
+    }
+    assert card[("s1", "n_docs")] == 3.0
+    assert card[("s1", "total_tokens")] == 7.0
+    assert card[("s1", "mean_chars")] == pytest.approx((5 + 5 + 11) / 3)
+    # ranks by (chars, doc_id): [5@0, 5@1, 11@2]; p50 rank=(3-1)//2+1=2 -> 5
+    assert card[("s1", "p50_chars")] == 5.0
+    assert card[("s1", "p90_chars")] == 5.0  # rank ((3-1)*9)//10+1 = 2
+    assert card[("s1", "exact_dup_rate")] == pytest.approx(1 - 2 / 3)
+    assert card[("s2", "n_docs")] == 1.0 and card[("s2", "exact_dup_rate")] == 0.0
+    assert {m for s, m in card if s == "s2"} == {
+        "n_docs", "total_tokens", "mean_chars", "p50_chars", "p90_chars",
+        "exact_dup_rate", "quality_rate",
+    }
+
+
 def test_minhash_narrow_matches_explode(spark, docs):
     from trendmachine_spark.extensions.dedup import (
         minhash_signatures, minhash_signatures_narrow,

@@ -47,6 +47,7 @@ INVARIANT_QUERIES = [
     "dedup_semantic",
     "chunk_documents",
     "corpus_stats",
+    "corpus_card",
     # compositions: pack concat + funnel must be pure functions of the
     # data (array_sort reassembly, anti-join membership)
     "packed_text",

@@ -112,6 +112,9 @@ SHUFFLE_BUDGETS = {
     # single Expand (4 grouping sets) + one hash agg exchange on the
     # expanded keys + the upstream normalize exchange
     "status_month_cube": (2, True),
+    # the whole card is one scan -> one group exchange (quality rides
+    # as a Column expression, no join; count-distinct reuses the keys)
+    "corpus_card": (1, True),
     # linear model scoring is a pure projection
     "quality_score": (0, True),
     # one group exchange; the WindowGroupLimit map-side group-limit is

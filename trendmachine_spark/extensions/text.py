@@ -253,11 +253,26 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     carries extra columns through so downstream per-group selection
     needs no self-join back to the corpus.
     """
+    score = quality_score_col(text_col)
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        score.alias("quality"),
+        (score >= threshold).cast("long").alias("keep_quality"),
+    )
+
+
+def quality_score_col(text_col: str = "text"):
+    """The linear quality score as a reusable Column expression, so
+    compositions (e.g. :func:`corpus_card`) can evaluate it inline on
+    their own scan instead of joining :func:`quality_score`'s output.
+
+    Feature expressions are shared with :func:`text_profile` (same
+    exact-integer constructions; see its comments for the length
+    identity and the lookaround stopword regex).
+    """
     words = F.split(F.col(text_col), " ")
     n_words = F.size(words)
-    # feature expressions shared with text_profile (same exact-integer
-    # constructions; see its comments for the length identity and the
-    # lookaround stopword regex)
     avg_word_len = (F.length(text_col) - n_words + F.lit(1)).cast("double") / n_words
     stop_re = "(?<= )(?:" + "|".join(STOPWORDS) + ")(?= )"
     stopword_ratio = (
@@ -268,18 +283,12 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n_words
     w = QUALITY_WEIGHTS
     length_sat = n_words.cast("double") / (n_words + F.lit(100))
-    score = (
+    return (
         F.lit(w["bias"])
         + F.lit(w["length_sat"]) * length_sat
         + F.lit(w["distinct_ratio"]) * distinct_ratio
         + F.lit(w["stopword_ratio"]) * stopword_ratio
         + F.lit(w["avg_word_len_pen"]) * F.greatest(avg_word_len - 4.0, F.lit(0.0))
-    )
-    return docs.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        score.alias("quality"),
-        (score >= threshold).cast("long").alias("keep_quality"),
     )
 
 
@@ -423,6 +432,65 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 32, overlap: int = 8,
             chunk.alias("chunk_text"),
         )
     )
+
+
+def corpus_card(docs: DataFrame, group_col: str = "source",
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Long-form per-source corpus card: the one-table summary a
+    dataset release ships — size, length distribution, exact-dup rate,
+    and model-quality rate per source, as (source, metric, value) rows.
+
+    Metrics: n_docs, total_tokens, mean_chars, p50_chars, p90_chars
+    (exact nearest-rank-lower, the :func:`corpus_stats` rule),
+    exact_dup_rate (1 - distinct content hashes / docs), quality_rate
+    (fraction passing :func:`quality_score`'s threshold). All exact
+    ratios of exact integers, cast to double for the uniform value
+    column.
+
+    Shape: every per-doc input (chars, tokens, md5, quality flag) is a
+    projection off ONE scan — the quality model rides along as a Column
+    expression (:func:`quality_score_col`), NOT a joined DataFrame, so
+    there are no joins anywhere; the source-ordered rank window and the
+    final per-source aggregate share the group clustering (the
+    corpus_stats idiom; the count-distinct adds its usual second agg
+    pass on the same keys). The stack to long form is narrow.
+    Composing per-expression rather than per-DataFrame is what keeps
+    the card single-pass.
+    """
+    base = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        F.length(text_col).alias("_chars"),
+        F.size(F.split(F.col(text_col), " ")).alias("_toks"),
+        F.md5(F.col(text_col)).alias("_h"),
+        (quality_score_col(text_col) >= 0.5).cast("long").alias("keep_quality"),
+    )
+    wg = Window.partitionBy("grp")
+    w = wg.orderBy("_chars", id_col)
+    ranked = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+    )
+    p50 = F.expr("(_n - 1) div 2 + 1")
+    p90 = F.expr("((_n - 1) * 9) div 10 + 1")
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("_toks").cast("double").alias("total_tokens"),
+        (F.sum("_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        F.max(F.when(F.col("_rn") == p50, F.col("_chars"))).cast("double").alias("p50_chars"),
+        F.max(F.when(F.col("_rn") == p90, F.col("_chars"))).cast("double").alias("p90_chars"),
+        (
+            F.lit(1.0)
+            - F.count_distinct(F.col("_h")).cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+        (F.sum("keep_quality").cast("double") / F.count(F.lit(1))).alias("quality_rate"),
+    )
+    metrics = ["n_docs", "total_tokens", "mean_chars", "p50_chars",
+               "p90_chars", "exact_dup_rate", "quality_rate"]
+    stack = "stack({n}, {args}) as (metric, value)".format(
+        n=len(metrics), args=", ".join(f"'{m}', {m}" for m in metrics)
+    )
+    return agg.selectExpr("grp as " + group_col, stack)
 
 
 def corpus_stats(docs: DataFrame, group_col: str = "source",

@@ -2064,6 +2064,48 @@ def q_top_quality_docs(spark, sf_dir):
 
 
 @register(
+    "corpus_card",
+    f"""WITH {_QUALITY_SQL},
+    base AS (
+      SELECT d.source AS grp, d.doc_id,
+             length(d.text) AS chars,
+             len(string_split(d.text, ' ')) AS toks,
+             md5(d.text) AS h,
+             CASE WHEN s.quality >= 0.5 THEN 1 ELSE 0 END AS kq
+      FROM documents d JOIN s ON d.doc_id = s.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM base
+    ),
+    agg AS (
+      SELECT grp,
+             CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(toks) AS DOUBLE) AS total_tokens,
+             CAST(sum(chars) AS DOUBLE) / count(*) AS mean_chars,
+             CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN chars END) AS DOUBLE) AS p50_chars,
+             CAST(max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN chars END) AS DOUBLE) AS p90_chars,
+             1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS exact_dup_rate,
+             CAST(sum(kq) AS DOUBLE) / count(*) AS quality_rate
+      FROM ranked GROUP BY grp
+    )
+    SELECT grp AS source, 'n_docs' AS metric, n_docs AS value FROM agg
+    UNION ALL SELECT grp, 'total_tokens', total_tokens FROM agg
+    UNION ALL SELECT grp, 'mean_chars', mean_chars FROM agg
+    UNION ALL SELECT grp, 'p50_chars', p50_chars FROM agg
+    UNION ALL SELECT grp, 'p90_chars', p90_chars FROM agg
+    UNION ALL SELECT grp, 'exact_dup_rate', exact_dup_rate FROM agg
+    UNION ALL SELECT grp, 'quality_rate', quality_rate FROM agg""",
+)
+def q_corpus_card(spark, sf_dir):
+    """Release-style per-source corpus card, long-form."""
+    from trendmachine_spark.extensions.text import corpus_card
+
+    return corpus_card(_docs(spark, sf_dir))
+
+
+@register(
     "bpe_pair_stats",
     """WITH words AS (
       SELECT unnest(string_split(text, ' ')) AS word FROM documents
@@ -2716,6 +2758,7 @@ _DEMOTED = [
     "corpus_sample_stratified",  # deterministic hash sampling, r2 driver-green + determinism units (demoted for daily_moving_avg)
     "event_range_join",    # time-binned range join, r2 driver-green + unit; event_asof_join stays in-window (demoted for status_month_cube)
     "corpus_decontaminate",  # broadcast eval-shingle overlap, r2 driver-green + k-sensitivity units (demoted for event_props_stats)
+    "multimodal_frame_sample",  # codec-gated plumbing, r2 driver-green + bounded-rows unit (all three multimodal ops r2-verified) (demoted for corpus_card)
     "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
