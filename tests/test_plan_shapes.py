@@ -109,6 +109,14 @@ SHUFFLE_BUDGETS = {
     # typed from_json is a pure projection; one map-combined type agg.
     # test_event_props_scan_pruned asserts the 3-column ReadSchema
     "event_props_stats": (1, True),
+    # ONE user exchange shared by gap-flag window, running session-id
+    # window, and the (user, sid) groupBy (subset clustering) + the
+    # map-combined bucket agg — the histogram shape is exactly what
+    # avoids a global quantile sort
+    "session_stats": (2, True),
+    # candidate-bounded signature joins + the unguarded exact-jaccard
+    # pair table (diagnostic, not a production path)
+    "minhash_accuracy": (8, True),
     # single Expand (4 grouping sets) + one hash agg exchange on the
     # expanded keys + the upstream normalize exchange
     "status_month_cube": (2, True),

@@ -348,6 +348,49 @@ def ngram_containment(docs: DataFrame, text_col: str = "text",
     return out
 
 
+def minhash_accuracy(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Sketch-accuracy report: estimated vs exact jaccard for every LSH
+    candidate pair — the measurement that justifies (or rejects) a
+    minhash configuration before running it over 100 TB.
+
+    est_jaccard = (matching signature components) / NUM_HASHES — the
+    unbiased minhash estimator; jaccard is the exact value over full
+    shingle sets (unguarded: accuracy measurement must not inherit the
+    candidate-generation skew cap), 0.0 for the rare pair bucketed
+    together without sharing any shingle. Both are exact integer
+    ratios, so the report is engine-portable.
+
+    Scale: signature joins are candidate-bounded; the exact-jaccard
+    side is the inverted-index pair table restricted by the join to
+    candidate pairs.
+    """
+    cand = minhash_near_dup(docs, text_col, id_col)
+    sig = minhash_signatures(docs, text_col, id_col)
+    a = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_HASHES)]
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_HASHES)]
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(NUM_HASHES)
+    )
+    est = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(float(NUM_HASHES))).alias("est_jaccard"))
+    )
+    exact = ngram_jaccard(docs, text_col, id_col, max_shingle_freq=None).select(
+        "id_a", "id_b", "jaccard"
+    )
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .withColumn("jaccard", F.coalesce("jaccard", F.lit(0.0)))
+        .withColumn("abs_err", F.abs(F.col("est_jaccard") - F.col("jaccard")))
+    )
+
+
 def incremental_dedup(base: DataFrame, delta: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       min_jaccard: float = 0.8) -> DataFrame:

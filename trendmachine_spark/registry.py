@@ -708,6 +708,42 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_near_dup(_docs(spark, sf_dir))
 
 
+@register(
+    "minhash_accuracy",
+    # est = matching signature components / n; exact jaccard UNGUARDED
+    # (no freq cap) so the accuracy report measures the estimator, not
+    # the skew guard; LEFT JOIN + 0.0 for bucket-collision pairs that
+    # share no shingle
+    f"""WITH {_minhash_ctes()},
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ({' + '.join(f'CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END' for j in range(16))})
+               / 16.0 AS est_jaccard
+      FROM cand c JOIN sig a ON c.id_a = a.doc_id JOIN sig b ON c.id_b = b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    exact AS (
+      SELECT id_a, id_b, CAST(ni AS DOUBLE) / (na.n + nb.n - ni) AS jaccard
+      FROM inter JOIN sizes na ON inter.id_a = na.doc_id
+                 JOIN sizes nb ON inter.id_b = nb.doc_id
+    )
+    SELECT est.id_a, est.id_b, est.est_jaccard,
+           COALESCE(exact.jaccard, 0.0) AS jaccard,
+           abs(est.est_jaccard - COALESCE(exact.jaccard, 0.0)) AS abs_err
+    FROM est LEFT JOIN exact ON est.id_a = exact.id_a AND est.id_b = exact.id_b""",
+)
+def q_minhash_accuracy(spark, sf_dir):
+    """Estimated-vs-exact jaccard for every LSH candidate pair."""
+    from trendmachine_spark.extensions.dedup import minhash_accuracy
+
+    return minhash_accuracy(_docs(spark, sf_dir))
+
+
 def _side_minhash_ctes(p: str, src: str) -> str:
     """Shingle/signature/band CTE chain for one side of the incremental
     dedup, prefixed ``p`` (e.g. 'd'/'b'), reading from CTE ``src``."""
@@ -1764,6 +1800,78 @@ def q_event_range_join(spark, sf_dir):
 
 
 @register(
+    "session_stats",
+    """WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ep,
+             CASE WHEN ep - lag(ep) OVER w > 1800 OR lag(ep) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+    ),
+    sid AS (
+      SELECT user_id, ep,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ep
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, sid,
+             max(ep) - min(ep) AS duration_sec,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sid GROUP BY user_id, sid
+    )
+    SELECT CAST(duration_sec // 600 AS BIGINT) AS bucket,
+           CAST((duration_sec // 600) * 600 AS BIGINT) AS lo_sec,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_events
+    FROM sessions GROUP BY bucket, lo_sec""",
+)
+def q_session_stats(spark, sf_dir):
+    """Session-duration histogram (10-minute buckets): the global
+    duration distribution without a global sort — bucketing by integer
+    division is exact and aggregates map-side, where exact global
+    quantiles would need a single-partition rank over every session.
+    Shape: ONE user exchange (gap-flag window, running session-id
+    window, and the (user, sid) groupBy all share it — subset
+    clustering) + the map-combined bucket aggregation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ep") - F.lag("ep").over(w) > 1800)
+            | F.lag("ep").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = (
+        flagged.withColumn("sid", F.sum("new_session").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            (F.max("ep") - F.min("ep")).alias("duration_sec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bucket = F.expr("duration_sec div 600")
+    return (
+        sessions.groupBy(
+            bucket.alias("bucket"), (bucket * 600).alias("lo_sec")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("mean_events"),
+        )
+    )
+
+
+@register(
     "event_props_stats",
     """WITH p AS (
       SELECT event_type,
@@ -2759,6 +2867,8 @@ _DEMOTED = [
     "event_range_join",    # time-binned range join, r2 driver-green + unit; event_asof_join stays in-window (demoted for status_month_cube)
     "corpus_decontaminate",  # broadcast eval-shingle overlap, r2 driver-green + k-sensitivity units (demoted for event_props_stats)
     "multimodal_frame_sample",  # codec-gated plumbing, r2 driver-green + bounded-rows unit (all three multimodal ops r2-verified) (demoted for corpus_card)
+    "event_sessionization",  # r2 driver-green + bench-timed every round; session_stats (in-window) extends it (demoted for session_stats)
+    "dedup_simhash_near_dup",  # r2 driver-green + exhaustive-pair equivalence unit (demoted for minhash_accuracy)
     "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
