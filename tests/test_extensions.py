@@ -98,6 +98,23 @@ def test_quality_score_monotone_and_topk(spark):
     assert best_a["doc_id"] == 0              # highest quality ranks first
 
 
+def test_embedding_outliers_flags_antiparallel(spark):
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [-1.0, 0.0], 1),   # antiparallel to its label's mass
+        (3, [0.0, 1.0], 2),    # singleton label: cos to own centroid = 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from trendmachine_spark.extensions.similarity import embedding_outliers
+
+    out = {r["vec_id"]: r for r in embedding_outliers(emb).collect()}
+    assert out[0]["is_outlier"] == 0 and out[0]["cos_centroid"] > 0.5
+    assert out[2]["is_outlier"] == 1 and out[2]["cos_centroid"] < 0
+    assert out[3]["cos_centroid"] == pytest.approx(1.0)
+    assert set(out) == {0, 1, 2, 3}
+
+
 def test_corpus_card_hand_values(spark):
     rows = [
         (0, "s1", "aa bb"),            # 5 chars, 2 toks

@@ -33,6 +33,7 @@ INVARIANT_QUERIES = [
     "dedup_containment",
     "dedup_incremental",
     "top_quality_docs",
+    "embedding_outliers",
     "event_funnel",
     "event_retention",
     "corpus_sample_stratified",

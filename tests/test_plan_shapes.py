@@ -117,6 +117,9 @@ SHUFFLE_BUDGETS = {
     # candidate-bounded signature joins + the unguarded exact-jaccard
     # pair table (diagnostic, not a production path)
     "minhash_accuracy": (8, True),
+    # centroid-sum agg (labels x dims, broadcast back) + per-vector
+    # dot/norm agg; no corpus self-join
+    "embedding_outliers": (3, True),
     # single Expand (4 grouping sets) + one hash agg exchange on the
     # expanded keys + the upstream normalize exchange
     "status_month_cube": (2, True),

@@ -466,3 +466,66 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 16, min_cosine: float = 0.3,
     qv = quantize_embeddings(emb, vec_col, id_col)
     assigned = ivf_assign(qv, n_cells)
     return _grouped_gram_pairs(assigned, "cell", min_cosine)
+
+
+def embedding_outliers(emb: DataFrame, label_col: str = "label",
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       threshold: float = 0.0) -> DataFrame:
+    """Cosine of every vector to its label's (unnormalized) centroid —
+    the mislabeled/outlier detector a labeled embedding corpus runs
+    before training on it.
+
+    Exactness trick: cosine is scale-invariant, so the centroid is the
+    per-dimension SUM vector (exact bigint over quantized components),
+    never the mean — every aggregation in the plan sums integers
+    (associative, partition-order-independent), and the only float ops
+    are the final sqrt/divide chain. A mean-centroid formulation would
+    sum doubles across partitions and lose cross-engine bit-equality.
+    ``is_outlier`` flags cosine < ``threshold``.
+
+    Shape: posexplode to (label, pos, v) -> centroid-sum agg (labels x
+    dims rows, BROADCAST back) -> per-vector dot/norm agg. The explode
+    costs rows x dims — the price of keeping per-dim sums exact and
+    declarative; at corpus scale this is one map-combined agg + one
+    broadcast join + one per-vector agg, no corpus self-join anywhere.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("long"),
+    )
+    e = emb.select(
+        F.col(id_col), F.col(label_col).alias("_lbl"), q.alias("_q")
+    ).select(
+        id_col, "_lbl", F.posexplode("_q").alias("_pos", "_v")
+    )
+    # the label norm rides the centroid table as a window column so the
+    # exploded corpus is scanned exactly twice (centroid agg + dot agg),
+    # not three times — a separate cnorm aggregation would re-derive the
+    # whole centroid lineage as a third branch
+    from pyspark.sql import Window
+
+    cent = (
+        e.groupBy("_lbl", "_pos")
+        .agg(F.sum("_v").alias("_s"))
+        .withColumn(
+            "_c2",
+            F.sum(F.col("_s") * F.col("_s")).over(Window.partitionBy("_lbl")),
+        )
+    )
+    dots = (
+        e.join(F.broadcast(cent), ["_lbl", "_pos"])
+        .groupBy(id_col, "_lbl", "_c2")
+        .agg(
+            F.sum(F.col("_v") * F.col("_s")).alias("_dot"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_n2"),
+        )
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_n2").cast("double")) * F.sqrt(F.col("_c2").cast("double"))
+    )
+    return dots.select(
+        id_col,
+        F.col("_lbl").alias("label"),
+        cos.alias("cos_centroid"),
+        (cos < threshold).cast("long").alias("is_outlier"),
+    )

@@ -2086,6 +2086,45 @@ def q_dedup_embedding_cosine_bucketed(spark, sf_dir):
 
 
 @register(
+    "embedding_outliers",
+    # centroid = per-dim SUM (exact bigint; cosine is scale-invariant,
+    # so the un-normalized centroid gives the same value as the mean
+    # while keeping every aggregation integer/associative)
+    """WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, label, i AS pos, q[i] AS v
+      FROM q, unnest(generate_series(1, len(q))) AS t(i)
+    ),
+    cent AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY label, pos),
+    cn AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS c2 FROM cent GROUP BY label),
+    dots AS (
+      SELECT e.vec_id, e.label,
+             CAST(sum(e.v * c.s) AS BIGINT) AS dot,
+             CAST(sum(e.v * e.v) AS BIGINT) AS n2
+      FROM e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT d.vec_id, d.label,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE)))
+             AS cos_centroid,
+           CAST(CASE WHEN CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))) < 0.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM dots d JOIN cn ON d.label = cn.label""",
+)
+def q_embedding_outliers(spark, sf_dir):
+    """Per-vector cosine to its label centroid (mislabel/outlier scan)."""
+    from trendmachine_spark.extensions.similarity import embedding_outliers
+
+    return embedding_outliers(_embeddings(spark, sf_dir))
+
+
+@register(
     "text_term_stats",
     """WITH words AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -2869,6 +2908,7 @@ _DEMOTED = [
     "multimodal_frame_sample",  # codec-gated plumbing, r2 driver-green + bounded-rows unit (all three multimodal ops r2-verified) (demoted for corpus_card)
     "event_sessionization",  # r2 driver-green + bench-timed every round; session_stats (in-window) extends it (demoted for session_stats)
     "dedup_simhash_near_dup",  # r2 driver-green + exhaustive-pair equivalence unit (demoted for minhash_accuracy)
+    "region_revenue",      # broadcast star join, r2 driver-green (demoted for embedding_outliers)
     "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
