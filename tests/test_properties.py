@@ -129,3 +129,81 @@ def test_partition_invariance(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "4")
     assert results[0] == results[1]
+
+
+# ------------------------- round-3 operator invariants (random corpora)
+
+def _random_docs(spark, seed, n=40):
+    rng = random.Random(seed)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "spark", "row",
+             "batch", "data", "a", "of", "to", "xx", "yz"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_pair_counts_satisfy_length_identity(spark):
+    """sum(pair_count) == sum over word occurrences of len(word): each
+    word of length L contributes exactly L pairs (L-1 internal + the
+    end-of-word pair), weighted by its corpus frequency."""
+    from trendmachine_spark.extensions.text import bpe_pair_stats
+
+    docs = _random_docs(spark, 7)
+    total_pairs = (
+        bpe_pair_stats(docs).agg(F.sum("pair_count")).collect()[0][0]
+    )
+    want = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0).agg(F.sum(F.length("w"))).collect()[0][0]
+    assert total_pairs == want
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from trendmachine_spark.extensions.text import vocab_coverage
+
+    rows = vocab_coverage(_random_docs(spark, 11), top_k=50).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    cov = [r["cum_coverage"] for r in rows]
+    assert all(b >= a for a, b in zip(cov, cov[1:]))       # monotone
+    assert all(0 < c <= 1.0 + 1e-12 for c in cov)          # bounded
+    cnt = [r["cnt"] for r in rows]
+    assert all(a >= b for a, b in zip(cnt, cnt[1:]))       # count-sorted
+
+
+def test_containment_bounds_and_jaccard_relation(spark):
+    """0 < containment <= 1; jaccard <= min(containment_a, containment_b)
+    (the union is at least as large as either set)."""
+    from trendmachine_spark.extensions.dedup import ngram_containment
+
+    rows = ngram_containment(_random_docs(spark, 13)).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["containment_a"] <= 1.0
+        assert 0 < r["containment_b"] <= 1.0
+        assert r["jaccard"] <= min(r["containment_a"], r["containment_b"]) + 1e-12
+
+
+def test_incremental_dedup_flags_are_exclusive_with_is_new(spark):
+    from trendmachine_spark.extensions.dedup import incremental_dedup
+    from trendmachine_spark.extensions.sampling import hash_uniform
+
+    docs = _random_docs(spark, 17)
+    u = hash_uniform(F.col("doc_id"), "p")
+    out = incremental_dedup(docs.filter(u >= 0.3), docs.filter(u < 0.3)).collect()
+    assert out
+    for r in out:
+        flagged = r["exact_dup_base"] + r["exact_dup_delta"] + r["near_dup_base"]
+        assert r["is_new"] == (1 if flagged == 0 else 0)
+
+
+def test_session_stats_conserves_events(spark):
+    """Histogram buckets partition the sessions: total_events sums to
+    the full event count."""
+    from trendmachine_spark.registry import QUERIES, clear_cache
+
+    clear_cache()
+    out = QUERIES["session_stats"].builder(spark, "/root/testdata/sf0.001")
+    got = out.agg(F.sum("total_events")).collect()[0][0]
+    assert got == 1000
