@@ -120,6 +120,12 @@ SHUFFLE_BUDGETS = {
     # centroid-sum agg (labels x dims, broadcast back) + per-vector
     # dot/norm agg; no corpus self-join
     "embedding_outliers": (3, True),
+    # broadcast segment-customer + broadcast filtered orders into the
+    # lineitem stream; ONE order-key agg exchange; distributed top-10
+    # asserted below
+    "shipping_priority": (1, True),
+    # native session_window: one user-keyed session-merge aggregation
+    "event_session_windows": (1, True),
     # single Expand (4 grouping sets) + one hash agg exchange on the
     # expanded keys + the upstream normalize exchange
     "status_month_cube": (2, True),
@@ -171,6 +177,12 @@ def test_top_quality_docs_group_limit_pushed(spark):
     # carries <= k rows per (group, input partition), not the corpus
     plan = _plan(spark, "top_quality_docs")
     assert "WindowGroupLimit" in plan
+
+
+def test_shipping_priority_topk_is_distributed(spark):
+    plan = _plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_vocab_coverage_topk_is_distributed(spark):

@@ -1585,6 +1585,113 @@ def q_pricing_summary(spark, sf_dir):
 
 
 @register(
+    "shipping_priority",
+    """SELECT l.l_orderkey,
+              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+              strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+              o.o_orderpriority
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1995-03-15'
+         AND l.l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey LIMIT 10""",
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: unshipped high-revenue orders for one segment.
+
+    SCALE: the segment customer list is a BROADCAST build side (a
+    filtered dimension); both fact filters compare raw timestamp
+    columns so they push to the parquet scans; revenue cents sum in
+    LONG per order — exact without decimals because a TPC-H order has
+    a bounded line count (sum <= ~1e10 cents-basis-points, 8 orders of
+    magnitude under long overflow) — and the final top-10 is a
+    distributed TakeOrderedAndProject, never a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders")
+    o = o.filter(
+        F.col("o_orderdate")
+        < F.lit("1995-03-15").cast(o.schema["o_orderdate"].dataType)
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter(
+        F.col("l_shipdate")
+        > F.lit("1995-03-15").cast(li.schema["l_shipdate"].dataType)
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    pc = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
+    dc = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(pc * (100 - dc)) / F.lit(10000)).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "event_session_windows",
+    # Spark's native session_window semantics: a session extends while
+    # the next event starts STRICTLY before last+gap (end-exclusive),
+    # i.e. a gap of exactly 30 min starts a new session -> the lag
+    # condition is >=, not > (event_sessionization's legacy rule)
+    """WITH e AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER w >= 1800000000 OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sid AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(us) AS start_us,
+           max(us) + 1800000000 AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sid GROUP BY user_id, sid""",
+)
+def q_event_session_windows(spark, sf_dir):
+    """Native ``session_window`` sessionization (the Structured
+    Streaming session operator, here batch-oracled against the
+    lag/cumsum construction): one user-keyed session-merge aggregation;
+    the identical expression runs on a readStream source with a
+    watermark for the streaming case."""
+    e = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "top_revenue_customers",
     """WITH rev AS (
       SELECT o.o_custkey,
@@ -2909,6 +3016,8 @@ _DEMOTED = [
     "event_sessionization",  # r2 driver-green + bench-timed every round; session_stats (in-window) extends it (demoted for session_stats)
     "dedup_simhash_near_dup",  # r2 driver-green + exhaustive-pair equivalence unit (demoted for minhash_accuracy)
     "region_revenue",      # broadcast star join, r2 driver-green (demoted for embedding_outliers)
+    "text_pii_stats",      # RE2-safe regex counts, r2 driver-green + unit (demoted for shipping_priority)
+    "text_repetition_stats",  # Gopher-style metrics, r2 driver-green + exact-int unit (demoted for event_session_windows)
     "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
