@@ -698,3 +698,33 @@ def test_streaming_funnel_matches_batch_across_batches(spark, tmp_path):
     assert latest[1]["steps_reached"] == 3
     # user 2's early purchase never counts; view->click chain does
     assert latest[2]["steps_reached"] == 2 and latest[2]["t_purchase"] is None
+
+
+def test_streaming_session_windows_match_batch_closed_subset(spark):
+    """Native session_window on a stream (append mode, 1-day watermark)
+    emits exactly the batch sessions whose window closed before the
+    final watermark — same operator, same values, streaming semantics
+    only withholding still-open tail sessions."""
+    from trendmachine_spark.registry import QUERIES, clear_cache
+
+    clear_cache()
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in QUERIES["session_windows_streaming"].builder(spark, SF).collect()
+    }
+    batch = QUERIES["event_session_windows"].builder(spark, SF).collect()
+    max_et = max(r["end_us"] - 1800 * 1_000_000 for r in batch)  # last event time
+    horizon = max_et - 24 * 3600 * 1_000_000                     # watermark: max - 1 day
+    want_closed = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in batch
+        if r["end_us"] < horizon
+    }
+    # every watermark-closed batch session is emitted with identical
+    # values, and nothing is emitted that batch doesn't have
+    assert want_closed <= got
+    all_batch = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"]) for r in batch
+    }
+    assert got <= all_batch
+    assert got

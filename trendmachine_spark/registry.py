@@ -2528,6 +2528,40 @@ def q_similarity_ivf_topk(spark, sf_dir):
     return ivf_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_probe=2)
 
 
+@register("session_windows_streaming", None)  # native streaming sessions: rows-only
+def q_session_windows_streaming(spark, sf_dir):
+    """Native ``session_window`` on a readStream source (watermarked,
+    append mode): emits sessions closed by the watermark. The
+    batch-subset equivalence test lives in tests/test_streaming.py."""
+    from trendmachine_spark.streaming.funnel_stream import events_raw_stream
+
+    stream = events_raw_stream(spark, sf_dir)
+    # session_window must consume the watermarked column ITSELF — any
+    # wrapping cast severs the watermark association and append mode
+    # is rejected (events_raw_stream already emits a plain timestamp)
+    sw = F.session_window(F.col("event_time"), "30 minutes")
+    agg = (
+        stream.withWatermark("event_time", "1 day")
+        .groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("_sw_stream_q")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM _sw_stream_q")
+
+
 @register("funnel_streaming", None)  # streaming stateful: rows-only
 def q_funnel_streaming(spark, sf_dir):
     """Streaming ordered funnel driven to completion over the sf
