@@ -49,7 +49,7 @@ def test_refresh_leaves_untouched_buckets_alone(spark, tmp_path):
 
     def snapshot():
         out = {}
-        root = store + "/rollup"
+        root = store + "/output"
         for d in os.listdir(root):
             if not d.startswith("url_bucket="):
                 continue
@@ -71,3 +71,31 @@ def test_refresh_leaves_untouched_buckets_alone(spark, tmp_path):
     for d in untouched:
         assert after[d] == before[d], d
     assert after[f"url_bucket={touched[0]}"] != before[f"url_bucket={touched[0]}"]
+
+
+def test_report_store_refresh_equals_full_rebuild(spark, tmp_path):
+    """The same incremental pattern carries the FULL scored report
+    (spine + gap fill + resilience/fixity/chaos) — with as_of pinned,
+    daily_series is url-closed and per-bucket recompute is exact."""
+    from trendmachine_spark.pipeline import daily_series
+    from trendmachine_spark.sinks import (
+        init_report_store,
+        read_store,
+        refresh_report_store,
+    )
+
+    caps = _caps(spark)
+    as_of = "2024-01-30"
+    cut = "20240125000000"
+    store = str(tmp_path / "rstore")
+    init_report_store(caps.filter(F.col("ts") < cut), store, as_of)
+    touched = refresh_report_store(
+        spark, store, caps.filter(F.col("ts") >= cut), as_of
+    )
+    assert touched
+
+    got = sorted(map(tuple, read_store(spark, store).collect()))
+    want = sorted(
+        map(tuple, daily_series(caps, fill=2, policy="closest", as_of=as_of).collect())
+    )
+    assert got == want

@@ -39,40 +39,63 @@ def _url_bucket(n_buckets: int):
     return F.pmod(F.hash("url"), F.lit(n_buckets))
 
 
-def init_rollup_store(captures: DataFrame, store_dir: str,
-                      n_buckets: int = ROLLUP_BUCKETS) -> None:
-    """Materialize the daily rollup as an incrementally-refreshable
-    store: raw captures AND their rollup, both partitioned by a stable
-    url hash bucket.
-
-    Bucket partitioning (never by url — millions of directories) is
-    what makes :func:`refresh_rollup_store` cheap: a daily ingest
-    touches few urls, so only their buckets' captures are re-read and
-    only those rollup partitions are rewritten. The rollup's running
-    windows (chaos, content-change, specimen carry) need FULL per-url
-    history, so the refresh grain is the bucket, not the (url, day) —
-    recomputing a bucket from its complete capture history is the
-    correctness-preserving unit.
-    """
+def _rollup_transform(caps: DataFrame) -> DataFrame:
     from trendmachine_spark.operators.normalize import normalize_captures
     from trendmachine_spark.operators.rollup import daily_rollup
 
+    return daily_rollup(normalize_captures(caps))
+
+
+def report_transform(as_of, fill: int = 2, policy: str = "closest"):
+    """URL-CLOSED scored-report transform factory. ``as_of`` MUST be
+    explicit: with the default ``as_of=None`` the dense spine ends at
+    the GLOBAL max observed day — a cross-url dependency that would
+    make per-bucket recomputation diverge from a full rebuild whenever
+    another bucket holds a later capture. Pinning the date closes the
+    transform per url."""
+    from trendmachine_spark.pipeline import daily_series
+
+    def transform(caps: DataFrame) -> DataFrame:
+        return daily_series(caps, fill=fill, policy=policy, as_of=as_of)
+
+    return transform
+
+
+def init_store(captures: DataFrame, store_dir: str, transform=_rollup_transform,
+               n_buckets: int = ROLLUP_BUCKETS) -> None:
+    """Materialize any URL-CLOSED transform of the capture stream as an
+    incrementally-refreshable store: raw captures AND the transform's
+    output, both partitioned by a stable url hash bucket.
+
+    ``transform`` must be url-closed — its output for a url depends
+    only on that url's captures (the engine's scale axis; true of the
+    rollup, the dense spine, and the full scored report). That closure
+    is exactly what makes per-bucket recomputation correct.
+
+    Bucket partitioning (never by url — millions of directories) is
+    what makes :func:`refresh_store` cheap: a daily ingest touches few
+    urls, so only their buckets' captures are re-read and only those
+    output partitions are rewritten. Running state (chaos, recurrence,
+    specimen carry) needs FULL per-url history, so the refresh grain is
+    the bucket, not the (url, day) — recomputing a bucket from its
+    complete capture history is the correctness-preserving unit.
+    """
     b = _url_bucket(n_buckets)
     captures.withColumn("url_bucket", b).write.mode("overwrite").partitionBy(
         "url_bucket"
     ).parquet(store_dir + "/captures")
-    roll = daily_rollup(normalize_captures(captures))
-    roll.withColumn("url_bucket", b).write.mode("overwrite").partitionBy(
+    out = transform(captures)
+    out.withColumn("url_bucket", b).write.mode("overwrite").partitionBy(
         "url_bucket"
-    ).parquet(store_dir + "/rollup")
+    ).parquet(store_dir + "/output")
 
 
-def refresh_rollup_store(spark: SparkSession, store_dir: str,
-                         delta_captures: DataFrame,
-                         n_buckets: int = ROLLUP_BUCKETS) -> list[int]:
+def refresh_store(spark: SparkSession, store_dir: str, delta_captures: DataFrame,
+                  transform=_rollup_transform,
+                  n_buckets: int = ROLLUP_BUCKETS) -> list[int]:
     """Incremental refresh: append the ingest batch to the captures
     store, then recompute and dynamic-partition-overwrite ONLY the
-    rollup buckets containing touched urls. Returns the refreshed
+    output buckets containing touched urls. Returns the refreshed
     bucket ids.
 
     The touched-bucket list is collected to the driver — at most
@@ -80,16 +103,14 @@ def refresh_rollup_store(spark: SparkSession, store_dir: str,
     captures read (`url_bucket IN (...)` prunes at the directory level)
     and the dynamic overwrite (untouched bucket partitions are left
     byte-identical on disk). Equivalence with a full rebuild is pinned
-    by tests/test_rollup_store.py.
+    by tests/test_rollup_store.py for both the rollup and the full
+    scored report.
 
     Ordering contract: ``seq`` tie-breaks equal-timestamp captures, so
     the ingest must assign store-wide seq values (an arrival counter);
     slices that never interleave timestamps (the daily-batch case) are
     safe with per-batch seq.
     """
-    from trendmachine_spark.operators.normalize import normalize_captures
-    from trendmachine_spark.operators.rollup import daily_rollup
-
     b = _url_bucket(n_buckets)
     delta = delta_captures.withColumn("url_bucket", b)
     delta.write.mode("append").partitionBy("url_bucket").parquet(
@@ -103,20 +124,45 @@ def refresh_rollup_store(spark: SparkSession, store_dir: str,
         .filter(F.col("url_bucket").isin(buckets))
         .drop("url_bucket")
     )
-    roll = daily_rollup(normalize_captures(caps)).withColumn("url_bucket", b)
+    out = transform(caps).withColumn("url_bucket", b)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        roll.write.mode("overwrite").partitionBy("url_bucket").parquet(
-            store_dir + "/rollup"
+        out.write.mode("overwrite").partitionBy("url_bucket").parquet(
+            store_dir + "/output"
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return buckets
 
 
-def read_rollup_store(spark: SparkSession, store_dir: str) -> DataFrame:
-    return spark.read.parquet(store_dir + "/rollup").drop("url_bucket")
+def read_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.parquet(store_dir + "/output").drop("url_bucket")
+
+
+#: rollup-flavored aliases (the original store API)
+def init_rollup_store(captures, store_dir, n_buckets=ROLLUP_BUCKETS):
+    init_store(captures, store_dir, _rollup_transform, n_buckets)
+
+
+def refresh_rollup_store(spark, store_dir, delta_captures, n_buckets=ROLLUP_BUCKETS):
+    return refresh_store(spark, store_dir, delta_captures, _rollup_transform, n_buckets)
+
+
+read_rollup_store = read_store
+
+
+#: scored-report flavor: the flagship 16-column daily report. as_of is
+#: required (see report_transform) — pass the ingest horizon date.
+def init_report_store(captures, store_dir, as_of, n_buckets=ROLLUP_BUCKETS):
+    init_store(captures, store_dir, report_transform(as_of), n_buckets)
+
+
+def refresh_report_store(spark, store_dir, delta_captures, as_of,
+                         n_buckets=ROLLUP_BUCKETS):
+    return refresh_store(
+        spark, store_dir, delta_captures, report_transform(as_of), n_buckets
+    )
 
 
 def write_packed_corpus(docs: DataFrame, assignments: DataFrame, path: str,
