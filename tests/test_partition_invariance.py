@@ -34,6 +34,9 @@ INVARIANT_QUERIES = [
     "dedup_incremental",
     "top_quality_docs",
     "embedding_outliers",
+    "session_stats",
+    "event_props_stats",
+    "status_month_cube",
     "event_funnel",
     "event_retention",
     "corpus_sample_stratified",
