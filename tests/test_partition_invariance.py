@@ -29,6 +29,7 @@ INVARIANT_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_clusters_ensemble",
     "dedup_simhash_near_dup",
     "dedup_containment",
     "dedup_incremental",

@@ -2935,6 +2935,90 @@ def q_dedup_multi_signal(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters_ensemble",
+    # end-to-end ensemble dedup: text candidates (minhash ∪ simhash)
+    # verified by exact jaccard >= 0.5; embedding pairs arrive already
+    # cosine-verified; union -> transitive closure -> smallest-id keeper
+    f"""WITH RECURSIVE {_minhash_ctes()},
+    lists AS (
+      SELECT doc_id, list(shingle) AS ls, CAST(count(*) AS BIGINT) AS n
+      FROM sh GROUP BY doc_id
+    ),
+    text_cand AS (
+      SELECT id_a, id_b FROM cand
+      UNION
+      SELECT id_a, id_b FROM ({QUERIES['dedup_simhash_near_dup'].oracle})
+    ),
+    text_verified AS (
+      SELECT id_a, id_b
+      FROM text_cand
+      JOIN lists la ON text_cand.id_a = la.doc_id
+      JOIN lists lb ON text_cand.id_b = lb.doc_id
+      WHERE CAST(len(list_intersect(la.ls, lb.ls)) AS DOUBLE)
+            / (la.n + lb.n - len(list_intersect(la.ls, lb.ls))) >= 0.5
+    ),
+    allv AS (
+      SELECT id_a, id_b FROM text_verified
+      UNION
+      SELECT id_a, id_b FROM ({QUERIES['dedup_embedding_cosine_bucketed'].oracle})
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM allv
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM allv
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+    FROM comp""",
+)
+def q_dedup_clusters_ensemble(spark, sf_dir):
+    """End-to-end ensemble dedup clustering over all three signals.
+
+    Text candidates (minhash ∪ simhash banded-hamming) are verified by
+    EXACT jaccard >= 0.5 (ensemble recall motivates the looser bar than
+    single-signal dedup_clusters' 0.8); embedding pairs carry their own
+    exact-cosine verification from the SRP-bucketed generator. The
+    union feeds hash-min connected components; keeper = smallest id.
+    Scale shapes are inherited per stage: bucketed candidate
+    generation, candidate-bounded verification, lineage-truncated
+    label propagation over the verified-pair graph only.
+    """
+    from trendmachine_spark.extensions.clusters import (
+        connected_components,
+        verify_candidates,
+    )
+    from trendmachine_spark.extensions.dedup import minhash_near_dup, simhash_near_dup
+    from trendmachine_spark.extensions.similarity import embedding_near_dup_bucketed
+
+    docs = _docs(spark, sf_dir)
+    text_cands = (
+        minhash_near_dup(docs).select("id_a", "id_b")
+        .unionByName(simhash_near_dup(docs).select("id_a", "id_b"))
+        .distinct()
+    )
+    verified_text = verify_candidates(
+        text_cands, docs, min_jaccard=0.5
+    ).select("id_a", "id_b")
+    emb = embedding_near_dup_bucketed(
+        _embeddings(spark, sf_dir), min_cosine=0.3
+    ).select("id_a", "id_b")
+    edges = verified_text.unionByName(emb).distinct()
+    comps = connected_components(edges)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster").alias("cluster_id"),
+        (F.col("node") == F.col("cluster")).cast("long").alias("is_keeper"),
+    )
+
+
+@register(
     "training_corpus_segmented",
     # round-3 funnel: boilerplate-segment removal -> drop fully-
     # boilerplate docs -> drop semantic non-keepers -> residual token
@@ -3052,6 +3136,7 @@ _DEMOTED = [
     "region_revenue",      # broadcast star join, r2 driver-green (demoted for embedding_outliers)
     "text_pii_stats",      # RE2-safe regex counts, r2 driver-green + unit (demoted for shipping_priority)
     "text_repetition_stats",  # Gopher-style metrics, r2 driver-green + exact-int unit (demoted for event_session_windows)
+    "dedup_exact",         # trivial hash group-by, r1+r2 driver-green (demoted for dedup_clusters_ensemble)
     "multimodal_metadata", # typed-metadata projection, r2 driver-green; resize/frame_sample stay in-window (demoted for event_retention)
     "monthly_rollup",      # simple month agg, r2 driver-green (demoted for packed_text)
     "summary_stats",       # zero->NULL long-form stats, r2 driver-green (demoted for training_corpus_segmented)
