@@ -5,7 +5,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The real surface lives in ``trendmachine_spark.registry``: 90 named
+The real surface lives in ``trendmachine_spark.registry``: 91 named
 queries covering SURVEY.md §2's operator inventory (capture pipeline,
 dashboard aggregates) plus the §2.6 extension operators (dedup incl.
 end-to-end clustering, segment/semantic/incremental dedup, containment,
@@ -13,13 +13,13 @@ sketch-accuracy, similarity search, text analysis, tokenizer-training
 inputs, chunking, corpus reporting/cards, multimodal, mixing/packing,
 quality scoring) and relational/event-analytics queries (funnel,
 retention, sessionization + duration histograms, temporal joins, JSON
-extraction, moving averages, CUBE margins). 80 have exactly-parallel
+extraction, moving averages, CUBE margins). 81 have exactly-parallel
 DuckDB oracles (dedup clustering is oracled via a recursive-CTE
 transitive closure); the O34/O35 recurrences, streaming operators, and
 the seed-dependent MLlib variants are rows-only by design (not
 SQL-expressible; both ANN variants are deterministic and carry full
 oracles). Oracled queries are ordered first so the driver's 50-entry
-correctness window holds every never-yet-verified oracle; thirty
+correctness window holds every never-yet-verified oracle; thirty-one
 long-stable driver-green entries are deliberately demoted behind it
 (registry._DEMOTED, still exactly checked every run by
 tests/test_oracle_parity).
