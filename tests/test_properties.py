@@ -203,7 +203,10 @@ def test_session_stats_conserves_events(spark):
     the full event count."""
     from trendmachine_spark.registry import QUERIES, clear_cache
 
+    from trendmachine_spark.sources.tables import load_table
+
     clear_cache()
-    out = QUERIES["session_stats"].builder(spark, "/root/testdata/sf0.001")
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["session_stats"].builder(spark, sf)
     got = out.agg(F.sum("total_events")).collect()[0][0]
-    assert got == 1000
+    assert got == load_table(spark, sf, "events").count()

@@ -99,3 +99,70 @@ def test_report_store_refresh_equals_full_rebuild(spark, tmp_path):
         map(tuple, daily_series(caps, fill=2, policy="closest", as_of=as_of).collect())
     )
     assert got == want
+
+
+def test_report_store_advancing_as_of_recomputes_all_buckets(spark, tmp_path):
+    """Daily usage advances the horizon each refresh: the persisted
+    as_of must force a full-bucket recompute so untouched buckets'
+    spines are extended too (refresh ≡ rebuild at the NEW horizon)."""
+    from trendmachine_spark.pipeline import daily_series
+    from trendmachine_spark.sinks import (
+        ROLLUP_BUCKETS,
+        init_report_store,
+        read_store,
+        refresh_report_store,
+    )
+
+    caps = _caps(spark)
+    cut = "20240125000000"
+    store = str(tmp_path / "rstore")
+    init_report_store(caps.filter(F.col("ts") < cut), store, "2024-01-25")
+    touched = refresh_report_store(
+        spark, store, caps.filter(F.col("ts") >= cut), "2024-02-05"
+    )
+    assert touched == list(range(ROLLUP_BUCKETS))  # horizon moved => all
+
+    got = sorted(map(tuple, read_store(spark, store).collect()))
+    want = sorted(map(tuple, daily_series(
+        caps, fill=2, policy="closest", as_of="2024-02-05").collect()))
+    assert got == want
+
+
+def test_refresh_retry_is_idempotent(spark, tmp_path):
+    """A retried refresh (same batch_id, same delta) must not
+    double-append capture history or change the output."""
+    from trendmachine_spark.operators.normalize import normalize_captures
+    from trendmachine_spark.operators.rollup import daily_rollup
+
+    caps = _caps(spark)
+    cut = "20240125000000"
+    store = str(tmp_path / "store")
+    init_rollup_store(caps.filter(F.col("ts") < cut), store)
+    delta = caps.filter(F.col("ts") >= cut)
+    refresh_rollup_store(spark, store, delta, batch_id="2024-01-25-ingest")
+    n_caps = spark.read.parquet(store + "/captures").count()
+    refresh_rollup_store(spark, store, delta, batch_id="2024-01-25-ingest")
+    assert spark.read.parquet(store + "/captures").count() == n_caps
+
+    got = sorted(map(tuple, read_rollup_store(spark, store).collect()))
+    want = sorted(map(tuple, daily_rollup(normalize_captures(caps)).collect()))
+    assert got == want
+
+
+def test_keyless_retry_still_yields_correct_output(spark, tmp_path):
+    """Without a batch_id the append duplicates rows on disk, but the
+    (url, seq, ts) dedupe at re-read keeps the OUTPUT exact."""
+    from trendmachine_spark.operators.normalize import normalize_captures
+    from trendmachine_spark.operators.rollup import daily_rollup
+
+    caps = _caps(spark)
+    cut = "20240125000000"
+    store = str(tmp_path / "store")
+    init_rollup_store(caps.filter(F.col("ts") < cut), store)
+    delta = caps.filter(F.col("ts") >= cut)
+    refresh_rollup_store(spark, store, delta)
+    refresh_rollup_store(spark, store, delta)  # keyless retry
+
+    got = sorted(map(tuple, read_rollup_store(spark, store).collect()))
+    want = sorted(map(tuple, daily_rollup(normalize_captures(caps)).collect()))
+    assert got == want

@@ -3,6 +3,8 @@ helpers persist them in layouts that stay queryable at 100 TB."""
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,8 +63,37 @@ def report_transform(as_of, fill: int = 2, policy: str = "closest"):
     return transform
 
 
+def _write_meta(spark: SparkSession, store_dir: str, meta: dict) -> None:
+    # one-line JSON sidecar written THROUGH Spark (not local file IO) so
+    # the store stays portable to any Hadoop-compatible FS at scale
+    spark.createDataFrame(
+        [(json.dumps(meta, sort_keys=True),)], "v string"
+    ).coalesce(1).write.mode("overwrite").text(store_dir + "/_meta")
+
+
+def _read_meta(spark: SparkSession, store_dir: str) -> dict | None:
+    try:
+        rows = spark.read.text(store_dir + "/_meta").collect()
+    except Exception:  # pre-metadata store (backward compat)
+        return None
+    return json.loads(rows[0][0]) if rows else None
+
+
+def _applied_batches(spark: SparkSession, store_dir: str) -> set[str]:
+    try:
+        return {r[0] for r in spark.read.text(store_dir + "/_batches").collect()}
+    except Exception:
+        return set()
+
+
+def _log_batch(spark: SparkSession, store_dir: str, batch_id: str) -> None:
+    spark.createDataFrame([(batch_id,)], "v string").coalesce(1).write.mode(
+        "append"
+    ).text(store_dir + "/_batches")
+
+
 def init_store(captures: DataFrame, store_dir: str, transform=_rollup_transform,
-               n_buckets: int = ROLLUP_BUCKETS) -> None:
+               n_buckets: int = ROLLUP_BUCKETS, meta: dict | None = None) -> None:
     """Materialize any URL-CLOSED transform of the capture stream as an
     incrementally-refreshable store: raw captures AND the transform's
     output, both partitioned by a stable url hash bucket.
@@ -88,11 +119,13 @@ def init_store(captures: DataFrame, store_dir: str, transform=_rollup_transform,
     out.withColumn("url_bucket", b).write.mode("overwrite").partitionBy(
         "url_bucket"
     ).parquet(store_dir + "/output")
+    _write_meta(captures.sparkSession, store_dir, meta or {})
 
 
 def refresh_store(spark: SparkSession, store_dir: str, delta_captures: DataFrame,
                   transform=_rollup_transform,
-                  n_buckets: int = ROLLUP_BUCKETS) -> list[int]:
+                  n_buckets: int = ROLLUP_BUCKETS, meta: dict | None = None,
+                  batch_id: str | None = None) -> list[int]:
     """Incremental refresh: append the ingest batch to the captures
     store, then recompute and dynamic-partition-overwrite ONLY the
     output buckets containing touched urls. Returns the refreshed
@@ -110,19 +143,46 @@ def refresh_store(spark: SparkSession, store_dir: str, delta_captures: DataFrame
     the ingest must assign store-wide seq values (an arrival counter);
     slices that never interleave timestamps (the daily-batch case) are
     safe with per-batch seq.
+
+    Safety contracts (both previously silent failure modes):
+
+    * ``meta`` — the transform's closed-over parameters (e.g. the report
+      flavor's ``as_of`` horizon). Compared against the metadata
+      persisted at init: when it CHANGED, every bucket's output is stale
+      (an advanced horizon extends every url's spine, not just touched
+      urls), so ALL buckets are recomputed and the new meta persisted.
+      Untouched-bucket pruning only ever applies under an unchanged
+      meta.
+    * ``batch_id`` — idempotence key for the ingest batch. A batch id
+      already recorded in the store's batch log skips the capture
+      append (a retried refresh re-computes output but never
+      double-appends history); additionally the bucket-history re-read
+      dedupes on ``(url, seq, ts)`` — seq is an arrival counter, so the
+      key is unique by contract — which keeps even keyless retries from
+      inflating rollup counts.
     """
+    meta = meta or {}
+    stored_meta = _read_meta(spark, store_dir)
+    meta_changed = stored_meta is not None and stored_meta != meta
     b = _url_bucket(n_buckets)
     delta = delta_captures.withColumn("url_bucket", b)
-    delta.write.mode("append").partitionBy("url_bucket").parquet(
-        store_dir + "/captures"
-    )
-    buckets = sorted(
-        r[0] for r in delta.select("url_bucket").distinct().collect()
-    )
+    if batch_id is None or batch_id not in _applied_batches(spark, store_dir):
+        delta.write.mode("append").partitionBy("url_bucket").parquet(
+            store_dir + "/captures"
+        )
+        if batch_id is not None:
+            _log_batch(spark, store_dir, batch_id)
+    if meta_changed:
+        buckets = list(range(n_buckets))
+    else:
+        buckets = sorted(
+            r[0] for r in delta.select("url_bucket").distinct().collect()
+        )
     caps = (
         spark.read.parquet(store_dir + "/captures")
         .filter(F.col("url_bucket").isin(buckets))
         .drop("url_bucket")
+        .dropDuplicates(["url", "seq", "ts"])
     )
     out = transform(caps).withColumn("url_bucket", b)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -133,6 +193,8 @@ def refresh_store(spark: SparkSession, store_dir: str, delta_captures: DataFrame
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if meta_changed:
+        _write_meta(spark, store_dir, meta)
     return buckets
 
 
@@ -145,23 +207,31 @@ def init_rollup_store(captures, store_dir, n_buckets=ROLLUP_BUCKETS):
     init_store(captures, store_dir, _rollup_transform, n_buckets)
 
 
-def refresh_rollup_store(spark, store_dir, delta_captures, n_buckets=ROLLUP_BUCKETS):
-    return refresh_store(spark, store_dir, delta_captures, _rollup_transform, n_buckets)
+def refresh_rollup_store(spark, store_dir, delta_captures, n_buckets=ROLLUP_BUCKETS,
+                         batch_id=None):
+    return refresh_store(spark, store_dir, delta_captures, _rollup_transform,
+                         n_buckets, batch_id=batch_id)
 
 
 read_rollup_store = read_store
 
 
 #: scored-report flavor: the flagship 16-column daily report. as_of is
-#: required (see report_transform) — pass the ingest horizon date.
+#: required (see report_transform) — pass the ingest horizon date. The
+#: horizon is persisted in store metadata; a refresh with a NEWER as_of
+#: (the natural daily usage) triggers a full-bucket recompute so spines
+#: in untouched buckets are extended too (refresh ≡ rebuild holds for
+#: advancing horizons, pinned by tests/test_rollup_store.py).
 def init_report_store(captures, store_dir, as_of, n_buckets=ROLLUP_BUCKETS):
-    init_store(captures, store_dir, report_transform(as_of), n_buckets)
+    init_store(captures, store_dir, report_transform(as_of), n_buckets,
+               meta={"as_of": str(as_of)})
 
 
 def refresh_report_store(spark, store_dir, delta_captures, as_of,
-                         n_buckets=ROLLUP_BUCKETS):
+                         n_buckets=ROLLUP_BUCKETS, batch_id=None):
     return refresh_store(
-        spark, store_dir, delta_captures, report_transform(as_of), n_buckets
+        spark, store_dir, delta_captures, report_transform(as_of), n_buckets,
+        meta={"as_of": str(as_of)}, batch_id=batch_id
     )
 
 
