@@ -801,3 +801,80 @@ def test_packed_text_token_additivity(spark):
     # every source word survives exactly once across the packed corpus
     all_words = sorted(w for p in packs for w in p["text"].split(" "))
     assert all_words == sorted(w for _, t in rows for w in t.split(" "))
+
+
+def test_connected_components_chain_graph_escalates(spark):
+    """A 200-node path graph (diameter 199) blows the hash-min budget;
+    connected_components must escalate to large-star/small-star and
+    still return exact min-id components — a RuntimeError here is the
+    template-drift failure mode the escalation exists to remove."""
+    import random
+
+    from trendmachine_spark.extensions.clusters import connected_components
+
+    rng = random.Random(7)
+    perm = list(range(200))
+    rng.shuffle(perm)  # chain over shuffled ids: min sits mid-chain
+    chain = [(perm[i], perm[i + 1]) for i in range(199)]
+    # plus two dense near-clique components (the common near-dup shape)
+    clique1 = [(1000 + i, 1000 + j) for i in range(5) for j in range(i + 1, 5)]
+    clique2 = [(2000, 2001), (2001, 2002), (2000, 2002)]
+    edges = spark.createDataFrame(chain + clique1 + clique2, "id_a long, id_b long")
+
+    got = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert len(got) == 208
+    for n in perm:
+        assert got[n] == 0
+    for n in range(1000, 1005):
+        assert got[n] == 1000
+    for n in range(2000, 2003):
+        assert got[n] == 2000
+
+
+def test_star_components_matches_hashmin_on_dense_graph(spark):
+    """Both component paths agree on a random graph (cross-validation of
+    the escalation path against the plain hash-min path)."""
+    import random
+
+    from trendmachine_spark.extensions.clusters import (
+        _star_components,
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    via_star = {(r["node"], r["cluster"]) for r in _star_components(df).collect()}
+    via_hashmin = {
+        (r["node"], r["cluster"])
+        for r in connected_components(df, max_iter=25).collect()
+    }
+    assert via_star == via_hashmin
+
+
+def test_lsh_bucket_cap_chains_hot_buckets(spark):
+    """A bucket over MAX_LSH_BUCKET must emit a chain (linear pairs),
+    not all-pairs (quadratic) — and downstream clustering must still
+    recover the full component via the chain."""
+    from trendmachine_spark.extensions.clusters import dedup_clusters
+    from trendmachine_spark.extensions.dedup import minhash_near_dup
+
+    n = 120  # one boilerplate family > MAX_LSH_BUCKET = 100
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate sentence repeated for every page")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    chained = minhash_near_dup(docs)
+    got = sorted((r["id_a"], r["id_b"]) for r in chained.collect())
+    assert got == [(i, i + 1) for i in range(n - 1)]  # chain, not clique
+
+    unguarded = minhash_near_dup(docs, max_bucket_size=None)
+    assert unguarded.count() == n * (n - 1) // 2  # the quadratic shape
+
+    clusters = dedup_clusters(docs, min_jaccard=0.9)
+    rows = clusters.collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}  # one component survives
+    assert sum(r["is_keeper"] for r in rows) == 1

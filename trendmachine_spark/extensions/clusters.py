@@ -23,10 +23,13 @@ over the verified pair graph — and one keeper per cluster.
 
 Scale: the iterative join is over the *verified-pair* graph — orders of
 magnitude smaller than the corpus. For pathological chain-shaped graphs
-(diameter ~ n) the hash-min rounds degrade; the standard fix at that
-point is large-star/small-star (alternating conditional joins), which
-keeps the same join shape — documented here, not needed for dedup
-workloads where components are near-cliques.
+(diameter ~ n) the hash-min rounds degrade — template pages that drift
+one token per generation DO produce long chains at corpus scale — so
+:func:`connected_components` escalates automatically: after
+``max_iter`` hash-min rounds it switches to alternating
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14), which contracts any graph in
+O(log^2 n) rounds with the same join-shape per round.
 """
 
 from __future__ import annotations
@@ -78,15 +81,103 @@ def verify_candidates(candidates: DataFrame, docs: DataFrame,
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its LARGER neighbors to
+    the smallest node of its closed neighborhood. Input/output: directed
+    (u, v) edge list covering both directions of every undirected edge.
+
+    Shape: one groupBy(u) for the neighborhood minimum + one hash join
+    back — no driver-side data, per-round cost linear in |E|.
+    """
+    mins = edges.groupBy("u").agg(F.min("v").alias("_mv"))
+    mins = mins.select("u", F.least("u", "_mv").alias("_m"))
+    out = (
+        edges.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("_a"), F.col("_m").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    # re-symmetrize for the next grouping
+    return out.select(F.col("_a").alias("u"), F.col("_b").alias("v")).unionByName(
+        out.select(F.col("_b").alias("u"), F.col("_a").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its SMALLER-or-equal
+    neighbors (and itself) to the smallest of them. Input: symmetric
+    directed edges; output: canonical (hi=u, lo=v) star edges, deduped.
+    """
+    canon = edges.filter(F.col("u") > F.col("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("_m"))
+    joined = canon.join(mins, "u")
+    out = (
+        joined.select(F.col("v").alias("_a"), F.col("_m").alias("_b"))
+        .unionByName(joined.select(F.col("u").alias("_a"), F.col("_m").alias("_b")))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    return out.select(F.col("_a").alias("u"), F.col("_b").alias("v"))
+
+
+def _star_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """(node, cluster) via alternating large-star/small-star — converges
+    in O(log^2 n) rounds on ANY graph shape (chains included), per round
+    two groupBy+join passes over the current edge set.
+
+    Convergence test: the canonical star edge set is stable — checked
+    with a count + order-independent xor-of-hashes checksum (one scalar
+    aggregate, nothing collected beyond two numbers).
+    """
+    cur = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    cur = cur.filter(F.col("u") != F.col("v"))
+    sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)
+
+    def _sig(canon: DataFrame):
+        row = canon.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(u, v))"),  # order-independent, no overflow
+        ).collect()[0]
+        return (row[0], row[1])
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        stars = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        sig = _sig(stars)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        sym = stars.unionByName(
+            stars.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_rounds} rounds"
+        )
+    # converged: every canonical edge is (node, root-of-component)
+    roots = stars.select(F.col("v").alias("node")).distinct().withColumn(
+        "cluster", F.col("node")
+    )
+    members = stars.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("cluster")
+    )
+    return members.unionByName(roots.join(members, "node", "left_anti"))
+
+
+def connected_components(edges: DataFrame, max_iter: int = 8) -> DataFrame:
     """(node, cluster) — cluster = min node id reachable in the pair graph.
 
     Hash-min label propagation: labels start as the node's own id; each
     round a node adopts min(own label, neighbors' labels). Converged
     when no label changes (checked with a scalar count — no data is
-    collected to the driver). Raises if ``max_iter`` rounds do not
-    converge, which for near-dup graphs indicates a pathological chain
-    (see module docstring for the large-star/small-star escalation).
+    collected to the driver). Near-dup components are small and dense
+    (diameter 2-3), so hash-min closes them in a handful of rounds; if
+    ``max_iter`` rounds do NOT converge the graph has long chains
+    (diameter > max_iter) and the routine ESCALATES to alternating
+    large-star/small-star (:func:`_star_components`), which contracts
+    chain graphs in O(log^2 n) rounds instead of O(diameter).
     """
     both = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -126,11 +217,9 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                 return labels.select("node", F.col("label").alias("cluster"))
     finally:
         both.unpersist()
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "graph diameter exceeds the hash-min budget — switch to "
-        "large-star/small-star for chain-shaped graphs"
-    )
+    # diameter exceeds the hash-min budget (chain-shaped graph):
+    # escalate to the O(log^2 n) star contraction instead of failing
+    return _star_components(edges)
 
 
 def dedup_clusters(docs: DataFrame, text_col: str = "text",
