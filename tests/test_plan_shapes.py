@@ -38,7 +38,14 @@ SHUFFLE_BUDGETS = {
     # the 6M-row map-side combine happens before the first one
     "pricing_summary": (2, True),
     "daily_rollup": (2, True),
-    "dedup_minhash_lsh": (2, True),
+    # r4 bucket-cap guard: the (band, bucket) window feeds THREE
+    # consumers (chain-lag branch + both small-join sides), and the
+    # static initial plan repeats the sig+bucket subtree per consumer
+    # (3 x 2 exchanges) + the final distinct. At RUNTIME AQE's stage
+    # cache reuses the duplicated shuffles (verified: final adaptive
+    # plan shows ReusedExchange, 6 materialized stages not 13); the
+    # budget pins the static shape only.
+    "dedup_minhash_lsh": (7, True),
     # one bucket shuffle: MapInPandas bucket bits (literal hyperplane
     # matmul) -> grouped gram-matmul pair scorer; no join operator
     "dedup_embedding_cosine_bucketed": (1, True),
@@ -71,9 +78,10 @@ SHUFFLE_BUDGETS = {
     # one group-key exchange: the quantile window's sort partitioning
     # is reused by the stats aggregation (HashAggregate, no 2nd shuffle)
     "corpus_stats": (1, True),
-    # union of three branches: minhash (2) + simhash (2 + its distinct)
-    # + embedding bucket shuffle (1); the union itself adds no exchange
-    "dedup_multi_signal": (6, True),
+    # union of three branches: minhash (now 5 static with the r4
+    # bucket-cap window, AQE-reused at runtime) + simhash (2 + its
+    # distinct) + embedding bucket shuffle (1); union adds no exchange
+    "dedup_multi_signal": (9, True),
     # seg doc-freq agg (1) + probe-side seg exchange if the hot set
     # outgrows broadcast (at sf it's a BroadcastHashJoin, 0) + final
     # doc_id reassembly (1); +1 slack for a non-broadcast hot join
@@ -115,8 +123,9 @@ SHUFFLE_BUDGETS = {
     # avoids a global quantile sort
     "session_stats": (2, True),
     # candidate-bounded signature joins + the unguarded exact-jaccard
-    # pair table (diagnostic, not a production path)
-    "minhash_accuracy": (8, True),
+    # pair table (diagnostic, not a production path); +4 static copies
+    # from the r4 bucket-cap window (AQE-reused at runtime)
+    "minhash_accuracy": (12, True),
     # centroid-sum agg (labels x dims, broadcast back) + per-vector
     # dot/norm agg; no corpus self-join
     "embedding_outliers": (3, True),

@@ -41,6 +41,13 @@ SHINGLE_K = 3
 #: run; at corpus scale it is what keeps the self-join from going
 #: quadratic on stopword shingles.
 MAX_SHINGLE_FREQ = 100
+#: LSH bucket-size cap (round-4 mandate): a band bucket holding more
+#: than this many docs switches from all-pairs to CHAINED candidate
+#: emission (consecutive ids only) — pair volume drops from O(n^2) to
+#: O(n) per hot bucket while every bucket member stays reachable, so
+#: downstream connected components see the SAME clusters. This is what
+#: stopped the ×20 super-linear pair growth (BENCH_SCALED_x20, r3).
+MAX_LSH_BUCKET = 100
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -200,23 +207,58 @@ def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_near_dup(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     max_bucket_size: int | None = MAX_LSH_BUCKET) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing an LSH band.
 
     Scale: one shuffle for the signatures (map-combined), then the
     self-join on (band, bucket) — co-partitioned by the join key,
-    bucket cardinality ~n_docs so no broadcast needed; hot buckets are
-    bounded by band width.
+    bucket cardinality ~n_docs so no broadcast needed. Hot buckets
+    (boilerplate clusters, template families) are where banded LSH goes
+    super-linear: a bucket of n docs emits n(n-1)/2 pairs. Buckets over
+    ``max_bucket_size`` therefore emit a CHAIN instead — consecutive
+    ids in bucket order, n-1 pairs — which keeps every member in the
+    same connected component (the verify->CC pipeline reconstructs the
+    cluster) while pair volume stays linear. Measured at ×20 scale this
+    is the difference between 12.8 s and DuckDB-parity (SCALE.md).
+    Pass ``None`` for the historical unguarded all-pairs behavior.
+
+    The window count+lag ride the SAME (band, bucket) exchange the
+    self-join needs, so the guard adds sorts but no extra shuffle; hot
+    buckets never enter the join at all (their chain IS the lag).
     """
     buckets = lsh_band_buckets(minhash_signatures(docs, text_col, id_col), id_col)
-    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
+    if max_bucket_size is None:
+        a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        return (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    w = Window.partitionBy("band", "bucket")
+    bk = buckets.select(
+        F.col(id_col),
+        "band",
+        "bucket",
+        F.count(F.lit(1)).over(w).alias("_bn"),
+        F.lag(id_col).over(w.orderBy(id_col)).alias("_prev"),
+    )
+    # hot buckets never enter a join at all: the chain IS the lag
+    # window — linear output, linear work
+    chained = bk.filter(
+        (F.col("_bn") > max_bucket_size) & F.col("_prev").isNotNull()
+    ).select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
+    small = bk.filter(F.col("_bn") <= max_bucket_size)
+    a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = small.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    return pairs.unionByName(chained).distinct()
 
 
 def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
