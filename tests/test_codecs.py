@@ -1,0 +1,103 @@
+"""Pure-Python BMP/WAV codecs (extensions/codecs.py) — the real decode
+path's byte-level core, testable without Spark."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from trendmachine_spark.extensions.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    resize_nearest,
+)
+
+
+def test_bmp_round_trip_odd_width():
+    """Width 5 => 15-byte rows padded to 16: the padding must not leak
+    into decoded pixels."""
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(4, 5, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_round_trip_various_shapes():
+    rng = np.random.RandomState(9)
+    for h, w in [(1, 1), (2, 7), (13, 4), (8, 8)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px), (h, w)
+
+
+def test_bmp_top_down_negative_height():
+    """Spec: negative biHeight = top-down row order."""
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = bytearray(encode_bmp(px))
+    # encode_bmp wrote bottom-up rows; flip the sign AND the row order
+    # to express the same image top-down
+    h = struct.unpack_from("<i", data, 14 + 8)[0]
+    struct.pack_into("<i", data, 14 + 8, -h)
+    row_len = (3 * 3 + 3) & ~3
+    offset = struct.unpack_from("<I", data, 10)[0]
+    rows = [bytes(data[offset + i * row_len:offset + (i + 1) * row_len]) for i in range(2)]
+    data[offset:offset + 2 * row_len] = rows[1] + rows[0]
+    assert np.array_equal(decode_bmp(bytes(data)), px)
+
+
+def test_bmp_rejects_non_bmp_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(px))
+    struct.pack_into("<H", data, 14 + 14, 8)  # claim 8-bit
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(data))
+
+
+def test_wav_round_trip():
+    s = (np.arange(300) * 31 % 65536 - 32768).astype("<i2")
+    rate, nch, got = decode_wav(encode_wav(s, sample_rate=16000))
+    assert rate == 16000 and nch == 1
+    assert np.array_equal(got, s)
+
+
+def test_wav_skips_extra_chunks():
+    """Chunk walk must handle LIST/INFO chunks before data, including
+    odd-length chunk padding."""
+    s = np.array([1, -2, 3], dtype="<i2")
+    base = encode_wav(s, sample_rate=8000)
+    # splice an odd-length junk chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # even-padded
+    patched = base[:fmt_end] + junk + base[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, _, got = decode_wav(patched)
+    assert rate == 8000
+    assert np.array_equal(got, s)
+
+
+def test_wav_rejects_non_pcm():
+    s = np.array([0, 1], dtype="<i2")
+    data = bytearray(encode_wav(s))
+    struct.pack_into("<H", data, 12 + 8, 3)  # IEEE float tag
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(data))
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_resize_nearest_matches_manual():
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    out = resize_nearest(px, 8, 3)
+    assert out.shape == (3, 8, 3)
+    for y in range(3):
+        for x in range(8):
+            assert np.array_equal(out[y, x], px[(y * 6) // 3, (x * 4) // 8])
+
+
+def test_resize_identity():
+    px = np.arange(5 * 5 * 3, dtype=np.uint8).reshape(5, 5, 3)
+    assert np.array_equal(resize_nearest(px, 5, 5), px)

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Driver-mandated extension (SURVEY.md §2.6). The container has no image/
-audio codecs, so the *decode* step is stubbed (NotImplementedError or a
-deterministic fake), but the Spark-side plumbing is real and tested:
-binary columns, typed metadata structs, Arrow-batched ``mapInPandas``
-with an explicit output schema, and partition-count-preserving flow.
+Driver-mandated extension (SURVEY.md §2.6). The *decode* step runs for
+REAL on the two formats simple enough to decode from spec without
+PIL/librosa/ffmpeg — uncompressed 24-bit BMP and RIFF PCM WAV
+(``extensions/codecs.py``) — with ``NotImplementedError`` reserved for
+genuinely exotic codecs (JPEG/MP4/...). The historical deterministic-
+fake path remains for oracled metadata flows over text-derived assets.
+Spark-side plumbing is identical either way: binary columns, typed
+metadata structs, Arrow-batched ``mapInPandas`` with an explicit output
+schema, and partition-count-preserving flow.
 
 At 100 TB the payload column dominates I/O: keep it in its own parquet
 column (columnar pruning skips it unless selected), decode with
@@ -46,21 +50,19 @@ def to_binary_assets(docs: DataFrame, text_col: str = "text",
 def decode_assets(assets: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads.
 
-    With ``real_decode=True`` this is where PIL/librosa would run —
-    unavailable in this container, so it raises. The default path emits
-    deterministic fake features derived from the payload bytes so the
-    batch shape, schema, and partitioning are exercised end-to-end.
+    With ``real_decode=True`` this delegates to the REAL in-sandbox
+    decoder (:func:`decode_assets_real` — BMP/WAV from spec; exotic
+    codecs raise inside it). The default path emits deterministic fake
+    features derived from the payload bytes so the batch shape, schema,
+    and partitioning are exercised end-to-end on text-derived assets.
     """
+    if real_decode:
+        return decode_assets_real(assets)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "media codecs are not available in this environment; "
-                    "plug PIL/librosa/ffmpeg here on a real cluster"
-                )
             payloads = pdf["payload"]
             md5s = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
             n = payloads.map(len)
@@ -96,8 +98,9 @@ def resize_assets(assets: DataFrame, out_width: int = 64, out_height: int = 64,
                   real_resize: bool = False) -> DataFrame:
     """Arrow-batched resize over binary payloads (PIL slot stubbed).
 
-    With ``real_resize=True`` this is where ``PIL.Image.resize`` would
-    run — unavailable here, so it raises. The default path emits a
+    With ``real_resize=True`` this delegates to the REAL in-sandbox
+    resizer (:func:`resize_assets_real` — BMP decode + nearest-neighbor
+    resample). The default path emits a
     deterministic fake: the "resized" asset is the first
     ``out_width*out_height`` characters of the utf-8 payload, md5'd.
     Character (not byte) truncation keeps the fake engine-portable:
@@ -107,17 +110,14 @@ def resize_assets(assets: DataFrame, out_width: int = 64, out_height: int = 64,
     Scale: same story as :func:`decode_assets` — one Arrow batch per
     task, payload column pruned unless selected, partitioning preserved.
     """
+    if real_resize:
+        return resize_assets_real(assets, out_width, out_height)
     budget = out_width * out_height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            if real_resize:
-                raise NotImplementedError(
-                    "image codecs are not available in this environment; "
-                    "plug PIL.Image.open(...).resize(...) here on a real cluster"
-                )
             texts = pdf["payload"].map(lambda b: bytes(b).decode("utf-8"))
             clipped = texts.map(lambda t: t[:budget])
             n = len(pdf)
@@ -191,3 +191,180 @@ def frame_sample(assets: DataFrame, frame_len: int = 32, every_n: int = 4,
             )
 
     return assets.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# =====================================================================
+# REAL byte-level decode path (round-4 mandate): BMP + WAV from spec,
+# pure numpy, inside Arrow-batched mapInPandas. Payload generation is a
+# deterministic function of doc_id, so a DuckDB oracle can compute the
+# expected dimensions and position/channel-weighted checksums in closed
+# form while Spark actually round-trips real bytes — any padding, row-
+# order (bottom-up), channel-order (BGR), or chunk-walk bug changes the
+# weighted sum and fails the value-hash.
+# =====================================================================
+
+REAL_ASSET_SCHEMA = "doc_id bigint, payload binary, media_type string"
+REAL_DECODED_SCHEMA = (
+    "doc_id bigint, media string, width int, height int, channels int, "
+    "sample_rate int, n_samples bigint, value_sum bigint"
+)
+REAL_RESIZED_SCHEMA = (
+    "doc_id bigint, out_width int, out_height int, value_sum bigint, "
+    "resized_md5 string"
+)
+
+
+def _codecs_by_value():
+    """Ship the codecs module BY VALUE inside the closure pickle: the
+    driver harness does not guarantee the package is importable on
+    executor python workers (see verify SKILL gotchas)."""
+    from pyspark import cloudpickle
+
+    from trendmachine_spark.extensions import codecs
+
+    try:
+        cloudpickle.register_pickle_by_value(codecs)
+    except Exception:
+        pass  # older cloudpickle: package must be on the workers' path
+    return codecs
+
+
+def synthetic_media_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media payloads per doc id: even ids become
+    24-bit BMPs (width 4+id%13, height 3+id%7, per-channel pixel
+    formulas), odd ids 16-bit PCM WAVs (50+id%100 samples at
+    8000+(id%4)*4000 Hz). Encoded with the real encoders — the bytes on
+    the wire are valid files any external tool could open."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, types = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                if d % 2 == 0:
+                    w, h = 4 + d % 13, 3 + d % 7
+                    x = np.arange(w)[None, :, None]
+                    y = np.arange(h)[:, None, None]
+                    chan = np.concatenate(
+                        [
+                            (x * 7 + y * 13 + d) % 256,
+                            (x * 11 + y * 3 + d) % 256,
+                            (x * 5 + y * 17 + d) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    payloads.append(codecs.encode_bmp(chan))
+                    types.append("image/bmp")
+                else:
+                    n = 50 + d % 100
+                    rate = 8000 + (d % 4) * 4000
+                    s = ((np.arange(n) * 31 + d) % 65536 - 32768).astype("<i2")
+                    payloads.append(codecs.encode_wav(s, sample_rate=rate))
+                    types.append("audio/wav")
+                ids.append(d)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "media_type": pd.Series(types, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, schema=REAL_ASSET_SCHEMA)
+
+
+def decode_assets_real(assets: DataFrame) -> DataFrame:
+    """REAL decode: sniff the payload magic, parse BMP/WAV from spec,
+    and emit typed metadata plus a position/channel-weighted integer
+    checksum of the decoded values (bmp: sum over pixels of
+    (1+(x+2y)%5)*(R+2G+3B); wav: sum over samples of (1+i%7)*s_i).
+    Weighting makes the checksum sensitive to exactly the mistakes a
+    decoder can make — row flips, BGR/RGB swaps, padding leaks, sample
+    offsets. Exotic codecs raise NotImplementedError (by design).
+
+    Fields that do not apply to a media kind are 0, not NULL — nullable
+    int columns round-trip through pandas as floats/ext-dtypes
+    differently per engine and would flake the driver's value hash."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "media", "width", "height",
+                                    "channels", "sample_rate", "n_samples",
+                                    "value_sum")}
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                if b[:2] == b"BM":
+                    px = codecs.decode_bmp(b).astype(np.int64)
+                    h, w = px.shape[:2]
+                    wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
+                    mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
+                    vals = (did, "bmp", w, h, 3, 0, 0, int((wgt * mixed).sum()))
+                elif b[:4] == b"RIFF":
+                    rate, _nch, samples = codecs.decode_wav(b)
+                    s = samples.astype(np.int64)
+                    vals = (did, "wav", 0, 0, 0, rate, len(s),
+                            int(((1 + np.arange(len(s)) % 7) * s).sum()))
+                else:
+                    raise NotImplementedError(
+                        f"no in-sandbox codec for payload magic {b[:4]!r}; "
+                        "plug PIL/ffmpeg here on a real cluster"
+                    )
+                for k, v in zip(rows, vals):
+                    rows[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "media": pd.Series(rows["media"], dtype="object"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "channels": pd.Series(rows["channels"], dtype="int32"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "value_sum": pd.Series(rows["value_sum"], dtype="int64"),
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(run, schema=REAL_DECODED_SCHEMA)
+
+
+def resize_assets_real(assets: DataFrame, out_width: int = 8,
+                       out_height: int = 6) -> DataFrame:
+    """REAL resize: decode the BMP payload, nearest-neighbor resample to
+    (out_width, out_height), and emit the weighted checksum of the
+    RESIZED pixels plus an md5 of the raw resized RGB bytes. Feed it
+    image assets only (filter media_type first) — non-BMP payloads
+    raise, same contract as :func:`decode_assets_real`."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        wgt = 1 + (np.arange(out_width)[None, :] + 2 * np.arange(out_height)[:, None]) % 5
+        for pdf in batches:
+            ids, sums, md5s = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = codecs.decode_bmp(bytes(b))
+                rs = codecs.resize_nearest(px, out_width, out_height).astype(np.int64)
+                mixed = rs[:, :, 0] + 2 * rs[:, :, 1] + 3 * rs[:, :, 2]
+                ids.append(did)
+                sums.append(int((wgt * mixed).sum()))
+                md5s.append(hashlib.md5(rs.astype(np.uint8).tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "out_width": pd.Series([out_width] * len(ids), dtype="int32"),
+                    "out_height": pd.Series([out_height] * len(ids), dtype="int32"),
+                    "value_sum": pd.Series(sums, dtype="int64"),
+                    "resized_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(run, schema=REAL_RESIZED_SCHEMA)
