@@ -99,3 +99,56 @@ def test_require_captures_raises_on_empty(spark):
         [("u", 0, "20240101000000", "200", "D1")], CAPTURES_SCHEMA
     )
     assert require_captures(nonempty) is nonempty
+
+
+def test_multi_file_seq_tie_break(spark, tmp_path):
+    """Equal-ts ties SPANNING files (round-4 mandate): seq derived from
+    (declared file order, in-file line rank) must reproduce the arrival
+    stream regardless of the order paths are handed to spark.read.text
+    or the shuffle partitioning."""
+    from trendmachine_spark.operators.normalize import normalize_captures
+    from trendmachine_spark.operators.rollup import daily_rollup
+    from trendmachine_spark.sources.captures import read_cdx_text
+
+    f1, f2 = tmp_path / "dump-001.cdx", tmp_path / "dump-002.cdx"
+    # same second, same digest: the file-2 revisit ('-') must resolve
+    # against the file-1 capture that ARRIVED first within the tie
+    f1.write_text("20240101120000 404 DGAAAAXX\n20240101130000 200 DGBBBBXX\n")
+    f2.write_text("20240101120000 - DGAAAAXX\n20240101140000 - DGBBBBXX\n")
+    paths = [str(f1), str(f2)]
+
+    def run(ps, parts):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            norm = normalize_captures(read_cdx_text(spark, ps, url="u"))
+            return (
+                sorted(map(tuple, norm.collect())),
+                sorted(map(tuple, daily_rollup(norm).collect())),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    base_norm, base_roll = run(paths, 32)
+    # the tie resolves through file-1's 404: revisit row classed 4xx
+    by_seq = {r[1]: r for r in base_norm}
+    assert by_seq[1][5] == "4xx"               # f1 line 1 (its own class)
+    assert by_seq[(1 << 40) + 1][5] == "4xx"   # f2 revisit resolved via tie
+    assert by_seq[(1 << 40) + 2][5] == "2xx"   # later revisit, resolved normally
+
+    assert run(list(reversed(paths)), 32) == (base_norm, base_roll)
+    assert run(paths, 1) == (base_norm, base_roll)
+
+
+def test_multi_file_seq_unlisted_file_fails_loudly(spark, tmp_path):
+    import pytest
+
+    from trendmachine_spark.sources.captures import parse_cdx_lines
+
+    f1, f2 = tmp_path / "a.cdx", tmp_path / "b.cdx"
+    f1.write_text("20240101120000 200 DGAAAAXX\n")
+    f2.write_text("20240101120001 200 DGBBBBXX\n")
+    lines = spark.read.text([str(f1), str(f2)])
+    df = parse_cdx_lines(lines, url="u", file_order=[str(f1)])  # b.cdx missing
+    with pytest.raises(Exception, match="file_order|ASSERT"):
+        df.collect()

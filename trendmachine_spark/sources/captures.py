@@ -22,28 +22,76 @@ from pyspark.sql import functions as F
 CAPTURES_SCHEMA = "url string, seq bigint, ts string, status string, digest string"
 
 
-def parse_cdx_lines(lines: DataFrame, url: str | None = None) -> DataFrame:
+#: per-file seq namespace width: up to 2^40 (~1.1e12) lines per file,
+#: up to 2^23 (~8.3M) files before the long seq overflows
+_SEQ_FILE_STRIDE = 1 << 40
+
+
+def _file_uri(path: str) -> str:
+    """Normalize a local path to the file: URI form input_file_name()
+    reports; full URIs (hdfs://, s3a://, file:) pass through."""
+    if "://" in path or path.startswith("file:"):
+        return path
+    from pathlib import Path
+
+    return Path(path).absolute().as_uri()
+
+
+def parse_cdx_lines(lines: DataFrame, url: str | None = None,
+                    file_order: list[str] | None = None) -> DataFrame:
     """Tokenize raw CDX text lines into the captures schema (main.py:144-145).
 
     ``lines`` is a DataFrame with a ``value`` string column (e.g. from
     ``spark.read.text``) holding ``"<ts> <status> <digest>"`` rows, and
     optionally a ``url`` column; a constant ``url`` may be supplied instead.
-    Arrival order is preserved per input file via a monotonically
-    increasing id (CDX pages are time-sorted, so (ts, seq) reproduces the
-    reference's stream order).
 
-    Assumption (multi-file reads): monotonically_increasing_id orders by
-    partition id, so cross-FILE seq follows Spark's file-enumeration
-    order, not necessarily the CDX fetch order — equal-ts tie-breaks
-    (revisit resolution, specimen first-wins) across file boundaries can
-    then differ from the original stream. For a single file (or
-    per-partition CDX dumps where a url never spans files) the order is
-    exact; cdx_live.py namespaces seq per page and is immune. If a url's
-    captures span files AND tie order matters, derive seq from
-    (input_file_name(), line offset) instead.
+    ``file_order`` (multi-file reads) closes the cross-file tie-break
+    gap: pass the source files in ARRIVAL order (their URIs or local
+    paths) and seq becomes ``file_rank * 2^40 + line_rank_within_file``
+    — a total order that follows the declared file order regardless of
+    Spark's file-enumeration or split-packing order, so equal-ts
+    tie-breaks (revisit resolution, specimen first-wins) across file
+    boundaries reproduce the original stream. Costs one bounded
+    exchange (hash by source file). An input file missing from
+    ``file_order`` fails the job loudly rather than silently
+    misordering.
+
+    Without ``file_order``, seq is a plain monotonically increasing id:
+    exact in-file order for single-file reads (and per-partition dumps
+    where a url never spans files); cdx_live.py namespaces seq per page
+    and is immune either way.
     """
     parts = F.split(F.trim(F.col("value")), r"\s+")
-    out = lines.withColumn("seq", F.monotonically_increasing_id())
+    if file_order is None:
+        out = lines.withColumn("seq", F.monotonically_increasing_id())
+    else:
+        from pyspark.sql import Window
+
+        uris = [_file_uri(p) for p in file_order]
+        rank_map = F.create_map(
+            *[x for i, f in enumerate(uris) for x in (F.lit(f), F.lit(i))]
+        )
+        out = (
+            lines.withColumn("_file", F.input_file_name())
+            .withColumn("_rank", rank_map[F.col("_file")])
+            .withColumn(
+                "_line",
+                F.row_number().over(
+                    Window.partitionBy("_file").orderBy(F.monotonically_increasing_id())
+                ),
+            )
+            # the unmatched-file check lives INSIDE the kept seq column
+            # (a standalone assert column would be pruned unevaluated)
+            .withColumn(
+                "seq",
+                F.coalesce(
+                    F.col("_rank").cast("long") * F.lit(_SEQ_FILE_STRIDE) + F.col("_line"),
+                    F.raise_error(
+                        F.concat(F.lit("input file not in file_order: "), F.col("_file"))
+                    ).cast("long"),
+                ),
+            )
+        )
     if "url" not in lines.columns:
         out = out.withColumn("url", F.lit(url if url is not None else "~"))
     return out.select(
@@ -52,6 +100,24 @@ def parse_cdx_lines(lines: DataFrame, url: str | None = None) -> DataFrame:
         parts.getItem(0).alias("ts"),
         parts.getItem(1).alias("status"),
         parts.getItem(2).alias("digest"),
+    )
+
+
+def read_cdx_text(spark: SparkSession, paths: str | list[str],
+                  url: str | None = None) -> DataFrame:
+    """Read CDX dump file(s) with a file-order-exact seq.
+
+    Arrival order across files is their SORTED path order (CDX dumps
+    are conventionally date/page-stamped so lexicographic order is
+    fetch order); pass ``parse_cdx_lines(..., file_order=...)`` your
+    own list when it isn't. The file list is known driver-side from
+    the paths argument — no data scan is spent discovering it.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    return parse_cdx_lines(
+        spark.read.text(list(paths)), url=url,
+        file_order=sorted(_file_uri(p) for p in paths),
     )
 
 
