@@ -5,24 +5,27 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The real surface lives in ``trendmachine_spark.registry``: 91 named
+The real surface lives in ``trendmachine_spark.registry``: 93 named
 queries covering SURVEY.md §2's operator inventory (capture pipeline,
 dashboard aggregates) plus the §2.6 extension operators (dedup incl.
 end-to-end clustering, segment/semantic/incremental dedup, containment,
 sketch-accuracy, similarity search, text analysis, tokenizer-training
-inputs, chunking, corpus reporting/cards, multimodal, mixing/packing,
-quality scoring) and relational/event-analytics queries (funnel,
-retention, sessionization + duration histograms, temporal joins, JSON
-extraction, moving averages, CUBE margins). 81 have exactly-parallel
-DuckDB oracles (dedup clustering is oracled via a recursive-CTE
-transitive closure); the O34/O35 recurrences, streaming operators, and
-the seed-dependent MLlib variants are rows-only by design (not
+inputs, chunking, corpus reporting/cards, multimodal incl. REAL
+in-sandbox BMP/WAV byte-level decode, mixing/packing, quality scoring)
+and relational/event-analytics queries (funnel, retention,
+sessionization + duration histograms, temporal joins, JSON extraction,
+moving averages, CUBE margins). 83 have exactly-parallel DuckDB
+oracles (dedup clustering is oracled via a recursive-CTE transitive
+closure); the O34/O35 recurrences, streaming operators, and the
+seed-dependent MLlib variants are rows-only by design (not
 SQL-expressible; both ANN variants are deterministic and carry full
-oracles). Oracled queries are ordered first so the driver's 50-entry
-correctness window holds every never-yet-verified oracle; thirty-one
-long-stable driver-green entries are deliberately demoted behind it
-(registry._DEMOTED, still exactly checked every run by
-tests/test_oracle_parity).
+oracles). The driver's 50-entry correctness window holds every
+new/changed query (registry._WINDOW_PINNED) plus a ROTATING half of
+the long-stable pool: round parity alternates which half is demoted
+(registry._demoted_for_round), so every oracled query gets a driver
+sf0.01 check at least every other round; demoted names are still
+exactly checked every CI run by tests/test_oracle_parity, which pins
+the rotation invariant.
 """
 
 from __future__ import annotations

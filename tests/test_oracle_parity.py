@@ -43,8 +43,41 @@ def test_all_oracled_queries_inside_driver_window():
     from trendmachine_spark.registry import _DEMOTED
 
     names = list(QUERIES)
-    outside = [n for n in names[50:] if QUERIES[n].oracle is not None]
-    assert outside == [n for n in _DEMOTED if n in QUERIES], (
-        "oracled queries fell outside the driver's 50-entry window; "
-        "demote a long-stable name in registry._DEMOTED instead"
+    window = set(names[:50])
+    not_demoted = [n for n in ORACLE_QUERIES if n not in _DEMOTED]
+    missing = [n for n in not_demoted if n not in window]
+    assert not missing, (
+        f"non-demoted oracled queries fell outside the driver's 50-entry "
+        f"window: {missing} — the rotation (registry._demoted_for_round) "
+        "must cover them"
     )
+    # anything oracled beyond the window must be a deliberately demoted
+    # name (when the window has slack, leading demoted names slide in —
+    # harmless bonus checks)
+    outside = [n for n in names[50:] if QUERIES[n].oracle is not None]
+    assert set(outside) <= set(_DEMOTED)
+
+
+def test_demotion_rotates_every_other_round():
+    """Rotation invariant (round-4 mandate): no oracled query is absent
+    from the driver's sf0.01 window for more than one consecutive round.
+    Demoted halves of consecutive rounds are disjoint and together cover
+    the whole rotation pool; pinned (new/changed) names are never
+    demoted."""
+    from trendmachine_spark.registry import (
+        _DEMOTED,
+        _ROUND,
+        _WINDOW_PINNED,
+        _demoted_for_round,
+        _rotation_pool,
+    )
+
+    cur, nxt = set(_demoted_for_round(_ROUND)), set(_demoted_for_round(_ROUND + 1))
+    assert cur == set(_DEMOTED)
+    assert not cur & nxt  # a name demoted now is in the window next round
+    assert cur | nxt == set(_rotation_pool())  # nothing escapes the rotation
+    assert not cur & set(_WINDOW_PINNED)  # changed queries get checked NOW
+    # both parities keep the window within the driver's 50-entry limit
+    for r in (_ROUND, _ROUND + 1):
+        window = len(ORACLE_QUERIES) - len(_demoted_for_round(r))
+        assert window <= 50, f"round {r}: {window} oracled entries in window"
