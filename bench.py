@@ -2,10 +2,19 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>}
+   "queries": {name: sec, ...}, "sf": <scale factor>,
+   "queries_median": {...}, "queries_spread": {...},
+   "baseline": {...}, "comparable": {...}}
 
 Each query is forced to full materialization with the noop sink (count()
-alone can let Catalyst prune the expensive columns). Run directly:
+alone can let Catalyst prune the expensive columns). Beyond the best-of-4
+point estimate (``queries``), the artifact carries per-query median and
+spread (max-min of the 4 passes) AND a same-run DuckDB baseline: the 13
+SQL-expressible bench queries' oracle SQL, executed best-of-4 interleaved
+in the same process right after the Spark passes (materialized to a temp
+table — no Python-transfer cost, mirroring the noop sink). Spark/DuckDB
+ratios computed WITHIN one artifact are load-attributable: a host-noise
+burst moves both columns, a real regression moves only one. Run directly:
   python bench.py               # sf0.1, local[32]
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_CPUS=8 python bench.py
 """
@@ -14,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -102,24 +112,70 @@ def main() -> None:
     # noise bursts — this box is shared, and a single co-tenant spike
     # can stretch one wall-clock window 4-6x. The plan is NOT
     # result-cached: the full pipeline re-executes every pass.
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     dfs = {name: QUERIES[name].builder(spark, sf_dir) for name in BENCH_QUERIES}
     for _ in range(4):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             dfs[name].write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            timings[name] = round(min(timings.get(name, float("inf")), el), 3)
+            samples[name].append(time.perf_counter() - t0)
         spark.sparkContext._jvm.System.gc()
+
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spreads = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
+
+    # Same-run DuckDB baseline: the bench queries' own oracle SQL on the
+    # same parquet, best-of-4 interleaved, measured with the EXACT
+    # method BASELINE.md used (tools/duckdb_suite.py: execute+fetchall)
+    # so the column is comparable round-over-round. The Spark JVM is
+    # idle during this block, so both columns see the same host and the
+    # in-artifact ratio is load-attributable: a co-tenant burst moves
+    # both, a regression moves only one.
+    comparable = [n for n in BENCH_QUERIES if QUERIES[n].oracle is not None]
+    base_samples: dict[str, list[float]] = {n: [] for n in comparable}
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={cpus}")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    for _ in range(4):
+        for name in comparable:
+            t0 = time.perf_counter()
+            con.execute(QUERIES[name].oracle).fetchall()
+            base_samples[name].append(time.perf_counter() - t0)
+    con.close()
+
+    baseline = {n: round(min(s), 3) for n, s in base_samples.items()}
+    baseline_median = {n: round(statistics.median(s), 3) for n, s in base_samples.items()}
+    sp_best = sum(timings[n] for n in comparable)
+    db_best = sum(baseline.values())
+    sp_med = sum(medians[n] for n in comparable)
+    db_med = sum(baseline_median.values())
 
     total = round(sum(timings.values()), 3)
     timings["_cache_warmup"] = warmup
     print(json.dumps({
-        "metric": "trendmachine_spark bench suite wall-clock (warmed engine; best-of-4 interleaved; _cache_warmup reported separately)",
+        "metric": "trendmachine_spark bench suite wall-clock (warmed engine; best-of-4 interleaved; _cache_warmup reported separately; baseline = same-run DuckDB on the oracle SQL)",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries_median": medians,
+        "queries_spread": spreads,
+        "baseline": baseline,
+        "baseline_median": baseline_median,
+        "comparable": {
+            "queries": comparable,
+            "spark_best": round(sp_best, 3),
+            "duckdb_best": round(db_best, 3),
+            "ratio_best": round(sp_best / db_best, 3) if db_best else None,
+            "spark_median": round(sp_med, 3),
+            "duckdb_median": round(db_med, 3),
+            "ratio_median": round(sp_med / db_med, 3) if db_med else None,
+        },
     }))
     spark.stop()
 

@@ -1,0 +1,109 @@
+"""ANN recall artifact (round-4 mandate): recall@k of the approximate
+similarity paths vs the exact brute-force ranking, on the ×10 corpus.
+
+Both ANN paths are value-hash-exact against their own DEFINITIONS (the
+driver oracles pin that); this artifact tracks the other axis —
+approximation QUALITY — round-over-round:
+
+* SRP-LSH (ann_topk) at n_planes ∈ {4, 8}: fewer planes = bigger
+  buckets = higher recall, more compute.
+* IVF (ivf_topk) at n_probe ∈ {1, 2, 4}: more probed cells = higher
+  recall, proportionally more of the corpus touched (n_probe/n_cells).
+
+recall@k = |approx top-k ∩ exact top-k| / k, averaged over the query
+set. Writes ANN_RECALL.json at the repo root.
+
+Usage: python tools/ann_recall.py [x_multiple] (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_QUERIES = 32
+K = 10
+
+
+def _topk_sets(rows):
+    by_q: dict[int, set[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return by_q
+
+
+def _recall(approx_rows, exact_sets) -> float:
+    approx = _topk_sets(approx_rows)
+    recalls = [
+        len(approx.get(q, set()) & exact_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    return round(sum(recalls) / len(recalls), 4)
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    from pyspark.sql import SparkSession
+
+    from tools.scale_testdata import scale_dir
+    from trendmachine_spark.extensions.similarity import (
+        ann_topk,
+        brute_force_topk,
+        ivf_topk,
+    )
+    from trendmachine_spark.sources.tables import load_table
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dir = scale_dir("/root/testdata/sf0.1", f"/tmp/trendmachine_scaled_x{mult}", mult)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+
+    exact_sets = _topk_sets(brute_force_topk(emb, N_QUERIES, K).collect())
+
+    srp = {
+        f"n_planes={p}": _recall(ann_topk(emb, N_QUERIES, K, n_planes=p).collect(),
+                                 exact_sets)
+        for p in (4, 8)
+    }
+    ivf = {
+        f"n_probe={np_}": _recall(
+            ivf_topk(emb, N_QUERIES, K, n_cells=16, n_probe=np_).collect(),
+            exact_sets)
+        for np_ in (1, 2, 4)
+    }
+
+    out = {
+        "metric": "ANN recall@k vs exact brute-force cosine top-k",
+        "sf": f"0.1x{mult}",
+        "n_corpus_vectors": n_corpus,
+        "n_queries": N_QUERIES,
+        "k": K,
+        "srp_lsh": srp,
+        "ivf": ivf,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ANN_RECALL.json"
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
