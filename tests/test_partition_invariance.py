@@ -57,6 +57,11 @@ INVARIANT_QUERIES = [
     # data (array_sort reassembly, anti-join membership)
     "packed_text",
     "training_corpus_segmented",
+    # round-4: the real byte-level decode runs per-row inside
+    # mapInPandas (batch boundaries move with partitioning); the
+    # chained LSH guard's lag window must order only on ids
+    "multimodal_decode_real",
+    "multimodal_resize_real",
 ]
 
 
