@@ -878,3 +878,54 @@ def test_lsh_bucket_cap_chains_hot_buckets(spark):
     assert len(rows) == n
     assert {r["cluster_id"] for r in rows} == {0}  # one component survives
     assert sum(r["is_keeper"] for r in rows) == 1
+
+
+def test_substring_dup_report_hand_case(spark):
+    """Cross-doc and within-doc duplicated spans, island merging, and
+    zero false positives — values computed by hand for win=10."""
+    from trendmachine_spark.extensions.dedup import duplicated_spans
+
+    span = [f"s{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([f"a{i}" for i in range(5)] + span)),        # 17 toks
+            (2, " ".join(span + [f"b{i}" for i in range(5)])),        # 17 toks
+            (3, " ".join([f"t{i}" for i in range(10)] + ["f0"]
+                         + [f"t{i}" for i in range(10)])),            # 21 toks
+            (4, " ".join(f"u{i}" for i in range(30))),                # unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicated_spans(docs, win=10).collect()}
+    assert (got[1]["dup_tokens"], got[1]["n_islands"]) == (12, 1)
+    assert (got[2]["dup_tokens"], got[2]["n_islands"]) == (12, 1)
+    # within-doc repeat: two islands (gap token f0 between them)
+    assert (got[3]["dup_tokens"], got[3]["n_islands"]) == (20, 2)
+    assert (got[4]["dup_tokens"], got[4]["n_islands"]) == (0, 0)
+    assert got[1]["dup_fraction"] == 12 / 17
+
+
+def test_strip_duplicated_spans_keeps_first_occurrence(spark):
+    from trendmachine_spark.extensions.dedup import strip_duplicated_spans
+
+    span = [f"s{i}" for i in range(12)]
+    a_text = " ".join([f"a{i}" for i in range(5)] + span)
+    docs = spark.createDataFrame(
+        [
+            (1, a_text),
+            (2, " ".join(span + [f"b{i}" for i in range(5)])),
+            (3, " ".join([f"t{i}" for i in range(10)] + ["f0"]
+                         + [f"t{i}" for i in range(10)])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in strip_duplicated_spans(docs, win=10).collect()}
+    # doc 1 holds the first occurrence: untouched
+    assert got[1]["n_removed_tokens"] == 0 and got[1]["clean_text"] == a_text
+    # doc 2's copy removed wholesale
+    assert got[2]["n_removed_tokens"] == 12
+    assert got[2]["clean_text"] == " ".join(f"b{i}" for i in range(5))
+    # within-doc repeat: second copy removed, first + filler survive
+    assert got[3]["n_removed_tokens"] == 10
+    assert got[3]["clean_text"] == " ".join(
+        [f"t{i}" for i in range(10)] + ["f0"])

@@ -62,6 +62,10 @@ INVARIANT_QUERIES = [
     # chained LSH guard's lag window must order only on ids
     "multimodal_decode_real",
     "multimodal_resize_real",
+    # round-4 exact-substring dedup: island merge + reassembly must be
+    # pure functions of (pos, token), never of arrival order
+    "substring_dup_report",
+    "substring_dedup",
 ]
 
 

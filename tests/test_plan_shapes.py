@@ -146,6 +146,12 @@ SHUFFLE_BUDGETS = {
     # one group exchange; the WindowGroupLimit map-side group-limit is
     # asserted separately below
     "top_quality_docs": (1, True),
+    # r4 exact-substring dedup: gram count-window exchange + doc-id
+    # exchange (islands + final agg ride it) — windows are COUNTED,
+    # never paired, so there is no self-join to guard
+    "substring_dup_report": (2, True),
+    # + the token/covered anti-join's exchange
+    "substring_dedup": (3, True),
 }
 
 

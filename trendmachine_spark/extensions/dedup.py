@@ -743,3 +743,146 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             ).alias("clean_text"),
         )
     )
+
+
+def window_occurrences(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", win: int = 10) -> DataFrame:
+    """(id, pos, gram) — every ``win``-word window with its 1-based
+    token position, in the codegen explode idiom of :func:`shingles`
+    (index sequence + ``element_at``, no higher-order functions)."""
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), words.alias("_w")).filter(
+        F.size("_w") >= win
+    )
+    idx = base.select(
+        F.col(id_col), "_w",
+        F.explode(F.sequence(F.lit(1), F.size("_w") - (win - 1))).alias("pos"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("_w"), F.col("pos") + j) for j in range(win)]
+    )
+    return idx.select(F.col(id_col), "pos", gram.alias("gram"))
+
+
+def duplicated_spans(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", win: int = 10) -> DataFrame:
+    """Per-doc duplicated-substring report — the bounded-window form of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022: any 50-token span occurring
+    twice in the corpus is a duplicate; suffix arrays find arbitrary-
+    length matches, the distributed form detects every duplicate of
+    length >= ``win`` tokens via fixed windows — identical coverage for
+    spans >= win, the standard scale-out trade).
+
+    A window occurring >= 2 times ANYWHERE in the corpus (another doc
+    or elsewhere in the same doc) marks its ``win`` tokens duplicated;
+    overlapping/adjacent marked windows merge into ISLANDS (maximal
+    duplicated spans). Output, one row per document:
+    (doc_id, n_tokens, dup_tokens, dup_fraction, n_islands).
+
+    Scale shape (3 exchanges, zero UDFs, no self-join anywhere): window
+    frequency is a count-window on ``gram`` — boilerplate windows with
+    millions of occurrences are COUNTED, never paired, so there is no
+    quadratic path and no skew guard to tune (contrast the inverted-
+    index jaccard join). Island merging is the classic interval-union
+    as a running-max window per doc; both per-doc windows and the final
+    per-doc aggregate ride ONE doc-id exchange.
+    """
+    occ = window_occurrences(docs, text_col, id_col, win)
+    marked = (
+        occ.withColumn("_f", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("_f") >= 2)
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (win - 1)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        marked.withColumn(
+            "_new", F.when(F.col("pos") <= prev_end + 1, 0).otherwise(1)
+        )
+        .withColumn("_iid", F.sum("_new").over(wd))
+        .groupBy(id_col, "_iid")
+        .agg((F.max("pos") + (win - 1) - F.min("pos") + 1).alias("_len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_len").cast("long").alias("dup_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+        )
+    )
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
+        .join(islands, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_fraction"),
+            F.coalesce("n_islands", F.lit(0)).alias("n_islands"),
+        )
+    )
+
+
+def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", win: int = 10) -> DataFrame:
+    """Remove every NON-FIRST occurrence of a duplicated window — the
+    destructive half of exact-substring dedup: the corpus keeps exactly
+    one copy of each duplicated span (its globally-first occurrence by
+    (doc_id, pos)), and later copies lose the covered tokens.
+
+    Output: (doc_id, n_tokens, n_removed_tokens, clean_text), one row
+    per doc, ``clean_text`` preserving surviving-token order.
+
+    Deterministic keeper policy: ``row_number`` over each gram ordered
+    by (doc_id, pos) — first global occurrence survives, ties are
+    impossible (the key is unique). Coverage is the union of removable
+    windows' token ranges, materialized by exploding each removable
+    window into its positions (bounded: ``win`` rows per removable
+    window) and anti-joining the token stream — linear everywhere, no
+    self-join, same no-quadratic-path property as
+    :func:`duplicated_spans`. Reassembly reuses the
+    :func:`segment_dedup` idiom (array_sort on (pos, token) structs —
+    never collect_list arrival order).
+    """
+    occ = window_occurrences(docs, text_col, id_col, win)
+    wg = Window.partitionBy("gram").orderBy(id_col, "pos")
+    removable = (
+        occ.withColumn("_rk", F.row_number().over(wg))
+        .filter(F.col("_rk") > 1)
+        .select(id_col, "pos")
+    )
+    covered = removable.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (win - 1))).alias("pos"),
+    ).distinct()
+    words = F.split(F.col(text_col), " ")
+    toks = docs.select(F.col(id_col), F.posexplode(words).alias("_p0", "tok"))
+    toks = toks.select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok")))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long").alias("n_removed_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

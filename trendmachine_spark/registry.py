@@ -3208,6 +3208,113 @@ def q_multimodal_resize_real(spark, sf_dir):
     )
 
 
+#: shared CTEs for the exact-substring (bounded-window) dedup oracles
+_WINDOW_OCC_SQL = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS g
+  FROM words, unnest(generate_series(1, greatest(len(w) - 9, 0))) AS t(i)
+)"""
+
+
+@register(
+    "substring_dup_report",
+    # window freq >= 2 marks 10-token spans duplicated anywhere in the
+    # corpus; overlapping/adjacent marked windows merge into islands
+    # via the running-max interval union — mirrored window-for-window
+    f"""WITH {_WINDOW_OCC_SQL},
+    marked AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS f FROM occ
+      ) WHERE f >= 2
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos <= max(pos + 9) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 0 ELSE 1 END AS nw
+      FROM marked
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS iid
+      FROM isl
+    ),
+    islands AS (
+      SELECT doc_id, iid, max(pos) + 9 - min(pos) + 1 AS len
+      FROM isl2 GROUP BY doc_id, iid
+    ),
+    rep AS (
+      SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens,
+             CAST(count(*) AS BIGINT) AS n_islands
+      FROM islands GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           coalesce(r.dup_tokens, 0) AS dup_tokens,
+           CAST(coalesce(r.dup_tokens, 0) AS DOUBLE)
+             / len(string_split(d.text, ' ')) AS dup_fraction,
+           coalesce(r.n_islands, 0) AS n_islands
+    FROM documents d LEFT JOIN rep r USING (doc_id)""",
+)
+def q_substring_dup_report(spark, sf_dir):
+    """Exact-substring duplication report (round 4): the bounded-window
+    form of Lee et al.'s ExactSubstr — every duplicated span >= 10
+    tokens is detected via fixed 10-token windows counted (never
+    paired) on a gram window, then merged into maximal islands per
+    doc. No self-join anywhere, so boilerplate cannot go quadratic."""
+    from trendmachine_spark.extensions.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), win=10)
+
+
+@register(
+    "substring_dedup",
+    f"""WITH {_WINDOW_OCC_SQL},
+    removable AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
+        FROM occ
+      ) WHERE rk > 1
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS pos
+      FROM removable, unnest(generate_series(0, 9)) AS t(j)
+    ),
+    toks AS (
+      SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+      FROM words
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ),
+    rs AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split(d.text, ' ')) - coalesce(rs.n_kept, 0) AS BIGINT)
+             AS n_removed_tokens,
+           coalesce(rs.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN rs USING (doc_id)""",
+)
+def q_substring_dedup(spark, sf_dir):
+    """Destructive exact-substring dedup (round 4): every non-first
+    occurrence (by (doc_id, pos)) of a duplicated 10-token window
+    loses its covered tokens; the corpus keeps exactly one copy of
+    each duplicated span. Reassembly is array_sort on (pos, token)
+    structs — never collect_list arrival order."""
+    from trendmachine_spark.extensions.dedup import strip_duplicated_spans
+
+    return strip_duplicated_spans(_docs(spark, sf_dir), win=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -3245,6 +3352,8 @@ _WINDOW_PINNED = [
     "training_corpus_segmented", # r4: ditto (composes semantic_keepers)
     "training_corpus",           # r4: composes dedup_clusters
     "dedup_ngram_jaccard",       # r4 perf watch item: keep driver-timed+checked
+    "substring_dup_report",      # new r4: exact-substring dup islands
+    "substring_dedup",           # new r4: non-first span occurrence removal
 ]
 
 
