@@ -26,6 +26,10 @@ OPS = [
     "dedup_semantic_keepers",
     "chunk_documents",
     "corpus_stats",
+    # round 4
+    "substring_dup_report",
+    "substring_dedup",
+    "multimodal_decode_real",
 ]
 
 

@@ -3208,6 +3208,46 @@ def q_multimodal_resize_real(spark, sf_dir):
     )
 
 
+@register("ingest_dedup_streaming", None)  # streaming foreachBatch: rows-only
+def q_ingest_dedup_streaming(spark, sf_dir):
+    """Streaming near-dup ingest twin driven end-to-end (round 4): the
+    documents table is split into a seed corpus (doc_id%3==0) and two
+    ingest micro-batches (%3==1, %3==2) fed through a file-source
+    stream into the foreachBatch dedup sink — each batch vetted by
+    incremental_dedup against the corpus-so-far, accepted docs growing
+    the store. Returns every per-doc flag row. Vs-batch equivalence is
+    pinned by tests/test_streaming_ingest.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from trendmachine_spark.streaming.ingest_stream import (
+        init_corpus,
+        read_flags,
+        run_ingest_stream,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="tm_ingest_stream_")
+    corpus_dir, flags_dir = f"{tmp}/corpus", f"{tmp}/flags"
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    os.makedirs(src)
+    init_corpus(docs.filter(F.pmod("doc_id", F.lit(3)) == 0), corpus_dir)
+    for i, m in enumerate((1, 2)):
+        bdir = f"{tmp}/b{i}"
+        docs.filter(F.pmod("doc_id", F.lit(3)) == m).coalesce(1).write.mode(
+            "overwrite"
+        ).json(bdir)
+        part = next(f for f in os.listdir(bdir) if f.startswith("part-"))
+        dst = f"{src}/batch{i}.json"
+        shutil.copy(f"{bdir}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)  # batch order
+    q = run_ingest_stream(spark, src, "doc_id long, text string",
+                          corpus_dir, flags_dir, ckpt)
+    q.awaitTermination(600)
+    return read_flags(spark, flags_dir)
+
+
 #: shared CTEs for the exact-substring (bounded-window) dedup oracles
 _WINDOW_OCC_SQL = """
 words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
