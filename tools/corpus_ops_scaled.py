@@ -90,4 +90,6 @@ def run_duckdb(sf_dir: str) -> None:
 if __name__ == "__main__":
     engine = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/trendmachine_scaled_x10"
+    if "--ops" in sys.argv:  # subset (e.g. skip the >280 s DuckDB
+        OPS = sys.argv[sys.argv.index("--ops") + 1].split(",")  # noqa: F811
     (run_spark if engine == "spark" else run_duckdb)(sf_dir)
