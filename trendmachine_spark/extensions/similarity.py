@@ -57,11 +57,18 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     ships to executors as a literal numpy matrix — like srp_buckets'
     hyperplane constant — and each corpus partition scores ALL queries
     in one Arrow-batched int64 matmul (``mapInPandas``). The corpus
-    never shuffles before scoring; the only exchange is the per-query
-    top-k window over n_corpus × n_queries scored rows. This replaced
-    a Catalyst ``F.aggregate(zip_with(...))`` dot product, which is
-    interpreted per element (no codegen for higher-order functions)
-    and measured 2.65 s vs 0.4 s for the matmul on the x10 corpus.
+    never shuffles before scoring, and each TASK emits only its own
+    per-query top-k (map-side prune, round 4): the final per-query
+    top-k window receives n_tasks × n_queries × k rows instead of
+    n_corpus × n_queries — at 100 TB that is the difference between
+    shuffling kilobytes and shuffling the corpus cross-joined with the
+    probe set. Top-k of per-task top-ks is exact, and the task-local
+    selection uses the SAME total order as the window
+    (cosine desc, neighbor_id asc), so results are bit-identical to
+    the unpruned form (pinned by the driver oracle). The matmul
+    replaced a Catalyst ``F.aggregate(zip_with(...))`` dot product,
+    which is interpreted per element (no codegen for higher-order
+    functions) and measured 2.65 s vs 0.4 s on the x10 corpus.
     Values are bit-identical: dots/norms are exact int64, and the
     cosine double divides the same exact integers in the same IEEE
     order as the SQL oracle.
@@ -80,21 +87,32 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     def score(batches):
         import pandas as pd
 
+        # accumulate the task's running top-k per query across batches
+        nq = len(qids)
+        best_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        best_nid = [np.empty(0, dtype=np.int64) for _ in range(nq)]
         for pdf in batches:
             if not len(pdf):
                 continue
             C = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)   # (m, d)
             dots = C @ Q.T                                          # exact int64
             cn = np.sqrt(pdf["norm2"].to_numpy(dtype=np.float64))
-            cos = dots / (qn[None, :] * cn[:, None])
-            m = len(pdf)
-            nq = len(qids)
-            out = pd.DataFrame({
-                "query_id": np.tile(qids, m),
-                "neighbor_id": np.repeat(pdf["vid"].to_numpy(dtype=np.int64), nq),
-                "cosine": cos.ravel(),
-            })
-            yield out[out["query_id"] != out["neighbor_id"]]
+            cos = dots / (qn[None, :] * cn[:, None])                # (m, nq)
+            nids = pdf["vid"].to_numpy(dtype=np.int64)
+            for j in range(nq):
+                keep = nids != qids[j]
+                c = np.concatenate([best_cos[j], cos[keep, j]])
+                n = np.concatenate([best_nid[j], nids[keep]])
+                # same total order as the final window: cosine desc,
+                # neighbor_id asc (lexsort keys are last-significant-first)
+                order = np.lexsort((n, -c))[:k]
+                best_cos[j], best_nid[j] = c[order], n[order]
+        rows = {
+            "query_id": np.repeat(qids, [len(b) for b in best_nid]),
+            "neighbor_id": np.concatenate(best_nid) if best_nid else np.empty(0, dtype=np.int64),
+            "cosine": np.concatenate(best_cos) if best_cos else np.empty(0),
+        }
+        yield pd.DataFrame(rows)
 
     scored = qv.mapInPandas(
         score, "query_id long, neighbor_id long, cosine double")
