@@ -101,3 +101,50 @@ def test_resize_nearest_matches_manual():
 def test_resize_identity():
     px = np.arange(5 * 5 * 3, dtype=np.uint8).reshape(5, 5, 3)
     assert np.array_equal(resize_nearest(px, 5, 5), px)
+
+
+# --------------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_round_trip_property(h, w, seed):
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_round_trip_property(n, rate, seed):
+    s = np.random.RandomState(seed).randint(-32768, 32768, size=n).astype("<i2")
+    got_rate, nch, got = decode_wav(encode_wav(s, sample_rate=rate))
+    assert got_rate == rate and nch == 1
+    assert np.array_equal(got, s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=10),
+    w=st.integers(min_value=1, max_value=10),
+    oh=st.integers(min_value=1, max_value=10),
+    ow=st.integers(min_value=1, max_value=10),
+)
+def test_resize_nearest_property(h, w, oh, ow):
+    px = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    out = resize_nearest(px, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    # every output pixel equals its nearest source pixel
+    for y in range(oh):
+        for x in range(ow):
+            assert np.array_equal(out[y, x], px[(y * h) // oh, (x * w) // ow])
