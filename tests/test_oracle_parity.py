@@ -81,3 +81,23 @@ def test_demotion_rotates_every_other_round():
     for r in (_ROUND, _ROUND + 1):
         window = len(ORACLE_QUERIES) - len(_demoted_for_round(r))
         assert window <= 50, f"round {r}: {window} oracled entries in window"
+
+
+def test_demotion_cross_round_invariant():
+    """Pool insertions shift alphabetical indices, which can silently
+    break parity alternation across ROUNDS (not just within one
+    registry state). _PREV_DEMOTED is the literal previous-round
+    demoted list: from round 5 on the intersection must be empty; in
+    round 4 (the static-list -> rotation transition) any unavoidable
+    double-demoted stragglers must sit at the FRONT of _DEMOTED so the
+    window's slack reaches them first."""
+    from trendmachine_spark.registry import _DEMOTED, _PREV_DEMOTED, _ROUND
+
+    overlap = [n for n in _DEMOTED if n in _PREV_DEMOTED]
+    if _ROUND >= 5:
+        assert not overlap, (
+            f"names absent from the driver window two rounds running: {overlap} "
+            "— refresh _PREV_DEMOTED at the round bump and rebalance"
+        )
+    else:
+        assert _DEMOTED[: len(overlap)] == sorted(overlap)

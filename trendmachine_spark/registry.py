@@ -3414,7 +3414,31 @@ def _demoted_for_round(round_no: int) -> list[str]:
     return [n for i, n in enumerate(_rotation_pool()) if (i + round_no) % 2 == 0]
 
 
-_DEMOTED = _demoted_for_round(_ROUND)
+#: the PREVIOUS round's demoted set (round 4: round 3's static list).
+#: Two jobs: (a) this round's demoted list is ordered with any name
+#: demoted LAST round too at the FRONT — when the 50-entry window has
+#: slack past the rotated-in half, it reaches into the head of the
+#: demoted list, so double-demoted stragglers get driver-checked
+#: first; (b) from round 5 on the rotation must make consecutive
+#: demoted sets disjoint — pool insertions shift alphabetical indices
+#: and can silently break parity alternation, and the cross-round test
+#: in tests/test_oracle_parity.py catches exactly that. Refresh this
+#: list to the live _DEMOTED value at each round bump.
+_PREV_DEMOTED = [
+    "gap_fill_identical", "gap_fill_forward", "urim_projection", "chaos_melt",
+    "content_value_counts", "first_last_capture", "status_totals",
+    "specimen_breakdown", "gap_fill_backward", "date_spine", "periodic_samples",
+    "gap_fill_closest", "text_fingerprints", "text_lang_id", "text_quality_flags",
+    "dedup_simhash", "transition_matrix_filled", "multimodal_resize",
+    "corpus_sample_stratified", "event_range_join", "corpus_decontaminate",
+    "multimodal_frame_sample", "event_sessionization", "dedup_simhash_near_dup",
+    "region_revenue", "text_pii_stats", "text_repetition_stats", "dedup_exact",
+    "multimodal_metadata", "monthly_rollup", "summary_stats",
+]
+
+_DEMOTED = sorted(
+    _demoted_for_round(_ROUND), key=lambda n: (n not in _PREV_DEMOTED, n)
+)
 
 
 def _driver_window_order() -> None:
