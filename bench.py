@@ -9,12 +9,15 @@ Prints ONE JSON line:
 Each query is forced to full materialization with the noop sink (count()
 alone can let Catalyst prune the expensive columns). Beyond the best-of-4
 point estimate (``queries``), the artifact carries per-query median and
-spread (max-min of the 4 passes) AND a same-run DuckDB baseline: the 13
+spread (max-min of passes 2-4) AND a same-run DuckDB baseline: the 13
 SQL-expressible bench queries' oracle SQL, executed best-of-4 interleaved
-in the same process right after the Spark passes (materialized to a temp
-table — no Python-transfer cost, mirroring the noop sink). Spark/DuckDB
-ratios computed WITHIN one artifact are load-attributable: a host-noise
-burst moves both columns, a real regression moves only one. Run directly:
+in the same process right after the Spark passes, with the EXACT method
+BASELINE.md's historical numbers used (execute + fetchall — this DOES
+include Python row transfer for wide results; kept deliberately so the
+column stays comparable round-over-round, see tools/duckdb_suite.py).
+Spark/DuckDB ratios computed WITHIN one artifact are load-attributable: a
+host-noise burst moves both columns, a real regression moves only one.
+Run directly:
   python bench.py               # sf0.1, local[32]
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_CPUS=8 python bench.py
 """

@@ -855,8 +855,9 @@ def test_star_components_matches_hashmin_on_dense_graph(spark):
 
 def test_lsh_bucket_cap_chains_hot_buckets(spark):
     """A bucket over MAX_LSH_BUCKET must emit a chain (linear pairs),
-    not all-pairs (quadratic) — and downstream clustering must still
-    recover the full component via the chain."""
+    not all-pairs (quadratic) — and for the transitive-similarity case
+    (identical docs, the real hot-bucket shape) downstream clustering
+    recovers the full component via the chain."""
     from trendmachine_spark.extensions.clusters import dedup_clusters
     from trendmachine_spark.extensions.dedup import minhash_near_dup
 
@@ -929,3 +930,20 @@ def test_strip_duplicated_spans_keeps_first_occurrence(spark):
     assert got[3]["n_removed_tokens"] == 10
     assert got[3]["clean_text"] == " ".join(
         [f"t{i}" for i in range(10)] + ["f0"])
+
+
+def test_brute_force_topk_zero_norm_vector_never_crowds_quota(spark):
+    """A zero-norm corpus vector scores 0/0 = NaN, which crosses Arrow
+    as NULL and sorts LAST in the final DESC window; the map-side
+    top-k prune must bury it the same way, or (single-partition case)
+    it would eat a slot of the task's k-quota and drop a real
+    candidate."""
+    from trendmachine_spark.extensions.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+         (3, [0.5, 0.5]), (4, [0.8, 0.2])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    rows = brute_force_topk(emb, n_queries=1, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in rows] == [(1, 1), (4, 2)]

@@ -166,3 +166,43 @@ def test_keyless_retry_still_yields_correct_output(spark, tmp_path):
     got = sorted(map(tuple, read_rollup_store(spark, store).collect()))
     want = sorted(map(tuple, daily_rollup(normalize_captures(caps)).collect()))
     assert got == want
+
+
+def test_legacy_store_without_metadata_upgrades_on_refresh(spark, tmp_path):
+    """A store created before metadata existed (no _meta sidecar) must
+    NOT silently skip the as_of staleness protection: the first
+    refresh with parameters recomputes every bucket and persists the
+    meta, so later refreshes are protected."""
+    from pyspark.sql import functions as F
+
+    from trendmachine_spark.pipeline import daily_series
+    from trendmachine_spark.sinks import (
+        ROLLUP_BUCKETS,
+        _read_meta,
+        init_store,
+        read_store,
+        refresh_report_store,
+        report_transform,
+    )
+
+    caps = _caps(spark)
+    cut = "20240125000000"
+    store = str(tmp_path / "legacy")
+    # simulate a pre-metadata store: init WITHOUT meta, then delete the sidecar
+    init_store(caps.filter(F.col("ts") < cut), store,
+               report_transform("2024-01-25"), meta={"as_of": "2024-01-25"})
+    import shutil
+
+    shutil.rmtree(store + "/_meta")
+    assert _read_meta(spark, store) is None
+
+    touched = refresh_report_store(
+        spark, store, caps.filter(F.col("ts") >= cut), "2024-02-05"
+    )
+    assert touched == list(range(ROLLUP_BUCKETS))  # conservative full recompute
+    assert _read_meta(spark, store) == {"as_of": "2024-02-05"}  # upgraded
+
+    got = sorted(map(tuple, read_store(spark, store).collect()))
+    want = sorted(map(tuple, daily_series(
+        caps, fill=2, policy="closest", as_of="2024-02-05").collect()))
+    assert got == want

@@ -88,8 +88,11 @@ def run_duckdb(sf_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    engine = sys.argv[1]
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/trendmachine_scaled_x10"
-    if "--ops" in sys.argv:  # subset (e.g. skip the >280 s DuckDB
-        OPS = sys.argv[sys.argv.index("--ops") + 1].split(",")  # noqa: F811
+    args = sys.argv[1:]
+    if "--ops" in args:  # subset (e.g. skip the >280 s DuckDB oracles)
+        i = args.index("--ops")
+        OPS = args[i + 1].split(",")  # noqa: F811
+        args = args[:i] + args[i + 2:]
+    engine = args[0]
+    sf_dir = args[1] if len(args) > 1 else "/tmp/trendmachine_scaled_x10"
     (run_spark if engine == "spark" else run_duckdb)(sf_dir)

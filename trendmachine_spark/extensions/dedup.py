@@ -44,8 +44,11 @@ MAX_SHINGLE_FREQ = 100
 #: LSH bucket-size cap (round-4 mandate): a band bucket holding more
 #: than this many docs switches from all-pairs to CHAINED candidate
 #: emission (consecutive ids only) — pair volume drops from O(n^2) to
-#: O(n) per hot bucket while every bucket member stays reachable, so
-#: downstream connected components see the SAME clusters. This is what
+#: O(n) per hot bucket while every member stays candidate-reachable.
+#: Verified-cluster equality holds when similarity is transitive along
+#: the chain (the exact-dup/boilerplate families that actually go
+#: hot); heterogeneous over-cap buckets trade bounded recall for the
+#: quadratic blow-up (see minhash_near_dup docstring). This is what
 #: stopped the ×20 super-linear pair growth (BENCH_SCALED_x20, r3).
 MAX_LSH_BUCKET = 100
 
@@ -217,11 +220,18 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
     (boilerplate clusters, template families) are where banded LSH goes
     super-linear: a bucket of n docs emits n(n-1)/2 pairs. Buckets over
     ``max_bucket_size`` therefore emit a CHAIN instead — consecutive
-    ids in bucket order, n-1 pairs — which keeps every member in the
-    same connected component (the verify->CC pipeline reconstructs the
-    cluster) while pair volume stays linear. Measured at ×20 scale this
-    is the difference between 12.8 s and DuckDB-parity (SCALE.md).
-    Pass ``None`` for the historical unguarded all-pairs behavior.
+    ids in bucket order, n-1 pairs — pair volume stays linear and every
+    member remains CANDIDATE-connected. Downstream cluster equality is
+    guaranteed when intra-bucket similarity is transitive along the
+    chain (exact-dup and boilerplate families — the buckets that
+    actually go hot); in a heterogeneous hot bucket a chain link can
+    fall below the verifier's threshold and split the component, so the
+    guard trades bounded recall inside over-cap buckets for the
+    quadratic blow-up — the same stance as ``max_shingle_freq``, and
+    mirrored in the oracle CTE so both engines agree exactly. Measured
+    at ×20 scale this is the difference between 12.8 s and a 2.4×
+    DuckDB lead (SCALE.md). Pass ``None`` for the historical unguarded
+    all-pairs behavior.
 
     The window count+lag ride the SAME (band, bucket) exchange the
     self-join needs, so the guard adds sorts but no extra shuffle; hot

@@ -104,8 +104,14 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                 c = np.concatenate([best_cos[j], cos[keep, j]])
                 n = np.concatenate([best_nid[j], nids[keep]])
                 # same total order as the final window: cosine desc,
-                # neighbor_id asc (lexsort keys are last-significant-first)
-                order = np.lexsort((n, -c))[:k]
+                # neighbor_id asc. A zero-norm vector scores 0/0 = NaN,
+                # which crosses the Arrow boundary as NULL and sorts
+                # LAST under the window's DESC — the task-local key
+                # must bury it the same way (+inf on the negated key)
+                # or a NaN could crowd a real candidate out of the
+                # task's k-quota (verified empirically: NULLS LAST).
+                key = np.where(np.isnan(c), np.inf, -c)
+                order = np.lexsort((n, key))[:k]
                 best_cos[j], best_nid[j] = c[order], n[order]
         rows = {
             "query_id": np.repeat(qids, [len(b) for b in best_nid]),

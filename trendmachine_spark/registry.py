@@ -3244,7 +3244,12 @@ def q_ingest_dedup_streaming(spark, sf_dir):
         os.utime(dst, (1_700_000_000 + i * 1000,) * 2)  # batch order
     q = run_ingest_stream(spark, src, "doc_id long, text string",
                           corpus_dir, flags_dir, ckpt)
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):  # returns False on timeout, no raise
+        q.stop()
+        raise RuntimeError(
+            "ingest stream did not drain in 600 s — refusing to return "
+            "partial flags as a complete result"
+        )
     return read_flags(spark, flags_dir)
 
 
@@ -3360,7 +3365,8 @@ def q_substring_dedup(spark, sf_dir):
 #
 # The driver's per-round correctness run verifies only the FIRST 50
 # entries of queries() in dict order, and the registry has grown past
-# that (83 oracled + 10 rows-only as of round 4).  Re-key QUERIES so
+# that (85 oracled + 11 rows-only = 96 as of end of round 4).  Re-key
+# QUERIES so
 # the window holds (a) every query that is NEW or whose implementation
 # CHANGED this round (_WINDOW_PINNED — these need a fresh driver check
 # at sf0.01), then (b) a ROTATING half of the long-stable oracled pool.

@@ -163,7 +163,14 @@ def refresh_store(spark: SparkSession, store_dir: str, delta_captures: DataFrame
     """
     meta = meta or {}
     stored_meta = _read_meta(spark, store_dir)
-    meta_changed = stored_meta is not None and stored_meta != meta
+    # A missing/unreadable meta sidecar (pre-metadata store, transient
+    # read failure) must NOT silently disable the staleness protection:
+    # when the caller supplies parameters, treat unknown-stored as
+    # CHANGED — one conservative full-bucket recompute upgrades the
+    # store and persists the meta for every later refresh.
+    meta_changed = (stored_meta != meta) if meta else (
+        stored_meta is not None and stored_meta != meta
+    )
     b = _url_bucket(n_buckets)
     delta = delta_captures.withColumn("url_bucket", b)
     if batch_id is None or batch_id not in _applied_batches(spark, store_dir):
