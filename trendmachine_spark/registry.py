@@ -3360,6 +3360,64 @@ def q_substring_dedup(spark, sf_dir):
     return strip_duplicated_spans(_docs(spark, sf_dir), win=10)
 
 
+@register(
+    "training_corpus_clean",
+    # compose: exact-substring strip -> drop emptied docs -> length
+    # floor on the CLEAN text. CTEs are the substring_dedup oracle
+    # verbatim plus the filter/projection.
+    f"""WITH {_WINDOW_OCC_SQL},
+    removable AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
+        FROM occ
+      ) WHERE rk > 1
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS pos
+      FROM removable, unnest(generate_series(0, 9)) AS t(j)
+    ),
+    toks AS (
+      SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
+      FROM words
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.pos IS NULL
+    ),
+    rs AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           rs.n_kept AS n_tokens_clean,
+           CAST(len(string_split(d.text, ' ')) - rs.n_kept AS BIGINT)
+             AS n_removed_tokens
+    FROM documents d JOIN rs USING (doc_id)
+    WHERE rs.n_kept >= 20""",
+)
+def q_training_corpus_clean(spark, sf_dir):
+    """Corpus funnel capstone on the round-4 substring dedup: strip
+    every non-first duplicated-span occurrence, drop documents the
+    strip emptied below a 20-token floor, report residual token
+    counts. The length gate runs on the CLEAN text — a doc made of
+    boilerplate passes raw length filters but fails here, which is the
+    point of span-level dedup in a training-data funnel."""
+    from trendmachine_spark.extensions.dedup import strip_duplicated_spans
+
+    cleaned = strip_duplicated_spans(_docs(spark, sf_dir), win=10)
+    kept = F.col("n_tokens") - F.col("n_removed_tokens")
+    return (
+        cleaned.filter(kept >= 20)
+        .select(
+            "doc_id",
+            kept.cast("long").alias("n_tokens_clean"),
+            "n_removed_tokens",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -3400,6 +3458,7 @@ _WINDOW_PINNED = [
     "dedup_ngram_jaccard",       # r4 perf watch item: keep driver-timed+checked
     "substring_dup_report",      # new r4: exact-substring dup islands
     "substring_dedup",           # new r4: non-first span occurrence removal
+    "training_corpus_clean",     # new r4: substring-strip corpus funnel
 ]
 
 
