@@ -947,3 +947,27 @@ def test_brute_force_topk_zero_norm_vector_never_crowds_quota(spark):
     ).coalesce(1)
     rows = brute_force_topk(emb, n_queries=1, k=2).collect()
     assert [(r["neighbor_id"], r["rank"]) for r in rows] == [(1, 1), (4, 2)]
+
+
+def test_ann_topk_edges_after_vectorization(spark):
+    """The matmul srp_buckets + einsum scorer must keep the HOF-era
+    edge behavior: empty corpus yields empty output, and a zero-norm
+    vector (NaN cosine -> NULL) never displaces a real candidate."""
+    from trendmachine_spark.extensions.similarity import ann_topk, srp_buckets
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ann_topk(empty).count() == 0
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.01]), (2, [0.0, 0.0]), (3, [0.98, 0.02])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    rows = ann_topk(emb, n_queries=1, k=2, n_planes=4).collect()
+    ids = [r["neighbor_id"] for r in rows]
+    assert 2 not in ids or len(ids) > 2  # zero vector never crowds the quota
+    assert all(r["cosine"] is not None for r in rows if r["neighbor_id"] != 2)
+
+    from trendmachine_spark.extensions.similarity import quantize_embeddings
+    bk = {r["vid"]: r["bucket"] for r in
+          srp_buckets(quantize_embeddings(emb), n_planes=4).collect()}
+    assert bk[2] == "0000"  # zero projections tie to bit 0, deterministic
