@@ -22,11 +22,13 @@ seed-dependent MLlib variants are rows-only by design (not
 SQL-expressible; both ANN variants are deterministic and carry full
 oracles). The driver's 50-entry correctness window holds every
 new/changed query (registry._WINDOW_PINNED) plus a ROTATING half of
-the long-stable pool: round parity alternates which half is demoted
-(registry._demoted_for_round), so every oracled query gets a driver
-sf0.01 check at least every other round; demoted names are still
-exactly checked every CI run by tests/test_oracle_parity, which pins
-the rotation invariant.
+the long-stable pool: each name carries a frozen demotion parity
+(registry._DEMOTE_ODD/_DEMOTE_EVEN), so from round 5 on every oracled
+query gets a driver sf0.01 check at least every other round (round 4,
+the static-list->rotation transition, left 14 stragglers covered only
+at sf0.001 by CI for two rounds); demoted names are still exactly
+checked every CI run by tests/test_oracle_parity, which pins the
+rotation invariant.
 """
 
 from __future__ import annotations

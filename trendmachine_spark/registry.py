@@ -3423,49 +3423,97 @@ def q_training_corpus_clean(spark, sf_dir):
 #
 # The driver's per-round correctness run verifies only the FIRST 50
 # entries of queries() in dict order, and the registry has grown past
-# that (85 oracled + 11 rows-only = 96 as of end of round 4).  Re-key
+# that (86 oracled + 11 rows-only = 97 as of end of round 4).  Re-key
 # QUERIES so
 # the window holds (a) every query that is NEW or whose implementation
 # CHANGED this round (_WINDOW_PINNED — these need a fresh driver check
 # at sf0.01), then (b) a ROTATING half of the long-stable oracled pool.
-# The rotation is round-parity on the alphabetical pool order: the half
-# demoted this round is exactly the half verified last round, so every
-# oracled query gets a driver sf0.01 check AT LEAST every other round —
-# a scale-dependent regression can hide for at most one round. Demoted
-# names are still exactly-checked every CI run at sf0.001 by
-# tests/test_oracle_parity.py, which also pins the rotation invariant
-# (consecutive rounds' demoted sets are disjoint). Rows-only/streaming
-# entries sit behind everything (their driver check is a rows>=0 smoke
-# regardless of position).
 #
-# Round bookkeeping: bump _ROUND once per driver round, and refresh
-# _WINDOW_PINNED to the queries added/changed that round.
+# Rotation mechanism (round 5 on): every oracled name carries an
+# EXPLICIT frozen parity in _DEMOTE_ODD / _DEMOTE_EVEN — it is demoted
+# in rounds of that parity and driver-checked in the other. Because the
+# assignment is per-name and frozen, registering new queries can never
+# shift anyone else's schedule (the failure mode of the round-4
+# index-parity rotation, where a pool insertion shifted alphabetical
+# indices). Consecutive rounds' demoted sets are disjoint by
+# construction, so from round 5 on every oracled query gets a driver
+# sf0.01 check at least every other round — a scale-dependent
+# regression can hide for at most one round. (Round 4 itself was the
+# static-list→rotation transition: 14 double-demoted stragglers went
+# two rounds covered only at sf0.001 by CI; they are all EVEN-parity
+# now, i.e. in the round-5 window.) Demoted names are still
+# exactly-checked every CI run at sf0.001 by
+# tests/test_oracle_parity.py, which also pins the rotation invariants.
+# Rows-only/streaming entries sit behind everything (their driver check
+# is a rows>=0 smoke regardless of position).
+#
+# Round bookkeeping: bump _ROUND once per driver round, refresh
+# _WINDOW_PINNED to the queries added/changed that round (and give any
+# NEW query a parity in one of the two sets, balancing window sizes),
+# and refresh _PREV_DEMOTED to the literal value _DEMOTED had last
+# round.
 # ---------------------------------------------------------------------------
 
-_ROUND = 4
+_ROUND = 5
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
 _WINDOW_PINNED = [
-    "multimodal_decode_real",    # new r4: real BMP/WAV byte-level decode
-    "multimodal_resize_real",    # new r4: real nearest-neighbor resize
-    "dedup_minhash_lsh",         # r4: max_bucket_size guard added
-    "dedup_clusters",            # r4: connected_components escalation path
-    "dedup_clusters_ensemble",   # r4: ditto
-    "dedup_semantic_keepers",    # r4: ditto
-    "training_corpus_segmented", # r4: ditto (composes semantic_keepers)
-    "training_corpus",           # r4: composes dedup_clusters
-    "dedup_ngram_jaccard",       # r4 perf watch item: keep driver-timed+checked
-    "substring_dup_report",      # new r4: exact-substring dup islands
-    "substring_dedup",           # new r4: non-first span occurrence removal
-    "training_corpus_clean",     # new r4: substring-strip corpus funnel
+    "substring_dup_report",   # r5: gram-frequency window -> map-combined agg+join
+    "substring_dedup",        # r5: keeper via min_by-struct agg, not row_number window
+    "training_corpus_clean",  # r5: composes substring_dedup's new shape
+    "dedup_ngram_jaccard",    # r5: shingle-freq guard agg+anti-join (skew mandate)
+    "dedup_containment",      # r5: shares _shingle_pair_counts guard
+    "similarity_ann_lsh",     # r5: multi-probe SRP (recall mandate)
 ]
+
+#: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
+#: (driver window: absent) in odd rounds and checked in even rounds;
+#: _DEMOTE_EVEN is the complement schedule. Every oracled query must
+#: appear in exactly one set — _demoted_for_round asserts it, CI
+#: enforces the disjoint/cover invariants. _WINDOW_PINNED overrides
+#: parity for the round a query changes (pinned names never demote).
+_DEMOTE_EVEN = frozenset({
+    # round-4 demoted set: checked r5 (odd), demoted again r6
+    "date_spine", "dedup_exact", "dedup_simhash_near_dup",
+    "event_sessionization", "gap_fill_backward", "gap_fill_forward",
+    "monthly_rollup", "multimodal_metadata", "periodic_samples",
+    "specimen_breakdown", "status_totals", "text_fingerprints",
+    "text_pii_stats", "text_quality_flags", "urim_projection",
+    "bpe_pair_stats", "chaos_ffill", "chunk_documents", "corpus_card",
+    "corpus_mix_temperature", "corpus_stats", "daily_moving_avg",
+    "dedup_embedding_cosine", "dedup_multi_signal", "dedup_semantic",
+    "event_asof_join", "event_props_stats", "event_retention",
+    "headline_metrics", "pack_sequences", "quality_score",
+    "salted_term_counts", "shipping_priority", "similarity_ivf_topk",
+    "text_term_stats", "top_revenue_customers", "transition_matrix",
+    # round-5 pinned (checked r5 via the pin; demotable from r6 on)
+    "substring_dup_report", "substring_dedup", "training_corpus_clean",
+    "dedup_ngram_jaccard", "dedup_containment", "similarity_ann_lsh",
+    # balance: moved from the checked-r4 half so both windows fit in 50
+    "capture_normalize", "daily_chaos", "daily_rollup",
+})
+_DEMOTE_ODD = frozenset({
+    "chaos_melt", "content_value_counts", "corpus_decontaminate",
+    "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
+    "dedup_embedding_cosine_bucketed", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_segments", "dedup_semantic_keepers",
+    "dedup_simhash", "embedding_outliers", "event_funnel",
+    "event_range_join", "event_session_windows", "first_last_capture",
+    "gap_fill_closest", "gap_fill_identical", "minhash_accuracy",
+    "multimodal_decode_real", "multimodal_frame_sample",
+    "multimodal_resize", "multimodal_resize_real", "packed_text",
+    "pricing_summary", "region_revenue", "session_stats",
+    "similarity_topk", "status_month_cube", "summary_stats",
+    "text_lang_id", "text_profile", "text_repetition_stats",
+    "top_quality_docs", "training_corpus", "training_corpus_safe",
+    "training_corpus_segmented", "transition_matrix_filled",
+    "vocab_coverage",
+})
 
 
 def _rotation_pool() -> list[str]:
-    """Long-stable oracled queries eligible for demotion, alphabetical
-    (a stable order that doesn't shift when unrelated queries are
-    registered in between)."""
+    """Long-stable oracled queries eligible for demotion, alphabetical."""
     return sorted(
         n for n, d in QUERIES.items()
         if d.oracle is not None and n not in _WINDOW_PINNED
@@ -3473,32 +3521,42 @@ def _rotation_pool() -> list[str]:
 
 
 def _demoted_for_round(round_no: int) -> list[str]:
-    """The half of the rotation pool demoted in the given round: pool
-    indices whose parity matches the round's. Consecutive rounds demote
-    complementary halves, so pool ∖ demoted(R) = demoted(R+1)."""
-    return [n for i, n in enumerate(_rotation_pool()) if (i + round_no) % 2 == 0]
+    """Pool names whose frozen parity matches the round's. Per-name
+    parity makes consecutive rounds' demoted sets disjoint and their
+    union the whole pool, regardless of registry growth."""
+    pool = _rotation_pool()
+    unassigned = [
+        n for n in pool if n not in _DEMOTE_ODD and n not in _DEMOTE_EVEN
+    ]
+    assert not unassigned, (
+        f"oracled queries with no demotion parity: {unassigned} — add each "
+        "to _DEMOTE_ODD or _DEMOTE_EVEN (balance the two window sizes)"
+    )
+    target = _DEMOTE_ODD if round_no % 2 else _DEMOTE_EVEN
+    return [n for n in pool if n in target]
 
 
-#: the PREVIOUS round's demoted set (round 4: round 3's static list).
-#: Two jobs: (a) this round's demoted list is ordered with any name
-#: demoted LAST round too at the FRONT — when the 50-entry window has
-#: slack past the rotated-in half, it reaches into the head of the
-#: demoted list, so double-demoted stragglers get driver-checked
-#: first; (b) from round 5 on the rotation must make consecutive
-#: demoted sets disjoint — pool insertions shift alphabetical indices
-#: and can silently break parity alternation, and the cross-round test
-#: in tests/test_oracle_parity.py catches exactly that. Refresh this
-#: list to the live _DEMOTED value at each round bump.
+#: the PREVIOUS round's demoted set (refreshed at each round bump to
+#: the literal value _DEMOTED had last round). Two jobs: (a) this
+#: round's demoted list is ordered with any name demoted LAST round too
+#: at the FRONT — when the 50-entry window has slack past the
+#: rotated-in half, it reaches into the head of the demoted list, so
+#: any straggler gets driver-checked first; (b) the cross-round test in
+#: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
+#: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "gap_fill_identical", "gap_fill_forward", "urim_projection", "chaos_melt",
-    "content_value_counts", "first_last_capture", "status_totals",
-    "specimen_breakdown", "gap_fill_backward", "date_spine", "periodic_samples",
-    "gap_fill_closest", "text_fingerprints", "text_lang_id", "text_quality_flags",
-    "dedup_simhash", "transition_matrix_filled", "multimodal_resize",
-    "corpus_sample_stratified", "event_range_join", "corpus_decontaminate",
-    "multimodal_frame_sample", "event_sessionization", "dedup_simhash_near_dup",
-    "region_revenue", "text_pii_stats", "text_repetition_stats", "dedup_exact",
-    "multimodal_metadata", "monthly_rollup", "summary_stats",
+    "date_spine", "dedup_exact", "dedup_simhash_near_dup",
+    "event_sessionization", "gap_fill_backward", "gap_fill_forward",
+    "monthly_rollup", "multimodal_metadata", "periodic_samples",
+    "specimen_breakdown", "status_totals", "text_fingerprints",
+    "text_pii_stats", "text_quality_flags", "urim_projection",
+    "bpe_pair_stats", "chaos_ffill", "chunk_documents", "corpus_card",
+    "corpus_mix_temperature", "corpus_stats", "daily_moving_avg",
+    "dedup_embedding_cosine", "dedup_multi_signal", "dedup_semantic",
+    "event_asof_join", "event_props_stats", "event_retention",
+    "headline_metrics", "pack_sequences", "quality_score",
+    "salted_term_counts", "shipping_priority", "similarity_ivf_topk",
+    "text_term_stats", "top_revenue_customers", "transition_matrix",
 ]
 
 _DEMOTED = sorted(
