@@ -1,15 +1,18 @@
 """Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the driver captures only a ~2 KB stdout
+tail, so the line must stay small — round 4's full-detail line got
+truncated and recorded as unparseable):
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>,
-   "queries_median": {...}, "queries_spread": {...},
-   "baseline": {...}, "comparable": {...}}
+   "queries": {name: best sec, ...}, "sf": <scale factor>,
+   "comparable": {spark/duckdb best+median sums and ratios}}
+and writes the full detail (per-query medians, spreads, first-pass,
+same-run DuckDB baseline) to BENCH_DETAIL_sf<sf>.json next to this file.
 
 Each query is forced to full materialization with the noop sink (count()
 alone can let Catalyst prune the expensive columns). Beyond the best-of-4
-point estimate (``queries``), the artifact carries per-query median and
-spread (max-min of passes 2-4) AND a same-run DuckDB baseline: the 13
+point estimate (``queries``), the detail artifact carries per-query median
+and spread (max-min of passes 2-4) AND a same-run DuckDB baseline: the 13
 SQL-expressible bench queries' oracle SQL, executed best-of-4 interleaved
 in the same process right after the Spark passes, with the EXACT method
 BASELINE.md's historical numbers used (execute + fetchall — this DOES
@@ -165,27 +168,45 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     timings["_cache_warmup"] = warmup
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    comparable_summary = {
+        "spark_best": round(sp_best, 3),
+        "duckdb_best": round(db_best, 3),
+        "ratio_best": round(sp_best / db_best, 3) if db_best else None,
+        "spark_median": round(sp_med, 3),
+        "duckdb_median": round(db_med, 3),
+        "ratio_median": round(sp_med / db_med, 3) if db_med else None,
+    }
+    # Full per-query medians/spreads/baseline go to a SIDE FILE: the
+    # driver records only a ~2 KB tail of stdout, and round 4's
+    # everything-on-stdout line outgrew it (BENCH_r04.json "parsed":
+    # null, first 11 queries' times lost). stdout keeps ONE compact
+    # final line with the driver contract fields + the headline ratios.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_DETAIL_sf{sf}.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump({
+            "sf": sf_val,
+            "queries_best": timings,
+            "queries_median": medians,
+            "queries_spread": spreads,
+            "queries_first_pass": first_pass,
+            "baseline": baseline,
+            "baseline_median": baseline_median,
+            "comparable": {"queries": comparable, **comparable_summary},
+        }, fh, indent=1)
+        fh.write("\n")
     print(json.dumps({
-        "metric": "trendmachine_spark bench suite wall-clock (warmed engine; best-of-4 interleaved; _cache_warmup reported separately; baseline = same-run DuckDB on the oracle SQL)",
+        "metric": "bench suite wall-clock, warmed engine, best-of-4 interleaved; "
+                  "ratios vs same-run DuckDB on the oracle SQL; "
+                  "medians/spreads/baseline in BENCH_DETAIL_sf*.json",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "queries_median": medians,
-        "queries_spread": spreads,
-        "queries_first_pass": first_pass,
-        "baseline": baseline,
-        "baseline_median": baseline_median,
-        "comparable": {
-            "queries": comparable,
-            "spark_best": round(sp_best, 3),
-            "duckdb_best": round(db_best, 3),
-            "ratio_best": round(sp_best / db_best, 3) if db_best else None,
-            "spark_median": round(sp_med, 3),
-            "duckdb_median": round(db_med, 3),
-            "ratio_median": round(sp_med / db_med, 3) if db_med else None,
-        },
-    }))
+        "sf": sf_val,
+        "comparable": comparable_summary,
+    }, separators=(",", ":")))
     spark.stop()
 
 

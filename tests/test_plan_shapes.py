@@ -55,9 +55,14 @@ SHUFFLE_BUDGETS = {
     "event_asof_join": (1, True),
     "event_range_join": (2, True),
     # repartition(id) satisfies distinct + id-window (subset
-    # partitioning); shingle-window exchange reused by both join sides
-    "dedup_ngram_jaccard": (5, True),
-    "dedup_containment": (5, True),  # same inverted-index core as jaccard
+    # partitioning). r5 guard = map-combined groupBy(shingle) +
+    # broadcast anti-join (the count-window form single-tasked hot
+    # shingles); the static plan repeats the guarded subtree per join
+    # side (2x repartition(id) + 2x hot-agg exchange) and AQE's stage
+    # cache reuses them at runtime — 6 static exchanges, was 5 with
+    # the window guard.
+    "dedup_ngram_jaccard": (6, True),
+    "dedup_containment": (6, True),  # same inverted-index core as jaccard
     # per-source counts agg + the docs-side broadcast join; the one
     # BNLJ is the 1-row min(count) crossed against the tiny counts
     # table, so nested-loop is NOT forbidden here (corpus side is a
@@ -146,13 +151,40 @@ SHUFFLE_BUDGETS = {
     # one group exchange; the WindowGroupLimit map-side group-limit is
     # asserted separately below
     "top_quality_docs": (1, True),
-    # r4 exact-substring dedup: gram count-window exchange + doc-id
-    # exchange (islands + final agg ride it) — windows are COUNTED,
-    # never paired, so there is no self-join to guard
+    # exact-substring dedup: dup-gram agg exchange + doc-id exchange
+    # (islands + final agg ride it) — windows are COUNTED, never
+    # paired, so there is no self-join to guard; r5 replaced the gram
+    # count-window with the map-combined agg + semi-join (same budget)
     "substring_dup_report": (2, True),
     # + the token/covered anti-join's exchange
     "substring_dedup": (3, True),
 }
+
+# Queries whose round-2..4 form used a count/row_number window
+# partitioned by the corpus-wide gram/shingle key — the one skew shape
+# AQE cannot split (a boilerplate gram's 10^8 occurrences sort+buffer
+# in ONE task before the frequency filter discards them). Round 5
+# replaced each with a map-combined aggregation + (broadcast) join;
+# this guard pins the replacement: no window operator may ever
+# partition by the hot-key column again. Per-doc windows (doc_id) stay
+# legal — their partitions are bounded by document length.
+HOT_KEY_WINDOW_FORBIDDEN = {
+    "dedup_ngram_jaccard": ("shingle",),
+    "dedup_containment": ("shingle",),
+    "substring_dup_report": ("gram",),
+    "substring_dedup": ("gram",),
+    "training_corpus_clean": ("gram",),
+}
+
+
+@pytest.mark.parametrize("name", sorted(HOT_KEY_WINDOW_FORBIDDEN))
+def test_no_hot_key_window_partitions(spark, name):
+    plan = _plan(spark, name)
+    for col in HOT_KEY_WINDOW_FORBIDDEN[name]:
+        assert f"windowspecdefinition({col}#" not in plan, (
+            f"{name}: window partitioned by corpus-wide key '{col}' — "
+            "single-task skew on hot grams; use groupBy+join instead"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))

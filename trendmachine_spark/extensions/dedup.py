@@ -286,31 +286,35 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     every reported pair is exact; only pairs sharing *solely* hot
     shingles are missed.
 
-    Shape (all codegen; subset-partitioning, 5 exchanges): ONE
-    ``repartition(id)`` up front satisfies BOTH the (id, shingle)
-    dropDuplicates (ClusteredDistribution on a superset of the
-    partitioning key is satisfied — same-keyed rows are co-located)
-    AND the per-id set-size count-window, so distinct + sizes cost a
-    single exchange instead of two; the doc-frequency guard is a
-    count-window over the shingle, and the guard's exchange on
-    ``shingle`` is exactly the partitioning the self-join needs, so
-    both join sides reuse it (ReusedExchange, no third pass). Set
-    sizes ride along through the join instead of a separate sizes
-    aggregation + two joins.
+    Shape (all codegen): ONE ``repartition(id)`` up front satisfies
+    BOTH the (id, shingle) dropDuplicates (ClusteredDistribution on a
+    superset of the partitioning key is satisfied — same-keyed rows
+    are co-located) AND the per-id set-size count-window, so distinct
+    + sizes cost a single exchange instead of two. The doc-frequency
+    guard is a map-combined ``groupBy(shingle)`` + anti-join against
+    the tiny hot set (round 5; see the inline comment in
+    `_shingle_pair_counts` — the round-2..4 count-window form
+    single-tasked a stopword shingle's full occurrence list at scale,
+    the one skew shape AQE cannot split). Set sizes ride along through
+    the join instead of a separate sizes aggregation + two joins.
 
     Variants measured and REJECTED at sf0.1 (in-process best-of-4):
     distinct + id-window as two separate exchanges (1.77 s vs 1.31 s
-    for this shape, 7 exchanges vs 5); groupBy+join guard instead of
-    count-windows (3.32 s vs 1.99 s); 60-bit-md5 join keys instead of
+    for this shape, 7 exchanges vs 5); 60-bit-md5 join keys instead of
     shingle strings (2.12 s vs 1.44 s — the per-occurrence md5 costs
     more than the string shuffle saves). Round 3 REVISITED the hashed
     join keys at ×10 data (the "shuffle volume dominates" regime) with
     interleaved best-of-5: xxhash64 single and double-hash keys tie
     the string keys at ×10 (3.30/3.32 vs 3.40 s) and lose at sf0.1
     (0.88/0.99 vs 0.65 s) — string keys stay, keeping exact-equality
-    semantics with zero collision caveat. Skew note: repartition(id) keys on
-    the doc id, so per-partition volume is bounded by document
-    length — no hot key unless a single document dwarfs the corpus.
+    semantics with zero collision caveat. A full groupBy+join GUARD
+    was measured 3.32 s vs 1.99 s for the count-window in round 2 and
+    rejected; round 5 takes that constant back deliberately — the
+    window form is a 100 TB scale-killer on boilerplate shingles
+    (SCALE.md round-5 skew-stress artifact quantifies both sides).
+    Skew note: repartition(id) keys on the doc id, so per-partition
+    volume is bounded by document length — no hot key unless a single
+    document dwarfs the corpus.
     """
     out = (
         _shingle_pair_counts(docs, text_col, id_col, max_shingle_freq)
@@ -338,13 +342,23 @@ def _shingle_pair_counts(docs: DataFrame, text_col: str, id_col: str,
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
     if max_shingle_freq is not None:
-        sh = (
-            sh.withColumn(
-                "_f", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-            )
-            .filter(F.col("_f") <= max_shingle_freq)
-            .drop("_f")
+        # Doc-frequency guard as a map-combined aggregation + anti-join
+        # against the hot set, NOT a count-window over the shingle: a
+        # window cannot partial-aggregate, so at corpus scale a stopword
+        # shingle's 10^8-row occurrence list would sort+buffer in ONE
+        # task before the filter discards it (and AQE skew-splitting
+        # does not apply to window partitions). The groupBy absorbs the
+        # hot key map-side; the surviving hot set is tiny (true
+        # stopword shingles only), so AQE broadcasts the anti-join —
+        # and if it ever outgrew broadcast, a shuffled anti-join on
+        # shingle is AQE-skew-splittable, which the window never is.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_freq)
+            .select("shingle")
         )
+        sh = sh.join(hot, "shingle", "left_anti")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
     return (
@@ -790,20 +804,34 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
     duplicated spans). Output, one row per document:
     (doc_id, n_tokens, dup_tokens, dup_fraction, n_islands).
 
-    Scale shape (3 exchanges, zero UDFs, no self-join anywhere): window
-    frequency is a count-window on ``gram`` — boilerplate windows with
+    Scale shape (zero UDFs, no self-join anywhere): window frequency
+    is a map-combined ``groupBy(gram)`` count + semi-join of the
+    dup-gram set back onto the occurrences — boilerplate windows with
     millions of occurrences are COUNTED, never paired, so there is no
-    quadratic path and no skew guard to tune (contrast the inverted-
-    index jaccard join). Island merging is the classic interval-union
-    as a running-max window per doc; both per-doc windows and the final
-    per-doc aggregate ride ONE doc-id exchange.
+    quadratic path; and because the count partial-aggregates map-side
+    (round 5 — the earlier count-window form buffered a hot gram's
+    whole occurrence list in one task), there is no skew cliff either.
+    Island merging is the classic interval-union as a running-max
+    window per doc; both per-doc windows and the final per-doc
+    aggregate ride ONE doc-id exchange (per-doc partitions are bounded
+    by document length, never by corpus-wide gram popularity).
     """
     occ = window_occurrences(docs, text_col, id_col, win)
-    marked = (
-        occ.withColumn("_f", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+    # Window frequency as a map-combined aggregation + semi-join, not a
+    # count-window over the gram: a window partition cannot
+    # partial-aggregate, so a boilerplate gram with 10^8 corpus
+    # occurrences would land its whole occurrence list in ONE task
+    # (sort + buffer) before filtering — the one skew shape AQE cannot
+    # split. The groupBy absorbs the hot gram map-side; the semi-join
+    # is a plain equi-join (AQE broadcasts the dup-gram set when small,
+    # skew-splits it when not).
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_f"))
         .filter(F.col("_f") >= 2)
-        .select(id_col, "pos")
+        .select("gram")
     )
+    marked = occ.join(dup_grams, "gram", "left_semi").select(id_col, "pos")
     wd = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + (win - 1)).over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
@@ -848,9 +876,12 @@ def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
     Output: (doc_id, n_tokens, n_removed_tokens, clean_text), one row
     per doc, ``clean_text`` preserving surviving-token order.
 
-    Deterministic keeper policy: ``row_number`` over each gram ordered
-    by (doc_id, pos) — first global occurrence survives, ties are
-    impossible (the key is unique). Coverage is the union of removable
+    Deterministic keeper policy: min(struct(doc_id, pos)) per gram —
+    the (doc_id, pos)-lexicographic first global occurrence survives,
+    ties are impossible (the key is unique), and the min
+    partial-aggregates map-side where the round-4 ``row_number`` window
+    sorted each gram's full occurrence list in one task (the hot-gram
+    skew cliff). Coverage is the union of removable
     windows' token ranges, materialized by exploding each removable
     window into its positions (bounded: ``win`` rows per removable
     window) and anti-joining the token stream — linear everywhere, no
@@ -860,10 +891,29 @@ def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
     never collect_list arrival order).
     """
     occ = window_occurrences(docs, text_col, id_col, win)
-    wg = Window.partitionBy("gram").orderBy(id_col, "pos")
+    # Keeper per gram via min-of-struct aggregation, not
+    # row_number() over (partition by gram): min(struct(id, pos)) is
+    # the same (doc_id, pos)-lexicographic first occurrence but
+    # partial-aggregates map-side, so a boilerplate gram's 10^8
+    # occurrences never sort in one window task. Grams with a single
+    # occurrence are filtered out BEFORE the join back, so the keeper
+    # table holds duplicated grams only; every non-keeper occurrence of
+    # a surviving gram is removable.
+    keepers = (
+        occ.groupBy("gram")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
+            F.count(F.lit(1)).alias("_f"),
+        )
+        .filter(F.col("_f") >= 2)
+        .select("gram", "_keep")
+    )
     removable = (
-        occ.withColumn("_rk", F.row_number().over(wg))
-        .filter(F.col("_rk") > 1)
+        occ.join(keepers, "gram")
+        .filter(
+            (F.col(id_col) != F.col("_keep")[id_col])
+            | (F.col("pos") != F.col("_keep")["pos"])
+        )
         .select(id_col, "pos")
     )
     covered = removable.select(
