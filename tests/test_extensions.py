@@ -932,6 +932,89 @@ def test_strip_duplicated_spans_keeps_first_occurrence(spark):
         [f"t{i}" for i in range(10)] + ["f0"])
 
 
+def test_mark_salt_identical_results(spark):
+    """The salted mark-back join (replicated-build skew join for the
+    beyond-broadcast regime) must be result-identical to the plain
+    semi-join for ANY salt."""
+    from trendmachine_spark.extensions.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+    from trendmachine_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plain = sorted(map(tuple, duplicated_spans(docs, win=10).collect()))
+    salted = sorted(map(tuple, duplicated_spans(docs, win=10, mark_salt=4).collect()))
+    assert plain == salted
+    plain = sorted(map(tuple, strip_duplicated_spans(docs, win=10).collect()))
+    salted = sorted(map(tuple,
+                        strip_duplicated_spans(docs, win=10, mark_salt=4).collect()))
+    assert plain == salted
+
+
+def test_srp_probe_buckets_structure(spark):
+    """Multi-probe set: first probe is the own bucket, each flip
+    differs in exactly one bit, flipped planes are the n_flip
+    lowest-|projection| planes (ties by plane index)."""
+    import numpy as np
+
+    from trendmachine_spark.extensions.similarity import (
+        _srp_matrix,
+        quantize_embeddings,
+        srp_buckets,
+        srp_probe_buckets,
+    )
+    from trendmachine_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = quantize_embeddings(emb).filter(F.col("vid") < 8)
+    own = {r["vid"]: r["bucket"] for r in srp_buckets(qv, 8).collect()}
+
+    # n_flip=0 degenerates to srp_buckets exactly
+    zero = {r["vid"]: r["bucket"] for r in srp_probe_buckets(qv, 8, 0).collect()}
+    assert zero == own
+
+    probes = {}
+    for r in srp_probe_buckets(qv, 8, 3).collect():
+        probes.setdefault(r["vid"], []).append(r["bucket"])
+    dim = len(qv.first()["qvec"])
+    S = _srp_matrix(dim, 8)
+    vecs = {r["vid"]: np.array(r["qvec"], dtype=np.int64) for r in qv.collect()}
+    for vid, bks in probes.items():
+        assert len(bks) == 4 and len(set(bks)) == 4
+        assert bks[0] == own[vid]
+        proj = vecs[vid] @ S
+        want_flips = np.lexsort((np.arange(8), np.abs(proj)))[:3]
+        got_flips = []
+        for b in bks[1:]:
+            diff = [i for i in range(8) if b[i] != own[vid][i]]
+            assert len(diff) == 1
+            got_flips.append(diff[0])
+        assert got_flips == list(want_flips)
+
+
+def test_ann_multi_probe_improves_monotonically(spark):
+    """More probes can only widen the candidate set, so the k-th best
+    cosine per query is monotonically non-decreasing in n_flip."""
+    from trendmachine_spark.extensions.similarity import ann_topk
+    from trendmachine_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def kth(n_flip):
+        rows = ann_topk(emb, n_queries=8, k=5, n_planes=8, n_flip=n_flip).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r["cosine"])
+        return {q: sorted(cs, reverse=True) for q, cs in out.items()}
+
+    k0, k2 = kth(0), kth(2)
+    assert set(k0) <= set(k2)  # probing more buckets never loses a query
+    for q, cs in k0.items():
+        for i, c in enumerate(cs):
+            assert k2[q][i] >= c - 1e-12
+
+
 def test_brute_force_topk_zero_norm_vector_never_crowds_quota(spark):
     """A zero-norm corpus vector scores 0/0 = NaN, which crosses Arrow
     as NULL and sorts LAST in the final DESC window; the map-side

@@ -75,11 +75,39 @@ def main() -> None:
 
     exact_sets = _topk_sets(brute_force_topk(emb, N_QUERIES, K).collect())
 
-    srp = {
-        f"n_planes={p}": _recall(ann_topk(emb, N_QUERIES, K, n_planes=p).collect(),
-                                 exact_sets)
-        for p in (4, 8)
-    }
+    # SRP sweep over (planes, flips). candidates = avg per-query scored
+    # pair count (the cost axis the round-5 recall mandate budgets:
+    # multi-probe must beat single-probe recall at <= 1.2x the
+    # n_planes=8 single-probe candidate volume).
+    from trendmachine_spark.extensions.similarity import (
+        quantize_embeddings,
+        srp_buckets,
+        srp_probe_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    def _srp_candidates(p: int, n_flip: int) -> float:
+        qv = quantize_embeddings(emb)
+        sizes = srp_buckets(qv, p).groupBy("bucket").count()
+        probes = srp_probe_buckets(
+            qv.filter(F.col("vid") < N_QUERIES), p, n_flip)
+        total = (
+            probes.join(sizes, "bucket", "left")
+            .agg(F.sum(F.coalesce("count", F.lit(0))))
+            .first()[0]
+        )
+        # own vector matches itself in its home bucket -> subtract
+        return round((int(total or 0) - N_QUERIES) / N_QUERIES, 1)
+
+    srp = {}
+    for p, nf in ((4, 0), (8, 0), (8, 2), (10, 3), (10, 4), (12, 6), (12, 8)):
+        key = f"n_planes={p},n_flip={nf}"
+        srp[key] = {
+            "recall": _recall(
+                ann_topk(emb, N_QUERIES, K, n_planes=p, n_flip=nf).collect(),
+                exact_sets),
+            "candidates_per_query": _srp_candidates(p, nf),
+        }
     ivf = {
         f"n_probe={np_}": _recall(
             ivf_topk(emb, N_QUERIES, K, n_cells=16, n_probe=np_).collect(),

@@ -1,0 +1,243 @@
+"""Skew-stress: hot-gram frequency counting, window form vs agg form.
+
+Round-5 mandate artifact (VERDICT r4 "Next round" #1): demonstrate that
+the round-4 ``count() over (partition by gram)`` duplication mark
+funnels a boilerplate gram's entire occurrence list through ONE reduce
+task, while the round-5 ``groupBy(gram)`` + broadcast semi-join form
+map-side-combines it — the reason the rewrite is worth its small
+flat-data constant.
+
+Synthetic corpus, built entirely from codegen expressions (no testdata
+mutation, fully deterministic):
+  - ``n_uniform`` docs x ``uniform_words`` words, every word unique to
+    its (doc, position) -> every 10-gram has corpus frequency 1;
+  - ``n_hot`` docs of 20 words each: 5 unique pad words + THE 10-word
+    hot phrase + 5 unique pad words -> exactly one occurrence of the
+    single hot gram per doc (boundary grams stay unique), so the hot
+    gram occurs exactly ``n_hot`` times corpus-wide.
+
+Primary metric (deterministic, unaffected by host noise or AQE
+coalescing): per-stage SHUFFLE volume and the max-task shuffle-read
+record count from the Spark UI REST taskSummary. The window form must
+shuffle every occ row on the gram and lands all ``n_hot`` hot rows in
+one reduce task; the agg form's only gram exchange carries map-side
+partials (~distinct grams per task) and the semi-join probe reads ZERO
+shuffled rows (broadcast). Wall-clock (best-of-2) is reported
+secondarily.
+
+Writes SKEW_STRESS.json at the repo root and prints it.
+
+Run solo (never alongside another Spark JVM):
+  python tools/gram_skew_stress.py              # 1e6-occurrence hot gram
+  python tools/gram_skew_stress.py --n-hot 4000000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _rest(app_host: str, path: str):
+    with urllib.request.urlopen(app_host + path, timeout=10) as r:
+        return json.load(r)
+
+
+def _completed_stage_ids(host: str, app_id: str) -> set[int]:
+    stages = _rest(host, f"/api/v1/applications/{app_id}/stages?status=complete")
+    return {s["stageId"] for s in stages}
+
+
+def _stage_shuffles(host: str, app_id: str, stage_ids: set[int]) -> dict:
+    """Per-stage shuffle totals + max/median task shuffle-read records
+    and run time; flags the worst stage by max-task read records (the
+    hot-key funnel signal)."""
+    stages = []
+    for sid in sorted(stage_ids):
+        try:
+            st = _rest(host, f"/api/v1/applications/{app_id}/stages/{sid}/0")
+            qs = _rest(
+                host,
+                f"/api/v1/applications/{app_id}/stages/{sid}/0/taskSummary"
+                "?quantiles=0.0,0.5,1.0",
+            )
+        except Exception:
+            continue  # stage with no task metrics (skipped/empty)
+        read_rec = (qs.get("shuffleReadMetrics") or {}).get("readRecords") \
+            or qs.get("shuffleReadRecords") or [0, 0, 0]
+        run = qs.get("executorRunTime") or [0, 0, 0]
+        stages.append({
+            "stage_id": sid,
+            "shuffle_write_records": st.get("shuffleWriteRecords", 0),
+            "shuffle_read_records": st.get("shuffleReadRecords", 0),
+            "shuffle_write_mb": round(st.get("shuffleWriteBytes", 0) / 1e6, 1),
+            "max_task_read_records": int(float(read_rec[2])),
+            "median_task_read_records": int(float(read_rec[1])),
+            "max_task_ms": float(run[2]),
+            "median_task_ms": float(run[1]),
+        })
+    worst = max(stages, key=lambda s: s["max_task_read_records"], default=None)
+    return {
+        "total_shuffle_write_records": sum(s["shuffle_write_records"] for s in stages),
+        "total_shuffle_write_mb": round(
+            sum(s["shuffle_write_mb"] for s in stages), 1),
+        "worst_stage_by_task_read": worst,
+        "stages": stages,
+    }
+
+
+def main() -> None:
+    n_uniform = 100_000
+    uniform_words = 60
+    n_hot = 1_000_000
+    win = 10
+    if "--n-hot" in sys.argv:
+        n_hot = int(sys.argv[sys.argv.index("--n-hot") + 1])
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("gram-skew-stress")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        # Scaled-down AQE skew thresholds (defaults trigger at 256 MB /
+        # partition; the planted hot key is ~60 MB at this corpus size)
+        # so the mechanism under test is visible: a skewed JOIN
+        # partition gets split into multiple tasks, a skewed WINDOW
+        # partition cannot be — that asymmetry is the artifact's point.
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "24m")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "12m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "32g")
+        .config("spark.ui.enabled", "true")  # REST metrics source
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    host = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}" \
+        if spark.sparkContext.uiWebUrl else "http://localhost:4040"
+    app_id = spark.sparkContext.applicationId
+
+    # -- corpus ------------------------------------------------------------
+    def pad(prefix: str):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda j: F.concat(F.lit(prefix), F.col("id"), F.lit("_"), j),
+        )
+
+    uni = spark.range(n_uniform).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(uniform_words - 1)),
+                lambda j: F.concat(F.lit("u"), F.col("id"), F.lit("_"), j),
+            ),
+        ).alias("text"),
+    )
+    phrase = F.array(*[F.lit(f"hot{k}") for k in range(win)])
+    hot = spark.range(n_hot).select(
+        (F.col("id") + n_uniform).alias("doc_id"),
+        F.array_join(
+            F.concat(pad("a"), phrase, pad("b")), " "
+        ).alias("text"),
+    )
+    docs = uni.unionByName(hot).repartition(32, "doc_id")
+    docs.persist().count()  # exclude corpus build from both measurements
+
+    from trendmachine_spark.extensions.dedup import window_occurrences
+
+    occ = window_occurrences(docs, win=win)
+
+    def window_form():
+        return (
+            occ.withColumn(
+                "_f", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+            )
+            .filter(F.col("_f") >= 2)
+            .select("doc_id", "pos")
+        )
+
+    def _dup_grams():
+        return (
+            occ.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") >= 2)
+            .select("gram")
+        )
+
+    def agg_form():
+        return occ.join(_dup_grams(), "gram", "left_semi").select("doc_id", "pos")
+
+    def agg_salted_form():
+        from trendmachine_spark.extensions.dedup import _mark_join
+
+        return _mark_join(occ, _dup_grams(), "doc_id", 16).select("doc_id", "pos")
+
+    results = {}
+    for label, build in (("window_form", window_form), ("agg_form", agg_form),
+                         ("agg_salted16_form", agg_salted_form)):
+        walls = []
+        before = _completed_stage_ids(host, app_id)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            walls.append(round(time.perf_counter() - t0, 3))
+        stage_ids = _completed_stage_ids(host, app_id) - before
+        results[label] = {
+            "wall_best_s": min(walls),
+            "wall_all_s": walls,
+            **_stage_shuffles(host, app_id, stage_ids),
+        }
+
+    out = {
+        "corpus": {
+            "n_uniform_docs": n_uniform,
+            "uniform_words": uniform_words,
+            "n_hot_docs": n_hot,
+            "hot_gram_occurrences": n_hot,
+            "occ_rows_total": n_uniform * (uniform_words - win + 1) + n_hot * 11,
+        },
+        "results": results,
+        "note": (
+            "worst_stage_by_task_read.max_task_read_records is the hot-key "
+            "funnel. Window form: one reduce task must receive AND SORT "
+            "the hot gram's full occurrence list (~n_hot rows + co-hashed "
+            "grams) — AQE cannot split a window partition, so this grows "
+            "without bound with the boilerplate count. Agg form: the "
+            "frequency COUNT absorbs the hot gram map-side (its exchange "
+            "carries partials, <= n_tasks rows per gram); on real corpora "
+            "the planner broadcasts the dup-gram set (verified in "
+            "test_plan_shapes) and the occurrence side never shuffles on "
+            "the gram at all. When the dup set outgrows broadcast, the SMJ "
+            "fallback re-funnels the hot partition (AQE's skew split is "
+            "measured NOT to engage here — the occurrence exchange is "
+            "shared with the frequency agg, and OptimizeSkewedJoin skips "
+            "shared exchanges), which is what mark_salt closes: the salted "
+            "form bounds max_task_read_records at ~1/salt of the hot list "
+            "deterministically. Cumulative shuffle totals double-count: "
+            "each form runs twice (best-of-2)."
+        ),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SKEW_STRESS.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

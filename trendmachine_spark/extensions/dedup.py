@@ -271,6 +271,33 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
     return pairs.unionByName(chained).distinct()
 
 
+def lsh_bucket_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_bucket_size: int = MAX_LSH_BUCKET) -> DataFrame:
+    """Per-band LSH bucket health: (band, n_buckets, max_bucket_size,
+    n_over_cap, docs_in_over_cap) — the "no silent caps" companion to
+    :func:`minhash_near_dup` (round-4 ADVICE): the bucket-size cap
+    switches over-cap buckets from all-pairs to chained candidates,
+    trading bounded recall inside those buckets for linear pair volume,
+    and this report tells a recall-sensitive run WHETHER and HOW MUCH
+    that trade actually fired — n_over_cap = 0 means the cap was a
+    no-op and candidate recall is the uncapped recall.
+
+    Scale: two map-combined aggregations (bucket sizes, then per-band
+    rollup over the bucket-sized table) — hot buckets are absorbed
+    map-side, nothing here is skew-sensitive.
+    """
+    buckets = lsh_band_buckets(minhash_signatures(docs, text_col, id_col), id_col)
+    sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    over = F.col("_n") > max_bucket_size
+    return sizes.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_n").alias("max_bucket_size"),
+        F.sum(over.cast("long")).alias("n_over_cap"),
+        F.sum(F.when(over, F.col("_n")).otherwise(F.lit(0))).alias("docs_in_over_cap"),
+    )
+
+
 def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   min_jaccard: float = 0.0,
                   max_shingle_freq: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
@@ -788,8 +815,33 @@ def window_occurrences(docs: DataFrame, text_col: str = "text",
     return idx.select(F.col(id_col), "pos", gram.alias("gram"))
 
 
+def _mark_join(occ: DataFrame, dup_grams: DataFrame,
+               id_col: str, salt: int | None) -> DataFrame:
+    """Semi-join occurrences against the dup-gram set, optionally
+    SALTED: probe key becomes (gram, hash(id,pos) % salt) and the build
+    side replicates each gram across all salt values, so a hot gram's
+    occurrences spread over ``salt`` reduce partitions by construction
+    — the replicated-build skew join. Use when the dup-gram set has
+    outgrown broadcast AND carries hot grams: AQE cannot skew-split
+    this SMJ because the occurrence exchange is reused by the
+    frequency aggregation (measured: OptimizeSkewedJoin skips shared
+    exchanges — SKEW_STRESS.json), and a salt bounds the max task
+    deterministically instead. Results are identical for any salt."""
+    if salt is None:
+        return occ.join(dup_grams, "gram", "left_semi")
+    salted = occ.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col), F.col("pos")), F.lit(salt))
+    )
+    replicated = dup_grams.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))),
+    )
+    return salted.join(replicated, ["gram", "_salt"], "left_semi").drop("_salt")
+
+
 def duplicated_spans(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id", win: int = 10) -> DataFrame:
+                     id_col: str = "doc_id", win: int = 10,
+                     mark_salt: int | None = None) -> DataFrame:
     """Per-doc duplicated-substring report — the bounded-window form of
     exact-substring dedup (Lee et al., "Deduplicating Training Data
     Makes Language Models Better", ACL 2022: any 50-token span occurring
@@ -831,7 +883,7 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
         .filter(F.col("_f") >= 2)
         .select("gram")
     )
-    marked = occ.join(dup_grams, "gram", "left_semi").select(id_col, "pos")
+    marked = _mark_join(occ, dup_grams, id_col, mark_salt).select(id_col, "pos")
     wd = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + (win - 1)).over(
         wd.rowsBetween(Window.unboundedPreceding, -1)
@@ -867,7 +919,8 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
 
 
 def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
-                           id_col: str = "doc_id", win: int = 10) -> DataFrame:
+                           id_col: str = "doc_id", win: int = 10,
+                           mark_salt: int | None = None) -> DataFrame:
     """Remove every NON-FIRST occurrence of a duplicated window — the
     destructive half of exact-substring dedup: the corpus keeps exactly
     one copy of each duplicated span (its globally-first occurrence by
@@ -908,9 +961,25 @@ def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
         .filter(F.col("_f") >= 2)
         .select("gram", "_keep")
     )
+    if mark_salt is None:
+        joined = occ.join(keepers, "gram")
+    else:
+        # replicated-build salted join — same rationale as _mark_join
+        # (AQE cannot skew-split the shared occurrence exchange)
+        joined = occ.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col), F.col("pos")), F.lit(mark_salt)),
+        ).join(
+            keepers.withColumn(
+                "_salt",
+                F.explode(F.sequence(
+                    F.lit(0).cast("long"), F.lit(mark_salt - 1).cast("long")
+                )),
+            ),
+            ["gram", "_salt"],
+        )
     removable = (
-        occ.join(keepers, "gram")
-        .filter(
+        joined.filter(
             (F.col(id_col) != F.col("_keep")[id_col])
             | (F.col("pos") != F.col("_keep")["pos"])
         )

@@ -199,6 +199,75 @@ def srp_sign(plane: int, dim: int) -> int:
     return (int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[-1], 16) % 2) * 2 - 1
 
 
+def _srp_matrix(dim: int, n_planes: int):
+    """(dim, n_planes) ±1 hyperplane matrix, materialized driver-side
+    and shipped as a literal constant (tiny: dim × planes int64)."""
+    import numpy as np
+
+    return np.array(
+        [[srp_sign(p, i) for p in range(n_planes)] for i in range(dim)],
+        dtype=np.int64,
+    )
+
+
+def srp_probe_buckets(qv: DataFrame, n_planes: int = 8,
+                      n_flip: int = 0) -> DataFrame:
+    """(vid, bucket) probe set per vector: its own SRP bucket plus
+    ``n_flip`` additional buckets obtained by flipping, ONE AT A TIME,
+    the bits whose hyperplane projection has the smallest magnitude —
+    classic multi-probe LSH (Lv et al., VLDB 2007): a point near a
+    hyperplane is nearly as likely to have neighbors on the other side,
+    so low-|margin| flips recover most of the recall lost to bucket
+    boundaries at a fraction of the cost of coarser buckets.
+
+    Deterministic end to end: projections are exact int64 (same matmul
+    as :func:`srp_buckets`), flip order is (|projection| ASC, plane ASC)
+    — SQL-mirrorable, so queries built on this keep full value-hash
+    oracles. ``n_flip=0`` degenerates to exactly :func:`srp_buckets`.
+    Runs on the (small, broadcast-bound) query side only; emits
+    1 + n_flip rows per vector, all buckets distinct by construction.
+    """
+    import numpy as np
+
+    dim_row = qv.select(F.size("qvec").alias("d")).first()
+    if dim_row is None or dim_row["d"] is None:
+        return qv.select("vid", F.lit("").alias("bucket")).limit(0)
+    S = _srp_matrix(dim_row["d"], n_planes)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)  # (m, d)
+            proj = V @ S                                            # exact
+            bits = proj > 0
+            vids, out = [], []
+            planes = np.arange(n_planes)
+            for r in range(len(pdf)):
+                row = bits[r]
+                base = "".join("1" if b else "0" for b in row)
+                vids.append(int(pdf["vid"].iloc[r]))
+                out.append(base)
+                # flip the n_flip lowest-|margin| planes, one at a time
+                order = np.lexsort((planes, np.abs(proj[r])))[:n_flip]
+                for p in order:
+                    flipped = (
+                        base[:p] + ("0" if row[p] else "1") + base[p + 1:]
+                    )
+                    vids.append(int(pdf["vid"].iloc[r]))
+                    out.append(flipped)
+            yield pd.DataFrame(
+                {
+                    "vid": pd.Series(vids, dtype="int64"),
+                    "bucket": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return qv.select("vid", "qvec").mapInPandas(run, "vid long, bucket string")
+
+
 def srp_buckets(qv: DataFrame, n_planes: int = 8) -> DataFrame:
     """(vid, bucket) — bucket = concat of sign bits across hyperplanes.
 
@@ -216,11 +285,7 @@ def srp_buckets(qv: DataFrame, n_planes: int = 8) -> DataFrame:
     dim_row = qv.select(F.size("qvec").alias("d")).first()
     if dim_row is None or dim_row["d"] is None:
         return qv.select("vid", F.lit("").alias("bucket")).limit(0)
-    dim = dim_row["d"]
-    S = np.array(
-        [[srp_sign(p, i) for p in range(n_planes)] for i in range(dim)],
-        dtype=np.int64,
-    )  # (d, planes)
+    S = _srp_matrix(dim_row["d"], n_planes)  # (d, planes)
 
     def run(batches):
         import pandas as pd
@@ -244,17 +309,27 @@ def srp_buckets(qv: DataFrame, n_planes: int = 8) -> DataFrame:
 
 
 def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 8,
+             n_flip: int = 0,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
-    SRP bucket. Recall < 1 by design; deterministic output."""
+    SRP probe buckets (own bucket + ``n_flip`` lowest-margin single-bit
+    flips — multi-probe LSH; ``n_flip=0`` is single-probe). Recall < 1
+    by design; deterministic output.
+
+    No candidate-pair dedup is needed: each corpus vector has exactly
+    ONE bucket row and a query's probe buckets are distinct, so a
+    (query, neighbor) pair can arise from at most one joined row — the
+    map-side top-k prune and final rank window stay duplicate-free.
+    """
     qv = quantize_embeddings(emb, vec_col, id_col)
     buckets = srp_buckets(qv, n_planes)
-    qvb = qv.join(buckets, "vid")
-    queries = qvb.filter(F.col("vid") < n_queries).select(
+    qonly = qv.filter(F.col("vid") < n_queries)
+    probes = srp_probe_buckets(qonly, n_planes, n_flip)
+    queries = qonly.join(probes, "vid").select(
         F.col("vid").alias("query_id"), F.col("qvec").alias("q"),
         F.col("norm2").alias("qn"), "bucket",
     )
-    cands = qvb.select(
+    cands = qv.join(buckets, "vid").select(
         F.col("vid").alias("neighbor_id"), F.col("qvec").alias("c"),
         F.col("norm2").alias("cn"), "bucket",
     )

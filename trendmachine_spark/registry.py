@@ -647,7 +647,8 @@ def q_headline_metrics(spark, sf_dir):
 # ===================================================================
 
 from trendmachine_spark.extensions.dedup import (  # noqa: E402
-    MAX_SHINGLE_FREQ, exact_dedup, minhash_near_dup, ngram_jaccard, simhash,
+    MAX_LSH_BUCKET, MAX_SHINGLE_FREQ, exact_dedup, minhash_near_dup,
+    ngram_jaccard, simhash,
 )
 from trendmachine_spark.extensions.multimodal import media_metadata  # noqa: E402
 from trendmachine_spark.extensions.similarity import ann_topk, brute_force_topk  # noqa: E402
@@ -724,6 +725,26 @@ def _minhash_ctes() -> str:
 @register("dedup_minhash_lsh", f"WITH {_minhash_ctes()} SELECT id_a, id_b FROM cand")
 def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_near_dup(_docs(spark, sf_dir))
+
+
+@register(
+    "lsh_bucket_health",
+    f"""WITH {_minhash_ctes()},
+    sizes AS (SELECT band, bucket, count(*) AS n FROM bands GROUP BY band, bucket)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(n) AS BIGINT) AS max_bucket_size,
+           CAST(sum(CASE WHEN n > {MAX_LSH_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+           CAST(sum(CASE WHEN n > {MAX_LSH_BUCKET} THEN n ELSE 0 END) AS BIGINT) AS docs_in_over_cap
+    FROM sizes GROUP BY band""",
+)
+def q_lsh_bucket_health(spark, sf_dir):
+    """'No silent caps' metric (round-4 ADVICE): whether and how much
+    minhash_near_dup's bucket-size cap actually fired — n_over_cap = 0
+    certifies candidate recall equals the uncapped run's."""
+    from trendmachine_spark.extensions.dedup import lsh_bucket_stats
+
+    return lsh_bucket_stats(_docs(spark, sf_dir))
 
 
 @register(
@@ -1130,11 +1151,16 @@ def q_similarity_topk(spark, sf_dir):
     return brute_force_topk(_embeddings(spark, sf_dir), n_queries=10, k=5)
 
 
-def _ann_lsh_oracle(n_queries: int = 10, k: int = 5, n_planes: int = 8) -> str:
+def _ann_lsh_oracle(n_queries: int = 10, k: int = 5, n_planes: int = 8,
+                    n_flip: int = 0) -> str:
     """Exact mirror of similarity.ann_topk: approximate w.r.t. true
     neighbors (bucket-restricted recall) but fully DETERMINISTIC —
     md5-derived buckets, exact integer cosine, (cosine DESC,
-    neighbor_id) tie-break — so the value hash is checkable."""
+    neighbor_id) tie-break — so the value hash is checkable. With
+    ``n_flip`` > 0 it also mirrors the multi-probe set: each query
+    probes its own bucket plus the ``n_flip`` single-bit flips of its
+    lowest-|projection| planes, tie-broken (abs(proj) ASC, plane ASC)
+    exactly like srp_probe_buckets."""
     bits = []
     for p in range(n_planes):
         sign = (
@@ -1145,6 +1171,43 @@ def _ann_lsh_oracle(n_queries: int = 10, k: int = 5, n_planes: int = 8) -> str:
             f"i -> q[i] * {sign})) AS BIGINT) > 0 THEN '1' ELSE '0' END"
         )
     bucket = "concat(" + ", ".join(bits) + ")"
+    # sign expression with the plane as a COLUMN (for the long-form
+    # projection CTE) — same md5 bit as the per-plane literals above
+    sign_p = ("((('0x' || substr(md5(concat(CAST(t.p AS VARCHAR), ':', "
+              "CAST(i - 1 AS VARCHAR))), 32, 1))::INT % 2) * 2 - 1)")
+    if n_flip > 0:
+        probes = f"""
+    projs AS (
+      SELECT vec_id, t.p AS p,
+             CAST(list_sum(list_transform(generate_series(1, len(q)),
+                                          i -> q[i] * {sign_p})) AS BIGINT) AS proj
+      FROM qv, unnest(generate_series(0, {n_planes - 1})) t(p)
+      WHERE vec_id < {n_queries}
+    ),
+    flips AS (
+      SELECT vec_id, p FROM (
+        SELECT vec_id, p,
+               row_number() OVER (PARTITION BY vec_id ORDER BY abs(proj), p) AS rk
+        FROM projs
+      ) WHERE rk <= {n_flip}
+    ),
+    probes AS (
+      SELECT vec_id, bucket FROM nv WHERE vec_id < {n_queries}
+      UNION ALL
+      SELECT f.vec_id,
+             concat(substr(b.bucket, 1, f.p),
+                    CASE WHEN substr(b.bucket, f.p + 1, 1) = '1'
+                         THEN '0' ELSE '1' END,
+                    substr(b.bucket, f.p + 2)) AS bucket
+      FROM flips f JOIN nv b ON b.vec_id = f.vec_id
+    ),"""
+        scored_from = f"""FROM probes pb
+      JOIN nv qs ON qs.vec_id = pb.vec_id
+      JOIN nv n ON n.bucket = pb.bucket AND n.vec_id != pb.vec_id"""
+    else:
+        probes = ""
+        scored_from = f"""FROM nv qs JOIN nv n ON qs.bucket = n.bucket AND qs.vec_id != n.vec_id
+      WHERE qs.vec_id < {n_queries}"""
     return f"""WITH qv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
@@ -1155,14 +1218,13 @@ def _ann_lsh_oracle(n_queries: int = 10, k: int = 5, n_planes: int = 8) -> str:
              CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2,
              {bucket} AS bucket
       FROM qv
-    ),
+    ),{probes}
     scored AS (
       SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
              CAST(list_sum(list_transform(generate_series(1, len(qs.q)),
                                           i -> qs.q[i] * n.q[i])) AS DOUBLE)
                / (sqrt(CAST(qs.norm2 AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE))) AS cosine
-      FROM nv qs JOIN nv n ON qs.bucket = n.bucket AND qs.vec_id != n.vec_id
-      WHERE qs.vec_id < {n_queries}
+      {scored_from}
     )
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2664,6 +2726,38 @@ def q_dedup_streaming(spark, sf_dir):
     return spark.sql("SELECT * FROM _dedup_stream_q")
 
 
+@register("neardup_streaming", None)  # stateful LSH-bucket state: rows-only
+def q_neardup_streaming(spark, sf_dir):
+    """Watermarked stateful streaming NEAR-dup (round-5 closure of the
+    r3 stretch item): applyInPandasWithState keyed by (band, bucket),
+    TTL'd capped member state, flags in incremental_dedup's shape.
+    Cross-trigger equivalence with iterated incremental_dedup (late
+    data included), TTL re-admission, and the state cap are pinned in
+    tests/test_neardup_stream.py; this entry smoke-runs the operator
+    end-to-end on the documents corpus."""
+    from trendmachine_spark.streaming.neardup_stream import (
+        flags_from_rows,
+        near_dup_flags_stream,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.lit("2020-01-01 00:00:00").cast("timestamp"))
+    )
+    q = (
+        near_dup_flags_stream(stream, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("_neardup_stream_q")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return flags_from_rows(spark.table("_neardup_stream_q"))
+
+
 @register(
     "corpus_mix_temperature",
     """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
@@ -3465,6 +3559,7 @@ _WINDOW_PINNED = [
     "dedup_ngram_jaccard",    # r5: shingle-freq guard agg+anti-join (skew mandate)
     "dedup_containment",      # r5: shares _shingle_pair_counts guard
     "similarity_ann_lsh",     # r5: multi-probe SRP (recall mandate)
+    "lsh_bucket_health",      # new r5: no-silent-caps metric (r4 ADVICE)
 ]
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
@@ -3490,6 +3585,7 @@ _DEMOTE_EVEN = frozenset({
     # round-5 pinned (checked r5 via the pin; demotable from r6 on)
     "substring_dup_report", "substring_dedup", "training_corpus_clean",
     "dedup_ngram_jaccard", "dedup_containment", "similarity_ann_lsh",
+    "lsh_bucket_health",
     # balance: moved from the checked-r4 half so both windows fit in 50
     "capture_normalize", "daily_chaos", "daily_rollup",
 })

@@ -40,18 +40,22 @@ except ImportError:  # pyspark < 4
 CDX_SCHEMA = "url string, seq bigint, ts string, status string, digest string"
 
 
-def cdx_page_url(url: str, page: int | None = None, count_pages: bool = False) -> str:
-    """URL construction mirroring main.py:115-118 (pure, testable)."""
-    base = f"{CDXAPI}?url={quote_plus(url)}"
+def cdx_page_url(url: str, page: int | None = None, count_pages: bool = False,
+                 api: str = CDXAPI) -> str:
+    """URL construction mirroring main.py:115-118 (pure, testable).
+    ``api`` overrides the endpoint — a private mirror, or the
+    loopback transcript server of tests/test_live_fixtures.py."""
+    base = f"{api}?url={quote_plus(url)}"
     if count_pages:
         return f"{base}&showNumPages=true"
     return f"{base}&fl=timestamp,statuscode,digest&page={page}"
 
 
 class CdxPagePartition(InputPartition):
-    def __init__(self, url: str, page: int):
+    def __init__(self, url: str, page: int, api: str = CDXAPI):
         self.url = url
         self.page = page
+        self.api = api
 
 
 class CdxReader(DataSourceReader):
@@ -60,21 +64,32 @@ class CdxReader(DataSourceReader):
         if not self.url:
             raise ValueError("cdx source requires option 'url'")
         self.max_pages = int(options.get("max_pages", MAXCDXPAGES))
+        # endpoint override: partitions carry it so executor-side reads
+        # (fresh worker processes — module state does NOT propagate)
+        # hit the same server the planner probed
+        self.api = options.get("api", CDXAPI)
 
     def _num_pages(self) -> int:
         import requests  # gated: only needed on an actual load
 
-        text = requests.get(cdx_page_url(self.url, count_pages=True), timeout=60).text
+        text = requests.get(
+            cdx_page_url(self.url, count_pages=True, api=self.api), timeout=60
+        ).text
         return min(int(text), self.max_pages)
 
     def partitions(self):
-        return [CdxPagePartition(self.url, p) for p in range(self._num_pages())]
+        return [
+            CdxPagePartition(self.url, p, self.api)
+            for p in range(self._num_pages())
+        ]
 
     def read(self, partition):
         import requests
 
         r = requests.get(
-            cdx_page_url(partition.url, page=partition.page), stream=True, timeout=300
+            cdx_page_url(partition.url, page=partition.page,
+                         api=getattr(partition, "api", CDXAPI)),
+            stream=True, timeout=300,
         )
         if not r.ok:
             raise ValueError(
