@@ -115,6 +115,35 @@ def main() -> None:
         for np_ in (1, 2, 4)
     }
 
+    # Recall CEILING evidence (round 5): the scaled corpus replicates
+    # each base vector, so a query has exactly |family|-1 true
+    # neighbors; the k-th exact "neighbor" beyond that is isotropic
+    # noise whose bucket is uncorrelated with the query's — no LSH
+    # config can (or should) retrieve it. Record the per-rank cosine
+    # medians and recall at k=family-1 so the ~0.90 recall@10 reads as
+    # the data property it is.
+    import statistics
+
+    exact_rows = brute_force_topk(emb, N_QUERIES, K).collect()
+    by_rank: dict[int, list[float]] = {}
+    for r in exact_rows:
+        by_rank.setdefault(r["rank"], []).append(r["cosine"])
+    rank_medians = {
+        rk: round(statistics.median(cs), 4) for rk, cs in sorted(by_rank.items())
+    }
+    fam = max(
+        (rk for rk, med in rank_medians.items() if med > 0.9), default=K - 1
+    )
+    exact_fam = {
+        q: {i for i, _ in sorted(
+            ((r["neighbor_id"], r["rank"]) for r in exact_rows
+             if r["query_id"] == q and r["rank"] <= fam),
+            key=lambda t: t[1])}
+        for q in {r["query_id"] for r in exact_rows}
+    }
+    recall_fam = _recall(
+        ann_topk(emb, N_QUERIES, fam, n_planes=8, n_flip=0).collect(), exact_fam)
+
     out = {
         "metric": "ANN recall@k vs exact brute-force cosine top-k",
         "sf": f"0.1x{mult}",
@@ -123,6 +152,19 @@ def main() -> None:
         "k": K,
         "srp_lsh": srp,
         "ivf": ivf,
+        "ceiling": {
+            "exact_rank_cosine_medians": rank_medians,
+            "in_family_k": fam,
+            "srp_recall_at_family_k": recall_fam,
+            "note": (
+                "replica families bound true neighbors at in_family_k; the "
+                "k-th exact match beyond that is isotropic noise (see the "
+                "cosine cliff in exact_rank_cosine_medians) hashing "
+                "uniformly across buckets — recall@10 ~0.90 is the data "
+                "ceiling, not index quality; recall at family k is the "
+                "index-quality number."
+            ),
+        },
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ANN_RECALL.json"

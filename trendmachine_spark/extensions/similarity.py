@@ -8,11 +8,13 @@ Driver-mandated extension operators (SURVEY.md §2.6).
   (a float dot product's value depends on accumulation order).
 * brute_force_topk — exact quantized-cosine top-k: the oracle-checkable
   baseline. Scale: query side is broadcast; candidates never shuffle.
-* srp_buckets / ann_topk — Signed Random Projection LSH: hyperplanes
-  with entries in {-1, +1} derived from md5 bits (deterministic, no
-  RNG), bucket = sign bit per plane. ann_topk searches only within the
-  query's bucket — the 100 TB path (bucket count 2^planes; the
-  candidate join is an equi-join on bucket).
+* srp_buckets / srp_probe_buckets / ann_topk — Signed Random
+  Projection LSH: hyperplanes with entries in {-1, +1} derived from
+  md5 bits (deterministic, no RNG), bucket = sign bit per plane.
+  ann_topk searches within the query's probe buckets — its own plus
+  ``n_flip`` lowest-margin single-bit flips (multi-probe LSH, round 5)
+  — the 100 TB path (bucket count 2^planes; the candidate join is an
+  equi-join on bucket, query side broadcast).
 """
 
 from __future__ import annotations

@@ -1233,12 +1233,20 @@ def _ann_lsh_oracle(n_queries: int = 10, k: int = 5, n_planes: int = 8,
     ) WHERE rank <= {k}"""
 
 
-@register("similarity_ann_lsh", _ann_lsh_oracle())
+@register("similarity_ann_lsh", _ann_lsh_oracle(n_flip=2))
 def q_similarity_ann_lsh(spark, sf_dir):
-    """Bucket-restricted ANN top-k — approximate recall by design, but
-    deterministic end to end, so it carries a full value-hash oracle
-    (upgraded from the rows-only check of earlier rounds)."""
-    return ann_topk(_embeddings(spark, sf_dir), n_queries=10, k=5)
+    """Multi-probe SRP ANN top-k (round 5: each query also probes the
+    2 lowest-margin single-bit-flip buckets) — approximate recall by
+    design, but deterministic end to end, so it carries a full
+    value-hash oracle including the probe-set CTE. Recall note
+    (ANN_RECALL.json): on the ×10 corpus recall@10 is ceilinged at
+    ~0.90 by the DATA, not the index — replica families have exactly 9
+    true neighbors (rank-9 cosine = 1.0) and the 10th-ranked
+    "neighbor" is isotropic noise at cosine ≈ 0.41, which any LSH is
+    designed to exclude; recall@9 is 1.0 even single-probe. Multi-probe
+    still widens boundary coverage where boundaries matter (+0.3pp at
+    2.8x candidates here, more on corpora with graded similarity)."""
+    return ann_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_flip=2)
 
 
 _TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
