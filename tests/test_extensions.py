@@ -932,6 +932,51 @@ def test_strip_duplicated_spans_keeps_first_occurrence(spark):
         [f"t{i}" for i in range(10)] + ["f0"])
 
 
+def test_chain_shards_preserves_connectivity_and_volume(spark):
+    """The sharded chain (bounded window tasks for hot buckets) must
+    keep every over-cap bucket candidate-CONNECTED with exactly n-1
+    chain pairs, and must be a no-op on corpora without over-cap
+    buckets."""
+    from trendmachine_spark.extensions.dedup import minhash_near_dup
+    from trendmachine_spark.sources.tables import load_table
+
+    # no over-cap bucket at sf0.001 -> byte-identical output
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plain = sorted(map(tuple, minhash_near_dup(docs).collect()))
+    sharded = sorted(map(tuple,
+                         minhash_near_dup(docs, chain_shards=4).collect()))
+    assert plain == sharded
+
+    # planted hot family: 30 identical docs with cap 10
+    fam = [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(30)]
+    other = [(100 + i, f"unique{i} words{i} here{i} now{i}") for i in range(5)]
+    hot_docs = spark.createDataFrame(fam + other, "doc_id long, text string")
+    for shards in (1, 4, 7):
+        rows = minhash_near_dup(
+            hot_docs, max_bucket_size=10, chain_shards=shards).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in rows}
+        fam_pairs = {p for p in pairs if p[0] < 30 and p[1] < 30}
+        # exactly n-1 chain pairs for the 30-member family
+        assert len(fam_pairs) == 29, (shards, len(fam_pairs))
+        # spanning connectivity via union-find
+        parent = list(range(30))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in fam_pairs:
+            parent[find(a)] = find(b)
+        assert len({find(i) for i in range(30)}) == 1, shards
+    # default (windowed) chain agrees on volume for the same family
+    rows = minhash_near_dup(hot_docs, max_bucket_size=10).collect()
+    fam_pairs = {(r["id_a"], r["id_b"]) for r in rows
+                 if r["id_a"] < 30 and r["id_b"] < 30}
+    assert len(fam_pairs) == 29
+
+
 def test_mark_salt_identical_results(spark):
     """The salted mark-back join (replicated-build skew join for the
     beyond-broadcast regime) must be result-identical to the plain

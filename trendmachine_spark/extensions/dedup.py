@@ -211,7 +211,8 @@ def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
 
 def minhash_near_dup(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     max_bucket_size: int | None = MAX_LSH_BUCKET) -> DataFrame:
+                     max_bucket_size: int | None = MAX_LSH_BUCKET,
+                     chain_shards: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing an LSH band.
 
     Scale: one shuffle for the signatures (map-combined), then the
@@ -236,6 +237,14 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
     The window count+lag ride the SAME (band, bucket) exchange the
     self-join needs, so the guard adds sorts but no extra shuffle; hot
     buckets never enter the join at all (their chain IS the lag).
+
+    ``chain_shards`` (round 5, opt-in): the default chain still sorts a
+    hot bucket's whole member list in ONE window task — linear, but
+    unsplittable. At true scale pass a shard count and over-cap buckets
+    chain within hash shards (max task = bucket/shards) plus one
+    linking pair per adjacent shard — same n-1 pair volume, same
+    spanning connectivity, different (still deterministic) chain edges;
+    see :func:`_sharded_chain_pairs`.
     """
     buckets = lsh_band_buckets(minhash_signatures(docs, text_col, id_col), id_col)
     if max_bucket_size is None:
@@ -247,6 +256,9 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b")
             .distinct()
         )
+    if chain_shards is not None:
+        return _sharded_chain_pairs(
+            buckets, id_col, max_bucket_size, chain_shards)
     w = Window.partitionBy("band", "bucket")
     bk = buckets.select(
         F.col(id_col),
@@ -269,6 +281,69 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
         .select("id_a", "id_b")
     )
     return pairs.unionByName(chained).distinct()
+
+
+def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
+                         max_bucket_size: int, shards: int) -> DataFrame:
+    """Chain guard with BOUNDED tasks — the 100 TB form of the bucket
+    cap (opt-in via ``chain_shards``; default path above is oracle-
+    mirrored and byte-stable).
+
+    The default chain rides count+lag windows over (band, bucket),
+    which is linear in pair VOLUME but still materializes a hot
+    bucket's whole member list in ONE window task (the same
+    unsplittable shape the round-5 gram rewrite removed elsewhere — a
+    10⁸-member boilerplate bucket is one task's sort). Here the bucket
+    size comes from a map-combined aggregation (hot key absorbed
+    map-side; the tiny over-cap set broadcasts back), and each over-cap
+    bucket's chain is SHARDED: members hash into ``shards`` sub-groups,
+    chained within their shard's (id-ordered) window — max task =
+    bucket/shards — and consecutive non-empty shards are linked with
+    one (max of shard k, min of shard k+1) pair from a shards-sized
+    window. Pair count per over-cap bucket stays exactly n-1 and every
+    member stays candidate-CONNECTED (a spanning path), so downstream
+    verify→connected-components clusters are preserved under the same
+    transitivity condition as the unsharded chain; the specific chain
+    EDGES differ (a different spanning path), which is why this is a
+    parameter and not the oracle default.
+    """
+    sizes = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_size)
+        .select("band", "bucket", F.lit(True).alias("_hot"))
+    )
+    bk = buckets.join(sizes, ["band", "bucket"], "left")
+    small = bk.filter(F.col("_hot").isNull())
+    a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = small.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    over = bk.filter(F.col("_hot").isNotNull()).withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    )
+    wsh = Window.partitionBy("band", "bucket", "_shard").orderBy(id_col)
+    intra = (
+        over.withColumn("_prev", F.lag(id_col).over(wsh))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    bounds = over.groupBy("band", "bucket", "_shard").agg(
+        F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx")
+    )
+    wb = Window.partitionBy("band", "bucket").orderBy("_shard")
+    cross = (
+        bounds.withColumn("_pmx", F.lag("_mx").over(wb))
+        .filter(F.col("_pmx").isNotNull())
+        .select(
+            F.least("_pmx", "_mn").alias("id_a"),
+            F.greatest("_pmx", "_mn").alias("id_b"),
+        )
+    )
+    return pairs.unionByName(intra).unionByName(cross).distinct()
 
 
 def lsh_bucket_stats(docs: DataFrame, text_col: str = "text",
@@ -369,23 +444,40 @@ def _shingle_pair_counts(docs: DataFrame, text_col: str, id_col: str,
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
     if max_shingle_freq is not None:
-        # Doc-frequency guard as a map-combined aggregation + anti-join
+        # Doc-frequency guard as map-combined aggregations + anti-join
         # against the hot set, NOT a count-window over the shingle: a
         # window cannot partial-aggregate, so at corpus scale a stopword
         # shingle's 10^8-row occurrence list would sort+buffer in ONE
         # task before the filter discards it (and AQE skew-splitting
-        # does not apply to window partitions). The groupBy absorbs the
-        # hot key map-side; the surviving hot set is tiny (true
-        # stopword shingles only), so AQE broadcasts the anti-join —
-        # and if it ever outgrew broadcast, a shuffled anti-join on
-        # shingle is AQE-skew-splittable, which the window never is.
+        # does not apply to window partitions). The frequency pass uses
+        # the two-phase hashed count (see _candidate_rows — a direct
+        # groupBy(shingle) shuffled the whole string universe as
+        # partials, measured +5.5 s at ×10); the final hot set is
+        # byte-identical, so the oracle CTE is untouched. The hot set
+        # is true stopword shingles only, so AQE broadcasts the
+        # anti-join — and if it ever outgrew broadcast, a shuffled
+        # anti-join on shingle is AQE-skew-splittable, which the window
+        # never is.
         hot = (
-            sh.groupBy("shingle")
+            _candidate_rows(sh.select("shingle"), "shingle",
+                            max_shingle_freq + 1, broadcast_cand=True)
+            .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_shingle_freq)
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
+        # ONE explicit shingle exchange ahead of the self-join: its
+        # partitioning satisfies the join requirement on both sides, so
+        # the join adds no further exchange. (The static plan still
+        # instantiates the subtree per join side — Spark trees, not
+        # DAGs — which is a measured ~2x-subtree cost vs the round-4
+        # count-window form whose single exchange both sides shared;
+        # that residual is the honest price of the hot-key-safe guard,
+        # documented with numbers in SCALE.md. Caching sh would hide
+        # the cost from the bench by result-caching most of the
+        # pipeline, which the bench methodology forbids.)
+        sh = sh.repartition("shingle")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
     return (
@@ -815,6 +907,49 @@ def window_occurrences(docs: DataFrame, text_col: str = "text",
     return idx.select(F.col(id_col), "pos", gram.alias("gram"))
 
 
+def _candidate_rows(rows: DataFrame, key_col: str, min_count: int,
+                    broadcast_cand: bool = False) -> DataFrame:
+    """Rows whose key occurs >= ``min_count`` times — possibly with a
+    few hash-collision extras, never with a miss — for an exact
+    second-phase aggregation.
+
+    Two phases keep the wide exchange cheap on unique-heavy key
+    universes (most grams/shingles occur once, so a direct
+    ``groupBy(key)`` shuffles the whole string universe as map-side
+    partials — measured +5.5 s on dedup_ngram_jaccard at ×10):
+
+    A) exact counts per ``xxhash64(key)`` — the exchange carries 8-byte
+       keys; collisions only MERGE counts, so the over-threshold hash
+       set is a SUPERSET of the true hot keys (no false negatives) and
+       Zipf-small;
+    B) join the candidate hashes back (broadcast when hinted tiny,
+       AQE-decided otherwise — at 100 TB a huge candidate set degrades
+       to a shuffled 8-byte-key join, still string-free).
+
+    Callers re-aggregate the returned rows by the REAL key and re-apply
+    the threshold, which removes collision false-positives — the final
+    result is byte-identical to the single-phase groupBy, so DuckDB
+    oracles (plain frequency filters) need no mirroring of the hashes.
+    """
+    # Coarse BUCKETS, not raw hashes: the phase-A group count bounds
+    # the aggregation's hash-table cost, and with ~4M buckets the mean
+    # bucket count stays far below any useful threshold (50M rows /
+    # 4M buckets ≈ 12 — Poisson mass above 100 is nil), so candidate
+    # buckets are almost exclusively the ones holding a genuinely hot
+    # key plus its ~dozen innocent co-bucketed keys, which phase B's
+    # exact recount then separates.
+    h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(1 << 22))
+    cand = (
+        rows.groupBy(h.alias("_hh"))
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_count)
+        .select("_hh")
+    )
+    if broadcast_cand:
+        cand = F.broadcast(cand)
+    return rows.join(cand, h == F.col("_hh")).drop("_hh")
+
+
 def _mark_join(occ: DataFrame, dup_grams: DataFrame,
                id_col: str, salt: int | None) -> DataFrame:
     """Semi-join occurrences against the dup-gram set, optionally
@@ -877,6 +1012,12 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
     # split. The groupBy absorbs the hot gram map-side; the semi-join
     # is a plain equi-join (AQE broadcasts the dup-gram set when small,
     # skew-splits it when not).
+    # direct single-phase count, NOT _candidate_rows: the >= 2
+    # threshold keeps ~all duplicated grams (a large, non-Zipf-rare
+    # set), so the hashed candidate phase prunes little and just adds
+    # a pass — measured 13.6 s vs 7.3 s at ×10. Two-phase pays only
+    # where the surviving set is rare (the jaccard guard's stopword
+    # shingles).
     dup_grams = (
         occ.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_f"))
@@ -952,6 +1093,9 @@ def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
     # occurrence are filtered out BEFORE the join back, so the keeper
     # table holds duplicated grams only; every non-keeper occurrence of
     # a surviving gram is removable.
+    # single-phase for the same reason as duplicated_spans' dup_grams:
+    # the >= 2 keeper set is large, the hashed candidate phase would
+    # only add a pass
     keepers = (
         occ.groupBy("gram")
         .agg(
