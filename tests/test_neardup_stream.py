@@ -181,6 +181,70 @@ def test_ttl_readmission_after_watermark(spark, tmp_path):
     assert got[3][0] == 1 and got[3][2] == 1 and got[3][3] == 0
 
 
+def test_checkpoint_restart_state_carries(spark, tmp_path):
+    """Stopping after two triggers and restarting on the same
+    checkpoint must (a) not re-emit earlier flag rows and (b) restore
+    bucket state, so a post-restart duplicate is still flagged against
+    a pre-restart original — end-state identical to the uninterrupted
+    run."""
+    src = tmp_path / "src5"
+    out_dir = str(tmp_path / "out5")
+
+    def run_to_parquet():
+        stream = (
+            spark.readStream
+            .schema("doc_id long, text string, event_time timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            near_dup_flags_stream(stream, watermark="30 days")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt5"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _write_batches(src, (SEED, BATCH1))
+    run_to_parquet()
+    first = spark.read.parquet(out_dir)
+    n_first = first.count()
+    assert n_first > 0
+    first_rows = sorted(map(tuple, first.collect()))
+
+    # new file arrives AFTER the first query fully stopped
+    p = src / "batch2.json"
+    p.write_text("\n".join(
+        json.dumps({"doc_id": d, "text": t, "event_time": ts})
+        for d, t, ts in BATCH2))
+    os.utime(p, (1_700_000_900, 1_700_000_900))
+
+    run_to_parquet()
+    all_rows = spark.read.parquet(out_dir)
+    # no re-emission: earlier rows appear exactly once, additions are
+    # the new trigger's docs only
+    new_rows = sorted(map(tuple, all_rows.collect()))
+    for r in first_rows:
+        assert new_rows.count(r) == first_rows.count(r)
+    assert {r[0] for r in new_rows} - {r[0] for r in first_rows} \
+        == {d for d, _, _ in BATCH2}
+
+    got = _flags_dict(flags_from_rows(all_rows))
+    # one-shot uninterrupted run over the same three triggers
+    _write_batches(tmp_path / "src6", (SEED, BATCH1, BATCH2))
+    rows_ref = _run_stream(
+        spark, tmp_path / "src6", tmp_path / "ckpt6", "neardup_rows_rs3",
+        watermark="30 days",
+    )
+    want = _flags_dict(flags_from_rows(rows_ref))
+    assert got == want
+    # the decisive recovery checks: post-restart docs matched against
+    # PRE-restart state (200/202 dup of trigger-1's doc 100)
+    assert got[200][0] == 1 and got[202][2] == 1
+
+
 def test_state_capped_per_bucket(spark, tmp_path):
     """State never holds more than max_members per (band, bucket) —
     read back from the state store itself."""
