@@ -3556,18 +3556,20 @@ def q_training_corpus_clean(spark, sf_dir):
 # round.
 # ---------------------------------------------------------------------------
 
-_ROUND = 5
+_ROUND = 6
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
 _WINDOW_PINNED = [
-    "substring_dup_report",   # r5: gram-frequency window -> map-combined agg+join
-    "substring_dedup",        # r5: keeper via min_by-struct agg, not row_number window
-    "training_corpus_clean",  # r5: composes substring_dedup's new shape
-    "dedup_ngram_jaccard",    # r5: shingle-freq guard agg+anti-join (skew mandate)
-    "dedup_containment",      # r5: shares _shingle_pair_counts guard
-    "similarity_ann_lsh",     # r5: multi-probe SRP (recall mandate)
-    "lsh_bucket_health",      # new r5: no-silent-caps metric (r4 ADVICE)
+    "dedup_minhash_lsh",        # r6: sharded chain pairs are now the DEFAULT over-cap path
+    "substring_dup_report",     # r6: auto mark_salt beyond the broadcast threshold
+    "substring_dedup",          # r6: same auto-salt default
+    "training_corpus_clean",    # r6: composes the auto-salted strip
+    "dedup_ngram_jaccard",      # r6: localCheckpoint truncates guarded self-join lineage
+    "dedup_containment",        # r6: shares the checkpointed guard
+    "similarity_ivf_topk",      # r6: Lloyd-refined IVF centroids
+    "dedup_semantic",           # r6: shares the refined centroids
+    "dedup_semantic_keepers",   # r6: shares the refined centroids
 ]
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
@@ -3649,18 +3651,21 @@ def _demoted_for_round(round_no: int) -> list[str]:
 #: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
 #: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "date_spine", "dedup_exact", "dedup_simhash_near_dup",
-    "event_sessionization", "gap_fill_backward", "gap_fill_forward",
-    "monthly_rollup", "multimodal_metadata", "periodic_samples",
-    "specimen_breakdown", "status_totals", "text_fingerprints",
-    "text_pii_stats", "text_quality_flags", "urim_projection",
-    "bpe_pair_stats", "chaos_ffill", "chunk_documents", "corpus_card",
-    "corpus_mix_temperature", "corpus_stats", "daily_moving_avg",
-    "dedup_embedding_cosine", "dedup_multi_signal", "dedup_semantic",
-    "event_asof_join", "event_props_stats", "event_retention",
-    "headline_metrics", "pack_sequences", "quality_score",
-    "salted_term_counts", "shipping_priority", "similarity_ivf_topk",
-    "text_term_stats", "top_revenue_customers", "transition_matrix",
+    "chaos_melt", "content_value_counts", "corpus_decontaminate",
+    "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
+    "dedup_embedding_cosine_bucketed", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_segments", "dedup_semantic_keepers",
+    "dedup_simhash", "embedding_outliers", "event_funnel",
+    "event_range_join", "event_session_windows", "first_last_capture",
+    "gap_fill_closest", "gap_fill_identical", "minhash_accuracy",
+    "multimodal_decode_real", "multimodal_frame_sample",
+    "multimodal_resize", "multimodal_resize_real", "packed_text",
+    "pricing_summary", "region_revenue", "session_stats",
+    "similarity_topk", "status_month_cube", "summary_stats",
+    "text_lang_id", "text_profile", "text_repetition_stats",
+    "top_quality_docs", "training_corpus", "training_corpus_safe",
+    "training_corpus_segmented", "transition_matrix_filled",
+    "vocab_coverage",
 ]
 
 _DEMOTED = sorted(
