@@ -869,7 +869,25 @@ def test_lsh_bucket_cap_chains_hot_buckets(spark):
     )
     chained = minhash_near_dup(docs)
     got = sorted((r["id_a"], r["id_b"]) for r in chained.collect())
-    assert got == [(i, i + 1) for i in range(n - 1)]  # chain, not clique
+    assert len(got) == n - 1  # chain volume, not clique
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(n)}) == 1  # spanning chain
+
+    # shards=1 reproduces the historical consecutive-id single chain
+    single = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(docs, chain_shards=1).collect()
+    )
+    assert single == [(i, i + 1) for i in range(n - 1)]
 
     unguarded = minhash_near_dup(docs, max_bucket_size=None)
     assert unguarded.count() == n * (n - 1) // 2  # the quadratic shape
@@ -932,6 +950,37 @@ def test_strip_duplicated_spans_keeps_first_occurrence(spark):
         [f"t{i}" for i in range(10)] + ["f0"])
 
 
+def test_sharded_chain_oracle_parity_over_cap(spark):
+    """The sf0.01 driver corpus never trips MAX_LSH_BUCKET (max bucket
+    3), so the oracle CTE's over-cap branch is exercised HERE: a
+    planted 120-member boilerplate family (> cap) must hash-match the
+    DuckDB oracle edge-for-edge, proving the md5-sharded chain in
+    _sharded_chain_pairs and the mirrored CTE compute identical
+    spanning paths."""
+    import duckdb
+    import pandas as pd
+
+    from trendmachine_spark.extensions.dedup import minhash_near_dup
+    from trendmachine_spark.registry import QUERIES
+
+    rows = [(i, "the same boilerplate sentence repeated for every page")
+            for i in range(120)]
+    rows += [(200 + i, f"unique{i} filler{i} words{i} and{i} more{i} text{i}")
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r["id_a"], r["id_b"])
+                 for r in minhash_near_dup(docs).collect())
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple,
+                      con.sql(QUERIES["dedup_minhash_lsh"].oracle).fetchall()))
+    con.close()
+    assert got == want
+    assert len(got) >= 119  # spanning volume for the hot family
+
+
 def test_chain_shards_preserves_connectivity_and_volume(spark):
     """The sharded chain (bounded window tasks for hot buckets) must
     keep every over-cap bucket candidate-CONNECTED with exactly n-1
@@ -970,11 +1019,14 @@ def test_chain_shards_preserves_connectivity_and_volume(spark):
         for a, b in fam_pairs:
             parent[find(a)] = find(b)
         assert len({find(i) for i in range(30)}) == 1, shards
-    # default (windowed) chain agrees on volume for the same family
+    # default (sharded, LSH_CHAIN_SHARDS) agrees on volume for the family
     rows = minhash_near_dup(hot_docs, max_bucket_size=10).collect()
     fam_pairs = {(r["id_a"], r["id_b"]) for r in rows
                  if r["id_a"] < 30 and r["id_b"] < 30}
     assert len(fam_pairs) == 29
+
+    with pytest.raises(ValueError):
+        minhash_near_dup(hot_docs, chain_shards=0).collect()
 
 
 def test_mark_salt_identical_results(spark):

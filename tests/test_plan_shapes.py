@@ -45,7 +45,10 @@ SHUFFLE_BUDGETS = {
     # cache reuses the duplicated shuffles (verified: final adaptive
     # plan shows ReusedExchange, 6 materialized stages not 13); the
     # budget pins the static shape only.
-    "dedup_minhash_lsh": (7, True),
+    # r6: sharded chain + localCheckpoint lineage truncation — the
+    # signature subtree is materialized once (4 = sizes agg + two
+    # self-join sides + intra-chain window; bounds ride the broadcast)
+    "dedup_minhash_lsh": (4, True),
     # one bucket shuffle: MapInPandas bucket bits (literal hyperplane
     # matmul) -> grouped gram-matmul pair scorer; no join operator
     "dedup_embedding_cosine_bucketed": (1, True),
@@ -189,6 +192,32 @@ def test_no_hot_key_window_partitions(spark, name):
             f"{name}: window partitioned by corpus-wide key '{col}' — "
             "single-task skew on hot grams; use groupBy+join instead"
         )
+
+
+# Queries whose plan touches the LSH (band, bucket) key: since round 6
+# every window over it must ALSO carry the _shard column (either as a
+# partition key — the intra-shard chain — or as the order key of the
+# shards-sized bounds window), so no window task ever materializes a
+# hot bucket's full member list. This closes the last corpus-key
+# window that sat on a default path (the pre-r6 count+lag chain).
+LSH_WINDOW_SHARDED = (
+    "dedup_minhash_lsh", "minhash_accuracy", "dedup_multi_signal",
+    "dedup_clusters", "dedup_clusters_ensemble",
+)
+
+
+@pytest.mark.parametrize("name", LSH_WINDOW_SHARDED)
+def test_lsh_bucket_windows_are_sharded(spark, name):
+    import re
+
+    plan = _plan(spark, name)
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    for spec in specs:
+        if re.search(r"\bbucket#", spec):
+            assert "_shard#" in spec, (
+                f"{name}: window over the LSH bucket key without _shard — "
+                f"hot-bucket single-task regression: {spec[:160]}"
+            )
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))

@@ -51,6 +51,14 @@ MAX_SHINGLE_FREQ = 100
 #: quadratic blow-up (see minhash_near_dup docstring). This is what
 #: stopped the ×20 super-linear pair growth (BENCH_SCALED_x20, r3).
 MAX_LSH_BUCKET = 100
+#: default shard count for over-cap bucket chaining (round 6: the
+#: sharded chain is now the ONLY over-cap path — the unsharded
+#: count+lag window over (band, bucket) materialized a hot bucket's
+#: whole member list in one window task, the last corpus-key window on
+#: a default path). shards=1 reproduces the historical single-chain
+#: edges exactly; 16 bounds the max window task at bucket/16 while
+#: keeping pair volume at n-1 per over-cap bucket.
+LSH_CHAIN_SHARDS = 16
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -212,7 +220,7 @@ def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_near_dup(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      max_bucket_size: int | None = MAX_LSH_BUCKET,
-                     chain_shards: int | None = None) -> DataFrame:
+                     chain_shards: int = LSH_CHAIN_SHARDS) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing an LSH band.
 
     Scale: one shuffle for the signatures (map-combined), then the
@@ -220,9 +228,10 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
     bucket cardinality ~n_docs so no broadcast needed. Hot buckets
     (boilerplate clusters, template families) are where banded LSH goes
     super-linear: a bucket of n docs emits n(n-1)/2 pairs. Buckets over
-    ``max_bucket_size`` therefore emit a CHAIN instead — consecutive
-    ids in bucket order, n-1 pairs — pair volume stays linear and every
-    member remains CANDIDATE-connected. Downstream cluster equality is
+    ``max_bucket_size`` therefore emit a sharded CHAIN instead (see
+    :func:`_sharded_chain_pairs`) — exactly n-1 pairs per over-cap
+    bucket, every member candidate-CONNECTED, max window task bounded
+    at bucket/``chain_shards``. Downstream cluster equality is
     guaranteed when intra-bucket similarity is transitive along the
     chain (exact-dup and boilerplate families — the buckets that
     actually go hot); in a heterogeneous hot bucket a chain link can
@@ -234,20 +243,16 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
     DuckDB lead (SCALE.md). Pass ``None`` for the historical unguarded
     all-pairs behavior.
 
-    The window count+lag ride the SAME (band, bucket) exchange the
-    self-join needs, so the guard adds sorts but no extra shuffle; hot
-    buckets never enter the join at all (their chain IS the lag).
-
-    ``chain_shards`` (round 5, opt-in): the default chain still sorts a
-    hot bucket's whole member list in ONE window task — linear, but
-    unsplittable. At true scale pass a shard count and over-cap buckets
-    chain within hash shards (max task = bucket/shards) plus one
-    linking pair per adjacent shard — same n-1 pair volume, same
-    spanning connectivity, different (still deterministic) chain edges;
-    see :func:`_sharded_chain_pairs`.
+    Round 6: the sharded chain is the ONLY over-cap path and its
+    md5-derived shard assignment is oracle-mirrored — the former
+    default (a count+lag window over the raw (band, bucket) key, i.e.
+    a hot bucket's whole member list sorted in ONE window task) is
+    gone. ``chain_shards=1`` reproduces those historical single-chain
+    edges exactly.
     """
     buckets = lsh_band_buckets(minhash_signatures(docs, text_col, id_col), id_col)
     if max_bucket_size is None:
+        buckets = buckets.localCheckpoint(eager=True)
         a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
         b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
         return (
@@ -256,64 +261,55 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
             .select("id_a", "id_b")
             .distinct()
         )
-    if chain_shards is not None:
-        return _sharded_chain_pairs(
-            buckets, id_col, max_bucket_size, chain_shards)
-    w = Window.partitionBy("band", "bucket")
-    bk = buckets.select(
-        F.col(id_col),
-        "band",
-        "bucket",
-        F.count(F.lit(1)).over(w).alias("_bn"),
-        F.lag(id_col).over(w.orderBy(id_col)).alias("_prev"),
-    )
-    # hot buckets never enter a join at all: the chain IS the lag
-    # window — linear output, linear work
-    chained = bk.filter(
-        (F.col("_bn") > max_bucket_size) & F.col("_prev").isNotNull()
-    ).select(F.col("_prev").alias("id_a"), F.col(id_col).alias("id_b"))
-    small = bk.filter(F.col("_bn") <= max_bucket_size)
-    a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    b = small.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    return pairs.unionByName(chained).distinct()
+    return _sharded_chain_pairs(buckets, id_col, max_bucket_size, chain_shards)
 
 
 def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
                          max_bucket_size: int, shards: int) -> DataFrame:
     """Chain guard with BOUNDED tasks — the 100 TB form of the bucket
-    cap (opt-in via ``chain_shards``; default path above is oracle-
-    mirrored and byte-stable).
+    cap, and (round 6) the default and oracle-mirrored over-cap path.
 
-    The default chain rides count+lag windows over (band, bucket),
-    which is linear in pair VOLUME but still materializes a hot
-    bucket's whole member list in ONE window task (the same
-    unsplittable shape the round-5 gram rewrite removed elsewhere — a
-    10⁸-member boilerplate bucket is one task's sort). Here the bucket
-    size comes from a map-combined aggregation (hot key absorbed
-    map-side; the tiny over-cap set broadcasts back), and each over-cap
-    bucket's chain is SHARDED: members hash into ``shards`` sub-groups,
-    chained within their shard's (id-ordered) window — max task =
-    bucket/shards — and consecutive non-empty shards are linked with
+    The pre-r6 chain rode count+lag windows over (band, bucket), which
+    is linear in pair VOLUME but still materializes a hot bucket's
+    whole member list in ONE window task (the same unsplittable shape
+    the round-5 gram rewrite removed elsewhere — a 10⁸-member
+    boilerplate bucket is one task's sort). Here the bucket size comes
+    from a map-combined aggregation (hot key absorbed map-side; the
+    tiny over-cap set rides the join's exchange), and each over-cap
+    bucket's chain is SHARDED: members hash into ``shards`` sub-groups
+    via the engine-portable md5 idiom (mirrored verbatim in the oracle
+    CTE), chained within their shard's (id-ordered) window — max task
+    = bucket/shards — and consecutive non-empty shards are linked with
     one (max of shard k, min of shard k+1) pair from a shards-sized
     window. Pair count per over-cap bucket stays exactly n-1 and every
     member stays candidate-CONNECTED (a spanning path), so downstream
     verify→connected-components clusters are preserved under the same
-    transitivity condition as the unsharded chain; the specific chain
-    EDGES differ (a different spanning path), which is why this is a
-    parameter and not the oracle default.
+    transitivity condition as the single chain.
     """
+    if shards < 1:
+        raise ValueError(f"chain_shards must be >= 1, got {shards}")
+    # Materialize the band/bucket table ONCE: it feeds the sizes agg,
+    # both self-join sides, and the two chain windows — Spark plans are
+    # trees, so without the checkpoint the whole shingle→signature
+    # subtree re-executes per consumer (measured: 16 exchanges vs 7;
+    # see the round-5 self-join probe in SCALE.md). localCheckpoint is
+    # executor-local (memory+disk) and WITHIN-query — bench re-builds
+    # the DataFrame per pass, so nothing is cached across passes.
+    buckets = buckets.localCheckpoint(eager=True)
     sizes = (
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_bucket_size)
         .select("band", "bucket", F.lit(True).alias("_hot"))
     )
-    bk = buckets.join(sizes, ["band", "bucket"], "left")
+    # over-cap buckets are the rare boilerplate/template families
+    # (<= n_buckets/cap by construction, in practice far fewer) —
+    # broadcast so the probe side keeps its narrow lineage
+    bk = buckets.join(F.broadcast(sizes), ["band", "bucket"], "left")
+    # second (cheap) materialization: bk feeds four consumers — the two
+    # self-join sides and the two chain windows — and each would re-run
+    # the sizes agg + broadcast join against the buckets checkpoint
+    bk = bk.localCheckpoint(eager=True)
     small = bk.filter(F.col("_hot").isNull())
     a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = small.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -322,8 +318,21 @@ def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    # engine-portable shard hash (same md5 idiom as the shingle hash /
+    # sampling membership) so the oracle CTE computes identical shards
     over = bk.filter(F.col("_hot").isNotNull()).withColumn(
-        "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        "_shard",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard:"),
+                                   F.col(id_col).cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(shards),
+        ),
     )
     wsh = Window.partitionBy("band", "bucket", "_shard").orderBy(id_col)
     intra = (

@@ -680,9 +680,11 @@ def q_dedup_exact(spark, sf_dir):
 def _minhash_ctes() -> str:
     """CTE chain ending in ``cand`` = the LSH candidate pairs (bucket
     cap mirrored from dedup.minhash_near_dup: all-pairs for buckets up
-    to MAX_LSH_BUCKET, chained consecutive ids above it)."""
+    to MAX_LSH_BUCKET, md5-SHARDED chains above it — intra-shard
+    consecutive ids plus one link per adjacent non-empty shard, the
+    round-6 default over-cap path of _sharded_chain_pairs)."""
     from trendmachine_spark.extensions.dedup import (
-        BANDS, HASH_MASKS, MAX_LSH_BUCKET, ROWS_PER_BAND,
+        BANDS, HASH_MASKS, LSH_CHAIN_SHARDS, MAX_LSH_BUCKET, ROWS_PER_BAND,
     )
 
     sig_cols = ", ".join(
@@ -701,23 +703,41 @@ def _minhash_ctes() -> str:
     ),
     sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
     bands AS ({band_rows}),
-    bands2 AS (
-      SELECT doc_id, band, bucket,
-             count(*) OVER (PARTITION BY band, bucket) AS bn,
-             row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
-      FROM bands
+    bsizes AS (
+      SELECT band, bucket, count(*) AS bn FROM bands GROUP BY band, bucket
+    ),
+    bshard AS (
+      SELECT b.doc_id, b.band, b.bucket, s.bn,
+             ('0x' || substr(md5('shard:' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {LSH_CHAIN_SHARDS} AS shard
+      FROM bands b JOIN bsizes s ON b.band = s.band AND b.bucket = s.bucket
+    ),
+    chain_intra AS (
+      SELECT lag(doc_id) OVER (PARTITION BY band, bucket, shard ORDER BY doc_id) AS id_a,
+             doc_id AS id_b
+      FROM bshard WHERE bn > {MAX_LSH_BUCKET}
+    ),
+    chain_bounds AS (
+      SELECT band, bucket, shard, min(doc_id) AS mn, max(doc_id) AS mx
+      FROM bshard WHERE bn > {MAX_LSH_BUCKET}
+      GROUP BY band, bucket, shard
+    ),
+    chain_cross AS (
+      SELECT least(pmx, mn) AS id_a, greatest(pmx, mn) AS id_b FROM (
+        SELECT mn, lag(mx) OVER (PARTITION BY band, bucket ORDER BY shard) AS pmx
+        FROM chain_bounds
+      ) WHERE pmx IS NOT NULL
     ),
     cand AS (
       SELECT DISTINCT id_a, id_b FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands2 a JOIN bands2 b
+        FROM bshard a JOIN bshard b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         WHERE a.bn <= {MAX_LSH_BUCKET}
         UNION ALL
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands2 a JOIN bands2 b
-          ON a.band = b.band AND a.bucket = b.bucket AND b.rn = a.rn + 1
-        WHERE a.bn > {MAX_LSH_BUCKET}
+        SELECT id_a, id_b FROM chain_intra WHERE id_a IS NOT NULL
+        UNION ALL
+        SELECT id_a, id_b FROM chain_cross
       )
     )"""
 
