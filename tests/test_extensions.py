@@ -1049,6 +1049,39 @@ def test_mark_salt_identical_results(spark):
     assert plain == salted
 
 
+def test_mark_salt_auto_engages_beyond_threshold(spark):
+    """'auto' (the round-6 default) must salt exactly when the
+    dup-gram set exceeds auto_salt_grams — and stay result-identical
+    either way. A zero/negative forced salt must raise instead of
+    silently dropping every occurrence (round-5 ADVICE)."""
+    import pytest as _pytest
+
+    from trendmachine_spark.extensions.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+    from trendmachine_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plain = sorted(map(tuple,
+                       duplicated_spans(docs, win=10, mark_salt=None).collect()))
+    # threshold 0 forces the salted branch on any corpus with dup grams
+    forced = sorted(map(tuple,
+                        duplicated_spans(docs, win=10, auto_salt_grams=0).collect()))
+    assert plain == forced
+    plain = sorted(map(tuple,
+                       strip_duplicated_spans(docs, win=10, mark_salt=None).collect()))
+    forced = sorted(map(tuple,
+                        strip_duplicated_spans(docs, win=10, auto_salt_grams=0).collect()))
+    assert plain == forced
+
+    for bad in (0, -3):
+        with _pytest.raises(ValueError):
+            duplicated_spans(docs, win=10, mark_salt=bad)
+        with _pytest.raises(ValueError):
+            strip_duplicated_spans(docs, win=10, mark_salt=bad)
+
+
 def test_srp_probe_buckets_structure(spark):
     """Multi-probe set: first probe is the own bucket, each flip
     differs in exactly one bit, flipped planes are the n_flip

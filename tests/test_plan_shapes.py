@@ -158,11 +158,13 @@ SHUFFLE_BUDGETS = {
     # one group exchange; the WindowGroupLimit map-side group-limit is
     # asserted separately below
     "top_quality_docs": (1, True),
-    # exact-substring dedup: dup-gram agg exchange + doc-id exchange
-    # (islands + final agg ride it) — windows are COUNTED, never
-    # paired, so there is no self-join to guard; r5 replaced the gram
-    # count-window with the map-combined agg + semi-join (same budget)
-    "substring_dup_report": (2, True),
+    # exact-substring dedup: windows are COUNTED, never paired, so
+    # there is no self-join to guard; r5 replaced the gram count-window
+    # with the map-combined agg + semi-join, and r6's auto-salt
+    # resolution materializes the dup-gram agg behind an eager
+    # checkpoint, leaving one doc-id exchange (islands + final agg
+    # ride it) in the static plan
+    "substring_dup_report": (1, True),
     # + the token/covered anti-join's exchange
     "substring_dedup": (3, True),
 }

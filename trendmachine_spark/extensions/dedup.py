@@ -59,6 +59,19 @@ MAX_LSH_BUCKET = 100
 #: edges exactly; 16 bounds the max window task at bucket/16 while
 #: keeping pair volume at n-1 per over-cap bucket.
 LSH_CHAIN_SHARDS = 16
+#: auto-salt threshold for the substring mark-back join (round 6): when
+#: the duplicated-gram set exceeds this many rows it has outgrown the
+#: default 10 MB autoBroadcastJoinThreshold (win=10 grams average
+#: ~60-100 B, so ~1e5 rows ≈ 10 MB) and the semi-join degrades to an
+#: SMJ that AQE cannot skew-split (the occurrence exchange is shared
+#: with the frequency aggregation — measured, SKEW_STRESS.json). Above
+#: the threshold the replicated-build salted join engages
+#: automatically with MARK_SALT_DEFAULT; results are identical for any
+#: salt (tested), so oracles need no mirroring.
+AUTO_MARK_SALT_GRAMS = 100_000
+#: salt used by the automatic path — 16 measured balanced on the
+#: planted 1M-occurrence gram stress (max task 509k ≈ even split)
+MARK_SALT_DEFAULT = 16
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -916,8 +929,35 @@ def window_occurrences(docs: DataFrame, text_col: str = "text",
     return idx.select(F.col(id_col), "pos", gram.alias("gram"))
 
 
+def _resolve_mark_salt(dup_grams: DataFrame, mark_salt,
+                       auto_salt_grams: int):
+    """Resolve the ``mark_salt`` parameter shared by
+    :func:`duplicated_spans` / :func:`strip_duplicated_spans`.
+
+    ``"auto"`` (the round-6 default): materialize the dup-gram set once
+    (eager localCheckpoint — it is about to be the join build side
+    anyway, and the count must not recompute the occurrence scan),
+    count it, and engage :data:`MARK_SALT_DEFAULT` iff the set exceeds
+    ``auto_salt_grams`` (i.e. has outgrown the broadcast threshold, the
+    regime where the unsalted SMJ hits the un-splittable hot-gram
+    task). ``None`` = never salt; an int >= 1 = forced salt; anything
+    below 1 raises (a 0/negative salt would silently produce a
+    never-matching null probe key and drop every occurrence).
+
+    Returns ``(dup_grams, salt_or_none)``.
+    """
+    if mark_salt == "auto":
+        dup_grams = dup_grams.localCheckpoint(eager=True)
+        n = dup_grams.count()
+        return dup_grams, (MARK_SALT_DEFAULT if n > auto_salt_grams else None)
+    if mark_salt is not None and mark_salt < 1:
+        raise ValueError(f"mark_salt must be >= 1, 'auto', or None, got {mark_salt}")
+    return dup_grams, mark_salt
+
+
 def _candidate_rows(rows: DataFrame, key_col: str, min_count: int,
-                    broadcast_cand: bool = False) -> DataFrame:
+                    broadcast_cand: bool = False,
+                    n_buckets: int = 1 << 22) -> DataFrame:
     """Rows whose key occurs >= ``min_count`` times — possibly with a
     few hash-collision extras, never with a miss — for an exact
     second-phase aggregation.
@@ -941,13 +981,17 @@ def _candidate_rows(rows: DataFrame, key_col: str, min_count: int,
     oracles (plain frequency filters) need no mirroring of the hashes.
     """
     # Coarse BUCKETS, not raw hashes: the phase-A group count bounds
-    # the aggregation's hash-table cost, and with ~4M buckets the mean
-    # bucket count stays far below any useful threshold (50M rows /
-    # 4M buckets ≈ 12 — Poisson mass above 100 is nil), so candidate
-    # buckets are almost exclusively the ones holding a genuinely hot
-    # key plus its ~dozen innocent co-bucketed keys, which phase B's
-    # exact recount then separates.
-    h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(1 << 22))
+    # the aggregation's hash-table cost, and with the default ~4M
+    # buckets the mean bucket count stays far below any useful
+    # threshold (50M rows / 4M buckets ≈ 12 — Poisson mass above 100
+    # is nil), so candidate buckets are almost exclusively the ones
+    # holding a genuinely hot key plus its ~dozen innocent co-bucketed
+    # keys, which phase B's exact recount then separates. ``n_buckets``
+    # is a parameter (round-5 ADVICE) because the pruning argument is a
+    # RATIO: once total rows >> n_buckets x min_count, nearly every
+    # bucket passes and phase A prunes nothing — at that scale raise
+    # n_buckets to keep mean occupancy well below min_count.
+    h = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
     cand = (
         rows.groupBy(h.alias("_hh"))
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -971,6 +1015,8 @@ def _mark_join(occ: DataFrame, dup_grams: DataFrame,
     frequency aggregation (measured: OptimizeSkewedJoin skips shared
     exchanges — SKEW_STRESS.json), and a salt bounds the max task
     deterministically instead. Results are identical for any salt."""
+    if salt is not None and salt < 1:
+        raise ValueError(f"mark_salt must be >= 1 or None, got {salt}")
     if salt is None:
         return occ.join(dup_grams, "gram", "left_semi")
     salted = occ.withColumn(
@@ -985,7 +1031,8 @@ def _mark_join(occ: DataFrame, dup_grams: DataFrame,
 
 def duplicated_spans(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", win: int = 10,
-                     mark_salt: int | None = None) -> DataFrame:
+                     mark_salt: int | str | None = "auto",
+                     auto_salt_grams: int = AUTO_MARK_SALT_GRAMS) -> DataFrame:
     """Per-doc duplicated-substring report — the bounded-window form of
     exact-substring dedup (Lee et al., "Deduplicating Training Data
     Makes Language Models Better", ACL 2022: any 50-token span occurring
@@ -1033,6 +1080,11 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
         .filter(F.col("_f") >= 2)
         .select("gram")
     )
+    # round 6: 'auto' measures the dup-gram set and salts only beyond
+    # the broadcast regime — the scale-safe form is the default, the
+    # small-corpus plan is unchanged (the count rides an eager
+    # checkpoint of the build side, paid per execution)
+    dup_grams, mark_salt = _resolve_mark_salt(dup_grams, mark_salt, auto_salt_grams)
     marked = _mark_join(occ, dup_grams, id_col, mark_salt).select(id_col, "pos")
     wd = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + (win - 1)).over(
@@ -1070,7 +1122,8 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
 
 def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", win: int = 10,
-                           mark_salt: int | None = None) -> DataFrame:
+                           mark_salt: int | str | None = "auto",
+                           auto_salt_grams: int = AUTO_MARK_SALT_GRAMS) -> DataFrame:
     """Remove every NON-FIRST occurrence of a duplicated window — the
     destructive half of exact-substring dedup: the corpus keeps exactly
     one copy of each duplicated span (its globally-first occurrence by
@@ -1114,6 +1167,9 @@ def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
         .filter(F.col("_f") >= 2)
         .select("gram", "_keep")
     )
+    # same auto-salt default as duplicated_spans (scale-safe beyond
+    # the broadcast regime, identical results for any salt)
+    keepers, mark_salt = _resolve_mark_salt(keepers, mark_salt, auto_salt_grams)
     if mark_salt is None:
         joined = occ.join(keepers, "gram")
     else:
