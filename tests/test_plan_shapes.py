@@ -60,16 +60,13 @@ SHUFFLE_BUDGETS = {
     # repartition(id) satisfies distinct + id-window (subset
     # partitioning). r5 guard = two-phase bucketed doc-freq count
     # (_candidate_rows: 8-byte phase-A exchange, exact string phase B)
-    # + broadcast anti-join + one explicit shingle repartition shared
-    # semantically by both self-join sides — the count-window form
-    # single-tasked hot shingles. The static plan instantiates the
-    # guarded subtree per join side (Spark trees, not DAGs): 2x
-    # repartition(id) + 2x phase-A + 2x phase-B + 2x repartition
-    # (shingle) + final agg = 13 static exchanges, was 5 with the
-    # window guard; the measured ×10 cost of the duplication is in
-    # SCALE.md (hot-key-window close-out).
-    "dedup_ngram_jaccard": (13, True),
-    "dedup_containment": (13, True),  # same inverted-index core as jaccard
+    # + broadcast anti-join + one explicit shingle repartition. r6:
+    # the guarded posting list is eager-localCheckpointed at shingle
+    # partitioning, so the self-join reads ONE materialized RDD per
+    # side (no per-side subtree re-instantiation — was 13 static
+    # exchanges) and only the final (id_a, id_b) agg exchanges.
+    "dedup_ngram_jaccard": (1, True),
+    "dedup_containment": (1, True),  # same inverted-index core as jaccard
     # per-source counts agg + the docs-side broadcast join; the one
     # BNLJ is the 1-row min(count) crossed against the tiny counts
     # table, so nested-loop is NOT forbidden here (corpus side is a

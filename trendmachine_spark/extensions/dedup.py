@@ -491,15 +491,19 @@ def _shingle_pair_counts(docs: DataFrame, text_col: str, id_col: str,
         sh = sh.join(hot, "shingle", "left_anti")
         # ONE explicit shingle exchange ahead of the self-join: its
         # partitioning satisfies the join requirement on both sides, so
-        # the join adds no further exchange. (The static plan still
-        # instantiates the subtree per join side — Spark trees, not
-        # DAGs — which is a measured ~2x-subtree cost vs the round-4
-        # count-window form whose single exchange both sides shared;
-        # that residual is the honest price of the hot-key-safe guard,
-        # documented with numbers in SCALE.md. Caching sh would hide
-        # the cost from the bench by result-caching most of the
-        # pipeline, which the bench methodology forbids.)
+        # the join adds no further exchange.
         sh = sh.repartition("shingle")
+    # Materialize the guarded posting list ONCE (round 6): Spark plans
+    # are trees, so the self-join otherwise instantiates the whole
+    # shingle/distinct/guard subtree per side — the measured ~2x
+    # structural tax of the round-5 hot-key-safe rewrite. The eager
+    # localCheckpoint truncates the lineage WITHIN the query (the
+    # LogicalRDD keeps the repartition("shingle") partitioning, so the
+    # join still adds no exchange), and the bench rebuilds the
+    # DataFrame inside the timed window every pass, so nothing is
+    # cached across passes — unlike persist(), which round 5 rightly
+    # rejected as methodology gaming under the build-once bench.
+    sh = sh.localCheckpoint(eager=True)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
     return (
