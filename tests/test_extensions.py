@@ -481,6 +481,48 @@ def test_ivf_topk(spark, vectors):
     assert len(wide) >= len(out)
 
 
+def test_ivf_lloyd_refinement(spark):
+    """One Lloyd pass (round 6): refined component = floor(sum/count)
+    of the members the SEED assignment captured; a seed cell with no
+    members keeps its seed vector; refine=0 reproduces the historical
+    untrained centroids."""
+    import numpy as np
+
+    from trendmachine_spark.extensions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        quantize_embeddings,
+    )
+
+    # two tight clusters far apart + seeds 0,1 inside cluster A: seed 1
+    # loses all members to seed 0 (it is strictly closer to every A
+    # vector than to any B vector? -> construct so cell 1 is EMPTY)
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9999, 0.0001]),     # seeds, both ~+x
+        (2, [1.0, 0.01]), (3, [1.0, -0.01]),        # cluster A (+x)
+        (4, [-1.0, 0.02]), (5, [-1.0, -0.02]),      # cluster B (-x)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = quantize_embeddings(emb)
+    cells, C, cn = ivf_centroids(qv, n_cells=2, refine=1)
+    seed = {r["vid"]: np.array(r["qvec"])
+            for r in qv.filter(F.col("vid") < 2).collect()}
+    assign0 = {r["vid"]: r["cell"]
+               for r in ivf_assign(qv, 2, refine=0).collect()}
+    # hand-compute the refinement from the seed assignment
+    for i, c in enumerate(cells):
+        members = [np.array(r["qvec"]) for r in qv.collect()
+                   if assign0[r["vid"]] == c]
+        if members:
+            want = np.floor(np.stack(members).sum(axis=0) / len(members))
+            assert np.array_equal(C[i], want.astype(np.int64)), c
+        else:
+            assert np.array_equal(C[i], seed[int(c)]), c
+    # refine=0 equals the seed centroids
+    cells0, C0, _ = ivf_centroids(qv, n_cells=2, refine=0)
+    assert np.array_equal(C0, np.stack([seed[int(c)] for c in cells0]))
+
+
 def test_training_corpus_invariants(spark):
     """Composed pipeline invariants the oracle can't state directly:
     kept docs are unique by content md5 and never cluster non-keepers."""

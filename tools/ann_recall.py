@@ -114,6 +114,35 @@ def main() -> None:
             exact_sets)
         for np_ in (1, 2, 4)
     }
+    # untrained-seed twins (refine=0) + cell-balance stats for both
+    # centroid sets: the round-6 Lloyd refinement should give >= recall
+    # and flatter cells (balance = max cell size / mean cell size)
+    ivf["n_probe=2,refine=0"] = _recall(
+        ivf_topk(emb, N_QUERIES, K, n_cells=16, n_probe=2, refine=0).collect(),
+        exact_sets)
+
+    from pyspark.sql import functions as F
+
+    from trendmachine_spark.extensions.similarity import (
+        ivf_assign,
+        quantize_embeddings,
+    )
+
+    qv = quantize_embeddings(emb)
+    balance = {}
+    for refine in (0, 1):
+        sizes = [
+            r["n"] for r in ivf_assign(qv, 16, refine=refine)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        mean = sum(sizes) / len(sizes) if sizes else 0
+        balance[f"refine={refine}"] = {
+            "n_nonempty_cells": len(sizes),
+            "max_cell": max(sizes, default=0),
+            "min_cell": min(sizes, default=0),
+            "max_over_mean": round(max(sizes, default=0) / mean, 3) if mean else None,
+        }
+    ivf["cell_balance"] = balance
 
     # Recall CEILING evidence (round 5): the scaled corpus replicates
     # each base vector, so a query has exactly |family|-1 true

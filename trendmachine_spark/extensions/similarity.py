@@ -491,41 +491,15 @@ def embedding_near_dup_bucketed(emb: DataFrame, min_cosine: float = 0.95,
                                group_type="string").select("id_a", "id_b", "cosine")
 
 
-def ivf_assign(qv: DataFrame, n_cells: int = 16) -> DataFrame:
-    """IVF coarse quantizer with deterministic centroids.
-
-    Centroids are the quantized vectors of the ``n_cells`` lowest ids
-    (deterministic, no RNG/k-means dependency); each vector gets its
-    argmax-affinity cell (affinity = exact int64 dot / sqrt(centroid
-    norm); ties -> lowest cell).
-
-    SCALE: the centroid table is ``n_cells`` tiny rows, so — like
-    ``brute_force_topk``'s query matrix — it ships as a literal int64
-    numpy matrix and each corpus partition computes ALL affinities in
-    one Arrow-batched matmul + argmax (``mapInPandas``). ZERO corpus
-    shuffles, no join operator: this replaced a corpus × n_cells
-    BroadcastNestedLoopJoin with an interpreted higher-order dot
-    product plus a per-vid row_number window (two full-corpus
-    exchanges per consumer self-join side). Values are unchanged and
-    engine-exact: int64 dots, correctly-rounded sqrt, IEEE division;
-    ``np.argmax`` returns the FIRST max index, which is the lowest
-    cell — the same tie-break as the SQL mirror's
-    ``ORDER BY _aff DESC, cell``.
-    """
-    import numpy as np
-
-    spark = qv.sparkSession
-    crows = sorted(qv.filter(F.col("vid") < n_cells).collect(),
-                   key=lambda r: r["vid"])
-    if not crows:
-        return qv.select("vid", "qvec", "norm2").withColumn(
-            "cell", F.lit(None).cast("long"))
-    cells = np.array([r["vid"] for r in crows], dtype=np.int64)
-    C = np.array([r["qvec"] for r in crows], dtype=np.int64)        # (c, d)
-    cn = np.sqrt(np.array([r["norm2"] for r in crows], dtype=np.float64))
+def _assign_cells(qv: DataFrame, cells, C, cn) -> DataFrame:
+    """argmax-affinity cell assignment against a literal centroid
+    matrix — one Arrow-batched matmul per partition, zero shuffles.
+    ``np.argmax`` returns the FIRST max index = the lowest cell, the
+    same tie-break as the SQL mirror's ``ORDER BY _aff DESC, cell``."""
+    import numpy as np  # noqa: F401  (closure capture for workers)
 
     def assign(batches):
-        import pandas as pd
+        import numpy as np
 
         for pdf in batches:
             if not len(pdf):
@@ -540,15 +514,133 @@ def ivf_assign(qv: DataFrame, n_cells: int = 16) -> DataFrame:
         assign, "vid long, qvec array<long>, norm2 long, cell long")
 
 
+def ivf_centroids(qv: DataFrame, n_cells: int = 16, refine: int = 1):
+    """Deterministic IVF centroids as driver-side numpy arrays
+    ``(cells, C, cn)`` — seeded by the quantized vectors of the
+    ``n_cells`` lowest ids, then ``refine`` Lloyd iterations (round 6;
+    0 = the historical untrained seeds).
+
+    Each Lloyd pass is exact and SQL-mirrorable end to end: members
+    are assigned by the argmax-affinity rule, the new centroid
+    component is ``floor(sum / count)`` — per-dimension SUMS are exact
+    int64 (associative, partition-order-independent), the single
+    division is correctly-rounded IEEE on exactly-representable
+    operands, and floor is deterministic — and a cell that captured no
+    members keeps its seed vector, so cell ids stay stable. Refined
+    components have the same ~QUANT_SCALE magnitude as raw quantized
+    vectors, keeping every downstream dot/norm in the int64-safe
+    regime.
+
+    SCALE: the member-sum pass is per-partition numpy accumulation
+    inside ``mapInPandas`` (partitions × cells × dim partial rows — no
+    corpus explode) followed by one tiny map-combined aggregation;
+    the collected result is n_cells × dim values. Returns ``None``
+    when the corpus holds no seed vectors.
+    """
+    import numpy as np
+
+    crows = sorted(qv.filter(F.col("vid") < n_cells).collect(),
+                   key=lambda r: r["vid"])
+    if not crows:
+        return None
+    cells = np.array([r["vid"] for r in crows], dtype=np.int64)
+    C = np.array([r["qvec"] for r in crows], dtype=np.int64)        # (c, d)
+    cn = np.sqrt(np.array([r["norm2"] for r in crows], dtype=np.float64))
+    dim = C.shape[1]
+    cell_index = {int(c): i for i, c in enumerate(cells)}
+
+    for _ in range(refine):
+        assigned = _assign_cells(qv, cells, C, cn)
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            sums: dict[int, "np.ndarray"] = {}
+            counts: dict[int, int] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+                cl = pdf["cell"].to_numpy()
+                for c in np.unique(cl):
+                    m = cl == c
+                    sums[int(c)] = sums.get(int(c), 0) + V[m].sum(axis=0)
+                    counts[int(c)] = counts.get(int(c), 0) + int(m.sum())
+            rows = []
+            for c, s in sums.items():
+                rows.append((c, -1, counts[c]))
+                rows.extend((c, p, int(s[p])) for p in range(dim))
+            yield pd.DataFrame(rows, columns=["cell", "pos", "val"])
+
+        totals = (
+            assigned.mapInPandas(partials, "cell long, pos int, val long")
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("val"))
+            .collect()
+        )
+        sums = np.zeros((len(cells), dim), dtype=np.int64)
+        counts = np.zeros(len(cells), dtype=np.int64)
+        for r in totals:
+            i = cell_index[r["cell"]]
+            if r["pos"] < 0:
+                counts[i] = r["val"]
+            else:
+                sums[i, r["pos"]] = r["val"]
+        refined = C.copy()
+        nonempty = counts > 0
+        # floor(sum/count) via IEEE double division — operands are
+        # exactly representable, so both engines round identically
+        refined[nonempty] = np.floor(
+            sums[nonempty] / counts[nonempty, None]
+        ).astype(np.int64)
+        C = refined
+        cn = np.sqrt((C.astype(np.float64) ** 2).sum(axis=1))
+    return cells, C, cn
+
+
+def ivf_assign(qv: DataFrame, n_cells: int = 16, refine: int = 1) -> DataFrame:
+    """IVF coarse quantizer with deterministic, Lloyd-refined centroids.
+
+    Centroids come from :func:`ivf_centroids` (seeds = the ``n_cells``
+    lowest ids, ``refine`` exact Lloyd iterations — round 6 default 1;
+    pass 0 for the historical untrained seeds); each vector gets its
+    argmax-affinity cell (affinity = exact int64 dot / sqrt(centroid
+    norm); ties -> lowest cell).
+
+    SCALE: the centroid table is ``n_cells`` tiny rows, so — like
+    ``brute_force_topk``'s query matrix — it ships as a literal int64
+    numpy matrix and each corpus partition computes ALL affinities in
+    one Arrow-batched matmul + argmax (``mapInPandas``). ZERO corpus
+    shuffles in the assignment itself; each Lloyd pass adds one tiny
+    partial-sums aggregation (see :func:`ivf_centroids`).
+    """
+    cents = ivf_centroids(qv, n_cells, refine)
+    if cents is None:
+        return qv.select("vid", "qvec", "norm2").withColumn(
+            "cell", F.lit(None).cast("long"))
+    return _assign_cells(qv, *cents)
+
+
 def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_cells: int = 16,
-             n_probe: int = 1, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             n_probe: int = 1, refine: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """IVF approximate top-k: exact cosine ranking within the query's
     ``n_probe`` best cells. The 100 TB path partitions the corpus by
-    cell; a query touches n_probe/n_cells of the data."""
+    cell; a query touches n_probe/n_cells of the data. Probe ranking
+    uses the SAME (Lloyd-refined) centroids as the assignment."""
     qv = quantize_embeddings(emb, vec_col, id_col)
-    assigned = ivf_assign(qv, n_cells)
-    cents = qv.filter(F.col("vid") < n_cells).select(
-        F.col("vid").alias("cell"), F.col("qvec").alias("cvec"), F.col("norm2").alias("cn")
+    spark = qv.sparkSession
+    cent = ivf_centroids(qv, n_cells, refine)
+    if cent is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double")
+    cells, Cm, cnm = cent
+    assigned = _assign_cells(qv, cells, Cm, cnm)
+    cents = spark.createDataFrame(
+        [(int(c), [int(x) for x in Cm[i]], int((Cm[i].astype("int64") ** 2).sum()))
+         for i, c in enumerate(cells)],
+        "cell long, cvec array<long>, cn long",
     )
     queries = assigned.filter(F.col("vid") < n_queries)
     # probe cells per query: top-n_probe centroid affinities

@@ -2573,13 +2573,14 @@ def q_tfidf_ml(spark, sf_dir):
     )
 
 
-def _ivf_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
-                     n_probe: int = 2) -> str:
-    """Exact mirror of similarity.ivf_topk — approximate recall by
-    design (probes n_probe best cells) but fully deterministic:
-    deterministic centroids, (aff DESC, cell) probe ranking, exact
-    integer cosine, (cosine DESC, neighbor_id) final tie-break."""
-    return f"""WITH qv AS (
+def _ivf_refined_ctes(n_cells: int) -> str:
+    """CTE chain qv -> nv -> seed cents -> one exact Lloyd iteration ->
+    cents2/aff/assigned — mirrors similarity.ivf_centroids(refine=1):
+    members assigned by (aff DESC, cell) argmax against the seed
+    centroids; the refined component is floor(sum/count) (int64 sums
+    exact, one IEEE division on exactly-representable operands, floor
+    deterministic); a cell with no members keeps its seed vector."""
+    return f"""qv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
       FROM embeddings
@@ -2592,12 +2593,43 @@ def _ivf_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
     cents AS (
       SELECT vec_id AS cell, q AS cvec, norm2 AS cn FROM nv WHERE vec_id < {n_cells}
     ),
-    aff AS (
+    aff1 AS (
       SELECT v.vec_id, v.q, v.norm2, c.cell,
              CAST(list_sum(list_transform(generate_series(1, len(v.q)),
                                           i -> v.q[i] * c.cvec[i])) AS DOUBLE)
                / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
       FROM nv v, cents c
+    ),
+    assigned1 AS (
+      SELECT vec_id, q, norm2, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _aff DESC, cell) AS _rk
+        FROM aff1
+      ) WHERE _rk = 1
+    ),
+    csums AS (
+      SELECT cell, i AS pos,
+             CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS cnt
+      FROM assigned1, unnest(generate_series(1, len(q))) AS t(i)
+      GROUP BY cell, i
+    ),
+    refined AS (
+      SELECT cell,
+             list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
+      FROM csums GROUP BY cell
+    ),
+    cents2 AS (
+      SELECT c.cell,
+             COALESCE(r.cvec, c.cvec) AS cvec,
+             CAST(list_sum(list_transform(COALESCE(r.cvec, c.cvec), v -> v * v)) AS BIGINT) AS cn
+      FROM cents c LEFT JOIN refined r ON c.cell = r.cell
+    ),
+    aff AS (
+      SELECT v.vec_id, v.q, v.norm2, c.cell,
+             CAST(list_sum(list_transform(generate_series(1, len(v.q)),
+                                          i -> v.q[i] * c.cvec[i])) AS DOUBLE)
+               / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
+      FROM nv v, cents2 c
     ),
     assigned AS (
       SELECT vec_id, q, norm2, cell FROM (
@@ -2605,7 +2637,17 @@ def _ivf_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
                                      ORDER BY _aff DESC, cell) AS _rk
         FROM aff
       ) WHERE _rk = 1
-    ),
+    )"""
+
+
+def _ivf_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
+                     n_probe: int = 2) -> str:
+    """Exact mirror of similarity.ivf_topk — approximate recall by
+    design (probes n_probe best cells) but fully deterministic:
+    Lloyd-refined deterministic centroids, (aff DESC, cell) probe
+    ranking, exact integer cosine, (cosine DESC, neighbor_id) final
+    tie-break."""
+    return f"""WITH {_ivf_refined_ctes(n_cells)},
     probes AS (
       SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -2898,8 +2940,8 @@ def q_dedup_segments(spark, sf_dir):
 
 
 def _semantic_dedup_oracle(n_cells: int = 16, min_cosine: float = 0.3) -> str:
-    """Mirrors similarity.ivf_assign (deterministic centroids = lowest
-    n_cells ids, argmax integer-dot/sqrt(centroid norm), tie -> lowest
+    """Mirrors similarity.ivf_assign (Lloyd-refined deterministic
+    centroids, argmax integer-dot/sqrt(centroid norm), tie -> lowest
     cell) then exact within-cell quantized cosine."""
     return (f"WITH {_semantic_cte(n_cells, min_cosine)} "
             "SELECT id_a, id_b, cell, cosine FROM sem_pairs")
@@ -2907,34 +2949,9 @@ def _semantic_dedup_oracle(n_cells: int = 16, min_cosine: float = 0.3) -> str:
 
 def _semantic_cte(n_cells: int = 16, min_cosine: float = 0.3) -> str:
     """The semantic-pair CTE chain shared by dedup_semantic and
-    dedup_semantic_keepers (mirrors ivf_assign + within-cell cosine)."""
-    return f"""qv AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    nv AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
-      FROM qv
-    ),
-    cents AS (
-      SELECT vec_id AS cell, q AS cvec, norm2 AS cn FROM nv WHERE vec_id < {n_cells}
-    ),
-    aff AS (
-      SELECT v.vec_id, v.q, v.norm2, c.cell,
-             CAST(list_sum(list_transform(generate_series(1, len(v.q)),
-                                          i -> v.q[i] * c.cvec[i])) AS DOUBLE)
-               / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
-      FROM nv v, cents c
-    ),
-    assigned AS (
-      SELECT vec_id, q, norm2, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY _aff DESC, cell) AS _rk
-        FROM aff
-      ) WHERE _rk = 1
-    ),
+    dedup_semantic_keepers (mirrors the refined ivf_assign + within-
+    cell cosine)."""
+    return f"""{_ivf_refined_ctes(n_cells)},
     sem_pairs AS (
       SELECT id_a, id_b, cell, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
