@@ -92,7 +92,13 @@ def main() -> None:
     for name in QUERIES_UNDER_TEST:
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        n_ex = plan.count("Exchange")
+        # shuffle-stage boundaries only: ReusedExchange re-reads an
+        # already-materialized stage and BroadcastExchange is not a
+        # shuffle barrier — counting them overstated the floor
+        # deduction (round-5 ADVICE)
+        n_ex = (plan.count("Exchange hashpartitioning")
+                + plan.count("Exchange rangepartitioning")
+                + plan.count("Exchange SinglePartition"))
         wall = _best(lambda d=df: d.write.format("noop").mode("overwrite").save())
         implied = wall - action_floor - n_ex * max(
             exchange_floor - action_floor, 0.0)

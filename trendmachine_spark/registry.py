@@ -3393,20 +3393,23 @@ def q_ingest_dedup_streaming(spark, sf_dir):
 
 
 #: shared CTEs for the exact-substring (bounded-window) dedup oracles
-_WINDOW_OCC_SQL = """
+def _window_occ_sql(win: int = 10) -> str:
+    return f"""
 words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 occ AS (
-  SELECT doc_id, i AS pos, array_to_string(w[i:i+9], ' ') AS g
-  FROM words, unnest(generate_series(1, greatest(len(w) - 9, 0))) AS t(i)
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{win - 1}], ' ') AS g
+  FROM words, unnest(generate_series(1, greatest(len(w) - {win - 1}, 0))) AS t(i)
 )"""
 
 
-@register(
-    "substring_dup_report",
-    # window freq >= 2 marks 10-token spans duplicated anywhere in the
+_WINDOW_OCC_SQL = _window_occ_sql(10)
+
+
+def _substring_report_oracle(win: int) -> str:
+    # window freq >= 2 marks win-token spans duplicated anywhere in the
     # corpus; overlapping/adjacent marked windows merge into islands
     # via the running-max interval union — mirrored window-for-window
-    f"""WITH {_WINDOW_OCC_SQL},
+    return f"""WITH {_window_occ_sql(win)},
     marked AS (
       SELECT doc_id, pos FROM (
         SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS f FROM occ
@@ -3414,7 +3417,7 @@ occ AS (
     ),
     isl AS (
       SELECT doc_id, pos,
-             CASE WHEN pos <= max(pos + 9) OVER (
+             CASE WHEN pos <= max(pos + {win - 1}) OVER (
                     PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
                   THEN 0 ELSE 1 END AS nw
@@ -3426,7 +3429,7 @@ occ AS (
       FROM isl
     ),
     islands AS (
-      SELECT doc_id, iid, max(pos) + 9 - min(pos) + 1 AS len
+      SELECT doc_id, iid, max(pos) + {win - 1} - min(pos) + 1 AS len
       FROM isl2 GROUP BY doc_id, iid
     ),
     rep AS (
@@ -3440,8 +3443,10 @@ occ AS (
            CAST(coalesce(r.dup_tokens, 0) AS DOUBLE)
              / len(string_split(d.text, ' ')) AS dup_fraction,
            coalesce(r.n_islands, 0) AS n_islands
-    FROM documents d LEFT JOIN rep r USING (doc_id)""",
-)
+    FROM documents d LEFT JOIN rep r USING (doc_id)"""
+
+
+@register("substring_dup_report", _substring_report_oracle(10))
 def q_substring_dup_report(spark, sf_dir):
     """Exact-substring duplication report (round 4): the bounded-window
     form of Lee et al.'s ExactSubstr — every duplicated span >= 10
@@ -3451,6 +3456,24 @@ def q_substring_dup_report(spark, sf_dir):
     from trendmachine_spark.extensions.dedup import duplicated_spans
 
     return duplicated_spans(_docs(spark, sf_dir), win=10)
+
+
+@register("substring_dup_report_fine", _substring_report_oracle(5))
+def q_substring_dup_report_fine(spark, sf_dir):
+    """win=5 fine-grained duplication report (round 6): the natural-
+    text sweep (SUBSTRING_WIN_SWEEP.json 'natural') measured win=5's
+    chance-collision floor at ~0.1% of unique-family tokens (vs 52% at
+    win=3 — THAT is the degenerate setting) while catching 58% of
+    paraphrase-family duplicated mass and every planted quote >= 5
+    tokens, where win=10 sees 1.7% and misses every sub-10 quote. The
+    round-5 'win=5 is degenerate' reading was a replica-corpus
+    artifact: there the marked 95% is genuinely duplicated text. Use
+    this report (not the destructive strip) to AUDIT short-span
+    duplication on natural corpora; same no-self-join shape and
+    auto-salted mark-back join as the win=10 default."""
+    from trendmachine_spark.extensions.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), win=5)
 
 
 @register(
@@ -3600,6 +3623,7 @@ _ROUND = 6
 _WINDOW_PINNED = [
     "dedup_minhash_lsh",        # r6: sharded chain pairs are now the DEFAULT over-cap path
     "substring_dup_report",     # r6: auto mark_salt beyond the broadcast threshold
+    "substring_dup_report_fine",  # new r6: win=5 audit (natural-text sweep)
     "substring_dedup",          # r6: same auto-salt default
     "training_corpus_clean",    # r6: composes the auto-salted strip
     "dedup_ngram_jaccard",      # r6: localCheckpoint truncates guarded self-join lineage
@@ -3637,6 +3661,7 @@ _DEMOTE_EVEN = frozenset({
     "capture_normalize", "daily_chaos", "daily_rollup",
 })
 _DEMOTE_ODD = frozenset({
+    "substring_dup_report_fine",  # new r6 (pinned r6; rotates from r7)
     "chaos_melt", "content_value_counts", "corpus_decontaminate",
     "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
     "dedup_embedding_cosine_bucketed", "dedup_incremental",

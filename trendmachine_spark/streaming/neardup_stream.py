@@ -231,7 +231,14 @@ def near_dup_flags_stream(stream: DataFrame, text_col: str = "text",
             tss = [tss[i] for i in keep]
 
         state.update((ids, md5s, shs, tss))
-        state.setTimeoutTimestamp(max(wm + 1, wm + ttl + 1))
+        # arm from the batch's max event time, not the watermark alone:
+        # on the FIRST micro-batch the watermark is still 0, and an
+        # epoch-anchored timeout would fire a spurious full-state scan
+        # for every key on the next trigger before re-arming (round-5
+        # ADVICE); max(wm, max event ts) is always > the current
+        # watermark, which setTimeoutTimestamp requires
+        anchor = max([wm] + [t for _, _, _, t in batch])
+        state.setTimeoutTimestamp(anchor + ttl + 1)
         if out:
             yield pd.DataFrame(
                 out,
