@@ -183,9 +183,54 @@ def main() -> None:
 
         return _mark_join(occ, _dup_grams(), "doc_id", 16).select("doc_id", "pos")
 
+    # Round-6 default-path arm: a corpus whose dup-gram set EXCEEDS
+    # AUTO_MARK_SALT_GRAMS (planted pair docs, each contributing 3
+    # distinct duplicated grams) plus the same 1M-occurrence hot gram —
+    # the regime where the broadcast semi-join is off the table and the
+    # pre-r6 default (plain SMJ, AQE skew-split measured not to engage
+    # on the shared exchange) funneled the hot list into one task. The
+    # public duplicated_spans() default must now auto-salt and bound
+    # max_task_read_records at ~hot/16.
+    from trendmachine_spark.extensions.dedup import (
+        AUTO_MARK_SALT_GRAMS,
+        duplicated_spans,
+    )
+
+    n_pairs = 60_000  # 2 copies each; 12-word docs -> 3 dup grams/doc
+    pair_body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda j: F.concat(F.lit("p"), F.col("pid"), F.lit("_"), j),
+        ),
+    )
+    pairs = (
+        spark.range(n_pairs)
+        .select(F.col("id").alias("pid"),
+                F.explode(F.array(F.lit(0), F.lit(1))).alias("copy"))
+        .select(
+            (F.lit(n_uniform + n_hot) + F.col("pid") * 2 + F.col("copy"))
+            .alias("doc_id"),
+            pair_body.alias("text"),
+        )
+    )
+    docs_big = docs.unionByName(pairs).repartition(32, "doc_id")
+    docs_big.persist().count()
+    n_dup_grams = n_pairs * 3 + 1
+
+    def default_api_bigdup():
+        return duplicated_spans(docs_big, win=win).select(
+            "doc_id", "dup_tokens")
+
+    def unsalted_bigdup():
+        return duplicated_spans(docs_big, win=win, mark_salt=None).select(
+            "doc_id", "dup_tokens")
+
     results = {}
     for label, build in (("window_form", window_form), ("agg_form", agg_form),
-                         ("agg_salted16_form", agg_salted_form)):
+                         ("agg_salted16_form", agg_salted_form),
+                         ("default_api_bigdup", default_api_bigdup),
+                         ("unsalted_bigdup", unsalted_bigdup)):
         walls = []
         before = _completed_stage_ids(host, app_id)
         for _ in range(2):
@@ -206,6 +251,10 @@ def main() -> None:
             "n_hot_docs": n_hot,
             "hot_gram_occurrences": n_hot,
             "occ_rows_total": n_uniform * (uniform_words - win + 1) + n_hot * 11,
+            "bigdup_pair_docs": n_pairs * 2,
+            "bigdup_n_dup_grams": n_dup_grams,
+            "auto_mark_salt_grams": AUTO_MARK_SALT_GRAMS,
+            "auto_salt_engages": n_dup_grams > AUTO_MARK_SALT_GRAMS,
         },
         "results": results,
         "note": (
