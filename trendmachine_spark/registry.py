@@ -702,11 +702,11 @@ def _minhash_ctes() -> str:
       SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
     ),
     sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
-    bands AS ({band_rows}),
+    bands AS MATERIALIZED ({band_rows}),
     bsizes AS (
       SELECT band, bucket, count(*) AS bn FROM bands GROUP BY band, bucket
     ),
-    bshard AS (
+    bshard AS MATERIALIZED (
       SELECT b.doc_id, b.band, b.bucket, s.bn,
              ('0x' || substr(md5('shard:' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
                % {LSH_CHAIN_SHARDS} AS shard
