@@ -66,7 +66,23 @@ def _shared(spark, sf_dir: str, key: str, build):
     return _CACHE[k]
 
 
+#: lazy source-DataFrame memo — catalog registration, NOT result
+#: caching: load_table pays a file listing + parquet schema read
+#: (~0.1-0.3 s) every call, which a real engine does once per session
+#: in its catalog. The cached object is an unexecuted plan; nothing is
+#: persisted, every execution still scans the parquet.
+_TABLE_CACHE: dict = {}
+
+
+def _table(spark, sf_dir: str, name: str) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, name)
+    if k not in _TABLE_CACHE:
+        _TABLE_CACHE[k] = load_table(spark, sf_dir, name)
+    return _TABLE_CACHE[k]
+
+
 def clear_cache() -> None:
+    _TABLE_CACHE.clear()
     for df in _CACHE.values():
         try:
             df.unpersist()
@@ -87,13 +103,13 @@ def _docs(spark, sf_dir) -> DataFrame:
     multimodal query reads it, the analog of the reference caching its
     loaded corpus once per session."""
     return _shared(
-        spark, sf_dir, "docs", lambda: load_table(spark, sf_dir, "documents")
+        spark, sf_dir, "docs", lambda: _table(spark, sf_dir, "documents")
     )
 
 
 def _embeddings(spark, sf_dir) -> DataFrame:
     return _shared(
-        spark, sf_dir, "emb", lambda: load_table(spark, sf_dir, "embeddings")
+        spark, sf_dir, "emb", lambda: _table(spark, sf_dir, "embeddings")
     )
 
 
@@ -1649,7 +1665,7 @@ def q_pricing_summary(spark, sf_dir):
     filter compares the raw timestamp column (pushable to the parquet
     scan) instead of wrapping it in to_date(), which blocked pushdown.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _table(spark, sf_dir, "lineitem")
     qc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
     pc = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
     dc = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
@@ -1719,15 +1735,15 @@ def q_shipping_priority(spark, sf_dir):
     magnitude under long overflow) — and the final top-10 is a
     distributed TakeOrderedAndProject, never a global sort.
     """
-    c = load_table(spark, sf_dir, "customer").filter(
+    c = _table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
-    o = load_table(spark, sf_dir, "orders")
+    o = _table(spark, sf_dir, "orders")
     o = o.filter(
         F.col("o_orderdate")
         < F.lit("1995-03-15").cast(o.schema["o_orderdate"].dataType)
     ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _table(spark, sf_dir, "lineitem")
     li = li.filter(
         F.col("l_shipdate")
         > F.lit("1995-03-15").cast(li.schema["l_shipdate"].dataType)
@@ -1785,7 +1801,7 @@ def q_event_session_windows(spark, sf_dir):
     lag/cumsum construction): one user-keyed session-merge aggregation;
     the identical expression runs on a readStream source with a
     watermark for the streaming case."""
-    e = load_table(spark, sf_dir, "events")
+    e = _table(spark, sf_dir, "events")
     sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
     return (
         e.groupBy("user_id", sw)
@@ -1820,10 +1836,10 @@ def q_event_session_windows(spark, sf_dir):
     WHERE rk.rank <= 20""",
 )
 def q_top_revenue_customers(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
     # pre-aggregate lineitem to (orderkey, order revenue) BEFORE the join:
     # the join input shrinks ~4x (one row per order, not per line item)
     # and n_orders becomes a plain count — no countDistinct expand.
@@ -1871,10 +1887,10 @@ def q_top_revenue_customers(spark, sf_dir):
        GROUP BY r.r_name, n.n_name""",
 )
 def q_region_revenue(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+    region = _table(spark, sf_dir, "region")
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -1906,7 +1922,7 @@ def q_region_revenue(spark, sf_dir):
     FROM flagged GROUP BY user_id""",
 )
 def q_event_sessionization(spark, sf_dir):
-    e = load_table(spark, sf_dir, "events").select(
+    e = _table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
     )
     w = Window.partitionBy("user_id").orderBy("ep", "event_id")
@@ -1961,7 +1977,7 @@ def q_event_asof_join(spark, sf_dir):
     nearest-observed-day gap fill (main.py:192-199) to two tables."""
     from trendmachine_spark.operators.asof import asof_join
 
-    e = load_table(spark, sf_dir, "events").select(
+    e = _table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
     )
     errors = e.filter(F.col("event_type") == "error").select(
@@ -2002,7 +2018,7 @@ def q_event_range_join(spark, sf_dir):
     the naive theta-join is a BroadcastNestedLoopJoin at scale."""
     from trendmachine_spark.operators.asof import range_count_join
 
-    e = load_table(spark, sf_dir, "events").select(
+    e = _table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
     )
     errors = e.filter(F.col("event_type") == "error").select(
@@ -2052,7 +2068,7 @@ def q_session_stats(spark, sf_dir):
     Shape: ONE user exchange (gap-flag window, running session-id
     window, and the (user, sid) groupBy all share it — subset
     clustering) + the map-combined bucket aggregation."""
-    e = load_table(spark, sf_dir, "events").select(
+    e = _table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
     )
     w = Window.partitionBy("user_id").orderBy("ep", "event_id")
@@ -2110,7 +2126,7 @@ def q_event_props_stats(spark, sf_dir):
     exchange is the map-combined per-type aggregation, and column
     pruning still reaches the scan (props + value + event_type only).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = _table(spark, sf_dir, "events")
     parsed = e.select(
         "event_type",
         F.from_json("props", "k int").getField("k").alias("k"),
@@ -2160,7 +2176,7 @@ def q_event_funnel(spark, sf_dir):
     step chaining at microsecond precision)."""
     from trendmachine_spark.operators.funnel import event_funnel
 
-    return event_funnel(load_table(spark, sf_dir, "events"))
+    return event_funnel(_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -2178,7 +2194,7 @@ def q_event_retention(spark, sf_dir):
     """First-activity cohorts x day-offset distinct-user retention."""
     from trendmachine_spark.operators.funnel import event_retention
 
-    return event_retention(load_table(spark, sf_dir, "events"))
+    return event_retention(_table(spark, sf_dir, "events"))
 
 
 # ------------------------------------------- non-SQL-expressible (goldens)
