@@ -288,15 +288,30 @@ def test_tws_resilience_equivalent_to_applyinpandaswithstate(spark):
     if not tws_available():
         pytest.skip("transformWithState runtime unavailable (no protobuf)")
 
-    out = {}
-    for name, build in (("eq_v1", resilience_scores_stream),
-                        ("eq_v2", resilience_scores_tws)):
-        stream = events_capture_stream(spark, SF)
-        _run_to_memory(build(stream), name, "append")
-        out[name] = {
-            (r["url"], r["day"]): (r["specimen"], r["resilience"])
-            for r in spark.sql(f"SELECT * FROM {name}").collect()
-        }
+    # transformWithState scopes each state variable to its own column
+    # family, which the default HDFS-backed store rejects — both twins
+    # run under RocksDB (bundled rocksdbjni) for symmetric conditions
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = {}
+        for name, build in (("eq_v1", resilience_scores_stream),
+                            ("eq_v2", resilience_scores_tws)):
+            stream = events_capture_stream(spark, SF)
+            _run_to_memory(build(stream), name, "append")
+            out[name] = {
+                (r["url"], r["day"]): (r["specimen"], r["resilience"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     assert len(out["eq_v1"]) > 300
     assert set(out["eq_v1"]) == set(out["eq_v2"])
     for k, (spec, res) in out["eq_v1"].items():

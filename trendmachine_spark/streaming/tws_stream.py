@@ -22,10 +22,13 @@ The equivalence test runs BOTH implementations on the same input and
 asserts identical (url, day) -> (specimen, resilience) output.
 
 Runtime requirement: transformWithState's state server speaks protobuf
-(``pyspark/sql/streaming/proto``), so the ``protobuf`` Python package
-must be importable on the driver — probe with :func:`tws_available`
-before building (this sandbox lacks it; the equivalence test skips
-there and runs in full wherever it is installed).
+(``pyspark/sql/streaming/proto``), so a ``google.protobuf`` runtime
+must be importable on the driver AND in the Python workers — probe
+with :func:`tws_available` before building. Where the pip
+distribution is absent, :func:`ensure_protobuf_runtime` wires up a
+runtime vendored elsewhere on the machine (sys.path + PYTHONPATH so
+workers inherit it); it must run BEFORE the SparkSession exists, since
+workers snapshot the driver's environment at JVM launch.
 
 State layout note: the digest map rides in the ValueState row as two
 parallel arrays (keys, values) rather than a MapState because the LRU
@@ -36,6 +39,9 @@ exactly like the batch engine's dict.
 
 from __future__ import annotations
 
+import os
+import sys
+
 from pyspark.sql import DataFrame
 
 TWS_STATE_SCHEMA = (
@@ -45,16 +51,69 @@ TWS_STATE_SCHEMA = (
 )
 TWS_OUT_SCHEMA = "url string, day string, specimen string, resilience double"
 
+#: Directories where a usable pure-Python ``google.protobuf`` runtime
+#: may already sit on THIS machine without the pip distribution being
+#: installed (SDK platform bundles vendor one; ``google`` is a
+#: namespace package in those bundles, so appending the directory
+#: merges cleanly with any other installed ``google.*``).
+VENDORED_PROTOBUF_PATHS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf_runtime() -> bool:
+    """Make the protobuf runtime that transformWithState's state-server
+    protocol needs importable, returning True when the full stack (the
+    runtime AND pyspark's generated message classes) is usable.
+
+    When the ``protobuf`` distribution is absent, probes
+    :data:`VENDORED_PROTOBUF_PATHS` for a bundled runtime and wires it
+    up via BOTH ``sys.path`` (this process) and ``PYTHONPATH`` (so
+    Python workers — forked from the JVM, which snapshots the driver's
+    environment at launch — inherit it; call this BEFORE building the
+    SparkSession). A vendored runtime may trail pyspark's gencode by a
+    minor version; the wire format is stable within a major version,
+    so protobuf's own escape hatch
+    (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``) bridges exactly
+    that gap — it is set only on the vendored path, never for a real
+    installation.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        vendored = next(
+            (p for p in VENDORED_PROTOBUF_PATHS
+             if os.path.isfile(os.path.join(p, "google", "protobuf", "descriptor.py"))),
+            None,
+        )
+        if vendored is None:
+            return False
+        # workers import the generated classes too (the state-server
+        # client runs inside the worker) — same gencode, same check
+        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        if vendored not in sys.path:
+            sys.path.append(vendored)
+        pp = os.environ.get("PYTHONPATH", "")
+        if vendored not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (pp + os.pathsep + vendored) if pp else vendored
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            return False
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+    except Exception:
+        # e.g. an installed-but-older runtime failing the version gate
+        return False
+    return True
+
 
 def tws_available() -> bool:
     """True if the transformWithState Python runtime can start here
-    (its driver worker imports protobuf-generated message classes)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+    (its state-server protocol — driver and worker side — imports
+    protobuf-generated message classes). Vendors a bundled runtime
+    when possible; see :func:`ensure_protobuf_runtime`."""
+    return ensure_protobuf_runtime()
 
 
 def make_resilience_processor(sigparams=None, digest_cap: int | None = None):
