@@ -89,3 +89,55 @@ def test_partition_invariance(spark, name):
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert len(one) == len(many)
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# The registry queries above run at sf0.001, where the round-6 DEFAULT
+# scale guards never engage (max LSH bucket 3; dup grams << the auto-salt
+# threshold). These two exercise the ENGAGED branches — the sharded
+# over-cap chain and the salted mark-back join — under 1 vs 32 shuffle
+# partitions, since both build on windows/joins whose physical grouping
+# moves with partitioning and must not leak into the results.
+# ---------------------------------------------------------------------------
+
+
+def _branch_rows(spark, build, partitions):
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        return sorted(map(tuple, build().collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+
+
+def test_sharded_chain_partition_invariance(spark):
+    from trendmachine_spark.extensions.dedup import minhash_near_dup
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate sentence repeated for every page")
+         for i in range(120)],  # one family > MAX_LSH_BUCKET = 100
+        "doc_id long, text string",
+    ).repartition(8)
+    build = lambda: minhash_near_dup(docs)  # noqa: E731
+    one = _branch_rows(spark, build, 1)
+    many = _branch_rows(spark, build, 32)
+    assert len(one) == 119  # chain volume: n - 1 per over-cap bucket
+    assert one == many
+
+
+def test_salted_mark_join_partition_invariance(spark):
+    from trendmachine_spark.extensions.dedup import (
+        duplicated_spans, strip_duplicated_spans)
+
+    words = lambda tag, n: " ".join(f"{tag}{j % n}" for j in range(40))  # noqa: E731
+    rows = [(i, ("shared dup block one two three four five six seven "
+                 + words(f"u{i}_", 17))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    for build in (
+        lambda: duplicated_spans(docs, mark_salt=16),
+        lambda: strip_duplicated_spans(docs, mark_salt=16),
+    ):
+        one = _branch_rows(spark, build, 1)
+        many = _branch_rows(spark, build, 32)
+        assert one, "planted shared block must produce output"
+        assert one == many
