@@ -56,9 +56,14 @@ MAX_LSH_BUCKET = 100
 #: count+lag window over (band, bucket) materialized a hot bucket's
 #: whole member list in one window task, the last corpus-key window on
 #: a default path). shards=1 reproduces the historical single-chain
-#: edges exactly; 16 bounds the max window task at bucket/16 while
-#: keeping pair volume at n-1 per over-cap bucket.
-LSH_CHAIN_SHARDS = 16
+#: edges exactly. The DEFAULT is per-bucket ADAPTIVE ("auto", late
+#: round 6): shards = ((bn - 1) DIV cap) + 1, so the max window task
+#: is bounded at ~``MAX_LSH_BUCKET`` members for ANY bucket size —
+#: a fixed shard count only divides the cliff by a constant, while
+#: the adaptive count removes it (a 10^8-member boilerplate bucket
+#: chains in 10^6 cap-sized tasks, not 16 six-million-row ones).
+#: Integer-exact formula, mirrored verbatim in the oracle CTE.
+LSH_CHAIN_SHARDS: int | str = "auto"
 #: auto-salt threshold for the substring mark-back join (round 6): when
 #: the duplicated-gram set exceeds this many rows it has outgrown the
 #: default 10 MB autoBroadcastJoinThreshold (win=10 grams average
@@ -233,7 +238,7 @@ def lsh_band_buckets(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_near_dup(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      max_bucket_size: int | None = MAX_LSH_BUCKET,
-                     chain_shards: int = LSH_CHAIN_SHARDS) -> DataFrame:
+                     chain_shards: int | str = LSH_CHAIN_SHARDS) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing an LSH band.
 
     Scale: one shuffle for the signatures (map-combined), then the
@@ -244,7 +249,10 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
     ``max_bucket_size`` therefore emit a sharded CHAIN instead (see
     :func:`_sharded_chain_pairs`) — exactly n-1 pairs per over-cap
     bucket, every member candidate-CONNECTED, max window task bounded
-    at bucket/``chain_shards``. Downstream cluster equality is
+    at ~``max_bucket_size`` members under the default adaptive shard
+    count (``chain_shards="auto"``: per-bucket ((n-1) DIV cap) + 1;
+    an int fixes the count, bounding tasks at bucket/``chain_shards``
+    instead). Downstream cluster equality is
     guaranteed when intra-bucket similarity is transitive along the
     chain (exact-dup and boilerplate families — the buckets that
     actually go hot); in a heterogeneous hot bucket a chain link can
@@ -261,7 +269,8 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
     default (a count+lag window over the raw (band, bucket) key, i.e.
     a hot bucket's whole member list sorted in ONE window task) is
     gone. ``chain_shards=1`` reproduces those historical single-chain
-    edges exactly.
+    edges exactly; the adaptive default keeps the task bound constant
+    in bucket size instead of merely dividing it by a fixed count.
     """
     buckets = lsh_band_buckets(minhash_signatures(docs, text_col, id_col), id_col)
     if max_bucket_size is None:
@@ -278,7 +287,7 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
 
 
 def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
-                         max_bucket_size: int, shards: int) -> DataFrame:
+                         max_bucket_size: int, shards: int | str) -> DataFrame:
     """Chain guard with BOUNDED tasks — the 100 TB form of the bucket
     cap, and (round 6) the default and oracle-mirrored over-cap path.
 
@@ -289,18 +298,23 @@ def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
     boilerplate bucket is one task's sort). Here the bucket size comes
     from a map-combined aggregation (hot key absorbed map-side; the
     tiny over-cap set rides the join's exchange), and each over-cap
-    bucket's chain is SHARDED: members hash into ``shards`` sub-groups
+    bucket's chain is SHARDED: members hash into per-bucket sub-groups
     via the engine-portable md5 idiom (mirrored verbatim in the oracle
-    CTE), chained within their shard's (id-ordered) window — max task
-    = bucket/shards — and consecutive non-empty shards are linked with
-    one (max of shard k, min of shard k+1) pair from a shards-sized
-    window. Pair count per over-cap bucket stays exactly n-1 and every
-    member stays candidate-CONNECTED (a spanning path), so downstream
-    verify→connected-components clusters are preserved under the same
-    transitivity condition as the single chain.
+    CTE), chained within their shard's (id-ordered) window, and
+    consecutive non-empty shards are linked with one (max of shard k,
+    min of shard k+1) pair from a shards-sized window. With the
+    default ``shards="auto"`` the count is ADAPTIVE per bucket —
+    ((bn - 1) DIV cap) + 1, integer-exact in both engines — so the max
+    window task is ~``max_bucket_size`` members for ANY bucket size;
+    an int count bounds tasks at bucket/shards instead (shards=1 is
+    the historical single chain). Pair count per over-cap bucket stays
+    exactly n-1 and every member stays candidate-CONNECTED (a spanning
+    path), so downstream verify→connected-components clusters are
+    preserved under the same transitivity condition as the single
+    chain.
     """
-    if shards < 1:
-        raise ValueError(f"chain_shards must be >= 1, got {shards}")
+    if shards != "auto" and (not isinstance(shards, int) or shards < 1):
+        raise ValueError(f"chain_shards must be >= 1 or 'auto', got {shards}")
     # Materialize the band/bucket table ONCE: it feeds the sizes agg,
     # both self-join sides, and the two chain windows — Spark plans are
     # trees, so without the checkpoint the whole shingle→signature
@@ -313,7 +327,7 @@ def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_bucket_size)
-        .select("band", "bucket", F.lit(True).alias("_hot"))
+        .select("band", "bucket", "_bn")
     )
     # over-cap buckets are the rare boilerplate/template families
     # (<= n_buckets/cap by construction, in practice far fewer) —
@@ -323,7 +337,7 @@ def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
     # self-join sides and the two chain windows — and each would re-run
     # the sizes agg + broadcast join against the buckets checkpoint
     bk = bk.localCheckpoint(eager=True)
-    small = bk.filter(F.col("_hot").isNull())
+    small = bk.filter(F.col("_bn").isNull())
     a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = small.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (
@@ -332,8 +346,13 @@ def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
         .select("id_a", "id_b")
     )
     # engine-portable shard hash (same md5 idiom as the shingle hash /
-    # sampling membership) so the oracle CTE computes identical shards
-    over = bk.filter(F.col("_hot").isNotNull()).withColumn(
+    # sampling membership) so the oracle CTE computes identical shards;
+    # DIV keeps the adaptive count integer-exact in both engines
+    n_shards = (
+        F.expr(f"(_bn - 1) DIV {max_bucket_size} + 1")
+        if shards == "auto" else F.lit(shards)
+    )
+    over = bk.filter(F.col("_bn").isNotNull()).withColumn(
         "_shard",
         F.pmod(
             F.conv(
@@ -344,7 +363,7 @@ def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
                 ),
                 16, 10,
             ).cast("long"),
-            F.lit(shards),
+            n_shards,
         ),
     )
     wsh = Window.partitionBy("band", "bucket", "_shard").orderBy(id_col)

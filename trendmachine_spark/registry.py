@@ -700,7 +700,7 @@ def _minhash_ctes() -> str:
     consecutive ids plus one link per adjacent non-empty shard, the
     round-6 default over-cap path of _sharded_chain_pairs)."""
     from trendmachine_spark.extensions.dedup import (
-        BANDS, HASH_MASKS, LSH_CHAIN_SHARDS, MAX_LSH_BUCKET, ROWS_PER_BAND,
+        BANDS, HASH_MASKS, MAX_LSH_BUCKET, ROWS_PER_BAND,
     )
 
     sig_cols = ", ".join(
@@ -723,9 +723,11 @@ def _minhash_ctes() -> str:
       SELECT band, bucket, count(*) AS bn FROM bands GROUP BY band, bucket
     ),
     bshard AS MATERIALIZED (
+      -- adaptive per-bucket shard count, integer-exact: mirrors
+      -- _sharded_chain_pairs' (_bn - 1) DIV cap + 1 (shards="auto")
       SELECT b.doc_id, b.band, b.bucket, s.bn,
              ('0x' || substr(md5('shard:' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
-               % {LSH_CHAIN_SHARDS} AS shard
+               % ((s.bn - 1) // {MAX_LSH_BUCKET} + 1) AS shard
       FROM bands b JOIN bsizes s ON b.band = s.band AND b.bucket = s.bucket
     ),
     chain_intra AS (
