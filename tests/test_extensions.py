@@ -992,13 +992,16 @@ def test_strip_duplicated_spans_keeps_first_occurrence(spark):
         [f"t{i}" for i in range(10)] + ["f0"])
 
 
-def test_sharded_chain_oracle_parity_over_cap(spark):
+@pytest.mark.parametrize("family", [120, 1500])
+def test_sharded_chain_oracle_parity_over_cap(spark, family):
     """The sf0.01 driver corpus never trips MAX_LSH_BUCKET (max bucket
     3), so the oracle CTE's over-cap branch is exercised HERE: a
-    planted 120-member boilerplate family (> cap) must hash-match the
-    DuckDB oracle edge-for-edge, proving the md5-sharded chain in
+    planted boilerplate family (> cap) must hash-match the DuckDB
+    oracle edge-for-edge, proving the md5-sharded chain in
     _sharded_chain_pairs and the mirrored CTE compute identical
-    spanning paths."""
+    spanning paths. Two sizes pin the ADAPTIVE shard count's regimes:
+    120 members -> 2 shards (one cross-shard link), 1500 -> 15 shards
+    (a full multi-shard linking pass over md5-uneven shard sizes)."""
     import duckdb
     import pandas as pd
 
@@ -1006,8 +1009,9 @@ def test_sharded_chain_oracle_parity_over_cap(spark):
     from trendmachine_spark.registry import QUERIES
 
     rows = [(i, "the same boilerplate sentence repeated for every page")
-            for i in range(120)]
-    rows += [(200 + i, f"unique{i} filler{i} words{i} and{i} more{i} text{i}")
+            for i in range(family)]
+    rows += [(2 * family + i,
+              f"unique{i} filler{i} words{i} and{i} more{i} text{i}")
              for i in range(6)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted((r["id_a"], r["id_b"])
@@ -1020,7 +1024,7 @@ def test_sharded_chain_oracle_parity_over_cap(spark):
                       con.sql(QUERIES["dedup_minhash_lsh"].oracle).fetchall()))
     con.close()
     assert got == want
-    assert len(got) >= 119  # spanning volume for the hot family
+    assert len(got) >= family - 1  # spanning volume for the hot family
 
 
 def test_chain_shards_preserves_connectivity_and_volume(spark):
