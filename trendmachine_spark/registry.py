@@ -3634,22 +3634,11 @@ def q_training_corpus_clean(spark, sf_dir):
 # round.
 # ---------------------------------------------------------------------------
 
-_ROUND = 6
+_ROUND = 7
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED = [
-    "dedup_minhash_lsh",        # r6: sharded chain pairs are now the DEFAULT over-cap path
-    "substring_dup_report",     # r6: auto mark_salt beyond the broadcast threshold
-    "substring_dup_report_fine",  # new r6: win=5 audit (natural-text sweep)
-    "substring_dedup",          # r6: same auto-salt default
-    "training_corpus_clean",    # r6: composes the auto-salted strip
-    "dedup_ngram_jaccard",      # r6: localCheckpoint truncates guarded self-join lineage
-    "dedup_containment",        # r6: shares the checkpointed guard
-    "similarity_ivf_topk",      # r6: Lloyd-refined IVF centroids
-    "dedup_semantic",           # r6: shares the refined centroids
-    "dedup_semantic_keepers",   # r6: shares the refined centroids
-]
+_WINDOW_PINNED: list[str] = []  # round 7: nothing changed yet — `rotate_window.py pin NAME` as queries change
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
 #: (driver window: absent) in odd rounds and checked in even rounds;
@@ -3731,21 +3720,19 @@ def _demoted_for_round(round_no: int) -> list[str]:
 #: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
 #: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "chaos_melt", "content_value_counts", "corpus_decontaminate",
-    "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
-    "dedup_embedding_cosine_bucketed", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_segments", "dedup_semantic_keepers",
-    "dedup_simhash", "embedding_outliers", "event_funnel",
-    "event_range_join", "event_session_windows", "first_last_capture",
-    "gap_fill_closest", "gap_fill_identical", "minhash_accuracy",
-    "multimodal_decode_real", "multimodal_frame_sample",
-    "multimodal_resize", "multimodal_resize_real", "packed_text",
-    "pricing_summary", "region_revenue", "session_stats",
-    "similarity_topk", "status_month_cube", "summary_stats",
-    "text_lang_id", "text_profile", "text_repetition_stats",
-    "top_quality_docs", "training_corpus", "training_corpus_safe",
-    "training_corpus_segmented", "transition_matrix_filled",
-    "vocab_coverage",
+    "bpe_pair_stats", "capture_normalize", "chaos_ffill",
+    "chunk_documents", "corpus_card", "corpus_mix_temperature",
+    "corpus_stats", "daily_chaos", "daily_moving_avg", "daily_rollup",
+    "date_spine", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_multi_signal", "dedup_simhash_near_dup", "event_asof_join",
+    "event_props_stats", "event_retention", "event_sessionization",
+    "gap_fill_backward", "gap_fill_forward", "headline_metrics",
+    "lsh_bucket_health", "monthly_rollup", "multimodal_metadata",
+    "pack_sequences", "periodic_samples", "quality_score",
+    "salted_term_counts", "shipping_priority", "similarity_ann_lsh",
+    "specimen_breakdown", "status_totals", "text_fingerprints",
+    "text_pii_stats", "text_quality_flags", "text_term_stats",
+    "top_revenue_customers", "transition_matrix", "urim_projection",
 ]
 
 _DEMOTED = sorted(
