@@ -1126,6 +1126,37 @@ def test_mark_salt_auto_engages_beyond_threshold(spark):
             duplicated_spans(docs, win=10, mark_salt=bad)
         with _pytest.raises(ValueError):
             strip_duplicated_spans(docs, win=10, mark_salt=bad)
+    # a string typo must raise the SAME ValueError naming the accepted
+    # values, not a str-vs-int TypeError (round-6 ADVICE)
+    for typo in ("Auto", "AUTO", "always"):
+        with _pytest.raises(ValueError, match="'auto'"):
+            duplicated_spans(docs, win=10, mark_salt=typo)
+
+
+def test_materialization_persist_mode_parity(spark):
+    """set_materialization('persist') — the lazy, lineage-retaining,
+    fault-tolerant mode for multi-executor clusters (round-6 ADVICE) —
+    must produce results identical to the default localCheckpoint mode
+    on every path that pins a shared intermediate (LSH band table,
+    over-cap chain, auto-salt dup-gram set)."""
+    import pytest as _pytest
+
+    from trendmachine_spark.extensions import dedup
+    from trendmachine_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base_pairs = sorted(map(tuple, dedup.minhash_near_dup(docs).collect()))
+    base_spans = sorted(map(tuple, dedup.duplicated_spans(docs, win=10).collect()))
+    dedup.set_materialization("persist")
+    try:
+        assert sorted(map(tuple, dedup.minhash_near_dup(docs).collect())) == base_pairs
+        assert sorted(
+            map(tuple, dedup.duplicated_spans(docs, win=10).collect())) == base_spans
+    finally:
+        dedup.set_materialization("localCheckpoint")
+        spark.catalog.clearCache()
+    with _pytest.raises(ValueError):
+        dedup.set_materialization("checkpoint")
 
 
 def test_srp_probe_buckets_structure(spark):

@@ -54,6 +54,20 @@ def test_pin_on_current_file_is_append_and_idempotent():
     assert pin_text(out, "daily_rollup", "") == out
 
 
+def test_pin_validates_against_real_registry_keys():
+    """`pin` must resolve names against the imported QUERIES dict, not
+    a substring grep of registry.py — a quoted SQL fragment or column
+    name must NOT pass as a registered query (round-6 ADVICE)."""
+    from rotate_window import _registered_names
+
+    names = _registered_names()
+    assert "daily_rollup" in names and len(names) == 100
+    # quoted literals that appear in registry.py source but are not
+    # query names must be rejected by the membership check
+    for impostor in ("l_returnflag", "content_md5", "SELECT"):
+        assert impostor not in names
+
+
 def test_assign_targets_smaller_parity_set_and_rejects_dupes():
     out = assign_text(SRC, "brand_new_query")
     ast.parse(out)

@@ -130,6 +130,19 @@ def _current_demoted() -> list[str]:
     return [ln for ln in out.stdout.splitlines() if ln.strip()]
 
 
+def _registered_names() -> list[str]:
+    """The REAL registry keys, from a fresh-interpreter import — a
+    substring match against registry.py source would accept any quoted
+    literal (a column name, an SQL fragment, a demotion-set entry) as a
+    'registered query' and pin garbage (round-6 ADVICE)."""
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from trendmachine_spark.registry import QUERIES; print('\\n'.join(QUERIES))"],
+        capture_output=True, text=True, check=True,
+    )
+    return [ln for ln in out.stdout.splitlines() if ln.strip()]
+
+
 def _verify() -> None:
     """Fresh-interpreter import runs registry's own asserts; then check
     the alternation invariant explicitly and print window sizes."""
@@ -163,12 +176,14 @@ def main() -> None:
         if len(sys.argv) < 3:
             raise SystemExit("pin needs a query name")
         name = sys.argv[2]
-        if f'"{name}"' not in original:
+        if name not in _registered_names():
             raise SystemExit(f"{name} is not a registered query name")
         new = pin_text(original, name, sys.argv[3] if len(sys.argv) > 3 else "")
     else:
         if len(sys.argv) < 3:
             raise SystemExit("assign needs a query name")
+        if sys.argv[2] not in _registered_names():
+            raise SystemExit(f"{sys.argv[2]} is not a registered query name")
         new = assign_text(original, sys.argv[2])
     with open(REGISTRY, "w") as f:
         f.write(new)

@@ -78,6 +78,56 @@ AUTO_MARK_SALT_GRAMS = 100_000
 #: planted 1M-occurrence gram stress (max task 509k ≈ even split)
 MARK_SALT_DEFAULT = 16
 
+#: How multi-consumer intermediate tables (the LSH band table, the
+#: guarded jaccard posting list, the auto-salt dup-gram set) are
+#: materialized. Spark plans are trees: without materialization the
+#: shared subtree re-executes once PER CONSUMER (no exchange reuse
+#: across self-join sides — probed, SCALE.md round 5), so the default
+#: eagerly ``localCheckpoint``\ s the table. That trades two things a
+#: multi-executor deployment may care about (round-6 ADVICE):
+#:
+#: * EAGERNESS — DataFrame *construction* runs Spark jobs (the
+#:   checkpoint write, plus the dup-gram count on the
+#:   ``mark_salt='auto'`` path) where construction was historically
+#:   lazy;
+#: * FAULT TOLERANCE — executor-local checkpoint blocks have NO lineage
+#:   to recompute from, so losing an executor mid-query fails the query
+#:   (fine on local[N]; real money on a 1000-executor preemptible
+#:   fleet).
+#:
+#: ``set_materialization("persist")`` switches every such site to lazy
+#: ``persist(MEMORY_AND_DISK)``: construction stays job-free, lineage
+#: is retained (executor loss recomputes the partition), and consumer
+#: dedup still happens at runtime through the cache manager's
+#: InMemoryTableScan reuse — the *static* plan shows the duplicated
+#: subtree per consumer, but only the first consumer computes it.
+#: Callers on that path should ``unpersist()`` results when done or
+#: rely on Spark's LRU eviction. The fully-lazy escape hatch for the
+#: substring markers remains ``mark_salt=None`` / an int salt, which
+#: skips the gram count entirely.
+_MATERIALIZE_MODE = "localCheckpoint"
+
+
+def set_materialization(mode: str) -> None:
+    """Select how shared intermediates materialize: ``"localCheckpoint"``
+    (default — eager, lineage-truncating, single-JVM-friendly) or
+    ``"persist"`` (lazy, lineage-retaining, fault-tolerant for
+    multi-executor clusters). See :data:`_MATERIALIZE_MODE`."""
+    global _MATERIALIZE_MODE
+    if mode not in ("localCheckpoint", "persist"):
+        raise ValueError(
+            f"materialization mode must be 'localCheckpoint' or 'persist', got {mode!r}")
+    _MATERIALIZE_MODE = mode
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Pin a multi-consumer intermediate per :data:`_MATERIALIZE_MODE`."""
+    if _MATERIALIZE_MODE == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df.localCheckpoint(eager=True)
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content hash: keeper id + duplicate count.
@@ -271,10 +321,15 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
     gone. ``chain_shards=1`` reproduces those historical single-chain
     edges exactly; the adaptive default keeps the task bound constant
     in bucket size instead of merely dividing it by a fixed count.
+
+    EAGERNESS: the multi-consumer band table materializes eagerly at
+    construction by default (lineage-truncating localCheckpoint — see
+    :func:`set_materialization` for why, and for the lazy
+    fault-tolerant ``persist`` mode for multi-executor clusters).
     """
     buckets = lsh_band_buckets(minhash_signatures(docs, text_col, id_col), id_col)
     if max_bucket_size is None:
-        buckets = buckets.localCheckpoint(eager=True)
+        buckets = _materialize(buckets)
         a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
         b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
         return (
@@ -322,7 +377,7 @@ def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
     # see the round-5 self-join probe in SCALE.md). localCheckpoint is
     # executor-local (memory+disk) and WITHIN-query — bench re-builds
     # the DataFrame per pass, so nothing is cached across passes.
-    buckets = buckets.localCheckpoint(eager=True)
+    buckets = _materialize(buckets)
     sizes = (
         buckets.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("_bn"))
@@ -336,7 +391,7 @@ def _sharded_chain_pairs(buckets: DataFrame, id_col: str,
     # second (cheap) materialization: bk feeds four consumers — the two
     # self-join sides and the two chain windows — and each would re-run
     # the sizes agg + broadcast join against the buckets checkpoint
-    bk = bk.localCheckpoint(eager=True)
+    bk = _materialize(bk)
     small = bk.filter(F.col("_bn").isNull())
     a = small.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = small.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -522,7 +577,7 @@ def _shingle_pair_counts(docs: DataFrame, text_col: str, id_col: str,
     # DataFrame inside the timed window every pass, so nothing is
     # cached across passes — unlike persist(), which round 5 rightly
     # rejected as methodology gaming under the build-once bench.
-    sh = sh.localCheckpoint(eager=True)
+    sh = _materialize(sh)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
     return (
@@ -969,8 +1024,14 @@ def _resolve_mark_salt(dup_grams: DataFrame, mark_salt,
 
     Returns ``(dup_grams, salt_or_none)``.
     """
-    if mark_salt == "auto":
-        dup_grams = dup_grams.localCheckpoint(eager=True)
+    if isinstance(mark_salt, str):
+        # any string other than 'auto' is a typo — name the accepted
+        # values instead of falling through to the int comparison
+        # below, which would raise an unrelated TypeError (str vs int).
+        if mark_salt != "auto":
+            raise ValueError(
+                f"mark_salt must be >= 1, 'auto', or None, got {mark_salt!r}")
+        dup_grams = _materialize(dup_grams)
         n = dup_grams.count()
         return dup_grams, (MARK_SALT_DEFAULT if n > auto_salt_grams else None)
     if mark_salt is not None and mark_salt < 1:
@@ -1081,6 +1142,14 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
     window per doc; both per-doc windows and the final per-doc
     aggregate ride ONE doc-id exchange (per-doc partitions are bounded
     by document length, never by corpus-wide gram popularity).
+
+    EAGERNESS: with the default ``mark_salt='auto'`` the dup-gram set
+    is materialized and counted at DataFrame-CONSTRUCTION time (the
+    count decides whether the salted mark-join engages), so this call
+    runs Spark jobs before you ever trigger an action; pass
+    ``mark_salt=None`` or an explicit int for a fully-lazy plan, and
+    see :func:`set_materialization` for the fault-tolerant persist
+    variant on multi-executor clusters.
     """
     occ = window_occurrences(docs, text_col, id_col, win)
     # Window frequency as a map-combined aggregation + semi-join, not a
@@ -1168,6 +1237,10 @@ def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
     :func:`duplicated_spans`. Reassembly reuses the
     :func:`segment_dedup` idiom (array_sort on (pos, token) structs —
     never collect_list arrival order).
+
+    EAGERNESS: same ``mark_salt='auto'`` construction-time jobs as
+    :func:`duplicated_spans` — ``mark_salt=None``/int is the lazy
+    path, :func:`set_materialization` the fault-tolerant one.
     """
     occ = window_occurrences(docs, text_col, id_col, win)
     # Keeper per gram via min-of-struct aggregation, not

@@ -76,8 +76,35 @@ def ensure_protobuf_runtime() -> bool:
     so protobuf's own escape hatch
     (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``) bridges exactly
     that gap — it is set only on the vendored path, never for a real
-    installation.
+    installation, and (round-6 ADVICE) only KEPT once the runtime
+    passes a functional probe: pyspark's generated ``StateMessage``
+    classes must import AND round-trip (build → serialize → reparse →
+    compare) through the vendored runtime. A runtime old enough to
+    misparse fails the round-trip, and the wiring — env var, sys.path
+    entry, PYTHONPATH entry, partially-imported ``google.protobuf``
+    modules — is rolled back so other protobuf consumers in the
+    process never see a version-unchecked stale runtime.
     """
+    vendored = None
+    had_env = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" in os.environ
+    old_pp = os.environ.get("PYTHONPATH")
+
+    def _rollback() -> bool:
+        if vendored is not None:
+            if not had_env:
+                os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+            if vendored in sys.path:
+                sys.path.remove(vendored)
+            if old_pp is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = old_pp
+            for mod in [m for m in sys.modules
+                        if m == "google" or m.startswith("google.")
+                        or m.startswith("pyspark.sql.streaming.proto")]:
+                del sys.modules[mod]
+        return False
+
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
@@ -99,12 +126,20 @@ def ensure_protobuf_runtime() -> bool:
         try:
             from google.protobuf import descriptor  # noqa: F401
         except ImportError:
-            return False
+            return _rollback()
     try:
-        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+        import pyspark.sql.streaming.proto.StateMessage_pb2 as _sm
     except Exception:
         # e.g. an installed-but-older runtime failing the version gate
-        return False
+        return _rollback()
+    try:
+        # functional probe: the version-check override is only safe if
+        # the runtime actually parses pyspark's gencode faithfully
+        msg = _sm.StateRequest(version=7)
+        if _sm.StateRequest.FromString(msg.SerializeToString()).version != 7:
+            raise ValueError("StateRequest round-trip mismatch")
+    except Exception:
+        return _rollback()
     return True
 
 
