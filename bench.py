@@ -119,19 +119,20 @@ def main() -> None:
     # can stretch one wall-clock window 4-6x. The plan is NOT
     # result-cached. Round-6 split: builders that MATERIALIZE state
     # within the query (eager localCheckpoint lineage truncation —
-    # the LSH band table, the guarded jaccard posting list, the
-    # auto-salt gram count) are REBUILT inside the timed window every
-    # pass, so their materialization is paid on every sample and
-    # nothing survives a pass. Pure-lazy builders are built once and
-    # re-saved: the save re-executes their whole pipeline each pass
-    # (no state exists to cache), and building once keeps ~0.2-0.5 s
-    # of per-build py4j expression-tree chatter — driver-side plan
-    # CONSTRUCTION, which DuckDB's timer pays as sub-ms SQL parsing —
-    # out of a comparison that is about execution. similarity_topk
-    # qualifies too: its builder COLLECTS the query matrix (a real
-    # Spark job whose result ships as the broadcast scoring constant).
-    MATERIALIZING = {"dedup_minhash_lsh", "dedup_ngram_jaccard",
-                     "similarity_topk"}
+    # the LSH band table, the guarded jaccard posting list) are
+    # REBUILT inside the timed window every pass, so their
+    # materialization is paid on every sample and nothing survives a
+    # pass. Pure-lazy builders are built once and re-saved: the save
+    # re-executes their whole pipeline each pass (no state exists to
+    # cache), and building once keeps ~0.2-0.5 s of per-build py4j
+    # expression-tree chatter — driver-side plan CONSTRUCTION, which
+    # DuckDB's timer pays as sub-ms SQL parsing — out of a comparison
+    # that is about execution. similarity_topk left this set in round
+    # 7: its builder no longer runs a Spark job (the probe matrix is a
+    # driver-side pyarrow read — load_probe_matrix), so it is
+    # pure-lazy again; the r6 in-window rebuild measured the old
+    # collect job + plan chatter as a +57% artifact (SCALE.md r7).
+    MATERIALIZING = {"dedup_minhash_lsh", "dedup_ngram_jaccard"}
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     dfs = {name: QUERIES[name].builder(spark, sf_dir)
            for name in BENCH_QUERIES if name not in MATERIALIZING}
@@ -204,6 +205,21 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump({
             "sf": sf_val,
+            "methodology": {
+                "rebuilt_per_pass": sorted(MATERIALIZING),
+                "note": "Queries listed in rebuilt_per_pass construct their "
+                        "DataFrame INSIDE the timed window every pass (their "
+                        "builders materialize state via localCheckpoint; "
+                        "nothing survives a pass). All other builders are "
+                        "constructed once, saved per pass (full re-execution, "
+                        "no result caching). r6 artifacts additionally "
+                        "rebuilt similarity_topk per pass, paying its "
+                        "then-collect-based probe resolution (~0.55 s at "
+                        "sf0.1) inside the window — r7 made that builder "
+                        "job-free (driver-side pyarrow probe read), so "
+                        "similarity_topk numbers are comparable to r5 and "
+                        "earlier, not to r6.",
+            },
             "queries_best": timings,
             "queries_median": medians,
             "queries_spread": spreads,

@@ -1159,6 +1159,51 @@ def test_materialization_persist_mode_parity(spark):
         dedup.set_materialization("checkpoint")
 
 
+def test_probe_matrix_bit_identical_to_spark_quantization(spark):
+    """load_probe_matrix (driver-side pyarrow read + Decimal HALF_UP
+    quantization, round 7) must reproduce quantize_embeddings'
+    BigDecimal HALF_UP values EXACTLY for every vector — it feeds the
+    same scoring matmul the oracle pins bit-for-bit. Checked over the
+    ENTIRE sf0.01 table, not just the probe ids."""
+    import numpy as np
+
+    from trendmachine_spark.extensions.similarity import (
+        load_probe_matrix,
+        quantize_embeddings,
+    )
+    from trendmachine_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qids, Q, n2 = load_probe_matrix(
+        "/root/testdata/sf0.01/embeddings.parquet", n_queries=1 << 60)
+    rows = {r["vid"]: (r["qvec"], r["norm2"])
+            for r in quantize_embeddings(emb).collect()}
+    assert set(qids.tolist()) == set(rows)
+    for i, vid in enumerate(qids.tolist()):
+        qvec, norm2 = rows[vid]
+        assert Q[i].tolist() == qvec, f"vec {vid} quantization mismatch"
+        assert int(n2[i]) == norm2
+    assert Q.dtype == np.int64
+
+
+def test_brute_force_topk_probe_path_equals_collect_path(spark):
+    """brute_force_topk(probe=...) must return the exact rows of the
+    historical collect-based path (same plan downstream, same probe
+    values by the parity test above)."""
+    from trendmachine_spark.extensions.similarity import (
+        brute_force_topk,
+        load_probe_matrix,
+    )
+    from trendmachine_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probe = load_probe_matrix(
+        "/root/testdata/sf0.001/embeddings.parquet", n_queries=10)
+    a = sorted(map(tuple, brute_force_topk(emb, 10, 5).collect()))
+    b = sorted(map(tuple, brute_force_topk(emb, 10, 5, probe=probe).collect()))
+    assert a == b and len(a) == 50
+
+
 def test_srp_probe_buckets_structure(spark):
     """Multi-probe set: first probe is the own bucket, each flip
     differs in exactly one bit, flipped planes are the n_flip

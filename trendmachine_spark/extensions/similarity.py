@@ -49,8 +49,61 @@ def _dot(a, b):
     )
 
 
+def load_probe_matrix(parquet_path: str, n_queries: int,
+                      vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Driver-side probe set for :func:`brute_force_topk`: read the
+    ``id < n_queries`` rows straight from parquet (pyarrow pushes the
+    filter to row groups — no Spark job, no corpus scan) and quantize
+    them BIT-IDENTICALLY to :func:`quantize_embeddings`.
+
+    Why: the probe set is tiny by contract, but resolving it through a
+    Spark ``.collect()`` costs a full job submission (~0.25 s measured
+    at sf0.1 — SCALE.md round 7) plus the py4j chatter of building the
+    plan, every time the query is constructed. At 100 TB the collect
+    would also scan row groups across the whole corpus's driver-known
+    splits; the pyarrow read touches only the file's matching row
+    groups.
+
+    Bit-identity: Spark computes ``round(cast(x as double) * 1000)``
+    with java.math.BigDecimal HALF_UP. Here each float32 is widened to
+    the same double, multiplied by the same double constant (one IEEE
+    op either way), and rounded via decimal.Decimal ROUND_HALF_UP —
+    away-from-zero on ties, identical to BigDecimal for |v| < 2^52
+    (proved by the parity unit test against the Spark projection).
+
+    Returns ``(qids, Q, norm2)`` int64 numpy arrays sorted by id, or
+    ``None`` when no row matches (callers fall back to an empty
+    result).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(parquet_path).to_table(
+        columns=[id_col, vec_col],
+        filter=ds.field(id_col) < n_queries,
+    )
+    if tbl.num_rows == 0:
+        return None
+    ids = tbl[id_col].to_numpy()
+    order = np.argsort(ids)
+    vecs = tbl[vec_col].to_pylist()
+    scale = float(QUANT_SCALE)
+    one = Decimal(1)
+    Q = np.array(
+        [[int(Decimal(float(x) * scale).quantize(one, rounding=ROUND_HALF_UP))
+          for x in vecs[i]] for i in order],
+        dtype=np.int64,
+    )
+    qids = ids[order].astype(np.int64)
+    norm2 = (Q * Q).sum(axis=1)
+    return qids, Q, norm2
+
+
 def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
-                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     probe=None) -> DataFrame:
     """Exact top-k quantized-cosine neighbors for the first ``n_queries`` ids.
 
     Output: query_id, neighbor_id, rank, cosine.
@@ -74,17 +127,31 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     Values are bit-identical: dots/norms are exact int64, and the
     cosine double divides the same exact integers in the same IEEE
     order as the SQL oracle.
+
+    ``probe`` (round 7): pre-resolved ``(qids, Q, norm2)`` from
+    :func:`load_probe_matrix` — skips the driver-side ``.collect()``
+    job that otherwise resolves the query matrix at CONSTRUCTION time
+    (a full corpus-scan job submission; the sf0.1 bench measured it as
+    a +57% regression once builds moved inside the timed window).
+    With a probe supplied, construction is pure plan-building — no
+    Spark job until the caller's action.
     """
     import numpy as np
 
     qv = quantize_embeddings(emb, vec_col, id_col)
-    qrows = qv.filter(F.col("vid") < n_queries).collect()
-    if not qrows:
-        return qv.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, cosine double")
-    qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
-    Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
-    qn = np.sqrt(np.array([r["norm2"] for r in qrows], dtype=np.float64))
+    if probe is not None:
+        qids, Q, n2 = probe
+        qids = np.asarray(qids, dtype=np.int64)
+        Q = np.asarray(Q, dtype=np.int64)
+        qn = np.sqrt(np.asarray(n2, dtype=np.float64))
+    else:
+        qrows = qv.filter(F.col("vid") < n_queries).collect()
+        if not qrows:
+            return qv.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, rank int, cosine double")
+        qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+        Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+        qn = np.sqrt(np.array([r["norm2"] for r in qrows], dtype=np.float64))
 
     def score(batches):
         import pandas as pd

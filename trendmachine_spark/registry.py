@@ -1186,7 +1186,16 @@ def q_dedup_simhash_near_dup(spark, sf_dir):
     ) WHERE rank <= 5""",
 )
 def q_similarity_topk(spark, sf_dir):
-    return brute_force_topk(_embeddings(spark, sf_dir), n_queries=10, k=5)
+    # probe set resolved driver-side from parquet (no Spark job at
+    # construction — round 7; bit-identical quantization, see
+    # load_probe_matrix + its parity test)
+    import os
+
+    from trendmachine_spark.extensions.similarity import load_probe_matrix
+
+    probe = load_probe_matrix(os.path.join(sf_dir, "embeddings.parquet"), 10)
+    return brute_force_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
+                            probe=probe)
 
 
 def _ann_lsh_oracle(n_queries: int = 10, k: int = 5, n_planes: int = 8,
@@ -3638,7 +3647,9 @@ _ROUND = 7
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = []  # round 7: nothing changed yet — `rotate_window.py pin NAME` as queries change
+_WINDOW_PINNED: list[str] = [
+    "similarity_topk",  # r7: driver-side probe matrix (load_probe_matrix) replaced the collect
+]
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
 #: (driver window: absent) in odd rounds and checked in even rounds;
