@@ -8,5 +8,7 @@ url-partitioned DataFrames, plus LLM-data-pipeline extension operators
 
 from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
 from trendmachine_spark.pipeline import daily_series, dense_daily
+from trendmachine_spark.suite import run_suite, suite_frame
 
-__all__ = ["DEFAULT_SIGPARAMS", "SigmoidParam", "daily_series", "dense_daily"]
+__all__ = ["DEFAULT_SIGPARAMS", "SigmoidParam", "daily_series", "dense_daily",
+           "run_suite", "suite_frame"]
