@@ -1159,6 +1159,88 @@ def test_materialization_persist_mode_parity(spark):
         dedup.set_materialization("checkpoint")
 
 
+def test_suffix_match_lengths_semantics(spark):
+    """Bounded suffix-array pass on a hand-built corpus: exact span
+    lengths per position (cross-doc and within-doc), min_span filter,
+    and the bound cap."""
+    from trendmachine_spark.extensions.dedup import suffix_match_lengths
+
+    docs = spark.createDataFrame([
+        (1, "x1 x2 a b c d e f g y1 y2"),
+        (2, "z1 a b c d e f g z2 z3 z4"),
+        (3, "p q r s t m1 m2 p q r s t m3"),
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+    ], "doc_id long, text string")
+    rows = sorted(map(tuple, suffix_match_lengths(
+        docs, min_span=5, bound=32, max_group=None).collect()))
+    # doc1/doc2 share the 7-token "a b c d e f g": positions inside it
+    # report 7,6,5 (the <5 tail is filtered); doc3's internal 5-token
+    # repeat reports 5 at both occurrences; doc4 reports nothing.
+    assert rows == [(1, 3, 7), (1, 4, 6), (1, 5, 5),
+                    (2, 2, 7), (2, 3, 6), (2, 4, 5),
+                    (3, 1, 5), (3, 8, 5)]
+
+    # bound cap: a 12-token duplicate under bound=8 reports exactly 8
+    long_docs = spark.createDataFrame([
+        (1, "a b c d e f g h i j k l"),
+        (2, "a b c d e f g h i j k l"),
+    ], "doc_id long, text string")
+    capped = sorted(map(tuple, suffix_match_lengths(
+        long_docs, min_span=5, bound=8, max_group=None).collect()))
+    assert max(m for _, _, m in capped) == 8
+    assert (1, 1, 8) in capped and (2, 1, 8) in capped
+
+
+def test_suffix_coverage_equals_window_coverage(spark):
+    """The union of [pos, pos+match_len) intervals from the suffix
+    pass must cover EXACTLY the tokens duplicated_spans(win=min_span)
+    marks — the SA pass refines per-span lengths without changing
+    coverage (the equivalence the operator docstring claims)."""
+    from trendmachine_spark.extensions.dedup import (
+        duplicated_spans,
+        suffix_match_lengths,
+    )
+    from trendmachine_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    per_doc: dict[int, set[int]] = {}
+    for r in suffix_match_lengths(docs, min_span=5, max_group=None).collect():
+        per_doc.setdefault(r["doc_id"], set()).update(
+            range(r["pos"], r["pos"] + r["match_len"]))
+    suffix_cov = {d: len(s) for d, s in per_doc.items()}
+    window_cov = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in duplicated_spans(docs, win=5, mark_salt=None).collect()
+        if r["dup_tokens"] > 0
+    }
+    assert suffix_cov == window_cov
+
+
+def test_suffix_hot_gram_guard_observable(spark):
+    """max_group excludes hot grams from exact resolution (bounded
+    recall, the documented skew stance) and suffix_group_stats reports
+    exactly what was excluded — no silent caps."""
+    from trendmachine_spark.extensions.dedup import (
+        suffix_group_stats,
+        suffix_match_lengths,
+    )
+
+    hot = [(i, "h1 h2 h3 h4 h5 end%d" % i) for i in range(30)]
+    rare = [(100, "r1 r2 r3 r4 r5 r6 q"), (101, "z r1 r2 r3 r4 r5 r6")]
+    docs = spark.createDataFrame(hot + rare, "doc_id long, text string")
+    m = suffix_match_lengths(docs, min_span=5, bound=16, max_group=10)
+    got = sorted(map(tuple, m.collect()))
+    # the 30x "h1..h5" gram is excluded (freq 30 > 10); the rare
+    # 6-token overlap still resolves exactly — including its 5-token
+    # sub-suffixes ("r2..r6" is itself a duplicated 5-token span)
+    assert got == [(100, 1, 6), (100, 2, 5), (101, 2, 6), (101, 3, 5)]
+    st = suffix_group_stats(docs, min_span=5, max_group=10).collect()[0]
+    assert st["n_hot_grams"] == 1 and st["positions_excluded"] == 30
+    # guard off: the hot family resolves too
+    full = suffix_match_lengths(docs, min_span=5, bound=16, max_group=None)
+    assert full.filter("doc_id < 30").count() == 30
+
+
 def test_probe_matrix_bit_identical_to_spark_quantization(spark):
     """load_probe_matrix (driver-side pyarrow read + Decimal HALF_UP
     quantization, round 7) must reproduce quantize_embeddings'

@@ -95,6 +95,12 @@ SHUFFLE_BUDGETS = {
     # outgrows broadcast (at sf it's a BroadcastHashJoin, 0) + final
     # doc_id reassembly (1); +1 slack for a non-broadcast hot join
     "dedup_segments": (3, True),
+    # suffix-array pass (r7): phase-A hashed bucket count + exact _g
+    # recount of the candidate subset + ONE _g exchange for the
+    # lag/lead LCP window (+ doc_id agg/join for the profile)
+    "dup_span_profile": (4, True),
+    "dup_span_histogram": (4, True),
+    "suffix_group_stats": (2, True),
     # ivf_assign is a zero-shuffle MapInPandas matmul (literal centroid
     # matrix, brute_force_topk idiom); the pair stage is ONE cell
     # shuffle into a blocked per-cell gram matmul (applyInPandas)
@@ -217,6 +223,20 @@ def test_lsh_bucket_windows_are_sharded(spark, name):
                 f"{name}: window over the LSH bucket key without _shard — "
                 f"hot-bucket single-task regression: {spec[:160]}"
             )
+
+
+@pytest.mark.parametrize(
+    "name", ("dup_span_profile", "dup_span_histogram"))
+def test_suffix_window_guarded_by_hot_anti_join(spark, name):
+    """The suffix pass MAY window-partition by the gram key only
+    because the hot set is anti-joined out first (groups bounded at
+    max_group) — the guard must stay in the plan, and the exclusion
+    must ride a broadcast (the hot set is tiny by construction)."""
+    plan = _plan(spark, name)
+    assert "windowspecdefinition(_g#" in plan
+    assert "LeftAnti, BuildRight" in plan, (
+        f"{name}: hot-gram anti-join guard missing upstream of the "
+        "suffix window")
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))

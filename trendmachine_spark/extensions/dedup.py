@@ -1007,6 +1007,186 @@ def window_occurrences(docs: DataFrame, text_col: str = "text",
     return idx.select(F.col(id_col), "pos", gram.alias("gram"))
 
 
+#: default bound on the suffix representation of the bounded
+#: suffix-array pass: exact duplicated-span lengths are resolved in
+#: [min_span, SUFFIX_BOUND]; longer spans report as SUFFIX_BOUND
+#: (">= bound"). 32 tokens comfortably covers the 5-30-token quote
+#: tail the pass exists for (the >= win spans are already exact via
+#: duplicated_spans' windows); raising it grows the shuffled suffix
+#: payload linearly.
+SUFFIX_BOUND = 32
+
+
+def _lcp(a, b):
+    """Longest-common-prefix LENGTH of two token arrays (0 when ``b``
+    is NULL — the window edge). zip_with pads the shorter array with
+    NULLs and ``eqNullSafe`` makes token-vs-NULL a mismatch, so the
+    first ``false`` position minus one IS the LCP; no false means full
+    equality up to the shorter length."""
+    z = F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))
+    p = F.array_position(z, F.lit(False))
+    full = F.least(F.size(a), F.size(b))
+    return F.when(b.isNull(), F.lit(0).cast("int")).otherwise(
+        F.when(p == 0, full).otherwise(p - 1).cast("int"))
+
+
+def suffix_match_lengths(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", min_span: int = 5,
+                         bound: int = SUFFIX_BOUND,
+                         max_group: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
+    """Bounded suffix-array pass (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022, §4 ExactSubstr —
+    /root/reference has no analog; extension mandate): for every token
+    position whose longest exactly-duplicated span (elsewhere in the
+    corpus OR the same document) is >= ``min_span`` tokens, the EXACT
+    length of that span, capped at ``bound``.
+
+    Output: (doc_id, pos, match_len) — match_len in
+    [min_span, bound], where ``bound`` means ">= bound". This is the
+    per-position information a suffix array yields that fixed-window
+    marking cannot: :func:`duplicated_spans` answers "is this token
+    inside a >= win duplicate" (and its win=min_span coverage equals
+    this pass's coverage — pinned by test), while this pass answers
+    "HOW LONG is the duplicate starting here", resolving the 5-9-token
+    memorization tail span-by-span in one pass instead of one
+    duplicated_spans run per window size.
+
+    How (the distributed suffix-array equivalence): group suffixes by
+    their first ``min_span`` tokens — any two suffixes with a common
+    prefix >= min_span share that group, and within a group the
+    lexicographic order of the (``bound``-truncated) suffixes is the
+    global suffix-array order restricted to the group. The longest
+    match of a suffix against the whole corpus is then
+    max(LCP(prev), LCP(next)) over its sorted neighbors — the classic
+    SA adjacency property — computed with lag/lead + a zip_with LCP,
+    all codegen, values independent of tie order (equal suffixes give
+    equal LCPs either way).
+
+    Scale shape: ONE exchange on the min_span-gram carrying
+    (id, pos, bounded suffix array) — ~``bound`` tokens per position,
+    the pass's honest payload cost (linear, same order as the
+    posting-list shuffles); window partitions are per-gram.
+    ``max_group`` is the same skew stance as ``max_shingle_freq``: a
+    gram above that doc-frequency (stopword/boilerplate n-grams —
+    whose every occurrence IS a duplicate by definition) would sort
+    its whole occurrence list in one unsplittable window task, so hot
+    grams are excluded from exact length resolution (they remain fully
+    COUNTED by :func:`duplicated_spans`/:func:`suffix_group_stats`,
+    which is how the trade stays observable — no silent caps). The
+    hot set is found with the two-phase hashed count
+    (:func:`_candidate_rows`) and removed by a broadcast anti-join,
+    exactly the :func:`ngram_jaccard` guard. ``max_group=None``
+    disables the guard (small corpora / tests).
+    """
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col), words.alias("_w")).filter(
+        F.size("_w") >= min_span
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.size("_w") - (min_span - 1))
+        ).alias("pos"),
+        "_w",
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.concat_ws(
+            " ", F.slice("_w", F.col("pos"), F.lit(min_span))
+        ).alias("_g"),
+        F.slice("_w", F.col("pos"), F.lit(bound)).alias("_sfx"),
+    )
+    if max_group is not None:
+        hot = (
+            _candidate_rows(occ.select("_g"), "_g", max_group + 1,
+                            broadcast_cand=True)
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_group)
+            .select("_g")
+        )
+        occ = occ.join(hot, "_g", "left_anti")
+    w = Window.partitionBy("_g").orderBy("_sfx")
+    match = F.greatest(
+        _lcp(F.col("_sfx"), F.lag("_sfx").over(w)),
+        _lcp(F.col("_sfx"), F.lead("_sfx").over(w)),
+    )
+    return (
+        occ.select(F.col(id_col), "pos", match.alias("match_len"))
+        .filter(F.col("match_len") >= min_span)
+    )
+
+
+def dup_span_profile(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_span: int = 5,
+                     bound: int = SUFFIX_BOUND,
+                     max_group: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
+    """Per-document duplicated-span profile from the bounded
+    suffix-array pass: (doc_id, n_tokens, max_dup_len,
+    n_dup_positions) — max_dup_len the longest exactly-duplicated span
+    starting in the doc (0 when none >= min_span; capped at
+    ``bound``), n_dup_positions the number of positions whose longest
+    duplicate is >= min_span. One doc-id exchange above
+    :func:`suffix_match_lengths`; every doc appears (left join onto
+    the corpus)."""
+    m = suffix_match_lengths(docs, text_col, id_col, min_span, bound,
+                             max_group)
+    per_doc = m.groupBy(id_col).agg(
+        F.max("match_len").alias("_mx"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("_mx"), F.lit(0)).cast("int").alias("max_dup_len"),
+            F.coalesce(F.col("_np"), F.lit(0)).cast("long").alias("n_dup_positions"),
+        )
+    )
+
+
+def dup_span_histogram(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", min_span: int = 5,
+                       bound: int = SUFFIX_BOUND,
+                       max_group: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
+    """Corpus duplicated-span length distribution: (match_len,
+    n_positions) for match_len in [min_span, bound] — the evidence a
+    dedup operator's window choice should rest on (SUBSTRING_WIN_SWEEP
+    measured exactly this, per-family, to pick win=5/win=10; this
+    query makes the distribution a first-class one-pass result). The
+    ``bound`` row aggregates every span >= bound. Map-combined groupBy
+    over the match table."""
+    return (
+        suffix_match_lengths(docs, text_col, id_col, min_span, bound,
+                             max_group)
+        .groupBy("match_len")
+        .agg(F.count(F.lit(1)).alias("n_positions"))
+    )
+
+
+def suffix_group_stats(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", min_span: int = 5,
+                       max_group: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
+    """"No silent caps" companion to :func:`suffix_match_lengths` (the
+    same role :func:`lsh_bucket_stats` plays for the LSH cap): ONE row
+    (n_grams, n_hot_grams, positions_total, positions_excluded) telling
+    a recall-sensitive run whether and how much the ``max_group``
+    skew guard actually fired — n_hot_grams = 0 means exact lengths
+    cover every position. Two map-combined aggregations."""
+    occ = window_occurrences(docs, text_col, id_col, win=min_span)
+    sizes = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("_f"))
+    hot = (F.col("_f") > max_group) if max_group is not None else F.lit(False)
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot_grams"),
+        F.sum("_f").alias("positions_total"),
+        F.sum(F.when(hot, F.col("_f")).otherwise(0)).alias("positions_excluded"),
+    )
+
+
 def _resolve_mark_salt(dup_grams: DataFrame, mark_salt,
                        auto_salt_grams: int):
     """Resolve the ``mark_salt`` parameter shared by

@@ -3503,6 +3503,111 @@ def q_substring_dup_report_fine(spark, sf_dir):
     return duplicated_spans(_docs(spark, sf_dir), win=5)
 
 
+def _suffix_match_sql(k: int = 5, bound: int = 32,
+                      max_group: int = 100) -> str:
+    """CTE chain mirroring dedup.suffix_match_lengths expression-for-
+    expression: bounded suffixes grouped by their first k tokens, hot
+    grams (freq > max_group) excluded, per-position match length =
+    greatest(LCP(prev), LCP(next)) over the lexicographic suffix order
+    — identical integers in both engines (the LCP value is independent
+    of tie order among equal suffixes)."""
+    def lcp(a: str, b: str) -> str:
+        return (
+            f"CASE WHEN {b} IS NULL THEN 0 ELSE CAST(coalesce("
+            f"NULLIF(list_position(list_transform("
+            f"generate_series(1, greatest(len({a}), len({b}))), "
+            f"i -> {a}[i] IS NOT DISTINCT FROM {b}[i]), false), 0) - 1, "
+            f"least(len({a}), len({b}))) AS INTEGER) END"
+        )
+
+    return f"""
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+socc AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[i:i+{k - 1}], ' ') AS g,
+         w[i:i+{bound - 1}] AS sfx
+  FROM words, unnest(generate_series(1, greatest(len(w) - {k - 1}, 0))) AS t(i)
+),
+hot AS (SELECT g FROM socc GROUP BY g HAVING count(*) > {max_group}),
+nb AS (
+  SELECT doc_id, pos, sfx,
+         lag(sfx)  OVER (PARTITION BY g ORDER BY sfx) AS prv,
+         lead(sfx) OVER (PARTITION BY g ORDER BY sfx) AS nxt
+  FROM socc WHERE g NOT IN (SELECT g FROM hot)
+),
+matches AS (
+  SELECT * FROM (
+    SELECT doc_id, pos,
+           greatest({lcp('sfx', 'prv')}, {lcp('sfx', 'nxt')}) AS match_len
+    FROM nb
+  ) WHERE match_len >= {k}
+)"""
+
+
+@register(
+    "dup_span_profile",
+    f"""WITH {_suffix_match_sql(5, 32, 100)},
+    per_doc AS (
+      SELECT doc_id, CAST(max(match_len) AS INTEGER) AS mx,
+             CAST(count(*) AS BIGINT) AS np
+      FROM matches GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.mx, 0) AS INTEGER) AS max_dup_len,
+           CAST(coalesce(p.np, 0) AS BIGINT) AS n_dup_positions
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+)
+def q_dup_span_profile(spark, sf_dir):
+    """Bounded suffix-array pass (round 7 — Lee et al. ACL 2022 §4):
+    per-doc EXACT longest-duplicated-span lengths for the 5-9-token
+    memorization tail that fixed windows only cover in aggregate.
+    Closes the round-6 'window-vs-suffix-array' open trade: see
+    dedup.suffix_match_lengths for the SA-adjacency argument and the
+    max_group skew stance."""
+    from trendmachine_spark.extensions.dedup import dup_span_profile
+
+    return dup_span_profile(_docs(spark, sf_dir), min_span=5, bound=32,
+                            max_group=100)
+
+
+@register(
+    "dup_span_histogram",
+    f"""WITH {_suffix_match_sql(5, 32, 100)}
+    SELECT match_len, CAST(count(*) AS BIGINT) AS n_positions
+    FROM matches GROUP BY match_len""",
+)
+def q_dup_span_histogram(spark, sf_dir):
+    """Corpus duplicated-span length distribution in [5, 32] from the
+    bounded suffix-array pass — the one-pass form of the evidence
+    SUBSTRING_WIN_SWEEP.json collected run-by-run (round 7)."""
+    from trendmachine_spark.extensions.dedup import dup_span_histogram
+
+    return dup_span_histogram(_docs(spark, sf_dir), min_span=5, bound=32,
+                              max_group=100)
+
+
+@register(
+    "suffix_group_stats",
+    f"""WITH {_window_occ_sql(5)},
+    sizes AS (SELECT g, count(*) AS f FROM occ GROUP BY g)
+    SELECT CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot_grams,
+           CAST(sum(f) AS BIGINT) AS positions_total,
+           CAST(sum(CASE WHEN f > 100 THEN f ELSE 0 END) AS BIGINT)
+             AS positions_excluded
+    FROM sizes""",
+)
+def q_suffix_group_stats(spark, sf_dir):
+    """'No silent caps' companion to the suffix-array pass (round 7):
+    whether/how much the max_group skew guard fired."""
+    from trendmachine_spark.extensions.dedup import suffix_group_stats
+
+    return suffix_group_stats(_docs(spark, sf_dir), min_span=5,
+                              max_group=100)
+
+
 @register(
     "substring_dedup",
     f"""WITH {_WINDOW_OCC_SQL},
@@ -3649,6 +3754,8 @@ _ROUND = 7
 #: sf0.01 oracle now, so they never enter the rotation pool this round
 _WINDOW_PINNED: list[str] = [
     "similarity_topk",  # r7: driver-side probe matrix (load_probe_matrix) replaced the collect
+    "dup_span_profile",  # new r7: bounded suffix-array pass
+    "dup_span_histogram",  # new r7: span length distribution
 ]
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
@@ -3680,6 +3787,9 @@ _DEMOTE_EVEN = frozenset({
 })
 _DEMOTE_ODD = frozenset({
     "substring_dup_report_fine",  # new r6 (pinned r6; rotates from r7)
+    "dup_span_profile",  # new r7 (pinned r7; rotates from r8)
+    "dup_span_histogram",  # new r7 (pinned r7; rotates from r8)
+    "suffix_group_stats",  # new r7; window full — CI-only r7, driver r8
     "chaos_melt", "content_value_counts", "corpus_decontaminate",
     "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
     "dedup_embedding_cosine_bucketed", "dedup_incremental",
