@@ -148,3 +148,75 @@ def test_resize_nearest_property(h, w, oh, ow):
     for y in range(oh):
         for x in range(ow):
             assert np.array_equal(out[y, x], px[(y * h) // oh, (x * w) // ow])
+
+
+# ---------------------------------------------------------------- PNG
+
+PNG_FIXTURE_CHECKSUM = 1384407
+
+def _png_codecs():
+    from trendmachine_spark.extensions.codecs import decode_png, encode_png
+    return encode_png, decode_png
+
+
+def test_png_round_trip_all_filters():
+    """>=5 rows means the cycling encoder writes every filter type
+    (None/Sub/Up/Average/Paeth) — a decode bug in any unfilter branch
+    breaks equality."""
+    encode_png, decode_png = _png_codecs()
+    rng = np.random.RandomState(11)
+    for shape in [(7, 5, 3), (6, 14, 4), (1, 1, 3), (11, 2, 4), (5, 1, 3)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px), shape
+
+
+def test_png_decodes_external_tool_file():
+    """Spec conformance against a PNG this repo did NOT encode: a
+    system icon produced by an external encoder (fixture copied from
+    /usr/share/doc/python3/_static/file.png). Shape and a weighted
+    checksum are pinned so a silent filter/CRC regression fails loudly."""
+    import pathlib
+
+    _, decode_png = _png_codecs()
+    data = (pathlib.Path(__file__).parent / "data" / "external_ref.png").read_bytes()
+    px = decode_png(data).astype(np.int64)
+    assert px.shape == (16, 16, 4)
+    wgt = 1 + (np.arange(16)[None, :] + 2 * np.arange(16)[:, None]) % 5
+    mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2] + 4 * px[:, :, 3]
+    # pinned constant = decoder regression gate for external bytes
+    assert int((wgt * mixed).sum()) == PNG_FIXTURE_CHECKSUM
+
+
+def test_png_crc_and_gates():
+    encode_png, decode_png = _png_codecs()
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    data = bytearray(encode_png(px))
+    data[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM123456")
+    # unsupported shapes gate, not silently misdecode
+    with pytest.raises(ValueError):
+        encode_png(px[:, :, :2])
+    # palette PNG (color type 3) must raise NotImplementedError
+    good = bytes(encode_png(px))
+    import struct as _s
+    import zlib as _z
+    ihdr = bytearray(good[8:8 + 25])
+    ihdr[8 + 9] = 3  # color type byte inside IHDR body
+    body = bytes(ihdr[8:8 + 13])
+    chunk = _s.pack(">I", 13) + b"IHDR" + body + _s.pack(
+        ">I", _z.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+    with pytest.raises(NotImplementedError):
+        decode_png(good[:8] + chunk + good[8 + 25:])
+
+
+def test_png_resize_path():
+    encode_png, decode_png = _png_codecs()
+    rng = np.random.RandomState(6)
+    px = rng.randint(0, 256, size=(9, 7, 4)).astype(np.uint8)
+    rs = resize_nearest(decode_png(encode_png(px)), 4, 3)
+    assert rs.shape == (3, 4, 4)
+    assert np.array_equal(rs, resize_nearest(px, 4, 3))

@@ -81,6 +81,151 @@ def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
+# ---------------------------------------------------------------- PNG
+# Pure-stdlib PNG (round 7): zlib is in-sandbox, and the IDAT walk +
+# filters 0-4 are simple enough to implement from the spec (RFC 2083)
+# the same way BMP was — which extends the REAL in-sandbox decode claim
+# to the dominant web image format. Supported: 8-bit truecolor
+# (color type 2) and truecolor+alpha (6), non-interlaced; palette/
+# 16-bit/interlaced stay behind NotImplementedError by design.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """8-bit non-interlaced PNG from an (h, w, 3) RGB or (h, w, 4)
+    RGBA uint8 array. Row ``r`` is written with filter ``r % 5``, so a
+    multi-row image exercises EVERY filter type (None/Sub/Up/Average/
+    Paeth) and any unfilter bug in :func:`decode_png` shifts decoded
+    values — the encoder is the test harness for the decoder, as with
+    BMP."""
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        raise ValueError("expected (h, w, 3|4) uint8 array")
+    h, w, c = pixels.shape
+    bpp = c
+    color_type = 2 if c == 3 else 6
+    raw = pixels.astype(np.int64)
+    out = bytearray()
+    prev = np.zeros((w, c), dtype=np.int64)
+    for r in range(h):
+        row = raw[r]
+        f = r % 5
+        left = np.vstack([np.zeros((1, c), dtype=np.int64), row[:-1]])
+        ul = np.vstack([np.zeros((1, c), dtype=np.int64), prev[:-1]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:
+            pred = np.empty_like(row)
+            for x in range(w):
+                for ch in range(c):
+                    pred[x, ch] = _paeth(
+                        int(left[x, ch]), int(prev[x, ch]), int(ul[x, ch]))
+            filt = row - pred
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """(h, w, 3|4) uint8 array from an 8-bit truecolor(+alpha)
+    non-interlaced PNG: chunk walk with CRC verification, multi-IDAT
+    concatenation, zlib inflate, and per-spec unfiltering of filters
+    0-4. Palette/16-bit/interlaced raise NotImplementedError."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or color_type not in (2, 6):
+                raise NotImplementedError(
+                    f"only 8-bit truecolor(+alpha) PNG "
+                    f"(depth={depth}, color={color_type})")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("invalid compression/filter method")
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    c = 3 if color_type == 2 else 4
+    stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * c
+    if len(stream) != h * stride:
+        raise ValueError("IDAT length does not match dimensions")
+    rows = stream.reshape(h, stride)
+    out = np.zeros((h, w, c), dtype=np.int64)
+    prev = np.zeros((w, c), dtype=np.int64)
+    for r in range(h):
+        f = int(rows[r, 0])
+        cur = rows[r, 1:].reshape(w, c).astype(np.int64)
+        if f == 0:
+            row = cur
+        elif f == 2:
+            row = (cur + prev) % 256
+        elif f in (1, 3, 4):
+            row = np.zeros((w, c), dtype=np.int64)
+            for x in range(w):
+                for ch in range(c):
+                    a = int(row[x - 1, ch]) if x else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + int(prev[x, ch])) // 2
+                    else:
+                        b = int(prev[x, ch])
+                        cc = int(prev[x - 1, ch]) if x else 0
+                        pred = _paeth(a, b, cc)
+                    row[x, ch] = (int(cur[x, ch]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = row
+        prev = row
+    return out.astype(np.uint8)
+
+
 # ---------------------------------------------------------------- WAV
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000,

@@ -276,6 +276,49 @@ def synthetic_media_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     return docs.select(id_col).mapInPandas(run, schema=REAL_ASSET_SCHEMA)
 
 
+def synthetic_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PNG payloads per doc id (round 7): width
+    4+id%11, height 3+id%5; even ids 8-bit RGB (color type 2), odd ids
+    RGBA (color type 6); pixel formulas R=(7x+13y+id)%256,
+    G=(11x+3y+id)%256, B=(5x+17y+id)%256, A=(3x+7y+id)%256. The
+    encoder writes row r with filter r%5, so decoding this corpus
+    exercises every PNG filter type; the bytes are spec-valid files
+    (the decoder also reads system PNGs encoded by external tools —
+    see tests/data/external_ref.png)."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, types = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 4 + d % 11, 3 + d % 5
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                planes = [
+                    (x * 7 + y * 13 + d) % 256,
+                    (x * 11 + y * 3 + d) % 256,
+                    (x * 5 + y * 17 + d) % 256,
+                ]
+                if d % 2 == 1:
+                    planes.append((x * 3 + y * 7 + d) % 256)
+                px = np.concatenate(planes, axis=2).astype(np.uint8)
+                ids.append(d)
+                payloads.append(codecs.encode_png(px))
+                types.append("image/png")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "media_type": pd.Series(types, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, schema=REAL_ASSET_SCHEMA)
+
+
 def decode_assets_real(assets: DataFrame) -> DataFrame:
     """REAL decode: sniff the payload magic, parse BMP/WAV from spec,
     and emit typed metadata plus a position/channel-weighted integer
@@ -305,6 +348,14 @@ def decode_assets_real(assets: DataFrame) -> DataFrame:
                     wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
                     mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
                     vals = (did, "bmp", w, h, 3, 0, 0, int((wgt * mixed).sum()))
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    px = codecs.decode_png(b).astype(np.int64)
+                    h, w, c = px.shape
+                    wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
+                    mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
+                    if c == 4:
+                        mixed = mixed + 4 * px[:, :, 3]
+                    vals = (did, "png", w, h, c, 0, 0, int((wgt * mixed).sum()))
                 elif b[:4] == b"RIFF":
                     rate, _nch, samples = codecs.decode_wav(b)
                     s = samples.astype(np.int64)
@@ -335,11 +386,13 @@ def decode_assets_real(assets: DataFrame) -> DataFrame:
 
 def resize_assets_real(assets: DataFrame, out_width: int = 8,
                        out_height: int = 6) -> DataFrame:
-    """REAL resize: decode the BMP payload, nearest-neighbor resample to
-    (out_width, out_height), and emit the weighted checksum of the
-    RESIZED pixels plus an md5 of the raw resized RGB bytes. Feed it
-    image assets only (filter media_type first) — non-BMP payloads
-    raise, same contract as :func:`decode_assets_real`."""
+    """REAL resize: decode the BMP/PNG payload (sniffed by magic),
+    nearest-neighbor resample to (out_width, out_height), and emit the
+    weighted checksum of the RESIZED pixels plus an md5 of the raw
+    resized bytes (RGB, or RGBA for alpha PNGs — the alpha plane adds
+    4*A to the mix). Feed it image assets only (filter media_type
+    first) — non-image payloads raise, same contract as
+    :func:`decode_assets_real`."""
     codecs = _codecs_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -351,9 +404,15 @@ def resize_assets_real(assets: DataFrame, out_width: int = 8,
         for pdf in batches:
             ids, sums, md5s = [], [], []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
-                px = codecs.decode_bmp(bytes(b))
+                b = bytes(b)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    px = codecs.decode_png(b)
+                else:
+                    px = codecs.decode_bmp(b)
                 rs = codecs.resize_nearest(px, out_width, out_height).astype(np.int64)
                 mixed = rs[:, :, 0] + 2 * rs[:, :, 1] + 3 * rs[:, :, 2]
+                if rs.shape[2] == 4:
+                    mixed = mixed + 4 * rs[:, :, 3]
                 ids.append(did)
                 sums.append(int((wgt * mixed).sum()))
                 md5s.append(hashlib.md5(rs.astype(np.uint8).tobytes()).hexdigest())

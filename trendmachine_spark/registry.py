@@ -3374,6 +3374,56 @@ def q_multimodal_resize_real(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_decode_png",
+    # Closed-form twin of the PNG byte-level round trip (round 7):
+    # the Spark side encodes spec-valid PNGs from doc_id (row r
+    # carries filter r%5, so ALL five filters are exercised), decodes
+    # them back through the zlib/chunk-walk/unfilter path, and emits
+    # the weighted checksum of the DECODED pixels; the oracle computes
+    # the same sums from the generator formulas. Any filter/CRC/
+    # inflate/channel bug shifts value_sum.
+    """WITH ids AS (SELECT doc_id FROM documents),
+    px AS (
+      SELECT d.doc_id, x.x, y.y,
+             (x.x * 7  + y.y * 13 + d.doc_id) % 256 AS r,
+             (x.x * 11 + y.y * 3  + d.doc_id) % 256 AS g,
+             (x.x * 5  + y.y * 17 + d.doc_id) % 256 AS b,
+             (x.x * 3  + y.y * 7  + d.doc_id) % 256 AS a
+      FROM ids d,
+           generate_series(0, 13) AS x(x),
+           generate_series(0, 6) AS y(y)
+      WHERE x.x < 4 + d.doc_id % 11 AND y.y < 3 + d.doc_id % 5
+    )
+    SELECT doc_id, 'png' AS media,
+           CAST(4 + doc_id % 11 AS INT) AS width,
+           CAST(3 + doc_id % 5 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INT)
+             AS channels,
+           CAST(0 AS INT) AS sample_rate,
+           CAST(0 AS BIGINT) AS n_samples,
+           CAST(sum((1 + (x + 2 * y) % 5) *
+                    (r + 2 * g + 3 * b
+                     + CASE WHEN doc_id % 2 = 1 THEN 4 * a ELSE 0 END))
+                AS BIGINT) AS value_sum
+    FROM px GROUP BY doc_id""",
+)
+def q_multimodal_decode_png(spark, sf_dir):
+    """REAL in-sandbox PNG decode (round 7 — extends the round-4 BMP/
+    WAV mandate to the dominant web image format): pure-stdlib zlib
+    inflate + chunk walk with CRC verification + per-spec unfiltering
+    of filter types 0-4, inside Arrow-batched mapInPandas. The decoder
+    also reads external-tool-encoded system PNGs (unit-tested against
+    tests/data/external_ref.png); palette/16-bit/interlaced stay
+    behind documented NotImplementedError."""
+    from trendmachine_spark.extensions.multimodal import (
+        decode_assets_real,
+        synthetic_png_assets,
+    )
+
+    return decode_assets_real(synthetic_png_assets(_docs(spark, sf_dir)))
+
+
 @register("ingest_dedup_streaming", None)  # streaming foreachBatch: rows-only
 def q_ingest_dedup_streaming(spark, sf_dir):
     """Streaming near-dup ingest twin driven end-to-end (round 4): the
@@ -3790,6 +3840,7 @@ _DEMOTE_ODD = frozenset({
     "dup_span_profile",  # new r7 (pinned r7; rotates from r8)
     "dup_span_histogram",  # new r7 (pinned r7; rotates from r8)
     "suffix_group_stats",  # new r7; window full — CI-only r7, driver r8
+    "multimodal_decode_png",  # new r7; window full — CI-only r7, driver r8
     "chaos_melt", "content_value_counts", "corpus_decontaminate",
     "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
     "dedup_embedding_cosine_bucketed", "dedup_incremental",
