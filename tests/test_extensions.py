@@ -1159,6 +1159,74 @@ def test_materialization_persist_mode_parity(spark):
         dedup.set_materialization("checkpoint")
 
 
+def test_quality_logit_fit_apply_separable(spark):
+    """One Fisher step must separate a cleanly separable corpus: long
+    diverse docs (label keep=1) score above short repetitive ones
+    (keep=0), and predicted_keep matches the label on every doc."""
+    from trendmachine_spark.extensions.text import (
+        fit_quality_logit,
+        quality_score_trained,
+    )
+
+    # varied lengths within each class: two distinct feature points
+    # would make (bias, f1, f2) rank-deficient (det=0 by construction)
+    good = [(i, " ".join(f"w{i}_{j}" for j in range(25 + i)))
+            for i in range(20)]
+    bad = [(100 + i, " ".join(["dup"] * (22 + i))) for i in range(20)]
+    docs = spark.createDataFrame(good + bad, "doc_id long, text string")
+    out = quality_score_trained(docs).collect()
+    by_label = {0: [], 1: []}
+    for r in out:
+        assert r["predicted_keep"] == r["label_keep"], r
+        by_label[r["label_keep"]].append(r["score_trained"])
+    assert min(by_label[1]) > max(by_label[0])
+    w = fit_quality_logit(docs)
+    assert w["det"] != 0 and w["n"] == 40
+
+
+def test_quality_logit_train_apply_split(spark):
+    """The train/apply split: weights fit on corpus A applied to
+    corpus B must equal the closed-form w0 + w1*f1 + w2*f2 on B's
+    integer features — apply is a pure projection of the fitted
+    constants (no refit)."""
+    from trendmachine_spark.extensions.text import (
+        _quality_logit_features,
+        fit_quality_logit,
+        quality_score_trained,
+    )
+    from trendmachine_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    train = docs.filter("doc_id % 2 = 0")
+    apply_to = docs.filter("doc_id % 2 = 1")
+    w = fit_quality_logit(train)
+    scored = {r["doc_id"]: r["score_trained"]
+              for r in quality_score_trained(apply_to, weights=w).collect()}
+    feats = {r["doc_id"]: (r["f1"], r["f2"])
+             for r in _quality_logit_features(apply_to, "text", "doc_id").collect()}
+    assert scored.keys() == feats.keys() and len(scored) > 0
+    for did, (f1, f2) in feats.items():
+        assert scored[did] == w["w0"] + w["w1"] * f1 + w["w2"] * f2
+
+
+def test_quality_logit_degenerate_corpus(spark):
+    """Identical docs make X rank-deficient: det = 0 must yield zero
+    weights and predicted_keep = 0 everywhere, never a divide-by-zero."""
+    from trendmachine_spark.extensions.text import (
+        fit_quality_logit,
+        quality_score_trained,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same text twice same text twice") for i in range(10)],
+        "doc_id long, text string")
+    w = fit_quality_logit(docs)
+    assert w["det"] == 0 and w["w0"] == w["w1"] == w["w2"] == 0.0
+    rows = quality_score_trained(docs).collect()
+    assert all(r["score_trained"] == 0.0 and r["predicted_keep"] == 0
+               for r in rows)
+
+
 def test_suffix_match_lengths_semantics(spark):
     """Bounded suffix-array pass on a hand-built corpus: exact span
     lengths per position (cross-doc and within-doc), min_span filter,

@@ -292,6 +292,132 @@ def quality_score_col(text_col: str = "text"):
     )
 
 
+#: feature quantization for the trained quality score: ratios are
+#: scaled by this and floor-divided (exact integer arithmetic in both
+#: engines). 1000 keeps every training aggregate and 3x3 Cramer
+#: product inside int64/hugeint at the bench scale factors (the
+#: solve-magnitude analysis is in fit_quality_logit's docstring).
+QUALITY_FEAT_SCALE = 1000
+
+
+def _quality_logit_features(docs: DataFrame, text_col: str, id_col: str):
+    """(id, f1, f2, y) — integer features + label for the trained
+    quality score. f1 = floor(S*n_distinct/n_words) (lexical
+    diversity), f2 = floor(S*n_words/(n_words+100)) (length
+    saturation); y is quality_flags' keep gate evaluated in EXACT
+    integer form (5*n_distinct >= n_words ⟺ distinct_ratio >= 0.2 —
+    no float boundary), so label and features are engine-portable
+    integers."""
+    words = F.split(F.col(text_col), " ")
+    nw = F.size(words).cast("long")
+    nd = F.size(F.array_distinct(words)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"({QUALITY_FEAT_SCALE} * size(array_distinct(split({text_col}, ' ')))) "
+               f"DIV size(split({text_col}, ' '))").cast("long").alias("f1"),
+        F.expr(f"({QUALITY_FEAT_SCALE} * size(split({text_col}, ' '))) "
+               f"DIV (size(split({text_col}, ' ')) + 100)").cast("long").alias("f2"),
+        ((nw >= 20) & (nd * 5 >= nw)).cast("long").alias("y"),
+    )
+
+
+def fit_quality_logit(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> dict:
+    """FIT the trained quality score: one Fisher-scoring (IRLS) step
+    for logistic regression from w = 0, distilling the rule-based
+    quality_flags gate into a smooth margin over (bias, diversity,
+    length) — the train half of the fasttext/DSIR-style classifier
+    slot, trained on the corpus's own labels (round-6 VERDICT #8).
+
+    Why exactly ONE step: at w = 0 every p_i = 1/2 EXACTLY, so the
+    IRLS update w1 = 2·(XᵀX)⁻¹ Xᵀ(2y−1) involves no sigmoid — every
+    aggregate is an exact int64 sum (map-combined, one scalar row
+    collected: 9 numbers, the clusters.py bounded-collect precedent)
+    and the 3x3 Cramer solve runs in exact Python big-ints. Further
+    IRLS steps need exp(), whose libm ulp differences already make
+    sigmoid_preview rows-only — so the hash-exact oracle mirrors
+    iteration 1 verbatim (hugeint sums + the same cofactor formulas),
+    and iteration 1 is the shipped default. Magnitudes: f <= S = 1e3,
+    so Σf² <= n·1e6 and det ~ O((n·1e6)³) — inside DuckDB's 128-bit
+    hugeint for n up to ~3e6 (×20 bench = 1e6 ✓); Python's side is
+    arbitrary-precision either way, and at true cluster scale the
+    oracle comparison is moot (use the collected exact sums with a
+    float solve).
+
+    The final weights are doubles computed as
+    2.0 * double(numerator) / double(denominator) — cast-then-divide,
+    textually mirrored in the oracle so the IEEE ops match. Returns
+    {"w0","w1","w2","det","n"} (weights all 0.0 when det == 0 — a
+    degenerate corpus, e.g. identical docs).
+    """
+    feats = _quality_logit_features(docs, text_col, id_col)
+    z = (F.lit(2) * F.col("y") - F.lit(1))
+    row = feats.agg(
+        F.count(F.lit(1)).alias("m00"),
+        F.sum("f1").alias("m01"),
+        F.sum("f2").alias("m02"),
+        F.sum(F.col("f1") * F.col("f1")).alias("m11"),
+        F.sum(F.col("f1") * F.col("f2")).alias("m12"),
+        F.sum(F.col("f2") * F.col("f2")).alias("m22"),
+        F.sum(z).alias("v0"),
+        F.sum(F.col("f1") * z).alias("v1"),
+        F.sum(F.col("f2") * z).alias("v2"),
+    ).collect()[0]
+    m00, m01, m02 = int(row["m00"]), int(row["m01"]), int(row["m02"])
+    m11, m12, m22 = int(row["m11"]), int(row["m12"]), int(row["m22"])
+    v0, v1, v2 = int(row["v0"]), int(row["v1"]), int(row["v2"])
+    # symmetric 3x3 cofactors (exact big-int; same formulas in the SQL)
+    a00 = m11 * m22 - m12 * m12
+    a01 = m12 * m02 - m01 * m22
+    a02 = m01 * m12 - m11 * m02
+    a11 = m00 * m22 - m02 * m02
+    a12 = m01 * m02 - m00 * m12
+    a22 = m00 * m11 - m01 * m01
+    det = m00 * a00 + m01 * a01 + m02 * a02
+    if det == 0:
+        return {"w0": 0.0, "w1": 0.0, "w2": 0.0, "det": 0, "n": m00}
+    n0 = a00 * v0 + a01 * v1 + a02 * v2
+    n1 = a01 * v0 + a11 * v1 + a12 * v2
+    n2 = a02 * v0 + a12 * v1 + a22 * v2
+    # cast-then-divide, exactly as the oracle writes it
+    return {
+        "w0": 2.0 * float(n0) / float(det),
+        "w1": 2.0 * float(n1) / float(det),
+        "w2": 2.0 * float(n2) / float(det),
+        "det": det,
+        "n": m00,
+    }
+
+
+def quality_score_trained(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          weights: dict | None = None) -> DataFrame:
+    """APPLY the trained quality score: (doc_id, f1, f2, label_keep,
+    score_trained, predicted_keep) — score = w0 + w1·f1 + w2·f2 (the
+    logistic margin; >0 ⟺ predicted p > 1/2), predicted_keep its sign.
+
+    ``weights=None`` fits on ``docs`` itself (train==apply, the
+    registry/oracle form — EAGER: fitting collects one scalar row at
+    construction). Pass a :func:`fit_quality_logit` result to apply a
+    model trained on one corpus to another — the train/apply split
+    (fit on a held-out labeled slice, score the full corpus). The
+    apply side is a zero-exchange codegen projection either way.
+    """
+    w = weights or fit_quality_logit(docs, text_col, id_col)
+    feats = _quality_logit_features(docs, text_col, id_col)
+    score = (F.lit(float(w["w0"]))
+             + F.lit(float(w["w1"])) * F.col("f1")
+             + F.lit(float(w["w2"])) * F.col("f2"))
+    return feats.select(
+        F.col(id_col),
+        "f1",
+        "f2",
+        F.col("y").alias("label_keep"),
+        score.alias("score_trained"),
+        (score > 0).cast("long").alias("predicted_keep"),
+    )
+
+
 def bpe_pair_stats(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", eow: str = "</w>") -> DataFrame:
     """Adjacent-symbol pair counts over the word-frequency table — the

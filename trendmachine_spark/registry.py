@@ -3424,6 +3424,79 @@ def q_multimodal_decode_png(spark, sf_dir):
     return decode_assets_real(synthetic_png_assets(_docs(spark, sf_dir)))
 
 
+@register(
+    "quality_score_trained",
+    # Exact mirror of fit_quality_logit + apply: integer features and
+    # label, hugeint training sums, the SAME symmetric-3x3 cofactor
+    # formulas, cast-then-divide double weights, same score op order.
+    """WITH feats AS (
+      SELECT doc_id,
+             (1000 * len(list_distinct(string_split(text, ' '))))
+               // len(string_split(text, ' ')) AS f1,
+             (1000 * len(string_split(text, ' ')))
+               // (len(string_split(text, ' ')) + 100) AS f2,
+             CASE WHEN len(string_split(text, ' ')) >= 20
+                   AND 5 * len(list_distinct(string_split(text, ' ')))
+                       >= len(string_split(text, ' '))
+                  THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m00,
+             CAST(sum(f1) AS HUGEINT) AS m01,
+             CAST(sum(f2) AS HUGEINT) AS m02,
+             CAST(sum(f1 * f1) AS HUGEINT) AS m11,
+             CAST(sum(f1 * f2) AS HUGEINT) AS m12,
+             CAST(sum(f2 * f2) AS HUGEINT) AS m22,
+             CAST(sum(2 * y - 1) AS HUGEINT) AS v0,
+             CAST(sum(f1 * (2 * y - 1)) AS HUGEINT) AS v1,
+             CAST(sum(f2 * (2 * y - 1)) AS HUGEINT) AS v2
+      FROM feats
+    ),
+    cof AS (
+      SELECT *,
+             m11 * m22 - m12 * m12 AS a00,
+             m12 * m02 - m01 * m22 AS a01,
+             m01 * m12 - m11 * m02 AS a02,
+             m00 * m22 - m02 * m02 AS a11,
+             m01 * m02 - m00 * m12 AS a12,
+             m00 * m11 - m01 * m01 AS a22
+      FROM sums
+    ),
+    solve AS (
+      SELECT m00 * a00 + m01 * a01 + m02 * a02 AS det,
+             a00 * v0 + a01 * v1 + a02 * v2 AS n0,
+             a01 * v0 + a11 * v1 + a12 * v2 AS n1,
+             a02 * v0 + a12 * v1 + a22 * v2 AS n2
+      FROM cof
+    ),
+    w AS (
+      SELECT CASE WHEN det = 0 THEN 0.0
+                  ELSE 2.0 * CAST(n0 AS DOUBLE) / CAST(det AS DOUBLE) END AS w0,
+             CASE WHEN det = 0 THEN 0.0
+                  ELSE 2.0 * CAST(n1 AS DOUBLE) / CAST(det AS DOUBLE) END AS w1,
+             CASE WHEN det = 0 THEN 0.0
+                  ELSE 2.0 * CAST(n2 AS DOUBLE) / CAST(det AS DOUBLE) END AS w2
+      FROM solve
+    )
+    SELECT f.doc_id, f.f1, f.f2, CAST(f.y AS BIGINT) AS label_keep,
+           w.w0 + w.w1 * f.f1 + w.w2 * f.f2 AS score_trained,
+           CAST(w.w0 + w.w1 * f.f1 + w.w2 * f.f2 > 0 AS BIGINT)
+             AS predicted_keep
+    FROM feats f, w""",
+)
+def q_quality_score_trained(spark, sf_dir):
+    """TRAINED quality score (round 7 — the fasttext/DSIR slot's
+    train/apply split): one exp-free Fisher-scoring step distills the
+    rule-based quality gate into a smooth logistic margin; training
+    aggregates are exact int64 sums (one scalar-row collect), the 3x3
+    solve is exact big-int Cramer, and the oracle re-runs the whole
+    fit in hugeint — weights, scores, and predictions hash-exact."""
+    from trendmachine_spark.extensions.text import quality_score_trained
+
+    return quality_score_trained(_docs(spark, sf_dir))
+
+
 @register("ingest_dedup_streaming", None)  # streaming foreachBatch: rows-only
 def q_ingest_dedup_streaming(spark, sf_dir):
     """Streaming near-dup ingest twin driven end-to-end (round 4): the
@@ -3841,6 +3914,7 @@ _DEMOTE_ODD = frozenset({
     "dup_span_histogram",  # new r7 (pinned r7; rotates from r8)
     "suffix_group_stats",  # new r7; window full — CI-only r7, driver r8
     "multimodal_decode_png",  # new r7; window full — CI-only r7, driver r8
+    "quality_score_trained",  # new r7; window full — CI-only r7, driver r8
     "chaos_melt", "content_value_counts", "corpus_decontaminate",
     "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
     "dedup_embedding_cosine_bucketed", "dedup_incremental",
