@@ -60,8 +60,10 @@ def test_pin_validates_against_real_registry_keys():
     name must NOT pass as a registered query (round-6 ADVICE)."""
     from rotate_window import _registered_names
 
+    from trendmachine_spark.registry import QUERIES
+
     names = _registered_names()
-    assert "daily_rollup" in names and len(names) == 100
+    assert "daily_rollup" in names and set(names) == set(QUERIES)
     # quoted literals that appear in registry.py source but are not
     # query names must be rejected by the membership check
     for impostor in ("l_returnflag", "content_md5", "SELECT"):
