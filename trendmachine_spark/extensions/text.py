@@ -465,6 +465,145 @@ def bpe_pair_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _bpe_loop(docs: DataFrame, merges: int, text_col: str, eow: str):
+    """The BPE training loop (Sennrich et al. 2016, learn_bpe): word
+    frequency table -> ``merges`` greedy merge iterations. Returns
+    ``(vocab, steps)``: the final vocab DataFrame ``(word, wc, syms)``
+    and the list of one-row DataFrames ``(step, left_sym, right_sym,
+    pair_count)`` — the merge each iteration chose, already
+    materialized (they are the broadcast build sides of the loop's own
+    joins, so reading them back costs nothing).
+
+    Symbol strings use a TWO-space separator with the merge executed as
+    a plain ``replace`` over the single-space-wrapped string. The
+    double separator is what makes plain find/replace reproduce the
+    reference implementation's zero-width-boundary regex exactly: each
+    match consumes one space of each boundary, the replacement restores
+    it, so back-to-back occurrences ("b a n a n a" under merge (a, n))
+    all merge in one left-to-right pass. A lookbehind regex is not an
+    option because the oracle engine's regex dialect (RE2) has none —
+    and both engines' ``replace`` share left-to-right non-overlapping
+    scan semantics, which is precisely the reference's greedy order.
+
+    SCALE: the corpus is touched ONCE (the word-count shuffle, Zipf
+    skew absorbed by map-side combine). Every iteration after that
+    runs over the DISTINCT-word table — vocabulary-sized, not
+    corpus-sized — as one map-combined pair count, a
+    TakeOrderedAndProject top-1, and a codegen replace map. Each
+    iteration is materialized (``dedup._materialize`` — eager
+    localCheckpoint by default, ``set_materialization("persist")`` for
+    the lineage-retaining mode) so plans stay flat instead of doubling
+    per iteration (the round-5 self-join probe: Spark re-executes
+    shared subtrees once per consumer, and each iteration consumes its
+    predecessor twice — once under the pair count, once under the
+    merge map).
+    """
+    from trendmachine_spark.extensions.dedup import _materialize
+
+    if merges < 1:
+        raise ValueError(f"merges must be >= 1, got {merges}")
+    words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    wc = (
+        words.filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = _materialize(wc.select(
+        "word", "wc",
+        F.concat(F.array_join(chars, "  "), F.lit("  " + eow)).alias("syms"),
+    ))
+    steps = []
+    for step in range(1, merges + 1):
+        arr = F.split(F.col("syms"), "  ")
+        pairs = vocab.select(
+            F.col("wc"),
+            F.explode(F.sequence(F.lit(1), F.size(arr) - 1)).alias("_j"),
+            arr.alias("_l"),
+        ).select(
+            F.element_at("_l", F.col("_j")).alias("left_sym"),
+            F.element_at("_l", F.col("_j") + 1).alias("right_sym"),
+            "wc",
+        )
+        top1 = _materialize(
+            pairs.groupBy("left_sym", "right_sym")
+            .agg(F.sum("wc").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+            .limit(1)
+            .select(F.lit(step).cast("long").alias("step"),
+                    "left_sym", "right_sym", "pair_count")
+        )
+        steps.append(top1)
+        merged = F.trim(F.replace(
+            F.concat(F.lit(" "), F.col("syms"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("left_sym"), F.lit("  "),
+                     F.col("right_sym"), F.lit(" ")),
+            F.concat(F.lit(" "), F.col("left_sym"), F.col("right_sym"),
+                     F.lit(" ")),
+        ))
+        vocab = _materialize(
+            vocab.crossJoin(F.broadcast(
+                top1.select("left_sym", "right_sym")))
+            .select("word", "wc", merged.alias("syms"))
+        )
+    return vocab, steps
+
+
+def bpe_train_merges(docs: DataFrame, merges: int = 8,
+                     text_col: str = "text", eow: str = "</w>") -> DataFrame:
+    """BPE tokenizer training: the learned merge table — the actual
+    iterative loop whose iteration-0 statistic :func:`bpe_pair_stats`
+    reports. Each step counts adjacent-symbol pairs over the word
+    frequency table, picks the argmax pair under the deterministic
+    (pair_count DESC, left_sym, right_sym) total order, and rewrites
+    every occurrence greedily left-to-right (see :func:`_bpe_loop`
+    for why plain replace over double-spaced symbol strings reproduces
+    the reference regex exactly).
+
+    Output: (step, left_sym, right_sym, pair_count, merged) — one row
+    per merge, ``merged`` being the new symbol the step mints. All
+    exact integers and strings; no floats anywhere.
+    """
+    _, steps = _bpe_loop(docs, merges, text_col, eow)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "step", "left_sym", "right_sym", "pair_count",
+        F.concat("left_sym", "right_sym").alias("merged"),
+    )
+
+
+def bpe_segmented_vocab(docs: DataFrame, merges: int = 8, top_k: int = 50,
+                        text_col: str = "text",
+                        eow: str = "</w>") -> DataFrame:
+    """The trained tokenizer applied to its own vocabulary: the
+    ``top_k`` most frequent words with their segmentation after
+    ``merges`` BPE merges — the table a tokenizer-quality review reads
+    (which frequent words are still fragmented?).
+
+    Output: (word, wc, segments, n_tokens) under the deterministic
+    (wc DESC, word) top-k order; ``segments`` is the single-space
+    rendering of the symbol string, ``n_tokens`` its symbol count.
+
+    SCALE: the loop is vocabulary-sized after one corpus shuffle
+    (:func:`_bpe_loop`); the top-k is TakeOrderedAndProject.
+    """
+    vocab, _ = _bpe_loop(docs, merges, text_col, eow)
+    arr = F.split(F.col("syms"), "  ")
+    return (
+        vocab.orderBy(F.col("wc").desc(), "word").limit(top_k)
+        .select(
+            "word", "wc",
+            F.array_join(arr, " ").alias("segments"),
+            F.size(arr).cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def vocab_coverage(docs: DataFrame, top_k: int = 1000,
                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Top-``top_k`` vocabulary with cumulative corpus coverage — the

@@ -2520,6 +2520,86 @@ def q_bpe_pair_stats(spark, sf_dir):
     return bpe_pair_stats(_docs(spark, sf_dir))
 
 
+def _bpe_train_ctes(merges: int) -> str:
+    """CTE chain words -> wc -> v0 -> (p{s} pair counts, t{s} argmax
+    merge, v{s} rewritten vocab) per step — mirrors text._bpe_loop
+    exactly: the TWO-space symbol separator makes plain replace over
+    the single-space-wrapped string reproduce Sennrich's zero-width
+    boundary regex (each match consumes one space of each boundary and
+    the replacement restores it, so back-to-back occurrences merge in
+    one left-to-right pass; RE2 has no lookbehind, both engines'
+    replace share L-to-R non-overlapping semantics)."""
+    parts = ["""words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wc FROM words
+      WHERE len(word) > 0 GROUP BY word
+    ),
+    v0 AS (
+      SELECT word, wc,
+             array_to_string(list_transform(generate_series(1, len(word)),
+                                            i -> word[i]), '  ')
+               || '  </w>' AS syms
+      FROM wc
+    )"""]
+    for s in range(1, merges + 1):
+        p = s - 1
+        parts.append(f"""p{s} AS (
+      SELECT l[j] AS left_sym, l[j + 1] AS right_sym,
+             CAST(sum(wc) AS BIGINT) AS pair_count
+      FROM (SELECT string_split(syms, '  ') AS l, wc FROM v{p}),
+           unnest(generate_series(1, len(l) - 1)) AS t(j)
+      GROUP BY left_sym, right_sym
+    ),
+    t{s} AS (
+      SELECT * FROM p{s}
+      ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+    ),
+    v{s} AS (
+      SELECT word, wc,
+             trim(replace(' ' || syms || ' ',
+                          ' ' || t.left_sym || '  ' || t.right_sym || ' ',
+                          ' ' || t.left_sym || t.right_sym || ' ')) AS syms
+      FROM v{p}, t{s} t
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_oracle(merges: int) -> str:
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, left_sym, right_sym, "
+        f"pair_count, left_sym || right_sym AS merged FROM t{s}"
+        for s in range(1, merges + 1))
+    return f"WITH {_bpe_train_ctes(merges)}\n    {unions}"
+
+
+def _bpe_vocab_oracle(merges: int, top_k: int) -> str:
+    return f"""WITH {_bpe_train_ctes(merges)}
+    SELECT word, wc, replace(syms, '  ', ' ') AS segments,
+           CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
+    FROM v{merges} ORDER BY wc DESC, word LIMIT {top_k}"""
+
+
+@register("bpe_train_merges", _bpe_merges_oracle(8))
+def q_bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer training: 8 greedy merge iterations (the loop
+    whose iteration-0 statistic bpe_pair_stats reports), exact integer
+    counts, deterministic (count DESC, pair) tie-break."""
+    from trendmachine_spark.extensions.text import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir), merges=8)
+
+
+@register("bpe_segmented_vocab", _bpe_vocab_oracle(8, 50))
+def q_bpe_segmented_vocab(spark, sf_dir):
+    """The trained 8-merge tokenizer applied to its own top-50 vocab:
+    per-word segmentation + token count."""
+    from trendmachine_spark.extensions.text import bpe_segmented_vocab
+
+    return bpe_segmented_vocab(_docs(spark, sf_dir), merges=8, top_k=50)
+
+
 @register(
     "vocab_coverage",
     """WITH words AS (
@@ -3915,6 +3995,8 @@ _DEMOTE_ODD = frozenset({
     "suffix_group_stats",  # new r7; window full — CI-only r7, driver r8
     "multimodal_decode_png",  # new r7; window full — CI-only r7, driver r8
     "quality_score_trained",  # new r7; window full — CI-only r7, driver r8
+    "bpe_train_merges",  # new r7; window full — CI-only r7, driver r8
+    "bpe_segmented_vocab",  # new r7; window full — CI-only r7, driver r8
     "chaos_melt", "content_value_counts", "corpus_decontaminate",
     "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
     "dedup_embedding_cosine_bucketed", "dedup_incremental",
