@@ -604,6 +604,61 @@ def bpe_segmented_vocab(docs: DataFrame, merges: int = 8, top_k: int = 50,
     )
 
 
+def lm_familiarity(docs: DataFrame, eval_rate: float = 0.25,
+                   salt: str = "lmfam", text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Held-out n-gram LM familiarity score — the engine-exact stand-in
+    for the CCNet/KenLM perplexity filter (Wenzek et al. 2020): train a
+    bigram frequency model on a deterministic hash split of the corpus,
+    score the held-out docs by how familiar their bigrams are, rank by
+    ``avg_bits`` ascending to surface out-of-distribution/noise docs.
+
+    The per-bigram statistic is ``floor(log2(train_count))`` computed
+    EXACTLY as ``length(bin(count)) - 1`` — a string-length identity on
+    the binary rendering, not a libm log (whose last-bit behavior at
+    power-of-two boundaries is not portable across engines; the same
+    reason sigmoid_preview is rows-only). An unseen bigram contributes
+    0 bits, the same value as a train count of 1 — the +0-bit floor is
+    the coarse analog of add-one smoothing. ``avg_bits`` is one exact
+    int64/int64 IEEE division per doc; the summed bits are integers,
+    so partition order never perturbs the value.
+
+    Output: (doc_id, n_bigrams, familiarity_bits, avg_bits) for every
+    held-out doc with at least one bigram (docs under 2 words have no
+    signal — the quality_flags length gate already rejects them).
+
+    SCALE: train-side counts are one map-combined explode+groupBy
+    (Zipf-heavy grams combine map-side); the score join is
+    co-partitioned on the gram key (aggregate output is already hashed
+    on ``g``, so the join reuses that partitioning — no broadcast
+    needed and no corpus-wide hot key: the per-doc sum shuffles on
+    doc_id, which is unique); the final agg is map-combined on id.
+    """
+    from trendmachine_spark.extensions.dedup import gram_array
+    from trendmachine_spark.extensions.sampling import train_eval_split
+
+    train, held = train_eval_split(docs, eval_rate, salt, id_col)
+    cnt = (
+        train.select(F.explode(gram_array(text_col, 2)).alias("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    )
+    hb = held.select(F.col(id_col), F.explode(gram_array(text_col, 2)).alias("g"))
+    bits = F.coalesce(F.length(F.bin("c")) - 1, F.lit(0)).cast("long")
+    return (
+        hb.join(cnt, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits).alias("familiarity_bits"),
+        )
+        .select(
+            id_col, "n_bigrams", "familiarity_bits",
+            (F.col("familiarity_bits").cast("double") / F.col("n_bigrams"))
+            .alias("avg_bits"),
+        )
+    )
+
+
 def vocab_coverage(docs: DataFrame, top_k: int = 1000,
                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Top-``top_k`` vocabulary with cumulative corpus coverage — the

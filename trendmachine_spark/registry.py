@@ -2520,6 +2520,41 @@ def q_bpe_pair_stats(spark, sf_dir):
     return bpe_pair_stats(_docs(spark, sf_dir))
 
 
+@register(
+    "lm_familiarity",
+    """WITH u AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('lmfam:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    tw AS (SELECT string_split(text, ' ') AS w FROM u WHERE u >= 0.25),
+    tb AS (
+      SELECT array_to_string(w[i:i+1], ' ') AS g
+      FROM tw, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+    ),
+    cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY g),
+    hw AS (SELECT doc_id, string_split(text, ' ') AS w FROM u WHERE u < 0.25),
+    hb AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM hw, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+    )
+    SELECT hb.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(COALESCE(len(bin(c)) - 1, 0)) AS BIGINT) AS familiarity_bits,
+           CAST(sum(COALESCE(len(bin(c)) - 1, 0)) AS DOUBLE) / count(*) AS avg_bits
+    FROM hb LEFT JOIN cnt ON hb.g = cnt.g
+    GROUP BY hb.doc_id""",
+)
+def q_lm_familiarity(spark, sf_dir):
+    """Held-out bigram-LM familiarity (the CCNet perplexity-filter
+    slot): floor(log2(train count)) bits per bigram via the exact
+    binary-string-length identity, averaged per held-out doc."""
+    from trendmachine_spark.extensions.text import lm_familiarity
+
+    return lm_familiarity(_docs(spark, sf_dir))
+
+
 def _bpe_train_ctes(merges: int) -> str:
     """CTE chain words -> wc -> v0 -> (p{s} pair counts, t{s} argmax
     merge, v{s} rewritten vocab) per step — mirrors text._bpe_loop
@@ -3997,6 +4032,7 @@ _DEMOTE_ODD = frozenset({
     "quality_score_trained",  # new r7; window full — CI-only r7, driver r8
     "bpe_train_merges",  # new r7; window full — CI-only r7, driver r8
     "bpe_segmented_vocab",  # new r7; window full — CI-only r7, driver r8
+    "lm_familiarity",  # new r7; window full — CI-only r7, driver r8
     "chaos_melt", "content_value_counts", "corpus_decontaminate",
     "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
     "dedup_embedding_cosine_bucketed", "dedup_incremental",
