@@ -104,3 +104,50 @@ def packed_text(docs: DataFrame, budget: int = 2048, n_buckets: int = 64,
             " ",
         ).alias("text"),
     )
+
+
+def training_shards(docs: DataFrame, n_shards: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic output-shard assignment audit — the table a 100 TB
+    corpus writer reads before ``partitionBy``-ing the final export
+    (are the shards balanced? what does each hold?).
+
+    shard = md5('shard:' || doc_id) mod ``n_shards`` — membership is a
+    pure function of the id (same contract as pack_sequences' bucket
+    and sampling's hash_uniform: reproducible across runs, engines,
+    partitionings, and cluster sizes; a salted key decouples shard
+    geometry from pack-bucket geometry). Per shard: document count,
+    whitespace-token and char totals, and the id range.
+
+    Scale: one narrow projection plus ONE map-combined aggregation on
+    ``n_shards`` keys — every partition emits at most ``n_shards``
+    partial rows, so the shuffle is bytes regardless of corpus size.
+    The writer itself is ``df.withColumn("shard", ...).write
+    .partitionBy("shard")`` with this table as its manifest.
+    """
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col(id_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_shards),
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.col(id_col).alias("_id"),
+            F.length(text_col).cast("long").alias("_chars"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("_toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_toks").alias("total_tokens"),
+            F.sum("_chars").alias("total_chars"),
+            F.min("_id").alias("min_doc_id"),
+            F.max("_id").alias("max_doc_id"),
+        )
+    )

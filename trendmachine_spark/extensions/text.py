@@ -208,6 +208,45 @@ def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return out.withColumn("has_pii", flag.cast("long"))
 
 
+#: redaction placeholder per PII pattern, applied in this fixed order
+#: (the patterns are mutually non-overlapping on any single span, but a
+#: deterministic order keeps both engines byte-identical regardless)
+PII_REDACTIONS = (
+    ("n_emails", "<EMAIL>"),
+    ("n_ipv4", "<IP>"),
+    ("n_phones", "<PHONE>"),
+    ("n_ssn_like", "<SSN>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Destructive PII redaction — the transform whose decision inputs
+    :func:`pii_stats` reports. Each pattern's non-overlapping matches
+    are replaced with a typed placeholder, in a fixed pattern order;
+    ``n_redactions`` counts the spans removed (computed BEFORE any
+    replacement, so a placeholder can never feed a later pattern).
+
+    Patterns are the RE2-safe set shared with :func:`pii_stats`; both
+    engines' regexp_replace share leftmost non-overlapping scan
+    semantics (the oracle passes the explicit 'g' flag — DuckDB
+    replaces only the first match without it).
+
+    Scale: one narrow codegen projection, no shuffle, no UDF.
+    """
+    redacted = F.col(text_col)
+    total = F.lit(0)
+    for name, placeholder in PII_REDACTIONS:
+        pat = PII_PATTERNS[name]
+        total = total + F.regexp_count(F.col(text_col), F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, placeholder)
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("text_redacted"),
+        total.cast("long").alias("n_redactions"),
+    )
+
+
 def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-(doc, term) frequency + corpus document frequency (TF-IDF
     inputs). tf is a ratio of exact integers; idf itself (ln(N/df)) is

@@ -2521,6 +2521,57 @@ def q_bpe_pair_stats(spark, sf_dir):
 
 
 @register(
+    "redact_pii",
+    r"""SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS text_redacted,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+                 + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                 + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT)
+                AS n_redactions
+       FROM documents""",
+)
+def q_redact_pii(spark, sf_dir):
+    """Destructive PII redaction (typed placeholders, fixed pattern
+    order, span counts taken pre-replacement) — the transform twin of
+    text_pii_stats."""
+    from trendmachine_spark.extensions.text import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
+@register(
+    "training_shards",
+    """WITH sharded AS (
+      SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+             doc_id, len(text) AS chars, len(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM sharded GROUP BY shard""",
+)
+def q_training_shards(spark, sf_dir):
+    """Deterministic md5-mod output-shard manifest (count/token/char
+    totals + id range per shard) — the balance audit before a
+    partitionBy export."""
+    from trendmachine_spark.extensions.packing import training_shards
+
+    return training_shards(_docs(spark, sf_dir), n_shards=16)
+
+
+@register(
     "lm_familiarity",
     """WITH u AS (
       SELECT doc_id, text,
@@ -4033,6 +4084,8 @@ _DEMOTE_ODD = frozenset({
     "bpe_train_merges",  # new r7; window full — CI-only r7, driver r8
     "bpe_segmented_vocab",  # new r7; window full — CI-only r7, driver r8
     "lm_familiarity",  # new r7; window full — CI-only r7, driver r8
+    "redact_pii",  # new r7; window full — CI-only r7, driver r8
+    "training_shards",  # new r7; window full — CI-only r7, driver r8
     "chaos_melt", "content_value_counts", "corpus_decontaminate",
     "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
     "dedup_embedding_cosine_bucketed", "dedup_incremental",
