@@ -170,6 +170,21 @@ SHUFFLE_BUDGETS = {
     "substring_dup_report": (1, True),
     # + the token/covered anti-join's exchange
     "substring_dedup": (3, True),
+    # r7 additions. BPE training: every iteration materializes behind
+    # an eager checkpoint, so the visible static plan is checkpoint
+    # scans + unions/top-k — ZERO exchanges here pins exactly that
+    # (the per-iteration work is vocabulary-sized by construction)
+    "bpe_train_merges": (0, True),
+    "bpe_segmented_vocab": (0, True),
+    # train-side gram count agg + held-side per-doc agg; the score
+    # join rides broadcast at sf (tiny count table) and degrades to a
+    # gram-key co-partitioned SMJ at scale — a third exchange there
+    # would still be the intended plan, but today's shape is pinned
+    "lm_familiarity": (2, True),
+    # pure per-row regex projection
+    "redact_pii": (0, True),
+    # one map-combined agg on n_shards keys
+    "training_shards": (1, True),
 }
 
 # Queries whose round-2..4 form used a count/row_number window
