@@ -4037,15 +4037,11 @@ def q_training_corpus_clean(spark, sf_dir):
 # round.
 # ---------------------------------------------------------------------------
 
-_ROUND = 7
+_ROUND = 8
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = [
-    "similarity_topk",  # r7: driver-side probe matrix (load_probe_matrix) replaced the collect
-    "dup_span_profile",  # new r7: bounded suffix-array pass
-    "dup_span_histogram",  # new r7: span length distribution
-]
+_WINDOW_PINNED: list[str] = []  # round 8: nothing changed yet — `rotate_window.py pin NAME` as queries change
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
 #: (driver window: absent) in odd rounds and checked in even rounds;
@@ -4073,6 +4069,10 @@ _DEMOTE_EVEN = frozenset({
     "lsh_bucket_health",
     # balance: moved from the checked-r4 half so both windows fit in 50
     "capture_normalize", "daily_chaos", "daily_rollup",
+    # r8 rebalance: the 10 hand-added r7 ODD parities overfilled the even
+    # window (51 > 50); similarity_topk was driver-checked r7 (pinned), so
+    # EVEN parity keeps its every-other-round guarantee (checked r7/r9/...)
+    "similarity_topk",
 })
 _DEMOTE_ODD = frozenset({
     "substring_dup_report_fine",  # new r6 (pinned r6; rotates from r7)
@@ -4096,7 +4096,7 @@ _DEMOTE_ODD = frozenset({
     "multimodal_decode_real", "multimodal_frame_sample",
     "multimodal_resize", "multimodal_resize_real", "packed_text",
     "pricing_summary", "region_revenue", "session_stats",
-    "similarity_topk", "status_month_cube", "summary_stats",
+    "status_month_cube", "summary_stats",
     "text_lang_id", "text_profile", "text_repetition_stats",
     "top_quality_docs", "training_corpus", "training_corpus_safe",
     "training_corpus_segmented", "transition_matrix_filled",
@@ -4137,19 +4137,24 @@ def _demoted_for_round(round_no: int) -> list[str]:
 #: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
 #: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "bpe_pair_stats", "capture_normalize", "chaos_ffill",
-    "chunk_documents", "corpus_card", "corpus_mix_temperature",
-    "corpus_stats", "daily_chaos", "daily_moving_avg", "daily_rollup",
-    "date_spine", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_multi_signal", "dedup_simhash_near_dup", "event_asof_join",
-    "event_props_stats", "event_retention", "event_sessionization",
-    "gap_fill_backward", "gap_fill_forward", "headline_metrics",
-    "lsh_bucket_health", "monthly_rollup", "multimodal_metadata",
-    "pack_sequences", "periodic_samples", "quality_score",
-    "salted_term_counts", "shipping_priority", "similarity_ann_lsh",
-    "specimen_breakdown", "status_totals", "text_fingerprints",
-    "text_pii_stats", "text_quality_flags", "text_term_stats",
-    "top_revenue_customers", "transition_matrix", "urim_projection",
+    "bpe_segmented_vocab", "bpe_train_merges", "chaos_melt",
+    "content_value_counts", "corpus_decontaminate",
+    "corpus_sample_stratified", "dedup_clusters",
+    "dedup_clusters_ensemble", "dedup_embedding_cosine_bucketed",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_segments",
+    "dedup_semantic_keepers", "dedup_simhash", "embedding_outliers",
+    "event_funnel", "event_range_join", "event_session_windows",
+    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
+    "lm_familiarity", "minhash_accuracy", "multimodal_decode_png",
+    "multimodal_decode_real", "multimodal_frame_sample",
+    "multimodal_resize", "multimodal_resize_real", "packed_text",
+    "pricing_summary", "quality_score_trained", "redact_pii",
+    "region_revenue", "session_stats", "status_month_cube",
+    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
+    "text_lang_id", "text_profile", "text_repetition_stats",
+    "top_quality_docs", "training_corpus", "training_corpus_safe",
+    "training_corpus_segmented", "training_shards",
+    "transition_matrix_filled", "vocab_coverage",
 ]
 
 _DEMOTED = sorted(
