@@ -70,6 +70,23 @@ def test_merged_symbols_chain_across_steps(spark):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_fully_merged_word_contributes_no_pairs(spark):
+    # After merge 1 (a, </w>) the word 'a' collapses to ONE symbol;
+    # step 2 must skip it (unguarded sequence(1, size-1) would count
+    # DOWN to [1, 0] and crash element_at — advisor repro, round 8)
+    docs = _docs(spark, ["a a a a b"])
+    got = [tuple(r) for r in bpe_train_merges(docs, merges=2)
+           .orderBy("step").collect()]
+    assert got == [
+        (1, "a", "</w>", 4, "a</w>"),
+        (2, "b", "</w>", 1, "b</w>"),
+    ]
+    seg = {r["word"]: (r["segments"], r["n_tokens"])
+           for r in bpe_segmented_vocab(docs, merges=2).collect()}
+    assert seg["a"] == ("a</w>", 1)
+    assert seg["b"] == ("b</w>", 1)
+
+
 def test_empty_corpus_yields_no_merges(spark):
     docs = _docs(spark, []).filter("doc_id IS NOT NULL")
     assert bpe_train_merges(docs, merges=2).count() == 0

@@ -31,6 +31,16 @@ def test_counts_are_pre_replacement(spark):
     assert out["n_redactions"] == 2
 
 
+def test_overlapping_patterns_count_on_original_text(spark):
+    # 'a@1.2.3.4.com' matches BOTH the email and the IPv4 pattern on
+    # the original text; only the email placeholder lands (fixed
+    # order), so n_redactions (2) exceeds the placeholders inserted
+    # (1) — the documented contract, mirrored by the oracle
+    out = redact_pii(_docs(spark, ["ping a@1.2.3.4.com now"])).collect()[0]
+    assert out["text_redacted"] == "ping <EMAIL> now"
+    assert out["n_redactions"] == 2
+
+
 def test_clean_text_passes_through(spark):
     out = redact_pii(_docs(spark, ["no pii here 1.2 v3"])).collect()[0]
     assert out["text_redacted"] == "no pii here 1.2 v3"

@@ -39,6 +39,30 @@ def test_suite_frame_is_one_plan_with_tagged_branches(spark):
     assert tags == {"pricing_summary", "dedup_exact"}
 
 
+def test_run_suite_preserves_null_columns(spark):
+    # to_json drops null fields by default (ignoreNullFields=true),
+    # which would silently strip NULL-valued columns from the batched
+    # row dicts — advisor finding, round 8
+    from trendmachine_spark import registry
+
+    def _null_query(spark, sf_dir):
+        return spark.createDataFrame(
+            [(1, None, "x"), (2, 5, None)],
+            "k int, a int, b string",
+        )
+
+    registry.QUERIES["_test_nulls"] = registry.QueryDef(_null_query, None)
+    try:
+        rows = run_suite(spark, SF, ["_test_nulls"])["_test_nulls"]
+        assert _canon(rows) == _canon([
+            {"k": 1, "a": None, "b": "x"},
+            {"k": 2, "a": 5, "b": None},
+        ])
+        assert all(set(r) == {"k", "a", "b"} for r in rows)
+    finally:
+        del registry.QUERIES["_test_nulls"]
+
+
 def test_suite_frame_rejects_bad_input(spark):
     with pytest.raises(ValueError, match="unknown queries"):
         suite_frame(spark, SF, ["pricing_summary", "nope"])

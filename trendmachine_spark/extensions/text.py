@@ -208,9 +208,10 @@ def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return out.withColumn("has_pii", flag.cast("long"))
 
 
-#: redaction placeholder per PII pattern, applied in this fixed order
-#: (the patterns are mutually non-overlapping on any single span, but a
-#: deterministic order keeps both engines byte-identical regardless)
+#: redaction placeholder per PII pattern, applied in this fixed order.
+#: The patterns CAN overlap on pathological spans (e.g. 'a@1.2.3.4.com'
+#: matches both the email and the IPv4 pattern); the fixed order keeps
+#: both engines byte-identical, with earlier patterns winning the text.
 PII_REDACTIONS = (
     ("n_emails", "<EMAIL>"),
     ("n_ipv4", "<IP>"),
@@ -223,9 +224,14 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Destructive PII redaction — the transform whose decision inputs
     :func:`pii_stats` reports. Each pattern's non-overlapping matches
-    are replaced with a typed placeholder, in a fixed pattern order;
-    ``n_redactions`` counts the spans removed (computed BEFORE any
-    replacement, so a placeholder can never feed a later pattern).
+    are replaced with a typed placeholder, in a fixed pattern order.
+    ``n_redactions`` is the PER-PATTERN MATCH TOTAL on the ORIGINAL
+    text (computed before any replacement, so a placeholder can never
+    feed a later pattern). When two patterns overlap on the same span
+    (e.g. an IPv4-shaped e-mail domain), only the earlier pattern's
+    placeholder lands in ``text_redacted``, so ``n_redactions`` can
+    EXCEED the number of placeholders inserted — the oracle mirrors
+    the same original-text counting, so parity holds by construction.
 
     Patterns are the RE2-safe set shared with :func:`pii_stats`; both
     engines' regexp_replace share leftmost non-overlapping scan
@@ -558,7 +564,10 @@ def _bpe_loop(docs: DataFrame, merges: int, text_col: str, eow: str):
     steps = []
     for step in range(1, merges + 1):
         arr = F.split(F.col("syms"), "  ")
-        pairs = vocab.select(
+        # A fully-merged word has one symbol and contributes no pairs;
+        # unguarded sequence(1, 0) would count DOWN to [1, 0] and crash
+        # element_at (the oracle's generate_series(1, 0) is empty).
+        pairs = vocab.filter(F.size(arr) >= 2).select(
             F.col("wc"),
             F.explode(F.sequence(F.lit(1), F.size(arr) - 1)).alias("_j"),
             arr.alias("_l"),

@@ -88,6 +88,11 @@ def ensure_protobuf_runtime() -> bool:
     vendored = None
     had_env = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" in os.environ
     old_pp = os.environ.get("PYTHONPATH")
+    # rollback must evict only modules THIS function caused to import:
+    # blanket-deleting google.* would orphan pre-existing unrelated
+    # namespace-package members (e.g. google.auth) whose holders keep
+    # stale module objects (round-8 ADVICE)
+    mods_before = frozenset(sys.modules)
 
     def _rollback() -> bool:
         if vendored is not None:
@@ -100,8 +105,9 @@ def ensure_protobuf_runtime() -> bool:
             else:
                 os.environ["PYTHONPATH"] = old_pp
             for mod in [m for m in sys.modules
-                        if m == "google" or m.startswith("google.")
-                        or m.startswith("pyspark.sql.streaming.proto")]:
+                        if m not in mods_before
+                        and (m == "google" or m.startswith("google.")
+                             or m.startswith("pyspark.sql.streaming.proto"))]:
                 del sys.modules[mod]
         return False
 

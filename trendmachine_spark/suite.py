@@ -70,7 +70,11 @@ def suite_frame(spark: SparkSession, sf_dir: str,
         df = QUERIES[n].builder(spark, sf_dir)
         branches.append(df.select(
             F.lit(n).alias("query"),
-            F.to_json(F.struct(*df.columns)).alias("row"),
+            # ignoreNullFields defaults to true and would silently DROP
+            # null-valued columns from the row dicts, breaking the
+            # rows-equal-standalone contract for queries that emit NULLs
+            F.to_json(F.struct(*df.columns),
+                      {"ignoreNullFields": "false"}).alias("row"),
         ))
     out = branches[0]
     for b in branches[1:]:
