@@ -4041,7 +4041,10 @@ _ROUND = 8
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = []  # round 8: nothing changed yet — `rotate_window.py pin NAME` as queries change
+_WINDOW_PINNED: list[str] = [
+    "bpe_train_merges",  # r8: guard fully-merged single-symbol words in _bpe_loop
+    "bpe_segmented_vocab",  # r8: same _bpe_loop guard
+]
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
 #: (driver window: absent) in odd rounds and checked in even rounds;
@@ -4170,6 +4173,16 @@ def _driver_window_order() -> None:
     assert len(oracled) <= 50, (
         f"driver window oversubscribed: {len(oracled)} oracled entries "
         "outside _DEMOTED; shrink _WINDOW_PINNED or grow the pool"
+    )
+    # Also bound NEXT round's window at import time: pins expire at the
+    # bump, so its size is |oracled pool| − |next parity set|. Round 7
+    # shipped with a 51-entry round-8 window because only a test (not
+    # this assert) looked ahead — hand-added parities must fail HERE.
+    n_oracled = sum(1 for d in QUERIES.values() if d.oracle is not None)
+    next_window = n_oracled - len(_demoted_for_round(_ROUND + 1))
+    assert next_window <= 50, (
+        f"round-{_ROUND + 1} window would hold {next_window} oracled "
+        "entries (> 50): rebalance _DEMOTE_ODD/_DEMOTE_EVEN"
     )
     reordered = {n: QUERIES[n] for n in (*oracled, *demoted, *rows_only)}
     assert len(reordered) == len(QUERIES)
