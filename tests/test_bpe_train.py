@@ -11,6 +11,7 @@ occurrence because the match consumes the shared delimiter).
 import pytest
 
 from trendmachine_spark.extensions.text import (
+    bpe_encode_docs,
     bpe_segmented_vocab,
     bpe_train_merges,
 )
@@ -85,6 +86,30 @@ def test_fully_merged_word_contributes_no_pairs(spark):
            for r in bpe_segmented_vocab(docs, merges=2).collect()}
     assert seg["a"] == ("a</w>", 1)
     assert seg["b"] == ("b</w>", 1)
+
+
+def test_encode_docs_hand_counts(spark):
+    # Same word multiset as test_merges_are_greedy_left_to_right
+    # (banana x3, aaaa x1) so the trained segmentation is known:
+    # banana -> [b, an, ana</w>] (3 tokens), aaaa -> [a,a,a,a</w>] (4)
+    docs = _docs(spark, ["banana aaaa", "banana banana"])
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_encode_docs(docs, merges=3).collect()}
+    assert got == {0: (2, 7), 1: (2, 6)}
+
+
+def test_encode_token_additivity(spark):
+    # Corpus-total encoded tokens == sum over the FULL vocab of
+    # wc * per-word token count: the encode is exactly the trained
+    # segmentation applied word-by-word, nothing dropped or re-split
+    docs = _docs(spark, ["low low lower aaaa", "banana low b aaaa low"])
+    total = sum(r["n_tokens"]
+                for r in bpe_encode_docs(docs, merges=4).collect())
+    vocab = bpe_segmented_vocab(docs, merges=4, top_k=10_000).collect()
+    assert total == sum(r["wc"] * r["n_tokens"] for r in vocab)
+    n_words = sum(r["n_words"]
+                  for r in bpe_encode_docs(docs, merges=4).collect())
+    assert n_words == sum(r["wc"] for r in vocab)
 
 
 def test_empty_corpus_yields_no_merges(spark):

@@ -77,10 +77,18 @@ def test_demotion_rotates_every_other_round():
     assert not cur & nxt  # a name demoted now is in the window next round
     assert cur | nxt == set(_rotation_pool())  # nothing escapes the rotation
     assert not cur & set(_WINDOW_PINNED)  # changed queries get checked NOW
-    # both parities keep the window within the driver's 50-entry limit
-    for r in (_ROUND, _ROUND + 1):
-        window = len(ORACLE_QUERIES) - len(_demoted_for_round(r))
-        assert window <= 50, f"round {r}: {window} oracled entries in window"
+    # both parities keep the window within the driver's 50-entry limit.
+    # THIS round's window carries the pins (they never demote); NEXT
+    # round's pins expire at the bump, so the look-ahead counts every
+    # oracled name's frozen parity with no pin carve-out (mirroring the
+    # registry's import-time assert).
+    from trendmachine_spark.registry import _DEMOTE_EVEN, _DEMOTE_ODD
+
+    window_now = len(ORACLE_QUERIES) - len(_demoted_for_round(_ROUND))
+    assert window_now <= 50, f"round {_ROUND}: {window_now} in window"
+    next_parity = _DEMOTE_ODD if (_ROUND + 1) % 2 else _DEMOTE_EVEN
+    window_next = len([n for n in ORACLE_QUERIES if n not in next_parity])
+    assert window_next <= 50, f"round {_ROUND + 1}: {window_next} in window"
 
 
 def test_demotion_cross_round_invariant():

@@ -176,6 +176,12 @@ SHUFFLE_BUDGETS = {
     # (the per-iteration work is vocabulary-sized by construction)
     "bpe_train_merges": (0, True),
     "bpe_segmented_vocab": (0, True),
+    # r8 corpus encode: the checkpointed vocab segment table rides a
+    # size-picked BroadcastHashJoin onto exploded corpus words (at web
+    # scale a too-big vocab degrades to a word-key SMJ — one more
+    # exchange there would still be the intended plan); the only
+    # pinned exchange is the per-doc map-combined count/sum agg
+    "bpe_encode": (1, True),
     # train-side gram count agg + held-side per-doc agg; the score
     # join rides broadcast at sf (tiny count table) and degrades to a
     # gram-key co-partitioned SMJ at scale — a third exchange there

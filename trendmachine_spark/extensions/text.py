@@ -652,6 +652,48 @@ def bpe_segmented_vocab(docs: DataFrame, merges: int = 8, top_k: int = 50,
     )
 
 
+def bpe_encode_docs(docs: DataFrame, merges: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    eow: str = "</w>") -> DataFrame:
+    """Apply the trained BPE merge table to the CORPUS — the
+    tokens-per-document accounting every training pipeline runs right
+    after learning merges (sequence-length budgeting, packing input,
+    tokens-per-epoch math). Trains ``merges`` iterations via
+    :func:`_bpe_loop`, then joins the final ``(word, syms)`` vocab
+    onto the corpus's exploded words and sums symbol counts per doc.
+
+    Output: (doc_id, n_words, n_tokens) for every doc with at least
+    one word; ``n_tokens`` is additive over words (unit-pinned:
+    corpus total == Σ vocab wc·|syms|), all exact integers.
+
+    SCALE: the merge loop is vocabulary-sized after one corpus shuffle
+    (:func:`_bpe_loop`). The encode itself joins corpus words against
+    the vocab-sized segment table — localCheckpointed, so its size
+    statistics are known and Spark auto-broadcasts it under the
+    threshold (no hint: at web scale the full-corpus vocabulary can
+    outgrow a broadcast, and the fallback shuffled hash join on the
+    word key is the right plan there, with AQE splitting the Zipf-hot
+    stopword partitions). The per-doc groupBy is one map-combined
+    exchange.
+    """
+    vocab, _ = _bpe_loop(docs, merges, text_col, eow)
+    seg = vocab.select(
+        "word",
+        F.size(F.split(F.col("syms"), "  ")).cast("long").alias("word_tokens"),
+    )
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    return (
+        words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def lm_familiarity(docs: DataFrame, eval_rate: float = 0.25,
                    salt: str = "lmfam", text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

@@ -2686,6 +2686,35 @@ def q_bpe_segmented_vocab(spark, sf_dir):
     return bpe_segmented_vocab(_docs(spark, sf_dir), merges=8, top_k=50)
 
 
+def _bpe_encode_oracle(merges: int) -> str:
+    return f"""WITH {_bpe_train_ctes(merges)},
+    doc_words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    seg AS (
+      SELECT word,
+             CAST(len(string_split(syms, '  ')) AS BIGINT) AS word_tokens
+      FROM v{merges}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(word_tokens) AS BIGINT) AS n_tokens
+    FROM doc_words JOIN seg USING (word)
+    WHERE len(word) > 0
+    GROUP BY doc_id"""
+
+
+@register("bpe_encode", _bpe_encode_oracle(8))
+def q_bpe_encode(spark, sf_dir):
+    """The trained 8-merge tokenizer applied to the CORPUS: per-doc
+    word and BPE-token counts — the sequence-length/tokens-per-epoch
+    accounting step every training pipeline runs after learning
+    merges."""
+    from trendmachine_spark.extensions.text import bpe_encode_docs
+
+    return bpe_encode_docs(_docs(spark, sf_dir), merges=8)
+
+
 @register(
     "vocab_coverage",
     """WITH words AS (
@@ -4044,6 +4073,7 @@ _ROUND = 8
 _WINDOW_PINNED: list[str] = [
     "bpe_train_merges",  # r8: guard fully-merged single-symbol words in _bpe_loop
     "bpe_segmented_vocab",  # r8: same _bpe_loop guard
+    "bpe_encode",  # new r8: corpus encode under the trained merge table
 ]
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
@@ -4076,11 +4106,15 @@ _DEMOTE_EVEN = frozenset({
     # window (51 > 50); similarity_topk was driver-checked r7 (pinned), so
     # EVEN parity keeps its every-other-round guarantee (checked r7/r9/...)
     "similarity_topk",
+    # r8 rebalance for the new bpe_encode: dup_span_profile was
+    # driver-checked r7 (pinned), so EVEN parity keeps its
+    # every-other-round guarantee (checked r9/r11/...)
+    "dup_span_profile",
 })
 _DEMOTE_ODD = frozenset({
     "substring_dup_report_fine",  # new r6 (pinned r6; rotates from r7)
-    "dup_span_profile",  # new r7 (pinned r7; rotates from r8)
     "dup_span_histogram",  # new r7 (pinned r7; rotates from r8)
+    "bpe_encode",  # new r8 (pinned r8; rotates from r9)
     "suffix_group_stats",  # new r7; window full — CI-only r7, driver r8
     "multimodal_decode_png",  # new r7; window full — CI-only r7, driver r8
     "quality_score_trained",  # new r7; window full — CI-only r7, driver r8
@@ -4175,11 +4209,20 @@ def _driver_window_order() -> None:
         "outside _DEMOTED; shrink _WINDOW_PINNED or grow the pool"
     )
     # Also bound NEXT round's window at import time: pins expire at the
-    # bump, so its size is |oracled pool| − |next parity set|. Round 7
-    # shipped with a 51-entry round-8 window because only a test (not
-    # this assert) looked ahead — hand-added parities must fail HERE.
+    # bump, so its size is |oracled| − |next parity set ∩ oracled| with
+    # NO pin carve-out (_demoted_for_round excludes pins from its pool,
+    # which models THIS round; for the look-ahead that would overcount
+    # the window by one per current pin sharing next round's parity).
+    # Round 7 shipped with a 51-entry round-8 window because only a
+    # test (not this assert) looked ahead — hand-added parities must
+    # fail HERE.
     n_oracled = sum(1 for d in QUERIES.values() if d.oracle is not None)
-    next_window = n_oracled - len(_demoted_for_round(_ROUND + 1))
+    next_parity = _DEMOTE_ODD if (_ROUND + 1) % 2 else _DEMOTE_EVEN
+    next_demoted = sum(
+        1 for n, d in QUERIES.items()
+        if d.oracle is not None and n in next_parity
+    )
+    next_window = n_oracled - next_demoted
     assert next_window <= 50, (
         f"round-{_ROUND + 1} window would hold {next_window} oracled "
         "entries (> 50): rebalance _DEMOTE_ODD/_DEMOTE_EVEN"
