@@ -30,11 +30,20 @@ def test_bits_are_exact_floor_log2(spark):
     assert r["n_bigrams"] == 3
     assert r["familiarity_bits"] == 2
     assert abs(r["avg_bits"] - 2 / 3) < 1e-15
+    # add-one surprisal (r8): train cnt {xy:5, yx:4, yz:1},
+    # ctx {x:5, y:5}, V = |{y,x,z}| = 3. Per held bigram
+    # floor(log2(ctx+V)) - floor(log2(c+1)):
+    #   (x y): log2(8)=3 - log2(6)=2 -> 1
+    #   (y q): log2(8)=3 - log2(1)=0 -> 3   (unseen bigram, seen ctx)
+    #   (q x): log2(0+3)=1 - 0      -> 1   (unseen ctx -> uniform /V)
+    assert r["surprisal_bits"] == 5
+    assert abs(r["avg_surprisal"] - 5 / 3) < 1e-15
 
 
 def test_unseen_equals_count_one(spark):
-    # a bigram seen once in train contributes exactly 0 bits — same as
-    # unseen (the documented +0-bit smoothing floor)
+    # a bigram seen once in train contributes exactly 0 FAMILIARITY
+    # bits — same as unseen (the documented +0-bit floor the smoothed
+    # surprisal column exists to resolve)
     ids = spark.range(0, 50).select(
         "id", hash_uniform(F.col("id"), "lmfam").alias("u")).collect()
     t = [r["id"] for r in ids if r["u"] >= 0.25][0]
@@ -43,6 +52,25 @@ def test_unseen_equals_count_one(spark):
         _docs(spark, [(t, "a b"), (h, "a b zz qq")])).collect()[0]
     assert out["familiarity_bits"] == 0
     assert out["avg_bits"] == 0.0
+
+
+def test_surprisal_separates_unseen_from_count_one(spark):
+    # The r7 verdict's smoothing gap: under add-one, an UNSEEN bigram
+    # must cost strictly more than a count-1 bigram with the same
+    # context. train "a b a b a b a c": cnt {ab:3, ba:3, ac:1},
+    # ctx {a:4, b:3}, V = |{b,a,c}| = 3. Held "a c a z":
+    #   (a c) c=1: log2(4+3)=2 - log2(2)=1 -> 1
+    #   (c a) unseen ctx: log2(3)=1 - 0    -> 1
+    #   (a z) unseen, ctx a: log2(7)=2 - 0 -> 2  > (a c)'s 1
+    ids = spark.range(0, 50).select(
+        "id", hash_uniform(F.col("id"), "lmfam").alias("u")).collect()
+    t = [r["id"] for r in ids if r["u"] >= 0.25][0]
+    h = [r["id"] for r in ids if r["u"] < 0.25][0]
+    out = lm_familiarity(
+        _docs(spark, [(t, "a b a b a b a c"), (h, "a c a z")])).collect()[0]
+    assert out["n_bigrams"] == 3
+    assert out["surprisal_bits"] == 4
+    assert abs(out["avg_surprisal"] - 4 / 3) < 1e-15
 
 
 def test_short_held_docs_emit_no_row(spark):

@@ -182,13 +182,19 @@ SHUFFLE_BUDGETS = {
     # exchange there would still be the intended plan); the only
     # pinned exchange is the per-doc map-combined count/sum agg
     "bpe_encode": (1, True),
-    # train-side gram count agg + held-side per-doc agg; the score
-    # join rides broadcast at sf (tiny count table) and degrades to a
-    # gram-key co-partitioned SMJ at scale — a third exchange there
-    # would still be the intended plan, but today's shape is pinned
-    "lm_familiarity": (2, True),
+    # the train-side gram-count agg materializes behind an eager
+    # checkpoint (r8: it feeds THREE consumers — score join, context
+    # rollup, vocab scalar — and would re-execute the corpus explode
+    # per consumer otherwise), so the static plan shows checkpoint
+    # scans + the ctx rollup, the V distinct agg and the held-side
+    # per-doc agg; the score/ctx joins ride broadcast at sf and
+    # degrade to key-partitioned SMJs at scale. The 1-row V scalar
+    # rides the corpus_mix_temperature BNLJ pattern (allowed)
+    "lm_familiarity": (3, False),
     # pure per-row regex projection
     "redact_pii": (0, True),
+    # planting + redaction compose into one zero-exchange projection
+    "redact_pii_planted": (0, True),
     # one map-combined agg on n_shards keys
     "training_shards": (1, True),
 }

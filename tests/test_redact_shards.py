@@ -47,6 +47,26 @@ def test_clean_text_passes_through(spark):
     assert out["n_redactions"] == 0
 
 
+def test_planted_counts_match_closed_form(spark):
+    # plant_pii guarantees n_redactions = 3 + (id%3==0) + 2*(id%5==0):
+    # email + IP + phone always; SSN every 3rd; the email/IP overlap
+    # span every 5th (counts 2, inserts 1 placeholder)
+    from trendmachine_spark.extensions.text import plant_pii
+
+    docs = _docs(spark, [f"clean body {i}" for i in range(30)])
+    out = {r["doc_id"]: r for r in
+           redact_pii(plant_pii(docs)).collect()}
+    for i in range(30):
+        expect = 3 + (i % 3 == 0) + 2 * (i % 5 == 0)
+        assert out[i]["n_redactions"] == expect, i
+    # every placeholder type lands in the redacted text of doc 0
+    t = out[0]["text_redacted"]
+    for ph in ("<EMAIL>", "<IP>", "<PHONE>", "<SSN>"):
+        assert ph in t, (ph, t)
+    # the overlap span yields ONE placeholder (email wins the text)
+    assert t.count("<EMAIL>") == 2 and "1.2.3.4" not in t
+
+
 def test_shards_partition_the_corpus(spark):
     docs = _docs(spark, [f"w{i} x y" for i in range(200)])
     m = training_shards(docs, n_shards=8).collect()

@@ -77,7 +77,12 @@ def test_assign_targets_smaller_parity_set_and_rejects_dupes():
                             re.M | re.S).group(1))
     odd = _names(re.search(r"_DEMOTE_ODD = frozenset\(\{\n(.*?)^\}\)", SRC,
                            re.M | re.S).group(1))
-    smaller = "_DEMOTE_EVEN" if len(even) < len(odd) else "_DEMOTE_ODD"
+    # on a size tie (the permanent state since r8: the pool sits AT the
+    # 50+50 parity capacity) the tool's min() deterministically picks
+    # _DEMOTE_EVEN, the first key — mirror that; the registry's
+    # import-time window asserts are what actually refuse an
+    # over-capacity assignment when the rewrite is applied for real
+    smaller = "_DEMOTE_EVEN" if len(even) <= len(odd) else "_DEMOTE_ODD"
     block = re.search(smaller + r" = frozenset\(\{\n(.*?)^\}\)", out,
                       re.M | re.S).group(1)
     assert "brand_new_query" in _names(block)

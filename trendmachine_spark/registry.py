@@ -2520,23 +2520,31 @@ def q_bpe_pair_stats(spark, sf_dir):
     return bpe_pair_stats(_docs(spark, sf_dir))
 
 
-@register(
-    "redact_pii",
-    r"""SELECT doc_id,
+def _redact_pii_sql(source: str) -> str:
+    """The redaction SELECT over ``source`` — mirrors text.redact_pii
+    (fixed pattern order, original-text counting, explicit 'g' flag so
+    DuckDB replaces all matches). Shared by the corpus query and the
+    planted-fixture twin."""
+    return rf"""SELECT doc_id,
               regexp_replace(
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(text,
-                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-                  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-                '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS text_redacted,
-              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                 + len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
-                 + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
-                 + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT)
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                    '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}', '<IP>', 'g'),
+                  '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
+                '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '<SSN>', 'g') AS text_redacted,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                 + len(regexp_extract_all(text, '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}'))
+                 + len(regexp_extract_all(text, '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}'))
+                 + len(regexp_extract_all(text, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) AS BIGINT)
                 AS n_redactions
-       FROM documents""",
+       FROM {source}"""
+
+
+@register(
+    "redact_pii",
+    _redact_pii_sql("documents"),
 )
 def q_redact_pii(spark, sf_dir):
     """Destructive PII redaction (typed placeholders, fixed pattern
@@ -2545,6 +2553,39 @@ def q_redact_pii(spark, sf_dir):
     from trendmachine_spark.extensions.text import redact_pii
 
     return redact_pii(_docs(spark, sf_dir))
+
+
+@register(
+    "redact_pii_planted",
+    f"""WITH planted AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) ||
+             '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com ' ||
+             text ||
+             ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+             ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+             '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' ssn 123-45-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' fwd a@1.2.3.4.com' ELSE '' END AS text
+      FROM documents
+    )
+    {_redact_pii_sql("planted")}""",
+)
+def q_redact_pii_planted(spark, sf_dir):
+    """Redaction on the deterministically PII-planted corpus twin
+    (round 8): the synthetic corpus holds no PII spans, so redact_pii's
+    oracle exercised zero replacements — this query drives every
+    pattern's replace path (plus the email/IP overlap pathology) on
+    driver-checked data. text.plant_pii documents the closed-form
+    expected counts."""
+    from trendmachine_spark.extensions.text import plant_pii, redact_pii
+
+    return redact_pii(plant_pii(_docs(spark, sf_dir)))
 
 
 @register(
@@ -2585,6 +2626,14 @@ def q_training_shards(spark, sf_dir):
       FROM tw, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
     ),
     cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY g),
+    ctx AS (
+      SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS ctx
+      FROM cnt GROUP BY w1
+    ),
+    vsz AS (
+      SELECT CAST(count(DISTINCT split_part(g, ' ', 2)) AS BIGINT) AS v
+      FROM cnt
+    ),
     hw AS (SELECT doc_id, string_split(text, ' ') AS w FROM u WHERE u < 0.25),
     hb AS (
       SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
@@ -2593,14 +2642,26 @@ def q_training_shards(spark, sf_dir):
     SELECT hb.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(COALESCE(len(bin(c)) - 1, 0)) AS BIGINT) AS familiarity_bits,
-           CAST(sum(COALESCE(len(bin(c)) - 1, 0)) AS DOUBLE) / count(*) AS avg_bits
-    FROM hb LEFT JOIN cnt ON hb.g = cnt.g
+           CAST(sum(COALESCE(len(bin(c)) - 1, 0)) AS DOUBLE) / count(*) AS avg_bits,
+           CAST(sum((len(bin(COALESCE(ctx.ctx, 0) + vsz.v)) - 1)
+                    - (len(bin(COALESCE(c, 0) + 1)) - 1)) AS BIGINT)
+             AS surprisal_bits,
+           CAST(sum((len(bin(COALESCE(ctx.ctx, 0) + vsz.v)) - 1)
+                    - (len(bin(COALESCE(c, 0) + 1)) - 1)) AS DOUBLE) / count(*)
+             AS avg_surprisal
+    FROM hb
+    LEFT JOIN cnt ON hb.g = cnt.g
+    LEFT JOIN ctx ON split_part(hb.g, ' ', 1) = ctx.w1
+    CROSS JOIN vsz
     GROUP BY hb.doc_id""",
 )
 def q_lm_familiarity(spark, sf_dir):
     """Held-out bigram-LM familiarity (the CCNet perplexity-filter
     slot): floor(log2(train count)) bits per bigram via the exact
-    binary-string-length identity, averaged per held-out doc."""
+    binary-string-length identity, averaged per held-out doc; round 8
+    adds true add-one surprisal at floor-log2 resolution — unseen
+    bigrams now cost strictly more than count-1 bigrams (the r7
+    verdict's smoothing-realism gap), still exact-integer."""
     from trendmachine_spark.extensions.text import lm_familiarity
 
     return lm_familiarity(_docs(spark, sf_dir))
@@ -4074,6 +4135,8 @@ _WINDOW_PINNED: list[str] = [
     "bpe_train_merges",  # r8: guard fully-merged single-symbol words in _bpe_loop
     "bpe_segmented_vocab",  # r8: same _bpe_loop guard
     "bpe_encode",  # new r8: corpus encode under the trained merge table
+    "lm_familiarity",  # r8: add-one smoothed surprisal columns added
+    "redact_pii_planted",  # new r8: planted-PII end-to-end redaction
 ]
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
@@ -4110,11 +4173,18 @@ _DEMOTE_EVEN = frozenset({
     # driver-checked r7 (pinned), so EVEN parity keeps its
     # every-other-round guarantee (checked r9/r11/...)
     "dup_span_profile",
+    # r8 rebalance for the new redact_pii_planted: same reasoning —
+    # dup_span_histogram was driver-checked r7 (pinned). NOTE: the pool
+    # is now AT the 50+50 parity capacity (100 oracled); a 101st
+    # oracled query cannot keep the every-other-round guarantee under
+    # the driver's 50-entry window — future additions must replace an
+    # existing oracle, go rows-only, or move the pool to 3-round parity
+    "dup_span_histogram",
 })
 _DEMOTE_ODD = frozenset({
     "substring_dup_report_fine",  # new r6 (pinned r6; rotates from r7)
-    "dup_span_histogram",  # new r7 (pinned r7; rotates from r8)
     "bpe_encode",  # new r8 (pinned r8; rotates from r9)
+    "redact_pii_planted",  # new r8 (pinned r8; rotates from r9)
     "suffix_group_stats",  # new r7; window full — CI-only r7, driver r8
     "multimodal_decode_png",  # new r7; window full — CI-only r7, driver r8
     "quality_score_trained",  # new r7; window full — CI-only r7, driver r8
