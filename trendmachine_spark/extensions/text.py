@@ -141,9 +141,15 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     map-side combined on (id, gram); the per-doc argmax is a window
     over the (small) per-doc gram-count table. No UDFs.
     """
-    from trendmachine_spark.extensions.dedup import gram_array
+    from trendmachine_spark.extensions.dedup import shingles
 
-    bg = docs.select(F.col(id_col), F.explode(gram_array(text_col, 2)).alias("g"))
+    # codegen explode form (shingles distinct=False), NOT
+    # explode(gram_array(...)): the HOF transform gram builder is
+    # evaluated interpreted; swapping it for this form took
+    # lm_familiarity 52.7 -> 4.4 s end-to-end on the x10 corpus
+    # (SCALE.md round 8) — identical rows either way
+    bg = (shingles(docs, text_col, id_col, k=2, distinct=False)
+          .withColumnRenamed("shingle", "g"))
     bc = bg.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), "g")
     topb = (
@@ -151,7 +157,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         .filter(F.col("_rk") == 1)
         .select(id_col, F.col("g").alias("top_bigram"), F.col("c").alias("top_bigram_count"))
     )
-    g5 = docs.select(F.col(id_col), F.explode(gram_array(text_col, 5)).alias("g"))
+    g5 = (shingles(docs, text_col, id_col, k=5, distinct=False)
+          .withColumnRenamed("shingle", "g"))
     c5 = g5.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     d5 = c5.groupBy(id_col).agg(
         F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("_dup"),
@@ -788,16 +795,20 @@ def lm_familiarity(docs: DataFrame, eval_rate: float = 0.25,
     skew-join split handles it — a join, not a window, so no
     unsplittable task.
     """
-    from trendmachine_spark.extensions.dedup import _materialize, gram_array
+    from trendmachine_spark.extensions.dedup import _materialize, shingles
     from trendmachine_spark.extensions.sampling import train_eval_split
 
     train, held = train_eval_split(docs, eval_rate, salt, id_col)
+    # codegen bigram rows (shingles distinct=False), not the
+    # interpreted HOF gram_array — 52.7 -> 4.4 s end-to-end on the
+    # x10 corpus (SCALE.md r8).
     # three consumers (score join, ctx rollup, V scalar) — without
     # materialization the corpus-sized explode+agg would re-execute per
     # consumer (no exchange reuse across subtree copies, SCALE.md r5)
     cnt = _materialize(
-        train.select(F.explode(gram_array(text_col, 2)).alias("g"))
-        .groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        shingles(train, text_col, id_col, k=2, distinct=False)
+        .groupBy(F.col("shingle").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     ctx = (
         cnt.groupBy(F.substring_index("g", " ", 1).alias("_w1"))
@@ -806,7 +817,8 @@ def lm_familiarity(docs: DataFrame, eval_rate: float = 0.25,
     vsz = cnt.agg(
         F.countDistinct(F.substring_index("g", " ", -1)).alias("_v")
     )
-    hb = held.select(F.col(id_col), F.explode(gram_array(text_col, 2)).alias("g"))
+    hb = (shingles(held, text_col, id_col, k=2, distinct=False)
+          .withColumnRenamed("shingle", "g"))
     bits = F.coalesce(F.length(F.bin("c")) - 1, F.lit(0)).cast("long")
     den_bits = F.length(F.bin(F.coalesce(F.col("_ctx"), F.lit(0)) + F.col("_v"))) - 1
     num_bits = F.length(F.bin(F.coalesce(F.col("c"), F.lit(0)) + 1)) - 1

@@ -4137,6 +4137,7 @@ _WINDOW_PINNED: list[str] = [
     "bpe_encode",  # new r8: corpus encode under the trained merge table
     "lm_familiarity",  # r8: add-one smoothed surprisal columns added
     "redact_pii_planted",  # new r8: planted-PII end-to-end redaction
+    "text_repetition_stats",  # r8: codegen gram explode (was HOF transform)
 ]
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
