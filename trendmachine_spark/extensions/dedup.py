@@ -808,42 +808,57 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame,
     )
 
 
-def _hex_bit(h, p):
-    """Bit ``3 - p%4`` of hex digit ``p//4`` of md5-hex string ``h``."""
-    v = F.conv(F.substring(h, (p / 4).cast("int") + 1, 1), 16, 10).cast("int")
-    return (v / F.pow(F.lit(2.0), (F.lit(3) - p % 4).cast("double"))).cast("int") % 2
-
-
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint from md5-derived word-hash bits (bits <= 62).
 
     For each bit position p, the word's bit is extracted from its md5
     hex digit; the fingerprint bit is the sign of the vote sum over all
-    word occurrences. Computed entirely with array folds — one md5 per
-    word, zero shuffles (the round-1 formulation exploded bits×words
-    rows through two shuffles). Uses only md5 + string ops + integer
-    arithmetic, so it is engine-portable.
+    word occurrences (count-1 tokenization: repeats vote repeatedly,
+    empty split tokens included — identical to the oracle's unnest).
+
+    Shape (round 8): explode words -> one md5 + 8 hex-digit extracts
+    per word (narrow codegen projection) -> ONE map-combined doc-id
+    aggregation carrying ``bits`` 0/1-sums + a count, then the
+    fingerprint assembles from the sums in a scalar projection
+    (vote_p > 0 <=> 2*sum_p > n). This replaces the round-2 nested
+    array folds (aggregate-over-bits of aggregate-over-words), which
+    Catalyst evaluates INTERPRETED per element — O(bits x words)
+    lambda evaluations per document, the exact trap the minhash
+    docstring documents; measured 57.4 s -> 3.7 s on the x10 corpus
+    (SCALE.md round 8). The round-1 formulation this round-2 fold
+    replaced exploded bits x words ROWS through two shuffles — the
+    explode here is words rows with bits COLUMNS and one map-combined
+    exchange, a different (and codegen) shape. Values bit-identical:
+    only md5 + integer arithmetic, engine-portable.
     """
-    words = F.split(F.col(text_col), " ")
-    hashed = docs.select(
-        F.col(id_col), F.transform(words, F.md5).alias("_h")
+    n_digits = (bits + 3) // 4
+    wd = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_wd")
+    ).select(F.col(id_col), F.md5("_wd").alias("_h"))
+    digits = wd.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring("_h", d + 1, 1), 16, 10).cast("int").alias(f"_d{d}")
+            for d in range(n_digits)
+        ],
     )
-
-    def vote(p):
-        return F.aggregate(
-            F.col("_h"), F.lit(0), lambda acc, h: acc + _hex_bit(h, p) * 2 - 1
-        )
-
-    fp = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc
-        + F.when(vote(p) > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+    sums = digits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.shiftright(F.col(f"_d{p // 4}"), 3 - p % 4).bitwiseAND(F.lit(1))
+            ).alias(f"_s{p}")
+            for p in range(bits)
+        ],
     )
-    return hashed.select(F.col(id_col), fp.alias("simhash"))
+    fp = None
+    for p in range(bits):
+        term = F.when(
+            F.col(f"_s{p}") * 2 > F.col("_n"), F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
 #: round-1 name — kept as an alias; the fingerprint width is the

@@ -4138,6 +4138,13 @@ _WINDOW_PINNED: list[str] = [
     "lm_familiarity",  # r8: add-one smoothed surprisal columns added
     "redact_pii_planted",  # new r8: planted-PII end-to-end redaction
     "text_repetition_stats",  # r8: codegen gram explode (was HOF transform)
+    "dedup_simhash",  # r8: codegen explode+agg fingerprint (was HOF folds)
+    # NOT pinned despite sharing the r8 simhash rewrite:
+    # dedup_simhash_near_dup and dedup_multi_signal carry EVEN parity
+    # (demoted r8) and the pool is at the 50-entry capacity — pinning
+    # either would push the window to 51. Their values are pinned
+    # bit-identical by CI oracle parity at both SFs this round plus the
+    # sf0.01 hand-check; the driver re-checks them in r9.
 ]
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
