@@ -889,7 +889,11 @@ def simhash_near_dup(docs: DataFrame, text_col: str = "text",
     assert bands > max_hamming, "exactness needs bands > max_hamming"
     width = bits // bands
     mask = (1 << width) - 1
-    fp = simhash(docs, text_col, id_col, bits)
+    # the fingerprint table feeds BOTH self-join sides; without
+    # materialization the corpus explode+agg subtree instantiates per
+    # side (the minhash_near_dup band-table lesson) — measured ~10 s of
+    # the 62 s x10 wall (SCALE.md r8)
+    fp = _materialize(simhash(docs, text_col, id_col, bits))
     stack_expr = "stack({}, {}) as (band, bv)".format(
         bands,
         ", ".join(
