@@ -4127,25 +4127,11 @@ def q_training_corpus_clean(spark, sf_dir):
 # round.
 # ---------------------------------------------------------------------------
 
-_ROUND = 8
+_ROUND = 9
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = [
-    "bpe_train_merges",  # r8: guard fully-merged single-symbol words in _bpe_loop
-    "bpe_segmented_vocab",  # r8: same _bpe_loop guard
-    "bpe_encode",  # new r8: corpus encode under the trained merge table
-    "lm_familiarity",  # r8: add-one smoothed surprisal columns added
-    "redact_pii_planted",  # new r8: planted-PII end-to-end redaction
-    "text_repetition_stats",  # r8: codegen gram explode (was HOF transform)
-    "dedup_simhash",  # r8: codegen explode+agg fingerprint (was HOF folds)
-    # NOT pinned despite sharing the r8 simhash rewrite:
-    # dedup_simhash_near_dup and dedup_multi_signal carry EVEN parity
-    # (demoted r8) and the pool is at the 50-entry capacity — pinning
-    # either would push the window to 51. Their values are pinned
-    # bit-identical by CI oracle parity at both SFs this round plus the
-    # sf0.01 hand-check; the driver re-checks them in r9.
-]
+_WINDOW_PINNED: list[str] = []  # round 9: nothing changed yet — `rotate_window.py pin NAME` as queries change
 
 #: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
 #: (driver window: absent) in odd rounds and checked in even rounds;
@@ -4252,24 +4238,23 @@ def _demoted_for_round(round_no: int) -> list[str]:
 #: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
 #: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "bpe_segmented_vocab", "bpe_train_merges", "chaos_melt",
-    "content_value_counts", "corpus_decontaminate",
-    "corpus_sample_stratified", "dedup_clusters",
-    "dedup_clusters_ensemble", "dedup_embedding_cosine_bucketed",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_segments",
-    "dedup_semantic_keepers", "dedup_simhash", "embedding_outliers",
-    "event_funnel", "event_range_join", "event_session_windows",
-    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
-    "lm_familiarity", "minhash_accuracy", "multimodal_decode_png",
-    "multimodal_decode_real", "multimodal_frame_sample",
-    "multimodal_resize", "multimodal_resize_real", "packed_text",
-    "pricing_summary", "quality_score_trained", "redact_pii",
-    "region_revenue", "session_stats", "status_month_cube",
-    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
-    "text_lang_id", "text_profile", "text_repetition_stats",
-    "top_quality_docs", "training_corpus", "training_corpus_safe",
-    "training_corpus_segmented", "training_shards",
-    "transition_matrix_filled", "vocab_coverage",
+    "bpe_pair_stats", "capture_normalize", "chaos_ffill",
+    "chunk_documents", "corpus_card", "corpus_mix_temperature",
+    "corpus_stats", "daily_chaos", "daily_moving_avg", "daily_rollup",
+    "date_spine", "dedup_containment", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_multi_signal", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash_near_dup", "dup_span_histogram",
+    "dup_span_profile", "event_asof_join", "event_props_stats",
+    "event_retention", "event_sessionization", "gap_fill_backward",
+    "gap_fill_forward", "headline_metrics", "lsh_bucket_health",
+    "monthly_rollup", "multimodal_metadata", "pack_sequences",
+    "periodic_samples", "quality_score", "salted_term_counts",
+    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
+    "similarity_topk", "specimen_breakdown", "status_totals",
+    "substring_dedup", "substring_dup_report", "text_fingerprints",
+    "text_pii_stats", "text_quality_flags", "text_term_stats",
+    "top_revenue_customers", "training_corpus_clean", "transition_matrix",
+    "urim_projection",
 ]
 
 _DEMOTED = sorted(
