@@ -82,3 +82,21 @@ def test_explained_regression_anchors_exist():
     scale_md = (ROOT / "SCALE.md").read_text()
     for name, anchor in EXPLAINED_REGRESSIONS.items():
         assert anchor in scale_md, (name, anchor)
+
+
+def test_round_close_snapshot_not_stale():
+    """The drift gate is only as good as its history: if a round closes
+    without `tools/round_close.py` (the r7 process bug), the newest
+    snapshot silently goes stale and every later diff compares against
+    the wrong baseline. The newest snapshot must be from the previous
+    round or this one (this round's appears when round_close runs at
+    round end)."""
+    from trendmachine_spark.registry import _ROUND
+
+    snap = _latest_snapshot()
+    assert snap is not None, "tools/bench_history/ has no snapshots"
+    newest = int(re.match(r"r(\d+)_", snap.name).group(1))
+    assert newest >= _ROUND - 1, (
+        f"newest bench-history snapshot is r{newest:02d} but the round "
+        f"is r{_ROUND:02d}: a round closed without tools/round_close.py"
+    )

@@ -122,3 +122,25 @@ def test_invalid_merges_raises(spark):
     docs = _docs(spark, ["a b"])
     with pytest.raises(ValueError, match="merges"):
         bpe_train_merges(docs, merges=0)
+
+
+def test_merge_exhaustion_stops_and_keeps_vocab(spark):
+    # One word 'ab': step 1 merges (a, b), step 2 merges (ab, </w>),
+    # step 3+ has NO pairs left — the loop must STOP with the vocab
+    # intact (learn_bpe's natural termination), not cross-join it
+    # against an empty top1 and silently empty every consumer
+    # (round-8 ADVICE: the size>=2 guard alone turned exhaustion from
+    # a crash into zero-row data loss)
+    docs = _docs(spark, ["ab ab"])
+    got = [tuple(r) for r in bpe_train_merges(docs, merges=8)
+           .orderBy("step").collect()]
+    assert got == [
+        (1, "a", "b", 2, "ab"),
+        (2, "ab", "</w>", 2, "ab</w>"),
+    ]
+    seg = {r["word"]: (r["segments"], r["n_tokens"])
+           for r in bpe_segmented_vocab(docs, merges=8).collect()}
+    assert seg == {"ab": ("ab</w>", 1)}
+    enc = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_encode_docs(docs, merges=8).collect()}
+    assert enc == {0: (2, 2)}

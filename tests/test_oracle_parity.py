@@ -72,23 +72,35 @@ def test_demotion_rotates_every_other_round():
         _rotation_pool,
     )
 
-    cur, nxt = set(_demoted_for_round(_ROUND)), set(_demoted_for_round(_ROUND + 1))
-    assert cur == set(_DEMOTED)
-    assert not cur & nxt  # a name demoted now is in the window next round
-    assert cur | nxt == set(_rotation_pool())  # nothing escapes the rotation
-    assert not cur & set(_WINDOW_PINNED)  # changed queries get checked NOW
-    # both parities keep the window within the driver's 50-entry limit.
-    # THIS round's window carries the pins (they never demote); NEXT
-    # round's pins expire at the bump, so the look-ahead counts every
-    # oracled name's frozen parity with no pin carve-out (mirroring the
-    # registry's import-time assert).
-    from trendmachine_spark.registry import _DEMOTE_EVEN, _DEMOTE_ODD
+    from trendmachine_spark.registry import _PARITY_PERIOD, _parity_classes
 
+    cycle = [set(_demoted_for_round(_ROUND + i)) for i in range(_PARITY_PERIOD)]
+    cur = cycle[0]
+    assert cur == set(_DEMOTED)
+    # no name is demoted for a FULL cycle (period 2: consecutive rounds
+    # disjoint; period 3: no name in all three consecutive sets), and
+    # every pool name lands in the window EXACTLY once per cycle —
+    # together: cycle windows cover the pool with no double-booking
+    assert not set.intersection(*cycle)
+    checked_rounds = {
+        n: sum(1 for d in cycle if n not in d) for n in _rotation_pool()
+    }
+    assert all(c == 1 for c in checked_rounds.values()), (
+        {n: c for n, c in checked_rounds.items() if c != 1}
+    )
+    assert not cur & set(_WINDOW_PINNED)  # changed queries get checked NOW
+    # every class keeps the window within the driver's 50-entry limit.
+    # THIS round's window carries the pins (they never demote); future
+    # rounds' pins expire at the bump, so the look-ahead counts every
+    # oracled name's frozen class with no pin carve-out (mirroring the
+    # registry's import-time assert).
     window_now = len(ORACLE_QUERIES) - len(_demoted_for_round(_ROUND))
     assert window_now <= 50, f"round {_ROUND}: {window_now} in window"
-    next_parity = _DEMOTE_ODD if (_ROUND + 1) % 2 else _DEMOTE_EVEN
-    window_next = len([n for n in ORACLE_QUERIES if n not in next_parity])
-    assert window_next <= 50, f"round {_ROUND + 1}: {window_next} in window"
+    classes = _parity_classes()
+    for ahead in range(1, _PARITY_PERIOD):
+        checked = classes[(_ROUND + ahead) % _PARITY_PERIOD]
+        window = len([n for n in ORACLE_QUERIES if n in checked])
+        assert window <= 50, f"round {_ROUND + ahead}: {window} in window"
 
 
 def test_demotion_cross_round_invariant():
@@ -99,13 +111,22 @@ def test_demotion_cross_round_invariant():
     round 4 (the static-list -> rotation transition) any unavoidable
     double-demoted stragglers must sit at the FRONT of _DEMOTED so the
     window's slack reaches them first."""
-    from trendmachine_spark.registry import _DEMOTED, _PREV_DEMOTED, _ROUND
+    from trendmachine_spark.registry import (
+        _DEMOTED, _PARITY_PERIOD, _PREV_DEMOTED, _PREV_DEMOTED_2, _ROUND,
+    )
 
-    overlap = [n for n in _DEMOTED if n in _PREV_DEMOTED]
+    if _PARITY_PERIOD == 2:
+        overlap = [n for n in _DEMOTED if n in _PREV_DEMOTED]
+    else:  # period 3: illegal only if demoted a FULL 3-round cycle
+        overlap = [
+            n for n in _DEMOTED
+            if n in _PREV_DEMOTED and n in _PREV_DEMOTED_2
+        ]
     if _ROUND >= 5:
         assert not overlap, (
-            f"names absent from the driver window two rounds running: {overlap} "
-            "— refresh _PREV_DEMOTED at the round bump and rebalance"
+            f"names absent from the driver window a full cycle: {overlap} "
+            "— refresh the _PREV_DEMOTED literals at the round bump and "
+            "rebalance"
         )
     else:
         assert _DEMOTED[: len(overlap)] == sorted(overlap)

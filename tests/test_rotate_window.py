@@ -93,3 +93,133 @@ def test_assign_targets_smaller_parity_set_and_rejects_dupes():
         pass
     else:
         raise AssertionError("assign must refuse an already-assigned name")
+
+
+# ---------------------------------------------------------------------------
+# Period-3 rotation (r9 mandate: build the machinery BEFORE the 101st
+# oracled query needs it). The registry stays at period 2 until
+# `set-period 3` flips it; these tests drive both the tool rewrites and
+# the registry schedule logic at period 3.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+FAKE_REGISTRY = '''\
+_ROUND = 9
+_PARITY_PERIOD = 2
+_WINDOW_PINNED: list[str] = []  # round 9: nothing changed yet
+_DEMOTE_EVEN = frozenset({
+    "q_even1",
+})
+_DEMOTE_ODD = frozenset({
+    "q_odd1",
+    "q_odd2",
+})
+_DEMOTE_THIRD: frozenset = frozenset()
+_PREV_DEMOTED = [
+    "q_even1",
+]
+_PREV_DEMOTED_2: list[str] = []
+'''
+
+
+def test_set_period_flips_literal_only():
+    from rotate_window import set_period_text
+
+    out = set_period_text(FAKE_REGISTRY, 3)
+    ast.parse(out)
+    assert "_PARITY_PERIOD = 3" in out
+    # everything else byte-identical
+    assert out.replace("_PARITY_PERIOD = 3", "_PARITY_PERIOD = 2") == FAKE_REGISTRY
+    with pytest.raises(SystemExit):
+        set_period_text(FAKE_REGISTRY, 4)
+
+
+def test_assign_period3_balances_into_third_class():
+    from rotate_window import assign_text, set_period_text
+
+    p3 = set_period_text(FAKE_REGISTRY, 3)
+    out = assign_text(p3, "q_new")
+    ast.parse(out)
+    third = re.search(r"_DEMOTE_THIRD[^\n]* = frozenset\(\{\n(.*?)^\}\)",
+                      out, re.M | re.S)
+    assert third and "q_new" in _names(third.group(1))
+    # next assign goes to EVEN (1 name) not THIRD (now 1) or ODD (2) —
+    # min() ties break by first label, EVEN
+    out2 = assign_text(out, "q_new2")
+    even = re.search(r"_DEMOTE_EVEN = frozenset\(\{\n(.*?)^\}\)",
+                     out2, re.M | re.S)
+    assert "q_new2" in _names(even.group(1))
+    # a name already in THIRD is refused
+    with pytest.raises(SystemExit):
+        assign_text(out, "q_new")
+
+
+def test_assign_period2_ignores_but_guards_third_class():
+    from rotate_window import assign_text, set_period_text
+
+    # under period 2, assignment targets EVEN (smaller), never THIRD
+    out = assign_text(FAKE_REGISTRY, "q_new")
+    even = re.search(r"_DEMOTE_EVEN = frozenset\(\{\n(.*?)^\}\)",
+                     out, re.M | re.S)
+    assert "q_new" in _names(even.group(1))
+    assert "_DEMOTE_THIRD: frozenset = frozenset()" in out
+    # but a name that somehow sits in THIRD is still refused (dupes
+    # across ANY class are illegal)
+    p3 = assign_text(set_period_text(FAKE_REGISTRY, 3), "q_stale")
+    p2 = set_period_text(p3, 2)
+    with pytest.raises(SystemExit):
+        assign_text(p2, "q_stale")
+
+
+def test_bump_period3_cascades_prev_literals():
+    from rotate_window import bump_text, set_period_text
+
+    p3 = set_period_text(FAKE_REGISTRY, 3)
+    out = bump_text(p3, ["q_odd1", "q_odd2"])
+    ast.parse(out)
+    assert "_ROUND = 10" in out
+    prev = re.search(r"^_PREV_DEMOTED = \[\n(.*?)^\]$", out, re.M | re.S)
+    assert sorted(_names(prev.group(1))) == ["q_odd1", "q_odd2"]
+    prev2 = re.search(r"^_PREV_DEMOTED_2[^\n]*= \[\n(.*?)^\]$", out,
+                      re.M | re.S)
+    assert prev2 and _names(prev2.group(1)) == ["q_even1"]
+    # a second bump cascades again
+    out2 = bump_text(out, ["q_even1", "q_third1"])
+    prev2b = re.search(r"^_PREV_DEMOTED_2[^\n]*= \[\n(.*?)^\]$", out2,
+                       re.M | re.S)
+    assert sorted(_names(prev2b.group(1))) == ["q_odd1", "q_odd2"]
+
+
+def test_bump_period2_leaves_prev2_untouched():
+    from rotate_window import bump_text
+
+    out = bump_text(FAKE_REGISTRY, ["q_odd1"])
+    assert "_PREV_DEMOTED_2: list[str] = []" in out
+
+
+def test_registry_schedule_under_period3(monkeypatch):
+    """The registry's own schedule logic at period 3: each pool name is
+    driver-checked EXACTLY once per 3-round cycle, no name demoted a
+    full cycle, dupes across classes rejected, and the import-time
+    look-ahead models both future rounds."""
+    import trendmachine_spark.registry as reg
+
+    pool = reg._rotation_pool()
+    a, b, c = pool[0::3], pool[1::3], pool[2::3]
+    monkeypatch.setattr(reg, "_PARITY_PERIOD", 3)
+    monkeypatch.setattr(reg, "_DEMOTE_ODD", frozenset(a))    # class 0
+    monkeypatch.setattr(reg, "_DEMOTE_EVEN", frozenset(b))   # class 1
+    monkeypatch.setattr(reg, "_DEMOTE_THIRD", frozenset(c))  # class 2
+    cycle = [set(reg._demoted_for_round(r)) for r in (9, 10, 11)]
+    assert not set.intersection(*cycle)
+    for n in pool:
+        assert sum(1 for d in cycle if n not in d) == 1
+    # class k is in the window exactly when round % 3 == k
+    assert not set(a) & set(reg._demoted_for_round(9))   # 9 % 3 == 0
+    assert set(a) <= set(reg._demoted_for_round(10))
+    assert not set(c) & set(reg._demoted_for_round(11))  # 11 % 3 == 2
+    # a name in two classes is loudly rejected
+    monkeypatch.setattr(reg, "_DEMOTE_THIRD", frozenset(c) | {a[0]})
+    with pytest.raises(AssertionError, match="more than one"):
+        reg._demoted_for_round(9)

@@ -24,11 +24,24 @@ Commands (all edit trendmachine_spark/registry.py in place):
       driver window (idempotent; refuses unknown names).
 
   python tools/rotate_window.py assign NAME
-      A NEW oracled query needs a frozen demotion parity: add it to
-      whichever of _DEMOTE_EVEN/_DEMOTE_ODD is smaller (the balance
-      rule from the registry docstring). Refuses names already
-      assigned. Remember new queries are normally ALSO pinned for
-      their first round (`pin` is a separate, explicit step).
+      A NEW oracled query needs a frozen demotion class: add it to
+      whichever ACTIVE class set (_DEMOTE_EVEN/_DEMOTE_ODD, plus
+      _DEMOTE_THIRD under period 3) is smallest (the balance rule from
+      the registry docstring). Refuses names already assigned.
+      Remember new queries are normally ALSO pinned for their first
+      round (`pin` is a separate, explicit step).
+
+  python tools/rotate_window.py set-period N
+      Switch the rotation cycle length (2 or 3). Period 3 raises the
+      oracled-pool capacity from 100 to 150 under the driver's
+      50-entry window: every query is driver-checked once per three
+      rounds instead of two, new names `assign` into _DEMOTE_THIRD
+      until the three windows balance, and each `bump` cascades
+      _PREV_DEMOTED_2 <- _PREV_DEMOTED <- _DEMOTED so the
+      "no name demoted a full cycle" invariant stays checkable from
+      literals. Flip at a round start, BEFORE pinning: the transition
+      itself can leave a name unchecked for up to period+1 rounds
+      (documented at _PARITY_PERIOD in registry.py).
 
 Every command prints the resulting window sizes for this round and the
 next, and exits non-zero (leaving the file untouched) if the rewritten
@@ -44,8 +57,11 @@ import sys
 REGISTRY = "trendmachine_spark/registry.py"
 
 _ROUND_RE = re.compile(r"^_ROUND = (\d+)$", re.M)
+_PERIOD_RE = re.compile(r"^_PARITY_PERIOD = (\d+)$", re.M)
 _PINNED_RE = re.compile(r"^_WINDOW_PINNED(?::[^\n=]+)? = \[\n.*?^\]$", re.M | re.S)
 _PREV_RE = re.compile(r"^_PREV_DEMOTED(?::[^\n=]+)? = \[\n.*?^\]$", re.M | re.S)
+_PREV2_RE = re.compile(
+    r"^_PREV_DEMOTED_2(?::[^\n=]+)? = \[(?:\][^\n]*|\n.*?^\])", re.M | re.S)
 _EMPTY_PINNED_RE = re.compile(r"^_WINDOW_PINNED(?::[^\n=]+)? = \[\][^\n]*", re.M)
 
 
@@ -64,12 +80,28 @@ def _fmt_list(names: list[str], indent: str = "    ") -> str:
 
 
 def bump_text(src: str, demoted_now: list[str]) -> str:
-    """Pure rewrite for the start-of-round bump (see module doc)."""
+    """Pure rewrite for the start-of-round bump (see module doc).
+    Under period 3 the previous-round literals CASCADE
+    (_PREV_DEMOTED_2 <- _PREV_DEMOTED <- demoted_now) so the
+    no-name-demoted-a-full-cycle invariant stays checkable; under
+    period 2 _PREV_DEMOTED_2 is left untouched (disjointness of
+    consecutive rounds already covers the cycle)."""
     m = _ROUND_RE.search(src)
     if not m:
         raise SystemExit("could not find `_ROUND = N` in registry.py")
     rnd = int(m.group(1))
     src = _ROUND_RE.sub(f"_ROUND = {rnd + 1}", src, count=1)
+    pm = _PERIOD_RE.search(src)
+    if pm and int(pm.group(1)) >= 3:
+        prev_m = _PREV_RE.search(src)
+        if not prev_m:
+            raise SystemExit("could not find the _PREV_DEMOTED block")
+        prev_names = re.findall(r'"([^"]+)"', prev_m.group(0))
+        if not _PREV2_RE.search(src):
+            raise SystemExit("could not find the _PREV_DEMOTED_2 block")
+        prev2_new = ("_PREV_DEMOTED_2: list[str] = [\n"
+                     + _fmt_list(sorted(prev_names)) + "\n]")
+        src = _PREV2_RE.sub(lambda _: prev2_new, src, count=1)
     if not _PINNED_RE.search(src) and not _EMPTY_PINNED_RE.search(src):
         raise SystemExit("could not find the _WINDOW_PINNED block")
     pinned_new = (
@@ -105,20 +137,46 @@ def pin_text(src: str, name: str, why: str) -> str:
 
 
 def assign_text(src: str, name: str) -> str:
-    """Pure rewrite adding ``name`` to the SMALLER parity set."""
+    """Pure rewrite adding ``name`` to the SMALLEST active class set.
+
+    Active classes follow _PARITY_PERIOD in the source: period 2 keeps
+    the historical EVEN/ODD pair; period 3 adds _DEMOTE_THIRD (whose
+    empty literal is rewritten into a block on first assignment). The
+    name is refused if ANY class (active or not) already holds it."""
+    pm = _PERIOD_RE.search(src)
+    period = int(pm.group(1)) if pm else 2
+    labels = ["_DEMOTE_EVEN", "_DEMOTE_ODD"]
+    if period >= 3:
+        labels.append("_DEMOTE_THIRD")
     sets = {}
-    for label in ("_DEMOTE_EVEN", "_DEMOTE_ODD"):
-        m = re.search(label + r" = frozenset\(\{\n(.*?)^\}\)$", src, re.M | re.S)
+    for label in labels + (["_DEMOTE_THIRD"] if period < 3 else []):
+        m = re.search(label + r"(?::[^\n=]+)? = frozenset\((?:\)|\{\n.*?^\}\))",
+                      src, re.M | re.S)
         if not m:
             raise SystemExit(f"could not find the {label} block")
-        sets[label] = m
-        if f'"{name}"' in m.group(1):
-            raise SystemExit(f"{name} already has parity in {label}")
-    target = min(sets, key=lambda k: len(re.findall(r'"[^"]+"', sets[k].group(1))))
+        if f'"{name}"' in m.group(0):
+            raise SystemExit(f"{name} already has a class in {label}")
+        if label in labels:
+            sets[label] = m
+    target = min(sets, key=lambda k: len(re.findall(r'"[^"]+"', sets[k].group(0))))
     m = sets[target]
     body = m.group(0)
-    new_block = body[: -len("})")] + f'    "{name}",  # assigned by rotate_window.py\n' + "})"
+    entry = f'    "{name}",  # assigned by rotate_window.py\n'
+    if body.rstrip().endswith("frozenset()"):
+        new_block = body.replace(
+            "frozenset()", "frozenset({\n" + entry + "})", 1)
+    else:
+        new_block = body[: -len("})")] + entry + "})"
     return src[: m.start()] + new_block + src[m.end():]
+
+
+def set_period_text(src: str, period: int) -> str:
+    """Pure rewrite of the _PARITY_PERIOD literal (2 or 3)."""
+    if period not in (2, 3):
+        raise SystemExit(f"period must be 2 or 3, got {period}")
+    if not _PERIOD_RE.search(src):
+        raise SystemExit("could not find `_PARITY_PERIOD = N` in registry.py")
+    return _PERIOD_RE.sub(f"_PARITY_PERIOD = {period}", src, count=1)
 
 
 def _current_demoted() -> list[str]:
@@ -148,14 +206,17 @@ def _verify() -> None:
     the alternation invariant explicitly and print window sizes."""
     code = (
         "from trendmachine_spark.registry import (_ROUND, _DEMOTED, _PREV_DEMOTED,"
-        " _WINDOW_PINNED, QUERIES)\n"
-        "overlap = set(_DEMOTED) & set(_PREV_DEMOTED)\n"
-        "assert not overlap, f'demoted sets not disjoint across rounds: {sorted(overlap)}'\n"
+        " _PREV_DEMOTED_2, _PARITY_PERIOD, _WINDOW_PINNED, QUERIES)\n"
+        "if _PARITY_PERIOD == 2:\n"
+        "    overlap = set(_DEMOTED) & set(_PREV_DEMOTED)\n"
+        "else:  # period 3: illegal only if demoted a FULL cycle\n"
+        "    overlap = set(_DEMOTED) & set(_PREV_DEMOTED) & set(_PREV_DEMOTED_2)\n"
+        "assert not overlap, f'names demoted a full cycle: {sorted(overlap)}'\n"
         "oracled = [n for n, d in QUERIES.items() if d.oracle is not None]\n"
         "win = [n for n in oracled if n not in _DEMOTED]\n"
         "print(f'round {_ROUND}: window {len(win)}/50 oracled'\n"
         "      f' ({len(_WINDOW_PINNED)} pinned), {len(_DEMOTED)} demoted,'\n"
-        "      f' pool {len(oracled)}')\n"
+        "      f' pool {len(oracled)}, period {_PARITY_PERIOD}')\n"
     )
     res = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     if res.returncode != 0:
@@ -165,13 +226,18 @@ def _verify() -> None:
 
 
 def main() -> None:
-    if len(sys.argv) < 2 or sys.argv[1] not in ("bump", "pin", "assign"):
+    if len(sys.argv) < 2 or sys.argv[1] not in ("bump", "pin", "assign",
+                                                "set-period"):
         raise SystemExit(__doc__)
     cmd = sys.argv[1]
     with open(REGISTRY) as f:
         original = f.read()
     if cmd == "bump":
         new = bump_text(original, _current_demoted())
+    elif cmd == "set-period":
+        if len(sys.argv) < 3:
+            raise SystemExit("set-period needs 2 or 3")
+        new = set_period_text(original, int(sys.argv[2]))
     elif cmd == "pin":
         if len(sys.argv) < 3:
             raise SystemExit("pin needs a query name")

@@ -1,0 +1,88 @@
+"""One-command round-close checklist (r8 verdict item #7).
+
+The round-close bookkeeping — final sf0.1 bench, bench-history
+snapshot, scaled x10/x20 re-measurement, oracle-parity CI — was
+skipped in round 7 and performed by hand in round 8; each step that
+depends on a human remembering it is a process bug waiting to recur
+(the r7 red CI came from exactly this class). This tool is the whole
+checklist, sequential (never two JVMs on this box — bench timings are
+garbage under contention):
+
+  1. `python bench.py` at sf0.1 -> refreshes BENCH_DETAIL_sf0.1.json
+  2. snapshot it to tools/bench_history/r{NN}_sf0.1.json (the
+     cross-round drift gate diffs adjacent rounds' snapshots; CI
+     asserts the newest snapshot is no older than the previous round)
+  3. `python bench.py --sf-multiple 10` and `20` -> stdout lines saved
+     as BENCH_SCALED_x10.json / BENCH_SCALED_x20.json (per-query
+     detail lands in BENCH_DETAIL_sf0.1x{10,20}.json as side effects)
+  4. `pytest tests/test_oracle_parity.py tests/test_bench_drift.py`
+     — the correctness + drift gates over the fresh artifacts
+
+Usage:
+  python tools/round_close.py [--skip-scaled] [--skip-tests]
+
+--skip-scaled leaves the x10/x20 artifacts alone (e.g. when they were
+re-measured earlier the same day on identical code); the snapshot and
+gates always run. Commit the refreshed artifacts + snapshot as the
+round's final commit.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _run(cmd: list[str], capture: bool = False) -> str:
+    print(f"[round_close] $ {' '.join(cmd)}", flush=True)
+    if capture:
+        out = subprocess.run(cmd, cwd=ROOT, check=True,
+                             capture_output=True, text=True).stdout
+        print(out, flush=True)
+        return out
+    subprocess.run(cmd, cwd=ROOT, check=True)
+    return ""
+
+
+def main() -> None:
+    skip_scaled = "--skip-scaled" in sys.argv
+    skip_tests = "--skip-tests" in sys.argv
+    sys.path.insert(0, str(ROOT))
+    from trendmachine_spark.registry import _ROUND
+
+    # 1. final sf0.1 bench (refreshes BENCH_DETAIL_sf0.1.json)
+    _run([sys.executable, "bench.py"], capture=True)
+
+    # 2. snapshot into the drift gate's history
+    snap = ROOT / "tools" / "bench_history" / f"r{_ROUND:02d}_sf0.1.json"
+    shutil.copy(ROOT / "BENCH_DETAIL_sf0.1.json", snap)
+    print(f"[round_close] snapshot -> {snap.relative_to(ROOT)}", flush=True)
+
+    # 3. scaled set (x10, x20) — the r8 lesson: ALWAYS scale-measure in
+    # the round the code changed; stdout line IS the artifact
+    if not skip_scaled:
+        for mult in (10, 20):
+            out = _run([sys.executable, "bench.py", "--sf-multiple",
+                        str(mult)], capture=True)
+            line = out.strip().splitlines()[-1]
+            json.loads(line)  # refuse to write a non-JSON artifact
+            (ROOT / f"BENCH_SCALED_x{mult}.json").write_text(line + "\n")
+
+    # 4. the correctness + drift gates over the fresh artifacts
+    if not skip_tests:
+        _run([sys.executable, "-m", "pytest",
+              "tests/test_oracle_parity.py", "tests/test_bench_drift.py",
+              "-q"])
+
+    print(f"[round_close] round {_ROUND} close complete — commit "
+          "BENCH_DETAIL_*, BENCH_SCALED_*, and the history snapshot.",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -129,6 +129,44 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def rebalance_for_fanout(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Ensure a fan-out-heavy map stage runs at session parallelism.
+
+    Gram/shingle explodes and multi-regex projections do ~10x the work
+    per input byte of a plain scan, and ALL of it runs in the SCAN's
+    partitions (narrow ops inherit input partitioning). Compressed
+    monolithic text parquet defeats every split knob: byte-range splits
+    cannot cut inside a row group, so a single-row-group file yields
+    1-2 splits no matter what ``spark.sql.files.*`` says (probed:
+    ``openCostInBytes``/``minPartitionNum`` raise getNumPartitions to
+    32 but 30 splits land empty — the x10 signature pass stays 5.7 s).
+    On the 32-core session that serializes the dominant map stage on
+    2 cores; a 32-way rebalance takes the x10 minhash signature pass
+    4.87 s -> 1.35 s (MINHASH_DECOMP.json, r9).
+
+    Build-time conditional: the round-robin exchange is inserted ONLY
+    when actual scan parallelism is below ``min_fraction`` x the
+    session's shuffle parallelism. At production scale (100 TB =
+    thousands of real splits) this is a structural no-op; when it does
+    fire, the exchange moves the COMPRESSED input once — ~10x less
+    than the exploded volume whose parallelism it buys.
+
+    Round-robin, not hash-on-id: balanced even under clustered ids,
+    uncounted by the hash-exchange plan budgets (it is a scan-layout
+    corrective, not a key shuffle), and result-neutral for every
+    consumer here (per-row projections, keyed aggregates, keyed
+    windows). Streaming inputs pass through untouched (micro-batch
+    sources size their own partitions; ``.rdd`` is illegal on them).
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= max(int(target * min_fraction), 1):
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content hash: keeper id + duplicate count.
 
@@ -175,7 +213,8 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     the standing exception to "avoid shuffles when a narrow op exists".
     """
     words = F.split(F.col(text_col), " ")
-    base = docs.select(F.col(id_col), words.alias("_w")).filter(F.size("_w") >= k)
+    src = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col)))
+    base = src.select(F.col(id_col), words.alias("_w")).filter(F.size("_w") >= k)
     idx = base.select(
         F.col(id_col), "_w",
         F.explode(F.sequence(F.lit(1), F.size("_w") - (k - 1))).alias("_i"),
@@ -833,7 +872,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     only md5 + integer arithmetic, engine-portable.
     """
     n_digits = (bits + 3) // 4
-    wd = docs.select(
+    wd = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("_wd")
     ).select(F.col(id_col), F.md5("_wd").alias("_h"))
     digits = wd.select(

@@ -106,6 +106,8 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: full-content md5, normalized md5 (lowercase,
     squeezed spaces), and min/max shingle hash (rolling-window style)."""
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), " +", " ")
     words = F.split(F.col(text_col), " ")
     # NB: sequence(1, n) with n < 1 counts DOWN — guard short docs
@@ -113,6 +115,7 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.size(words) >= 5, F.sequence(F.lit(1), F.size(words) - 4)
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))))
+    docs = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col)))
     return docs.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("content_md5"),
@@ -203,11 +206,15 @@ def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     Scale: one narrow codegen'd projection — no shuffle, no UDF; the
     regex runs JVM-side per row.
     """
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
     counts = [
         F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(name)
         for name, p in PII_PATTERNS.items()
     ]
-    out = docs.select(F.col(id_col), *counts)
+    out = rebalance_for_fanout(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), *counts)
     flag = None
     for name in PII_PATTERNS:
         c = F.col(name) > 0
@@ -247,6 +254,12 @@ def redact_pii(docs: DataFrame, text_col: str = "text",
 
     Scale: one narrow codegen projection, no shuffle, no UDF.
     """
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    # 8 regex passes per row is fan-out-heavy map work: spread it over
+    # the session's cores when the scan under-splits (monolithic
+    # compressed text parquet — see rebalance_for_fanout)
+    docs = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col)))
     redacted = F.col(text_col)
     total = F.lit(0)
     for name, placeholder in PII_REDACTIONS:
@@ -637,6 +650,22 @@ def _bpe_loop(docs: DataFrame, merges: int, text_col: str, eow: str):
             .select(F.lit(step).cast("long").alias("step"),
                     "left_sym", "right_sym", "pair_count")
         )
+        # Merge exhaustion (every word fully merged -> empty pairs
+        # table): STOP, keeping the current vocab — learn_bpe's natural
+        # termination. Without this, vocab.crossJoin(empty top1) would
+        # silently EMPTY the vocab and every downstream consumer
+        # (encode, segmented_vocab) would return zero rows for a
+        # nonempty corpus (round-8 ADVICE). The isEmpty probe reads the
+        # just-materialized one-row frame — negligible. The oracle's
+        # unrolled CTEs share the collapse for the MERGE TABLE (an
+        # exhausted step contributes no row in both engines) but not
+        # for the final vocab — segmented-vocab/encode parity therefore
+        # presumes merges within capacity, which every realistic corpus
+        # satisfies (documented precondition, exercised by unit test).
+        if top1.isEmpty():
+            if not steps:  # degenerate empty corpus: keep consumers'
+                steps.append(top1)  # schema via one zero-row frame
+            break
         steps.append(top1)
         merged = F.trim(F.replace(
             F.concat(F.lit(" "), F.col("syms"), F.lit(" ")),

@@ -4122,12 +4122,29 @@ def q_training_corpus_clean(spark, sf_dir):
 #
 # Round bookkeeping: bump _ROUND once per driver round, refresh
 # _WINDOW_PINNED to the queries added/changed that round (and give any
-# NEW query a parity in one of the two sets, balancing window sizes),
-# and refresh _PREV_DEMOTED to the literal value _DEMOTED had last
-# round.
+# NEW query a class via `rotate_window.py assign`, balancing window
+# sizes), and refresh _PREV_DEMOTED to the literal value _DEMOTED had
+# last round. The pool hit the period-2 capacity (100 oracled = 50+50)
+# in round 8; growth past it flips the cycle to three rounds with
+# `rotate_window.py set-period 3` (capacity 150 via _DEMOTE_THIRD —
+# machinery built r9, invariants in tests/test_rotate_window.py; the
+# every-other-round guarantee relaxes to every-third-round).
 # ---------------------------------------------------------------------------
 
 _ROUND = 9
+
+#: rotation cycle length. 2 = the historical every-other-round
+#: guarantee (capacity 100 oracled under the driver's 50-entry window);
+#: 3 = three-round rotation (capacity 150) for when the pool outgrows
+#: 100 — flip via `rotate_window.py set-period 3`, which also starts
+#: cascading _PREV_DEMOTED_2 at each bump. Class semantics under
+#: period 3: _DEMOTE_ODD names are checked when _ROUND % 3 == 0,
+#: _DEMOTE_EVEN when == 1, _DEMOTE_THIRD when == 2 (the historical
+#: set names stop describing round parity — they are class labels).
+#: Transition note: switching periods can leave a name unchecked for
+#: up to period+1 rounds across the flip (its old and new checked
+#: rounds need not be adjacent); flip at a round start, before pins.
+_PARITY_PERIOD = 2
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
@@ -4205,6 +4222,28 @@ _DEMOTE_ODD = frozenset({
 })
 
 
+#: third rotation class — EMPTY (and unused) while _PARITY_PERIOD == 2.
+#: Under period 3 these names are driver-checked when _ROUND % 3 == 2.
+_DEMOTE_THIRD: frozenset = frozenset()
+
+#: demoted list from TWO rounds ago — cascaded at each bump only under
+#: period 3 (period 2's disjointness makes it redundant); feeds the
+#: "no name demoted a full cycle" invariant in tests/test_oracle_parity.
+_PREV_DEMOTED_2: list[str] = []
+
+
+def _parity_classes() -> dict[int, frozenset]:
+    """checked-round class -> frozen name set. A name of class c is
+    driver-checked in rounds where round % _PARITY_PERIOD == c and
+    demoted otherwise. Period 2 maps the historical sets (_DEMOTE_ODD =
+    demoted on odd rounds = checked on even = class 0; _DEMOTE_EVEN =
+    class 1); period 3 adds _DEMOTE_THIRD as class 2."""
+    classes = {0: _DEMOTE_ODD, 1: _DEMOTE_EVEN}
+    if _PARITY_PERIOD >= 3:
+        classes[2] = _DEMOTE_THIRD
+    return classes
+
+
 def _rotation_pool() -> list[str]:
     """Long-stable oracled queries eligible for demotion, alphabetical."""
     return sorted(
@@ -4214,19 +4253,30 @@ def _rotation_pool() -> list[str]:
 
 
 def _demoted_for_round(round_no: int) -> list[str]:
-    """Pool names whose frozen parity matches the round's. Per-name
-    parity makes consecutive rounds' demoted sets disjoint and their
-    union the whole pool, regardless of registry growth."""
+    """Pool names whose frozen class misses the round's checked slot.
+    Per-name classes make any _PARITY_PERIOD consecutive rounds' windows
+    cover the whole pool, regardless of registry growth."""
     pool = _rotation_pool()
-    unassigned = [
-        n for n in pool if n not in _DEMOTE_ODD and n not in _DEMOTE_EVEN
-    ]
-    assert not unassigned, (
-        f"oracled queries with no demotion parity: {unassigned} — add each "
-        "to _DEMOTE_ODD or _DEMOTE_EVEN (balance the two window sizes)"
+    classes = _parity_classes()
+    assigned: dict[str, int] = {}
+    dupes: list[str] = []
+    for c, names in classes.items():
+        for n in names:
+            if n in assigned:
+                dupes.append(n)
+            assigned[n] = c
+    assert not dupes, (
+        f"names in more than one demotion class: {sorted(set(dupes))}"
     )
-    target = _DEMOTE_ODD if round_no % 2 else _DEMOTE_EVEN
-    return [n for n in pool if n in target]
+    unassigned = [n for n in pool if n not in assigned]
+    assert not unassigned, (
+        f"oracled queries with no demotion class: {unassigned} — add each "
+        "to _DEMOTE_ODD/_DEMOTE_EVEN"
+        + ("/_DEMOTE_THIRD" if _PARITY_PERIOD >= 3 else "")
+        + " (balance the window sizes)"
+    )
+    checked = round_no % _PARITY_PERIOD
+    return [n for n in pool if assigned[n] != checked]
 
 
 #: the PREVIOUS round's demoted set (refreshed at each round bump to
@@ -4271,25 +4321,28 @@ def _driver_window_order() -> None:
         f"driver window oversubscribed: {len(oracled)} oracled entries "
         "outside _DEMOTED; shrink _WINDOW_PINNED or grow the pool"
     )
-    # Also bound NEXT round's window at import time: pins expire at the
-    # bump, so its size is |oracled| − |next parity set ∩ oracled| with
-    # NO pin carve-out (_demoted_for_round excludes pins from its pool,
-    # which models THIS round; for the look-ahead that would overcount
-    # the window by one per current pin sharing next round's parity).
-    # Round 7 shipped with a 51-entry round-8 window because only a
-    # test (not this assert) looked ahead — hand-added parities must
-    # fail HERE.
+    # Also bound EVERY FUTURE round's window at import time: pins expire
+    # at the bump, so a future round's size is |oracled| − |names NOT in
+    # that round's checked class| with NO pin carve-out
+    # (_demoted_for_round excludes pins from its pool, which models THIS
+    # round; for the look-ahead that would overcount the window by one
+    # per current pin sharing the future round's class). Round 7 shipped
+    # with a 51-entry round-8 window because only a test (not this
+    # assert) looked ahead — hand-added parities must fail HERE. One
+    # iteration per class covers the full cycle (period 2: next round;
+    # period 3: the next two).
     n_oracled = sum(1 for d in QUERIES.values() if d.oracle is not None)
-    next_parity = _DEMOTE_ODD if (_ROUND + 1) % 2 else _DEMOTE_EVEN
-    next_demoted = sum(
-        1 for n, d in QUERIES.items()
-        if d.oracle is not None and n in next_parity
-    )
-    next_window = n_oracled - next_demoted
-    assert next_window <= 50, (
-        f"round-{_ROUND + 1} window would hold {next_window} oracled "
-        "entries (> 50): rebalance _DEMOTE_ODD/_DEMOTE_EVEN"
-    )
+    classes = _parity_classes()
+    for ahead in range(1, _PARITY_PERIOD):
+        checked_class = classes[(_ROUND + ahead) % _PARITY_PERIOD]
+        future_window = sum(
+            1 for n, d in QUERIES.items()
+            if d.oracle is not None and n in checked_class
+        )
+        assert future_window <= 50, (
+            f"round-{_ROUND + ahead} window would hold {future_window} "
+            "oracled entries (> 50): rebalance the demotion classes"
+        )
     reordered = {n: QUERIES[n] for n in (*oracled, *demoted, *rows_only)}
     assert len(reordered) == len(QUERIES)
     QUERIES.clear()
