@@ -220,3 +220,115 @@ def test_png_resize_path():
     rs = resize_nearest(decode_png(encode_png(px)), 4, 3)
     assert rs.shape == (3, 4, 4)
     assert np.array_equal(rs, resize_nearest(px, 4, 3))
+
+
+# --------------------------------------------------------------- JPEG
+
+def _jpeg_codecs():
+    from trendmachine_spark.extensions.codecs import decode_jpeg, encode_jpeg
+    return encode_jpeg, decode_jpeg
+
+
+def test_jpeg_exact_block_round_trip():
+    """Constant EVEN-valued 8x8 blocks have a DC-only spectrum whose
+    level-shifted DC is divisible by the Annex-K luma quantizer, so
+    the LOSSY codec reconstructs them BIT-EXACTLY — the property the
+    multimodal_decode_jpeg oracle rests on."""
+    encode_jpeg, decode_jpeg = _jpeg_codecs()
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        bw, bh = rng.randint(1, 5), rng.randint(1, 4)
+        blocks = (rng.randint(0, 128, size=(bh, bw)) * 2).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (bh * 8, bw * 8, 1)
+        assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_oracle_block_formula_round_trip():
+    # the EXACT generator synthetic_jpeg_assets uses, at a few ids
+    encode_jpeg, decode_jpeg = _jpeg_codecs()
+    for d in (0, 1, 7, 38, 123):
+        bw, bh = 1 + d % 4, 1 + d % 3
+        bx = np.arange(bw)[None, :]
+        by = np.arange(bh)[:, None]
+        blocks = (2 * ((bx * 5 + by * 11 + d) % 128)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(dec[:, :, 0], img), d
+
+
+def test_jpeg_lossy_tolerance_smooth_ramp():
+    # arbitrary content is LOSSY by design: a smooth ramp must survive
+    # quality-50 tables within a few code values (no wrap/edges)
+    encode_jpeg, decode_jpeg = _jpeg_codecs()
+    x = np.arange(40)[None, :]
+    y = np.arange(24)[:, None]
+    img = (20 + x * 2 + y * 3).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() <= 2.5
+    img3 = np.stack([img, 255 - img, np.full_like(img, 99)], axis=2)
+    dec3 = decode_jpeg(encode_jpeg(img3, "444"))
+    err3 = np.abs(dec3.astype(int) - img3.astype(int))
+    assert err3.max() <= 12 and err3.mean() <= 3.0
+
+
+def test_jpeg_420_odd_dimensions():
+    # 2x2-subsampled chroma + odd dims exercises the multi-block MCU
+    # walk, edge padding, and replication upsampling
+    encode_jpeg, decode_jpeg = _jpeg_codecs()
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(19, 27, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, "420"))
+    assert dec.shape == (19, 27, 3)
+    # noise is the worst case for 4:2:0 — bound the MEAN drift, not max
+    assert abs(float(dec.mean()) - float(img.mean())) < 16
+
+
+def test_jpeg_decodes_external_tool_file():
+    """tests/data/external_ref.jpg is a libjpeg-era BASELINE file with
+    DRI/RSTn restart markers — decoding it proves the Huffman tables,
+    byte un-stuffing, restart handling, and MCU walk read real-world
+    streams, not just this encoder's output."""
+    import pathlib
+
+    _, decode_jpeg = _jpeg_codecs()
+    data = (pathlib.Path(__file__).parent / "data" / "external_ref.jpg").read_bytes()
+    px = decode_jpeg(data)
+    assert px.shape == (161, 161, 3)
+    # the flower-of-life drawing is dark lines on a white page: high
+    # mean, full-range contrast — a garbled entropy stream shows up as
+    # mid-gray noise and fails both bounds
+    assert px.mean() > 190
+    assert px.min() < 64 and px.max() > 240
+
+
+def test_jpeg_gates_and_errors():
+    encode_jpeg, decode_jpeg = _jpeg_codecs()
+    import struct as _s
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG1234")
+    good = encode_jpeg(np.full((8, 8), 100, np.uint8))
+    # flip SOF0 -> SOF2 (progressive) in place: marker byte after SOI
+    idx = good.find(b"\xff\xc0")
+    assert idx > 0
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(good[:idx + 1] + b"\xc2" + good[idx + 2:])
+    with pytest.raises(NotImplementedError, match="coding process"):
+        decode_jpeg(good[:idx + 1] + b"\xc9" + good[idx + 2:])
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), "422")
+
+
+def test_jpeg_restart_markers_round_trip():
+    """Inject a DRI segment + per-interval RSTn markers by re-encoding
+    through the writer path at MCU granularity is encoder surgery; the
+    external fixture covers real restarts. Here: the decoder must
+    IGNORE padding bits at segment end and handle multi-MCU grayscale
+    exactly (DC diff chain across 12 blocks)."""
+    encode_jpeg, decode_jpeg = _jpeg_codecs()
+    blocks = (np.arange(12, dtype=np.uint8).reshape(3, 4) * 20)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(dec[:, :, 0], img)

@@ -268,3 +268,576 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if sample_rate is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
     return sample_rate, n_channels, np.frombuffer(pcm, dtype="<i2")
+
+
+# --------------------------------------------------------------- JPEG
+# Baseline sequential DCT JPEG (ITU T.81 / ISO 10918-1), round 9: the
+# format a real web corpus hits most, decoded from spec with numpy
+# alone — Huffman entropy decode (with byte stuffing and RSTn restart
+# markers), dequantization, 8x8 IDCT, sampling-factor MCU walk with
+# replication chroma upsampling, and the BT.601 YCbCr->RGB transform.
+# Supported: SOF0/SOF1 (baseline + extended sequential Huffman), 8-bit,
+# 1 or 3 components, any sampling factors. Progressive (SOF2) and
+# arithmetic-coded (SOF9+) frames stay behind NotImplementedError by
+# design — the same scope stance as PNG's palette/16-bit/interlaced
+# gates. The encoder (4:4:4 or 4:2:0, standard Annex K quantization
+# and Huffman tables) exists so tests and the registry query can
+# synthesize spec-valid payloads deterministically; the decoder also
+# reads external-tool-encoded files (tests/data/external_ref.jpg, a
+# libjpeg-era baseline file WITH restart markers).
+
+#: zigzag scan: position i of the entropy stream -> flat 8x8 index
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Annex K.1/K.2 quantization tables (quality ~50), natural order
+_JPEG_QUANT_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_QUANT_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+#: Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+_JPEG_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+_JPEG_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+
+def _jpeg_dct_basis() -> np.ndarray:
+    """A[u, x] = C(u)/2 * cos((2x+1) u pi / 16): forward DCT is
+    A @ block @ A.T, inverse is A.T @ coefs @ A."""
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+def _huff_encode_table(bits, vals) -> dict:
+    """value -> (code, length) under canonical JPEG code assignment."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits, vals) -> dict:
+    """(length, code) -> value — the inverse of canonical assignment."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1-bits per spec
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs FF00, stops at markers;
+    ``restart()`` consumes an expected RSTn marker and re-aligns."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                # marker reached mid-read: per spec remaining bits are
+                # padding — feed 1-bits without consuming the marker
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+            else:
+                raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the next RSTn marker."""
+        self.acc, self.nbits = 0, 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker, hit end of stream")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/amplitude sign extension (T.81 F.12)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_category(v: int) -> int:
+    """Bit category of a DC diff / AC amplitude (T.81 F.1.2.1.2)."""
+    a, t = abs(v), 0
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """BT.601 full-range RGB -> YCbCr, rounded and clipped to uint8
+    (the JFIF transform)."""
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    out = np.stack([y, cb, cr], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    """BT.601 full-range YCbCr -> RGB, rounded and clipped to uint8."""
+    y = planes[:, :, 0].astype(np.float64)
+    cb = planes[:, :, 1].astype(np.float64) - 128.0
+    cr = planes[:, :, 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _jpeg_pad_edge(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate a 2-D plane to multiples of (bh, bw)."""
+    h, w = plane.shape
+    ph = (-h) % bh
+    pw = (-w) % bw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _jpeg_encode_block(writer: _JpegBitWriter, block: np.ndarray,
+                       quant: np.ndarray, pred_dc: int,
+                       dc_tab: dict, ac_tab: dict,
+                       basis: np.ndarray) -> int:
+    """Forward DCT + quantize + zigzag + Huffman one 8x8 block; returns
+    the new DC predictor."""
+    coefs = basis @ (block.astype(np.float64) - 128.0) @ basis.T
+    q = np.round(coefs / quant).astype(np.int64).ravel()
+    zz = q[list(_JPEG_ZIGZAG)]
+    dc = int(zz[0])
+    diff = dc - pred_dc
+    t = _jpeg_category(diff)
+    code, ln = dc_tab[t]
+    writer.write(code, ln)
+    if t:
+        amp = diff if diff >= 0 else diff + (1 << t) - 1
+        writer.write(amp, t)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        t = _jpeg_category(v)
+        code, ln = ac_tab[(run << 4) | t]
+        writer.write(code, ln)
+        amp = v if v >= 0 else v + (1 << t) - 1
+        writer.write(amp, t)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_tab[0x00]  # EOB
+        writer.write(code, ln)
+    return dc
+
+
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
+    """Baseline sequential JPEG from an (h, w) / (h, w, 1) grayscale or
+    (h, w, 3) RGB uint8 array, with Annex K quantization + Huffman
+    tables. ``subsampling``: "444" (no chroma subsampling — what the
+    oracle's exact-block corpus uses) or "420" (2x2 chroma average,
+    the dominant real-world layout — exercises the decoder's
+    multi-block MCU walk). Grayscale ignores subsampling."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    if pixels.ndim != 3 or pixels.shape[2] not in (1, 3):
+        raise ValueError("expected (h, w[, 1|3]) uint8 array")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling}")
+    h, w, nc = pixels.shape
+    basis = _jpeg_dct_basis()
+    ql = np.array(_JPEG_QUANT_LUMA, dtype=np.float64).reshape(8, 8)
+    qc = np.array(_JPEG_QUANT_CHROMA, dtype=np.float64).reshape(8, 8)
+    dc_l = _huff_encode_table(*_JPEG_DC_LUMA)
+    ac_l = _huff_encode_table(*_JPEG_AC_LUMA)
+    dc_c = _huff_encode_table(*_JPEG_DC_CHROMA)
+    ac_c = _huff_encode_table(*_JPEG_AC_CHROMA)
+
+    if nc == 1:
+        comps = [(1, 1, 1, 0)]  # (id, hs, vs, quant table)
+        planes = [pixels[:, :, 0]]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        if subsampling == "444":
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+        else:
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            y = ycc[:, :, 0]
+            # 2x2 box average on the edge-padded plane
+            planes = [y]
+            for c in (1, 2):
+                p = _jpeg_pad_edge(ycc[:, :, c], 2, 2).astype(np.uint32)
+                sub = (p[0::2, 0::2] + p[0::2, 1::2]
+                       + p[1::2, 0::2] + p[1::2, 1::2] + 2) // 4
+                planes.append(sub.astype(np.uint8))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    padded = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        # pad each plane so the MCU grid divides it exactly
+        mw = 8 * hs * ((w + 8 * hmax - 1) // (8 * hmax))
+        mh = 8 * vs * ((h + 8 * vmax - 1) // (8 * vmax))
+        p = _jpeg_pad_edge(plane, 8, 8)
+        if p.shape[0] < mh or p.shape[1] < mw:
+            p = np.pad(p, ((0, mh - p.shape[0]), (0, mw - p.shape[1])),
+                       mode="edge")
+        padded.append(p)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    writer = _JpegBitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                quant = ql if tq == 0 else qc
+                dc_tab = dc_l if tq == 0 else dc_c
+                ac_tab = ac_l if tq == 0 else ac_c
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = padded[ci][y0:y0 + 8, x0:x0 + 8]
+                        preds[ci] = _jpeg_encode_block(
+                            writer, block, quant, preds[ci],
+                            dc_tab, ac_tab, basis)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz = list(_JPEG_ZIGZAG)
+    out += seg(0xDB, bytes([0x00]) + bytes(_JPEG_QUANT_LUMA[i] for i in zz))
+    if nc == 3:
+        out += seg(0xDB, bytes([0x01]) + bytes(_JPEG_QUANT_CHROMA[i] for i in zz))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid, hs, vs, tq in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, tq)
+    out += seg(0xC0, sof)
+    for tc_th, (bits, vals) in (
+        ((0x00,) , _JPEG_DC_LUMA), ((0x10,), _JPEG_AC_LUMA),
+    ) if nc == 1 else (
+        ((0x00,), _JPEG_DC_LUMA), ((0x10,), _JPEG_AC_LUMA),
+        ((0x01,), _JPEG_DC_CHROMA), ((0x11,), _JPEG_AC_CHROMA),
+    ):
+        out += seg(0xC4, bytes(tc_th) + bytes(bits) + bytes(vals))
+    sos = struct.pack(">B", nc)
+    for i, (cid, hs, vs, tq) in enumerate(comps):
+        td_ta = 0x00 if tq == 0 else 0x11
+        sos += struct.pack(">BB", cid, td_ta)
+    sos += b"\x00\x3f\x00"  # Ss, Se, Ah/Al
+    out += seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_decode_huffman(reader: _JpegBitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | reader.read_bit()
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """(h, w, 1) grayscale or (h, w, 3) RGB uint8 array from a baseline
+    sequential JPEG: marker walk, DQT/DHT table load, Huffman entropy
+    decode with byte un-stuffing and RSTn restart handling, dequantize
+    + dezigzag + 8x8 IDCT, sampling-factor MCU placement, replication
+    chroma upsampling, BT.601 YCbCr->RGB. Progressive (SOF2),
+    arithmetic (SOF9+), 12-bit, and 4-component (CMYK) frames raise
+    NotImplementedError by design."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    quants: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tbl = np.zeros(64, dtype=np.float64)
+                for i, z in enumerate(_JPEG_ZIGZAG):
+                    tbl[z] = body[bp + 1 + i]
+                quants[tq] = tbl.reshape(8, 8)
+                bp += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 15
+                bits = tuple(body[bp + 1:bp + 17])
+                n = sum(bits)
+                vals = tuple(body[bp + 17:bp + 17 + n])
+                huffs[(tc, th)] = _huff_decode_table(bits, vals)
+                bp += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline + ext seq
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append([cid, hv >> 4, hv & 15, tq])
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in frame[2] if c[0] == cs)
+                scan.append((comp, tdta >> 4, tdta & 15))
+            if ns != len(frame[2]):
+                raise NotImplementedError("multi-scan JPEG")
+            return _jpeg_decode_scan(
+                data, pos + 2 + ln, frame, scan, quants, huffs,
+                restart_interval)
+        pos += 2 + ln
+    raise ValueError("no SOS marker in JPEG stream")
+
+
+def _jpeg_decode_scan(data, pos, frame, scan, quants, huffs,
+                      restart_interval) -> np.ndarray:
+    h, w, comps = frame
+    basis = _jpeg_dct_basis()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for comp, _, _ in scan:
+        _, hs, vs, _ = comp
+        planes.append(np.zeros((8 * vs * mcus_y, 8 * hs * mcus_x),
+                               dtype=np.uint8))
+    reader = _JpegBitReader(data, pos)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                reader.restart()
+                preds = [0] * len(scan)
+            mcu_count += 1
+            for ci, (comp, td, ta) in enumerate(scan):
+                _, hs, vs, tq = comp
+                quant = quants[tq]
+                dc_tab = huffs[(0, td)]
+                ac_tab = huffs[(1, ta)]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = _jpeg_decode_huffman(reader, dc_tab)
+                        diff = _jpeg_extend(reader.receive(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_huffman(reader, ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overrun")
+                            zz[k] = _jpeg_extend(reader.receive(s), s)
+                            k += 1
+                        coefs = np.zeros(64, dtype=np.float64)
+                        coefs[list(_JPEG_ZIGZAG)] = zz
+                        block = basis.T @ (coefs.reshape(8, 8) * quant) @ basis
+                        px = np.clip(np.round(block + 128.0), 0, 255)
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px.astype(np.uint8)
+    full = []
+    for (comp, _, _), plane in zip(scan, planes):
+        _, hs, vs, _ = comp
+        if hs != hmax or vs != vmax:  # replication upsample
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return full[0][:, :, None].copy()
+    return _ycbcr_to_rgb(np.stack(full, axis=2))

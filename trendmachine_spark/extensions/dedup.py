@@ -917,44 +917,73 @@ def simhash_near_dup(docs: DataFrame, text_col: str = "text",
     guarantees they agree on at least one band — banding is EXACT here
     (no recall loss), unlike minhash LSH's probabilistic banding.
 
-    Shape mirrors :func:`minhash_near_dup`: narrow ``stack`` reshape of
-    the fingerprint table, equi-join on (band, band_value), then the
-    hamming verify is a narrow xor+bit_count on the joined rows — no
-    second pass over the corpus. One shuffle for the fingerprint
-    groupBy, one for the bucket join.
+    Shape (round 9): the band join runs on DISTINCT fingerprints, not
+    docs. Replica/boilerplate families collapse to one fingerprint
+    each, and since two docs are within hamming ``max_hamming`` iff
+    their FINGERPRINTS are, the doc-pair output factors exactly into
+    (a) hamming-0 pairs WITHIN an identical-fingerprint group (a
+    self-join on the fingerprint value — emits each output pair once,
+    no distinct) and (b) cross-group pairs expanded from the qualifying
+    DISTINCT-fingerprint pairs (two member joins, broadcast when the
+    qualifying pair set is small — it is: banding + the hamming filter
+    prune hard). Measured at ×10 the doc-level band join emitted
+    453M candidate rows (max bucket 5,099 docs) where the distinct-
+    fingerprint join emits 2.3M (50k docs -> 4,782 fingerprints) — a
+    195× candidate collapse; the remaining quadratic term is the
+    OUTPUT itself (112M pairs at ×10 — exact-dup families are
+    quadratic in pair form by definition; pipelines that only need
+    keepers should consume dedup_clusters instead). Pigeonhole
+    exactness is preserved: hamming(f1,f2) <= max_hamming implies f1
+    and f2 agree on >= 1 band, so the distinct-fingerprint candidates
+    lose nothing the doc-level join had.
 
     Output: (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
     """
     assert bands > max_hamming, "exactness needs bands > max_hamming"
     width = bits // bands
     mask = (1 << width) - 1
-    # the fingerprint table feeds BOTH self-join sides; without
-    # materialization the corpus explode+agg subtree instantiates per
-    # side (the minhash_near_dup band-table lesson) — measured ~10 s of
-    # the 62 s x10 wall (SCALE.md r8)
+    # the fingerprint table feeds the group agg, both within-group
+    # sides, and both expansion joins; without materialization the
+    # corpus explode+agg subtree instantiates per consumer (the
+    # minhash_near_dup band-table lesson, SCALE.md r8)
     fp = _materialize(simhash(docs, text_col, id_col, bits))
+    groups = fp.select("simhash").distinct()
     stack_expr = "stack({}, {}) as (band, bv)".format(
         bands,
         ", ".join(
             f"{b}, shiftright(simhash, {b * width}) & {mask}L" for b in range(bands)
         ),
     )
-    buckets = fp.selectExpr(id_col, "simhash", stack_expr)
-    a = buckets.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "band", "bv"
-    )
-    b = buckets.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "band", "bv"
-    )
-    return (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sa", "_sb")
+    buckets = groups.selectExpr("simhash", stack_expr)
+    fa = buckets.select(F.col("simhash").alias("_fa"), "band", "bv")
+    fb = buckets.select(F.col("simhash").alias("_fb"), "band", "bv")
+    fpairs = (
+        fa.join(fb, ["band", "bv"])
+        .filter(F.col("_fa") < F.col("_fb"))
+        .select("_fa", "_fb")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.expr("_sa ^ _sb")).cast("int"))
+        .withColumn("hamming", F.bit_count(F.expr("_fa ^ _fb")).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    ma = fp.select(F.col(id_col).alias("_ia"), F.col("simhash").alias("_fa"))
+    mb = fp.select(F.col(id_col).alias("_ib"), F.col("simhash").alias("_fb"))
+    cross = (
+        ma.join(fpairs, "_fa")
+        .join(mb, "_fb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    wa = fp.select(F.col(id_col).alias("id_a"), "simhash")
+    wb = fp.select(F.col(id_col).alias("id_b"), "simhash")
+    within = (
+        wa.join(wb, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Driver-mandated extension (SURVEY.md §2.6). The *decode* step runs for
-REAL on the two formats simple enough to decode from spec without
-PIL/librosa/ffmpeg — uncompressed 24-bit BMP and RIFF PCM WAV
-(``extensions/codecs.py``) — with ``NotImplementedError`` reserved for
-genuinely exotic codecs (JPEG/MP4/...). The historical deterministic-
-fake path remains for oracled metadata flows over text-derived assets.
+REAL on the formats decodable from spec without PIL/librosa/ffmpeg —
+uncompressed 24-bit BMP, RIFF PCM WAV, 8-bit truecolor PNG (round 7)
+and baseline sequential JPEG (round 9) — all in
+``extensions/codecs.py``, with ``NotImplementedError`` reserved for
+the genuinely gated variants (progressive/arithmetic JPEG, palette/
+16-bit/interlaced PNG, MP4/...). The historical deterministic-fake
+path remains for oracled metadata flows over text-derived assets.
 Spark-side plumbing is identical either way: binary columns, typed
 metadata structs, Arrow-batched ``mapInPandas`` with an explicit output
 schema, and partition-count-preserving flow.
@@ -319,6 +321,47 @@ def synthetic_png_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(run, schema=REAL_ASSET_SCHEMA)
 
 
+def synthetic_jpeg_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads per doc id (round 9):
+    grayscale, width 8*(1+id%4), height 8*(1+id%3), each 8x8 block
+    constant at the EVEN value v(bx,by) = 2*((bx*5 + by*11 + id) % 128).
+    Constant blocks have a DC-only spectrum and even values make the
+    level-shifted DC divisible by the Annex-K luma quantizer (q00=16),
+    so the lossy codec reconstructs these payloads BIT-EXACTLY — which
+    is what lets a closed-form SQL oracle check the full Huffman/IDCT
+    round trip (the same trick as the PNG generator formulas; arbitrary
+    content stays tolerance-tested in units, where lossiness belongs).
+    The bytes are spec-valid files: the decoder also reads external
+    libjpeg-encoded baselines with restart markers and 4:2:0 sampling
+    (tests/data/external_ref.jpg)."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads, types = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                bw, bh = 1 + d % 4, 1 + d % 3
+                bx = np.arange(bw)[None, :]
+                by = np.arange(bh)[:, None]
+                blocks = (2 * ((bx * 5 + by * 11 + d) % 128)).astype(np.uint8)
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                ids.append(d)
+                payloads.append(codecs.encode_jpeg(img))
+                types.append("image/jpeg")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "media_type": pd.Series(types, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, schema=REAL_ASSET_SCHEMA)
+
+
 def decode_assets_real(assets: DataFrame) -> DataFrame:
     """REAL decode: sniff the payload magic, parse BMP/WAV from spec,
     and emit typed metadata plus a position/channel-weighted integer
@@ -356,6 +399,15 @@ def decode_assets_real(assets: DataFrame) -> DataFrame:
                     if c == 4:
                         mixed = mixed + 4 * px[:, :, 3]
                     vals = (did, "png", w, h, c, 0, 0, int((wgt * mixed).sum()))
+                elif b[:2] == b"\xff\xd8":
+                    px = codecs.decode_jpeg(b).astype(np.int64)
+                    h, w, c = px.shape
+                    wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
+                    if c == 1:  # grayscale: the weighted Y sum
+                        mixed = px[:, :, 0]
+                    else:
+                        mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
+                    vals = (did, "jpeg", w, h, c, 0, 0, int((wgt * mixed).sum()))
                 elif b[:4] == b"RIFF":
                     rate, _nch, samples = codecs.decode_wav(b)
                     s = samples.astype(np.int64)

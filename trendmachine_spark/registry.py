@@ -3681,6 +3681,55 @@ def q_multimodal_decode_png(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_jpeg",
+    # Closed-form twin of the baseline-JPEG byte-level round trip
+    # (round 9, the 101st oracle — the one that flipped the rotation to
+    # period 3): the Spark side encodes spec-valid grayscale baseline
+    # JPEGs from doc_id (every 8x8 block constant at an EVEN value, so
+    # the DC-only spectrum quantizes exactly under the Annex-K q00=16
+    # and the lossy codec reconstructs BIT-EXACTLY — see
+    # synthetic_jpeg_assets), decodes them back through the Huffman/
+    # dequant/IDCT path, and emits the weighted checksum of the DECODED
+    # pixels; the oracle computes the same sums from the block-value
+    # formula v(bx,by) = 2*((bx*5 + by*11 + id) % 128). Any Huffman-
+    # table/bit-stuffing/zigzag/IDCT/placement bug shifts value_sum.
+    """WITH ids AS (SELECT doc_id FROM documents),
+    px AS (
+      SELECT d.doc_id, x.x, y.y,
+             2 * (((x.x // 8) * 5 + (y.y // 8) * 11 + d.doc_id) % 128) AS v
+      FROM ids d,
+           generate_series(0, 31) AS x(x),
+           generate_series(0, 23) AS y(y)
+      WHERE x.x < 8 * (1 + d.doc_id % 4) AND y.y < 8 * (1 + d.doc_id % 3)
+    )
+    SELECT doc_id, 'jpeg' AS media,
+           CAST(8 * (1 + doc_id % 4) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(0 AS INT) AS sample_rate,
+           CAST(0 AS BIGINT) AS n_samples,
+           CAST(sum((1 + (x + 2 * y) % 5) * v) AS BIGINT) AS value_sum
+    FROM px GROUP BY doc_id""",
+)
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    """REAL in-sandbox baseline-JPEG decode (round 9 — closes the r8
+    verdict's highest-frequency-format gap): marker walk, DQT/DHT
+    load, Huffman entropy decode with byte un-stuffing and RSTn
+    restart handling, dequantize + dezigzag + 8x8 IDCT, sampling-
+    factor MCU walk, inside Arrow-batched mapInPandas. The decoder
+    also reads external libjpeg-encoded baselines with restart markers
+    and 4:2:0 chroma (unit-tested against tests/data/external_ref.jpg);
+    progressive/arithmetic/12-bit stay behind documented
+    NotImplementedError."""
+    from trendmachine_spark.extensions.multimodal import (
+        decode_assets_real,
+        synthetic_jpeg_assets,
+    )
+
+    return decode_assets_real(synthetic_jpeg_assets(_docs(spark, sf_dir)))
+
+
+@register(
     "quality_score_trained",
     # Exact mirror of fit_quality_logit + apply: integer features and
     # label, hugeint training sums, the SAME symmetric-3x3 cofactor
@@ -4144,87 +4193,88 @@ _ROUND = 9
 #: Transition note: switching periods can leave a name unchecked for
 #: up to period+1 rounds across the flip (its old and new checked
 #: rounds need not be adjacent); flip at a round start, before pins.
-_PARITY_PERIOD = 2
+_PARITY_PERIOD = 3
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = []  # round 9: nothing changed yet — `rotate_window.py pin NAME` as queries change
+_WINDOW_PINNED: list[str] = [
+    "dedup_simhash_near_dup",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
+    "dedup_multi_signal",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
+    "dedup_ngram_jaccard",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
+    "dedup_containment",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
+    "lsh_bucket_health",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
+    "text_fingerprints",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
+    "text_pii_stats",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
+]
 
-#: frozen per-name demotion parity. A name in _DEMOTE_ODD is demoted
-#: (driver window: absent) in odd rounds and checked in even rounds;
-#: _DEMOTE_EVEN is the complement schedule. Every oracled query must
-#: appear in exactly one set — _demoted_for_round asserts it, CI
-#: enforces the disjoint/cover invariants. _WINDOW_PINNED overrides
-#: parity for the round a query changes (pinned names never demote).
+#: frozen per-name demotion CLASS (period 3 since r9 — the 101st
+#: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
+#: capacity). A name is driver-checked in rounds where
+#: _ROUND % 3 == its class and demoted otherwise: _DEMOTE_ODD is
+#: class 0 (checked r9, r12...), _DEMOTE_EVEN class 1 (r10, r13...),
+#: _DEMOTE_THIRD class 2 (r11, r14...). The set names are historical
+#: labels from the period-2 era; at the flip the two literals swapped
+#: CONTENTS so the incumbent schedule survived (see the in-set
+#: comments). Every oracled query must appear in exactly one set —
+#: _demoted_for_round asserts it, CI enforces the cycle-cover
+#: invariants. _WINDOW_PINNED overrides the class for the round a
+#: query changes (pinned names never demote).
 _DEMOTE_EVEN = frozenset({
-    # round-4 demoted set: checked r5 (odd), demoted again r6
-    "date_spine", "dedup_exact", "dedup_simhash_near_dup",
-    "event_sessionization", "gap_fill_backward", "gap_fill_forward",
-    "monthly_rollup", "multimodal_metadata", "periodic_samples",
-    "specimen_breakdown", "status_totals", "text_fingerprints",
-    "text_pii_stats", "text_quality_flags", "urim_projection",
-    "bpe_pair_stats", "chaos_ffill", "chunk_documents", "corpus_card",
-    "corpus_mix_temperature", "corpus_stats", "daily_moving_avg",
-    "dedup_embedding_cosine", "dedup_multi_signal", "dedup_semantic",
-    "event_asof_join", "event_props_stats", "event_retention",
-    "headline_metrics", "pack_sequences", "quality_score",
-    "salted_term_counts", "shipping_priority", "similarity_ivf_topk",
-    "text_term_stats", "top_revenue_customers", "transition_matrix",
-    # round-5 pinned (checked r5 via the pin; demotable from r6 on)
-    "substring_dup_report", "substring_dedup", "training_corpus_clean",
-    "dedup_ngram_jaccard", "dedup_containment", "similarity_ann_lsh",
-    "lsh_bucket_health",
-    # balance: moved from the checked-r4 half so both windows fit in 50
-    "capture_normalize", "daily_chaos", "daily_rollup",
-    # r8 rebalance: the 10 hand-added r7 ODD parities overfilled the even
-    # window (51 > 50); similarity_topk was driver-checked r7 (pinned), so
-    # EVEN parity keeps its every-other-round guarantee (checked r7/r9/...)
-    "similarity_topk",
-    # r8 rebalance for the new bpe_encode: dup_span_profile was
-    # driver-checked r7 (pinned), so EVEN parity keeps its
-    # every-other-round guarantee (checked r9/r11/...)
-    "dup_span_profile",
-    # r8 rebalance for the new redact_pii_planted: same reasoning —
-    # dup_span_histogram was driver-checked r7 (pinned). NOTE: the pool
-    # is now AT the 50+50 parity capacity (100 oracled); a 101st
-    # oracled query cannot keep the every-other-round guarantee under
-    # the driver's 50-entry window — future additions must replace an
-    # existing oracle, go rows-only, or move the pool to 3-round parity
-    "dup_span_histogram",
+    # class 1 (checked when _ROUND % 3 == 1: r10, r13...): the old ODD
+    # set (driver-checked r8) minus region_revenue (seeded class 2),
+    # plus the 101st oracle multimodal_decode_jpeg (new r9: CI-exact
+    # r9 at both SFs, driver r10 — the r7 new-query precedent; the
+    # full r9 window had no pin slot: 50 incumbents + it = 51).
+    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges", "chaos_melt",
+    "content_value_counts", "corpus_decontaminate",
+    "corpus_sample_stratified", "dedup_clusters",
+    "dedup_clusters_ensemble", "dedup_embedding_cosine_bucketed",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_segments",
+    "dedup_semantic_keepers", "dedup_simhash", "embedding_outliers",
+    "event_funnel", "event_range_join", "event_session_windows",
+    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
+    "lm_familiarity", "minhash_accuracy", "multimodal_decode_jpeg",
+    "multimodal_decode_png", "multimodal_decode_real",
+    "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_resize_real", "packed_text", "pricing_summary",
+    "quality_score_trained", "redact_pii", "redact_pii_planted",
+    "session_stats", "status_month_cube", "substring_dup_report_fine",
+    "suffix_group_stats", "summary_stats", "text_lang_id", "text_profile",
+    "text_repetition_stats", "top_quality_docs", "training_corpus",
+    "training_corpus_safe", "training_corpus_segmented", "training_shards",
+    "transition_matrix_filled", "vocab_coverage",
 })
 _DEMOTE_ODD = frozenset({
-    "substring_dup_report_fine",  # new r6 (pinned r6; rotates from r7)
-    "bpe_encode",  # new r8 (pinned r8; rotates from r9)
-    "redact_pii_planted",  # new r8 (pinned r8; rotates from r9)
-    "suffix_group_stats",  # new r7; window full — CI-only r7, driver r8
-    "multimodal_decode_png",  # new r7; window full — CI-only r7, driver r8
-    "quality_score_trained",  # new r7; window full — CI-only r7, driver r8
-    "bpe_train_merges",  # new r7; window full — CI-only r7, driver r8
-    "bpe_segmented_vocab",  # new r7; window full — CI-only r7, driver r8
-    "lm_familiarity",  # new r7; window full — CI-only r7, driver r8
-    "redact_pii",  # new r7; window full — CI-only r7, driver r8
-    "training_shards",  # new r7; window full — CI-only r7, driver r8
-    "chaos_melt", "content_value_counts", "corpus_decontaminate",
-    "corpus_sample_stratified", "dedup_clusters", "dedup_clusters_ensemble",
-    "dedup_embedding_cosine_bucketed", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_segments", "dedup_semantic_keepers",
-    "dedup_simhash", "embedding_outliers", "event_funnel",
-    "event_range_join", "event_session_windows", "first_last_capture",
-    "gap_fill_closest", "gap_fill_identical", "minhash_accuracy",
-    "multimodal_decode_real", "multimodal_frame_sample",
-    "multimodal_resize", "multimodal_resize_real", "packed_text",
-    "pricing_summary", "region_revenue", "session_stats",
-    "status_month_cube", "summary_stats",
-    "text_lang_id", "text_profile", "text_repetition_stats",
-    "top_quality_docs", "training_corpus", "training_corpus_safe",
-    "training_corpus_segmented", "transition_matrix_filled",
-    "vocab_coverage",
+    # PERIOD-3 FLIP (r9): contents SWAPPED with _DEMOTE_EVEN so the
+    # incumbent schedule survived the flip — the names due for their
+    # driver check in r9 under period 2 (the old EVEN set) stayed due.
+    # The variable names are CLASS LABELS now, not round parities:
+    # _DEMOTE_ODD = class 0 (checked when _ROUND % 3 == 0: r9, r12...).
+    "bpe_pair_stats", "capture_normalize", "chaos_ffill",
+    "chunk_documents", "corpus_card", "corpus_mix_temperature",
+    "corpus_stats", "daily_chaos", "daily_moving_avg", "daily_rollup",
+    "date_spine", "dedup_containment", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_multi_signal", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash_near_dup", "dup_span_histogram",
+    "dup_span_profile", "event_asof_join", "event_props_stats",
+    "event_retention", "event_sessionization", "gap_fill_backward",
+    "gap_fill_forward", "headline_metrics", "lsh_bucket_health",
+    "monthly_rollup", "multimodal_metadata", "pack_sequences",
+    "periodic_samples", "quality_score", "salted_term_counts",
+    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
+    "similarity_topk", "specimen_breakdown", "status_totals",
+    "substring_dedup", "substring_dup_report", "text_fingerprints",
+    "text_pii_stats", "text_quality_flags", "text_term_stats",
+    "top_revenue_customers", "training_corpus_clean", "transition_matrix",
+    "urim_projection",
 })
 
 
 #: third rotation class — EMPTY (and unused) while _PARITY_PERIOD == 2.
 #: Under period 3 these names are driver-checked when _ROUND % 3 == 2.
-_DEMOTE_THIRD: frozenset = frozenset()
+_DEMOTE_THIRD: frozenset = frozenset({
+    "region_revenue",  # class-2 seed at the r9 flip (checked r11, r14...)
+})
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
 #: period 3 (period 2's disjointness makes it redundant); feeds the
