@@ -70,25 +70,29 @@ def test_pin_validates_against_real_registry_keys():
         assert impostor not in names
 
 
-def test_assign_targets_smaller_parity_set_and_rejects_dupes():
+def test_assign_targets_smallest_class_and_rejects_dupes():
     out = assign_text(SRC, "brand_new_query")
     ast.parse(out)
-    even = _names(re.search(r"_DEMOTE_EVEN = frozenset\(\{\n(.*?)^\}\)", SRC,
-                            re.M | re.S).group(1))
-    odd = _names(re.search(r"_DEMOTE_ODD = frozenset\(\{\n(.*?)^\}\)", SRC,
-                           re.M | re.S).group(1))
-    # on a size tie (the permanent state since r8: the pool sits AT the
-    # 50+50 parity capacity) the tool's min() deterministically picks
-    # _DEMOTE_EVEN, the first key — mirror that; the registry's
-    # import-time window asserts are what actually refuse an
-    # over-capacity assignment when the rewrite is applied for real
-    smaller = "_DEMOTE_EVEN" if len(even) <= len(odd) else "_DEMOTE_ODD"
-    block = re.search(smaller + r" = frozenset\(\{\n(.*?)^\}\)", out,
-                      re.M | re.S).group(1)
+    period = int(re.search(r"^_PARITY_PERIOD = (\d+)$", SRC, re.M).group(1))
+    labels = ["_DEMOTE_EVEN", "_DEMOTE_ODD"] + (
+        ["_DEMOTE_THIRD"] if period >= 3 else [])
+    sizes = {}
+    for label in labels:
+        m = re.search(label + r"(?::[^\n=]+)? = frozenset\((?:\)|\{\n.*?^\}\))",
+                      SRC, re.M | re.S)
+        sizes[label] = len(_names(m.group(0)))
+    # min() ties break by the first label in the tool's order
+    smallest = min(sizes, key=lambda k: sizes[k])
+    block = re.search(
+        smallest + r"(?::[^\n=]+)? = frozenset\((?:\)|\{\n.*?^\}\))",
+        out, re.M | re.S).group(0)
     assert "brand_new_query" in _names(block)
-    # a name that already has a parity is refused
+    # a name that already has a class is refused
+    assigned = _names(re.search(
+        r"_DEMOTE_EVEN = frozenset\(\{\n(.*?)^\}\)", SRC,
+        re.M | re.S).group(1))
     try:
-        assign_text(SRC, sorted(even)[0])
+        assign_text(SRC, sorted(assigned)[0])
     except SystemExit:
         pass
     else:

@@ -1029,7 +1029,9 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """
     assert seg_words >= 1
     words = F.split(F.col(text_col), " ")
-    base = docs.select(F.col(id_col), words.alias("_w"))
+    base = rebalance_for_fanout(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), words.alias("_w"))
     nseg = F.floor((F.size("_w") + (seg_words - 1)) / seg_words).cast("int")
     # try_element_at, not element_at: the last segment is partial, and
     # under ANSI mode an out-of-bounds element_at raises instead of
@@ -1081,7 +1083,9 @@ def window_occurrences(docs: DataFrame, text_col: str = "text",
     token position, in the codegen explode idiom of :func:`shingles`
     (index sequence + ``element_at``, no higher-order functions)."""
     words = F.split(F.col(text_col), " ")
-    base = docs.select(F.col(id_col), words.alias("_w")).filter(
+    base = rebalance_for_fanout(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), words.alias("_w")).filter(
         F.size("_w") >= win
     )
     idx = base.select(
@@ -1166,7 +1170,9 @@ def suffix_match_lengths(docs: DataFrame, text_col: str = "text",
     disables the guard (small corpora / tests).
     """
     words = F.split(F.col(text_col), " ")
-    base = docs.select(F.col(id_col), words.alias("_w")).filter(
+    base = rebalance_for_fanout(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), words.alias("_w")).filter(
         F.size("_w") >= min_span
     )
     occ = base.select(
@@ -1562,7 +1568,9 @@ def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (win - 1))).alias("pos"),
     ).distinct()
     words = F.split(F.col(text_col), " ")
-    toks = docs.select(F.col(id_col), F.posexplode(words).alias("_p0", "tok"))
+    toks = rebalance_for_fanout(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), F.posexplode(words).alias("_p0", "tok"))
     toks = toks.select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "tok")
     kept = toks.join(covered, [id_col, "pos"], "left_anti")
     reassembled = kept.groupBy(id_col).agg(

@@ -51,6 +51,9 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     stop = F.regexp_count(
         F.concat(F.lit(" "), F.col(text_col), F.lit(" ")), F.lit(stop_re)
     )
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    docs = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col)))
     return docs.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
@@ -89,6 +92,9 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         lang: F.size(F.filter(words, member_of(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    docs = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col)))
     d = docs.select(F.col(id_col), *[v.alias(f"s_{k}") for k, v in scores.items()])
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"s_{k}") for k in langs])
@@ -324,6 +330,9 @@ def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     inputs). tf is a ratio of exact integers; idf itself (ln(N/df)) is
     left to the caller because libm log() is not bit-identical across
     engines — the oracle checks the exact parts."""
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    docs = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col)))
     words = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n_term"))
     doc_len = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_doc"))
@@ -359,13 +368,18 @@ def quality_score(docs: DataFrame, text_col: str = "text",
 
     score = bias + w·features, all exact double arithmetic (ratios of
     exact integers, one fixed evaluation order) — engine-portable, no
-    libm. ``keep_quality`` thresholds it. Zero-exchange projection:
+    libm. ``keep_quality`` thresholds it. Zero-key-exchange projection
+    (under-split scans get the conditional fan-out rebalance):
     composes with the corpus funnel on the same scan; ``keep_cols``
     carries extra columns through so downstream per-group selection
     needs no self-join back to the corpus.
     """
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
     score = quality_score_col(text_col)
-    return docs.select(
+    # full-row rebalance (keep_cols ride along); conditional no-op at
+    # real multi-split scale — see rebalance_for_fanout
+    return rebalance_for_fanout(docs).select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         score.alias("quality"),
@@ -419,9 +433,12 @@ def _quality_logit_features(docs: DataFrame, text_col: str, id_col: str):
     integer form (5*n_distinct >= n_words ⟺ distinct_ratio >= 0.2 —
     no float boundary), so label and features are engine-portable
     integers."""
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
     words = F.split(F.col(text_col), " ")
     nw = F.size(words).cast("long")
     nd = F.size(F.array_distinct(words)).cast("long")
+    docs = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col)))
     return docs.select(
         F.col(id_col),
         F.expr(f"({QUALITY_FEAT_SCALE} * size(array_distinct(split({text_col}, ' ')))) "
@@ -552,7 +569,10 @@ def bpe_pair_stats(docs: DataFrame, text_col: str = "text",
     second stage's input is a few hundred million short rows regardless
     of corpus size. All codegen; no joins, no windows.
     """
-    words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    words = rebalance_for_fanout(docs.select(F.col(text_col))).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word"))
     wc = (
         words.filter(F.length("word") > 0)
         .groupBy("word")
@@ -613,7 +633,10 @@ def _bpe_loop(docs: DataFrame, merges: int, text_col: str, eow: str):
 
     if merges < 1:
         raise ValueError(f"merges must be >= 1, got {merges}")
-    words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    words = rebalance_for_fanout(docs.select(F.col(text_col))).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word"))
     wc = (
         words.filter(F.length("word") > 0)
         .groupBy("word")
@@ -758,12 +781,14 @@ def bpe_encode_docs(docs: DataFrame, merges: int = 8,
     stopword partitions). The per-doc groupBy is one map-combined
     exchange.
     """
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
     vocab, _ = _bpe_loop(docs, merges, text_col, eow)
     seg = vocab.select(
         "word",
         F.size(F.split(F.col("syms"), "  ")).cast("long").alias("word_tokens"),
     )
-    words = docs.select(
+    words = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).filter(F.length("word") > 0)
     return (
@@ -890,7 +915,10 @@ def vocab_coverage(docs: DataFrame, top_k: int = 1000,
     normally a scale-killer — is bounded by the parameter, not the
     data. The corpus total rides in as a broadcast scalar.
     """
-    words = docs.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    words = rebalance_for_fanout(docs.select(F.col(text_col))).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term"))
     wc = (
         words.filter(F.length("term") > 0)
         .groupBy("term")
@@ -927,17 +955,23 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 32, overlap: int = 8,
     ``start_pos`` 0-based word offset, ``n_tokens`` the actual words in
     the chunk.
 
-    Shape: ZERO exchanges — split + exploded index sequence +
+    Shape: ZERO key exchanges — split + exploded index sequence +
     ``element_at`` per offset (codegen, the ``shingles`` idiom;
-    trailing NULLs give the partial last chunk for free). Row growth is
+    trailing NULLs give the partial last chunk for free); an
+    under-split scan gets the conditional fan-out rebalance
+    (:func:`~trendmachine_spark.extensions.dedup.rebalance_for_fanout`,
+    a no-op at real multi-split scale). Row growth is
     the only cost: ~n/stride rows per doc, each a narrow projection.
     At 100 TB this is a pure map stage that pipelines into whatever
     sink or embedding step follows; no state, no skew surface.
     """
     assert 0 <= overlap < chunk_words
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
     stride = chunk_words - overlap
     words = F.split(F.col(text_col), " ")
-    base = docs.select(F.col(id_col), words.alias("_w"), F.size(words).alias("_n"))
+    src = rebalance_for_fanout(docs.select(F.col(id_col), F.col(text_col)))
+    base = src.select(F.col(id_col), words.alias("_w"), F.size(words).alias("_n"))
     n_extra = F.greatest(F.col("_n") - chunk_words, F.lit(0))
     n_chunks = (F.lit(1) + F.floor((n_extra + (stride - 1)) / stride)).cast("int")
     start = (F.col("chunk_id") * stride).alias("start_pos")
@@ -990,7 +1024,11 @@ def corpus_card(docs: DataFrame, group_col: str = "source",
     Composing per-expression rather than per-DataFrame is what keeps
     the card single-pass.
     """
-    base = docs.select(
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    base = rebalance_for_fanout(
+        docs.select(F.col(group_col), F.col(id_col), F.col(text_col))
+    ).select(
         F.col(group_col).alias("grp"),
         F.col(id_col),
         F.length(text_col).alias("_chars"),
@@ -1050,8 +1088,12 @@ def corpus_stats(docs: DataFrame, group_col: str = "source",
     accept the range-sort — n_docs/total_tokens/mean stay one
     map-combined pass either way.
     """
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
     n_tok = F.size(F.split(F.col(text_col), " "))
-    base = docs.select(
+    base = rebalance_for_fanout(
+        docs.select(F.col(group_col), F.col(id_col), F.col(text_col))
+    ).select(
         F.col(group_col).alias("grp"),
         F.col(id_col),
         F.length(text_col).alias("_chars"),

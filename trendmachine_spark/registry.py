@@ -4205,6 +4205,18 @@ _WINDOW_PINNED: list[str] = [
     "lsh_bucket_health",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
     "text_fingerprints",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
     "text_pii_stats",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
+    "chunk_documents",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "corpus_card",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "corpus_stats",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "text_term_stats",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "salted_term_counts",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "quality_score",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "bpe_pair_stats",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "substring_dup_report",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "substring_dedup",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "training_corpus_clean",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "dup_span_profile",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
+    "dup_span_histogram",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
