@@ -34,6 +34,9 @@ EXPLAINED_REGRESSIONS: dict[str, str] = {
     # the timed window; r7 reversed it (driver-side probe matrix) and
     # wrote the attribution — kept as the worked example of the format.
     "similarity_topk": "similarity_topk sf0.1 regression attribution",
+    # r9: untouched floor-trio query, +0.22 s on a ~0.46 s action-floor
+    # wall — host variance, attributed with the git-diff evidence
+    "pricing_summary": "pricing_summary r9 drift attribution",
 }
 
 REL_THRESHOLD = 1.30

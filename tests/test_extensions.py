@@ -1456,3 +1456,34 @@ def test_ann_topk_edges_after_vectorization(spark):
     bk = {r["vid"]: r["bucket"] for r in
           srp_buckets(quantize_embeddings(emb), n_planes=4).collect()}
     assert bk[2] == "0000"  # zero projections tie to bit 0, deterministic
+
+
+def test_rebalance_for_fanout_gates(spark, docs, monkeypatch):
+    """Both gates of the fan-out rebalance, pinned: (a) a tiny input
+    (every test corpus) is a STRUCTURAL no-op — same object back, no
+    exchange; (b) past the size gate, an under-split input gains a
+    round-robin repartition (and values are unchanged); (c) an input
+    already at session parallelism passes through even past the size
+    gate."""
+    from trendmachine_spark.extensions import dedup
+
+    src = docs.select("doc_id", "text")
+    # (a) size gate: the sf-test corpus estimate is far below 1 MiB
+    assert dedup.rebalance_for_fanout(src) is src
+    # (b) force the size gate open: under-split input gets repartitioned
+    monkeypatch.setattr(dedup, "REBALANCE_MIN_BYTES", 0)
+    one = src.coalesce(1)
+    out = dedup.rebalance_for_fanout(one)
+    assert out is not one
+    assert out.rdd.getNumPartitions() == int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, one.collect()))
+    # (c) parallelism gate: already-wide input passes through untouched
+    wide = src.repartition(64)
+    assert dedup.rebalance_for_fanout(wide) is wide
+    # and the operators' values are identical with the rebalance forced
+    # on vs off (the parity sweep proves this corpus-wide; pin one here)
+    forced = dedup.minhash_near_dup(docs)
+    monkeypatch.setattr(dedup, "REBALANCE_MIN_BYTES", 1 << 60)
+    plain = dedup.minhash_near_dup(docs)
+    assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, plain.collect()))

@@ -58,12 +58,21 @@ def main() -> None:
     # 1. final sf0.1 bench (refreshes BENCH_DETAIL_sf0.1.json)
     _run([sys.executable, "bench.py"], capture=True)
 
-    # 2. snapshot into the drift gate's history
+    # 2. the correctness + drift gates — BEFORE the snapshot, so the
+    # drift test diffs this round's final numbers against the PREVIOUS
+    # round's snapshot (snapshotting first would make it a self-diff —
+    # the bug this comment is the fix for)
+    if not skip_tests:
+        _run([sys.executable, "-m", "pytest",
+              "tests/test_oracle_parity.py", "tests/test_bench_drift.py",
+              "-q"])
+
+    # 3. snapshot into the drift gate's history
     snap = ROOT / "tools" / "bench_history" / f"r{_ROUND:02d}_sf0.1.json"
     shutil.copy(ROOT / "BENCH_DETAIL_sf0.1.json", snap)
     print(f"[round_close] snapshot -> {snap.relative_to(ROOT)}", flush=True)
 
-    # 3. scaled set (x10, x20) — the r8 lesson: ALWAYS scale-measure in
+    # 4. scaled set (x10, x20) — the r8 lesson: ALWAYS scale-measure in
     # the round the code changed; stdout line IS the artifact
     if not skip_scaled:
         for mult in (10, 20):
@@ -72,12 +81,6 @@ def main() -> None:
             line = out.strip().splitlines()[-1]
             json.loads(line)  # refuse to write a non-JSON artifact
             (ROOT / f"BENCH_SCALED_x{mult}.json").write_text(line + "\n")
-
-    # 4. the correctness + drift gates over the fresh artifacts
-    if not skip_tests:
-        _run([sys.executable, "-m", "pytest",
-              "tests/test_oracle_parity.py", "tests/test_bench_drift.py",
-              "-q"])
 
     print(f"[round_close] round {_ROUND} close complete — commit "
           "BENCH_DETAIL_*, BENCH_SCALED_*, and the history snapshot.",

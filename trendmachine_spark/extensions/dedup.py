@@ -129,6 +129,18 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+#: input-size floor below which rebalance_for_fanout never fires:
+#: under ~1 MiB of (Catalyst-estimated) input, even a 10x fan-out map
+#: is sub-second on ONE core, and at that scale the round-robin
+#: exchange plus its extra stage COSTS more than it buys — measured on
+#: the sf0.1 bench (floor regime, ~0.6 MB corpus): the ungated
+#: rebalance moved the suite's unbatched ratio_median from 1.41x to
+#: 2.21x of same-run DuckDB while changing nothing at x10 (where the
+#: estimate is ~2.7 MB and the gate passes). Module-level so tests can
+#: pin both branches.
+REBALANCE_MIN_BYTES = 1 << 20
+
+
 def rebalance_for_fanout(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Ensure a fan-out-heavy map stage runs at session parallelism.
 
@@ -144,12 +156,16 @@ def rebalance_for_fanout(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     2 cores; a 32-way rebalance takes the x10 minhash signature pass
     4.87 s -> 1.35 s (MINHASH_DECOMP.json, r9).
 
-    Build-time conditional: the round-robin exchange is inserted ONLY
-    when actual scan parallelism is below ``min_fraction`` x the
-    session's shuffle parallelism. At production scale (100 TB =
-    thousands of real splits) this is a structural no-op; when it does
-    fire, the exchange moves the COMPRESSED input once — ~10x less
-    than the exploded volume whose parallelism it buys.
+    Build-time conditional, two gates: the input's Catalyst size
+    estimate must exceed :data:`REBALANCE_MIN_BYTES` (below ~1 MiB the
+    fan-out is sub-second on one core and the exchange costs more than
+    it buys — the sf0.1 floor-regime bench regressed 1.41x -> 2.21x
+    unbatched median with the ungated version), AND actual scan
+    parallelism must be below ``min_fraction`` x the session's shuffle
+    parallelism. At production scale (100 TB = thousands of real
+    splits) the second gate makes this a structural no-op; when both
+    gates pass, the exchange moves the COMPRESSED input once — ~10x
+    less than the exploded volume whose parallelism it buys.
 
     Round-robin, not hash-on-id: balanced even under clustered ids,
     uncounted by the hash-exchange plan budgets (it is a scan-layout
@@ -159,6 +175,13 @@ def rebalance_for_fanout(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     sources size their own partitions; ``.rdd`` is illegal on them).
     """
     if df.isStreaming:
+        return df
+    # size gate FIRST (cheapest check: logical-plan stats, no physical
+    # planning): tiny inputs stay un-rebalanced — see REBALANCE_MIN_BYTES
+    est_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if est_bytes < REBALANCE_MIN_BYTES:
         return df
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
