@@ -332,3 +332,16 @@ def test_jpeg_restart_markers_round_trip():
     img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
     dec = decode_jpeg(encode_jpeg(img))
     assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_resize_path():
+    # JPEG payloads ride the same nearest-neighbor resize slot as
+    # BMP/PNG; exact-roundtrip blocks make the resized values exact too
+    encode_jpeg, decode_jpeg = _jpeg_codecs()
+    from trendmachine_spark.extensions.codecs import resize_nearest
+
+    blocks = (np.arange(6, dtype=np.uint8).reshape(2, 3) * 40)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    rs = resize_nearest(decode_jpeg(encode_jpeg(img)), 6, 4)
+    assert rs.shape == (4, 6, 1)
+    assert np.array_equal(rs, resize_nearest(img[:, :, None], 6, 4))

@@ -1487,3 +1487,28 @@ def test_rebalance_for_fanout_gates(spark, docs, monkeypatch):
     monkeypatch.setattr(dedup, "REBALANCE_MIN_BYTES", 1 << 60)
     plain = dedup.minhash_near_dup(docs)
     assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_multimodal_jpeg_resize_spark_path(spark, docs):
+    """JPEG payloads through the REAL Spark resize slot end-to-end:
+    synthetic exact-roundtrip grayscale JPEGs -> decode -> nearest
+    resample inside mapInPandas, value_sum matching the closed form at
+    the resampled coordinates (the multimodal_resize_real oracle rule
+    applied to the JPEG generator)."""
+    import numpy as np
+
+    from trendmachine_spark.extensions.multimodal import (
+        resize_assets_real, synthetic_jpeg_assets,
+    )
+
+    out = {r["doc_id"]: r["value_sum"]
+           for r in resize_assets_real(
+               synthetic_jpeg_assets(docs), 8, 6).collect()}
+    assert out
+    for did, got in list(out.items())[:10]:
+        w, h = 8 * (1 + did % 4), 8 * (1 + did % 3)
+        xs = (np.arange(8) * w) // 8
+        ys = (np.arange(6) * h) // 6
+        v = 2 * (((xs[None, :] // 8) * 5 + (ys[:, None] // 8) * 11 + did) % 128)
+        wgt = 1 + (np.arange(8)[None, :] + 2 * np.arange(6)[:, None]) % 5
+        assert got == int((wgt * v).sum()), did

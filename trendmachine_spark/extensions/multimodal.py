@@ -459,10 +459,15 @@ def resize_assets_real(assets: DataFrame, out_width: int = 8,
                 b = bytes(b)
                 if b[:8] == b"\x89PNG\r\n\x1a\n":
                     px = codecs.decode_png(b)
+                elif b[:2] == b"\xff\xd8":
+                    px = codecs.decode_jpeg(b)
                 else:
                     px = codecs.decode_bmp(b)
                 rs = codecs.resize_nearest(px, out_width, out_height).astype(np.int64)
-                mixed = rs[:, :, 0] + 2 * rs[:, :, 1] + 3 * rs[:, :, 2]
+                if rs.shape[2] == 1:  # grayscale JPEG: the Y plane IS the mix
+                    mixed = rs[:, :, 0]
+                else:
+                    mixed = rs[:, :, 0] + 2 * rs[:, :, 1] + 3 * rs[:, :, 2]
                 if rs.shape[2] == 4:
                     mixed = mixed + 4 * rs[:, :, 3]
                 ids.append(did)
