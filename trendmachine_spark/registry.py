@@ -4180,7 +4180,7 @@ def q_training_corpus_clean(spark, sf_dir):
 # every-other-round guarantee relaxes to every-third-round).
 # ---------------------------------------------------------------------------
 
-_ROUND = 9
+_ROUND = 10
 
 #: rotation cycle length. 2 = the historical every-other-round
 #: guarantee (capacity 100 oracled under the driver's 50-entry window);
@@ -4197,27 +4197,7 @@ _PARITY_PERIOD = 3
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = [
-    "dedup_simhash_near_dup",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
-    "dedup_multi_signal",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
-    "dedup_ngram_jaccard",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
-    "dedup_containment",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
-    "lsh_bucket_health",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
-    "text_fingerprints",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
-    "text_pii_stats",  # r9 fan-out rebalance (shingles/simhash/pii/fingerprints source)
-    "chunk_documents",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "corpus_card",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "corpus_stats",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "text_term_stats",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "salted_term_counts",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "quality_score",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "bpe_pair_stats",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "substring_dup_report",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "substring_dedup",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "training_corpus_clean",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "dup_span_profile",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-    "dup_span_histogram",  # r9 fan-out rebalance (second batch: raw-docs explode/projection sources)
-]
+_WINDOW_PINNED: list[str] = []  # round 10: nothing changed yet — `rotate_window.py pin NAME` as queries change
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
@@ -4291,7 +4271,25 @@ _DEMOTE_THIRD: frozenset = frozenset({
 #: demoted list from TWO rounds ago — cascaded at each bump only under
 #: period 3 (period 2's disjointness makes it redundant); feeds the
 #: "no name demoted a full cycle" invariant in tests/test_oracle_parity.
-_PREV_DEMOTED_2: list[str] = []
+_PREV_DEMOTED_2: list[str] = [
+    "bpe_pair_stats", "capture_normalize", "chaos_ffill",
+    "chunk_documents", "corpus_card", "corpus_mix_temperature",
+    "corpus_stats", "daily_chaos", "daily_moving_avg", "daily_rollup",
+    "date_spine", "dedup_containment", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_multi_signal", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash_near_dup", "dup_span_histogram",
+    "dup_span_profile", "event_asof_join", "event_props_stats",
+    "event_retention", "event_sessionization", "gap_fill_backward",
+    "gap_fill_forward", "headline_metrics", "lsh_bucket_health",
+    "monthly_rollup", "multimodal_metadata", "pack_sequences",
+    "periodic_samples", "quality_score", "salted_term_counts",
+    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
+    "similarity_topk", "specimen_breakdown", "status_totals",
+    "substring_dedup", "substring_dup_report", "text_fingerprints",
+    "text_pii_stats", "text_quality_flags", "text_term_stats",
+    "top_revenue_customers", "training_corpus_clean", "transition_matrix",
+    "urim_projection",
+]
 
 
 def _parity_classes() -> dict[int, frozenset]:
@@ -4350,23 +4348,25 @@ def _demoted_for_round(round_no: int) -> list[str]:
 #: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
 #: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "bpe_pair_stats", "capture_normalize", "chaos_ffill",
-    "chunk_documents", "corpus_card", "corpus_mix_temperature",
-    "corpus_stats", "daily_chaos", "daily_moving_avg", "daily_rollup",
-    "date_spine", "dedup_containment", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_multi_signal", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_simhash_near_dup", "dup_span_histogram",
-    "dup_span_profile", "event_asof_join", "event_props_stats",
-    "event_retention", "event_sessionization", "gap_fill_backward",
-    "gap_fill_forward", "headline_metrics", "lsh_bucket_health",
-    "monthly_rollup", "multimodal_metadata", "pack_sequences",
-    "periodic_samples", "quality_score", "salted_term_counts",
-    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
-    "similarity_topk", "specimen_breakdown", "status_totals",
-    "substring_dedup", "substring_dup_report", "text_fingerprints",
-    "text_pii_stats", "text_quality_flags", "text_term_stats",
-    "top_revenue_customers", "training_corpus_clean", "transition_matrix",
-    "urim_projection",
+    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges", "chaos_melt",
+    "content_value_counts", "corpus_decontaminate",
+    "corpus_sample_stratified", "dedup_clusters",
+    "dedup_clusters_ensemble", "dedup_embedding_cosine_bucketed",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_segments",
+    "dedup_semantic_keepers", "dedup_simhash", "embedding_outliers",
+    "event_funnel", "event_range_join", "event_session_windows",
+    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
+    "lm_familiarity", "minhash_accuracy", "multimodal_decode_jpeg",
+    "multimodal_decode_png", "multimodal_decode_real",
+    "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_resize_real", "packed_text", "pricing_summary",
+    "quality_score_trained", "redact_pii", "redact_pii_planted",
+    "region_revenue", "session_stats", "status_month_cube",
+    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
+    "text_lang_id", "text_profile", "text_repetition_stats",
+    "top_quality_docs", "training_corpus", "training_corpus_safe",
+    "training_corpus_segmented", "training_shards",
+    "transition_matrix_filled", "vocab_coverage",
 ]
 
 _DEMOTED = sorted(
