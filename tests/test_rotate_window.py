@@ -227,3 +227,111 @@ def test_registry_schedule_under_period3(monkeypatch):
     monkeypatch.setattr(reg, "_DEMOTE_THIRD", frozenset(c) | {a[0]})
     with pytest.raises(AssertionError, match="more than one"):
         reg._demoted_for_round(9)
+
+
+# ---------------------------------------------------------------------------
+# Rebalance (r10 mandate: the r9 flip left classes at 50/50/1 so the
+# r10 window had ZERO pin slots — `rebalance` moves names between
+# classes under the cover invariant instead of a hand edit).
+# ---------------------------------------------------------------------------
+
+FAKE_P3 = '''\
+_ROUND = 10
+_PARITY_PERIOD = 3
+_WINDOW_PINNED: list[str] = []  # round 10: nothing changed yet
+_DEMOTE_EVEN = frozenset({
+    "e1", "e2", "e3", "e4",
+})
+_DEMOTE_ODD = frozenset({
+    "o1", "o2", "o3", "o4",
+})
+_DEMOTE_THIRD: frozenset = frozenset({
+    "t1",
+})
+_PREV_DEMOTED = [
+    "e1", "e2", "e3", "e4", "t1",
+]
+_PREV_DEMOTED_2: list[str] = [
+    "o1", "o2", "o3", "o4",
+]
+'''
+# History encoded above: round 10 checks class 1 (the "e" names, last
+# checked r8 — demoted r9 but not r8); class-0 "o" names were checked
+# r9 (demoted r8, not r9); "t1" was checked r8, due r11.
+
+
+def _classes(out: str) -> dict[str, list[str]]:
+    sets = {}
+    for label in ("_DEMOTE_EVEN", "_DEMOTE_ODD", "_DEMOTE_THIRD"):
+        m = re.search(label + r"(?::[^\n=]+)? = frozenset\((?:\)|\{\n.*?^\}\))",
+                      out, re.M | re.S)
+        sets[label] = _names(m.group(0))
+    return sets
+
+
+def test_rebalance_balances_without_breaking_cover():
+    from rotate_window import rebalance_text
+
+    out = rebalance_text(FAKE_P3)
+    ast.parse(out)
+    sets = _classes(out)
+    sizes = sorted(len(v) for v in sets.values())
+    assert sizes == [3, 3, 3]
+    # pool membership preserved, no dupes
+    union = sum(sets.values(), [])
+    assert sorted(union) == sorted(
+        ["e1", "e2", "e3", "e4", "o1", "o2", "o3", "o4", "t1"])
+    # cover invariant: an "e" name (last checked r8) may move only to
+    # class 2 (next check r11, gap 3) — never to class 0 (r12, gap 4)
+    moved_e = [n for n in sets["_DEMOTE_ODD"] if n.startswith("e")]
+    assert not moved_e, f"illegal e->class0 move (gap 4): {moved_e}"
+
+
+def test_rebalance_respects_exclude_and_refuses_impossible_targets():
+    from rotate_window import rebalance_text
+
+    out = rebalance_text(FAKE_P3, exclude=frozenset({"e1", "e2"}))
+    sets = _classes(out)
+    assert "e1" in sets["_DEMOTE_EVEN"] and "e2" in sets["_DEMOTE_EVEN"]
+    # force MORE moves out of class 1 than the non-excluded names allow
+    with pytest.raises(SystemExit, match="no legal move|targets"):
+        rebalance_text(FAKE_P3, targets={0: 0, 1: 0, 2: 9},
+                       exclude=frozenset({"e1", "e2"}))
+    # targets must sum to the pool
+    with pytest.raises(SystemExit, match="sum to the pool"):
+        rebalance_text(FAKE_P3, targets={0: 1, 1: 1, 2: 1})
+
+
+def test_rebalance_never_stretches_a_twice_demoted_name():
+    """A name demoted BOTH previous rounds (last checked a full period
+    ago) is at its gap limit: any move that delays its next check past
+    this round is illegal. With t1 due r11 moving to class 0 (r12)
+    it must be refused even when targets demand it."""
+    from rotate_window import rebalance_text
+
+    src = FAKE_P3.replace('_PREV_DEMOTED_2: list[str] = [\n    "o1", "o2", "o3", "o4",\n]',
+                          '_PREV_DEMOTED_2: list[str] = [\n    "o1", "o2", "o3", "o4", "t1",\n]')
+    # t1 now last checked r7 (demoted r8 AND r9): moving it anywhere
+    # (class 0 -> r12 gap 5, class 1 -> r10 gap 3 OK) — ask for a
+    # rebalance that can only be satisfied by t1 -> class 0 and expect
+    # a refusal; t1 -> class 1 (checked THIS round, gap 3) is legal.
+    out = rebalance_text(src, targets={0: 4, 1: 5, 2: 0})
+    sets = _classes(out)
+    assert "t1" in sets["_DEMOTE_EVEN"]  # class 1: checked r10, gap 3
+    with pytest.raises(SystemExit, match="no legal move"):
+        rebalance_text(src, targets={0: 5, 1: 4, 2: 0},
+                       exclude=frozenset({"o1", "o2", "o3", "o4"}))
+
+
+def test_current_registry_has_pin_headroom():
+    """The r9 verdict failure mode: a checked class at exactly 50
+    leaves zero pin slots and any changed query overflows the window
+    mid-round. Guard structurally: every class must leave >=10 slots
+    of the driver's 50-entry window (raise this bound deliberately if
+    the oracled pool ever outgrows 120)."""
+    import trendmachine_spark.registry as reg
+
+    for cls, names in reg._parity_classes().items():
+        assert len(names) <= 40, (
+            f"class {cls} holds {len(names)} names — a round checking it "
+            "has <10 pin slots; run `rotate_window.py rebalance`")

@@ -31,6 +31,23 @@ Commands (all edit trendmachine_spark/registry.py in place):
       Remember new queries are normally ALSO pinned for their first
       round (`pin` is a separate, explicit step).
 
+  python tools/rotate_window.py rebalance [T0,T1,T2] [--exclude A,B,...]
+      Move names between the demotion classes so their sizes hit the
+      targets (default: as balanced as the pool allows). Every move is
+      checked against the COVER INVARIANT: a moved name's gap between
+      driver checks must never exceed _PARITY_PERIOD rounds. The
+      name's last-checked round is derived from the same literals CI
+      pins (`not in _PREV_DEMOTED` => checked last round; `not in
+      _PREV_DEMOTED_2` => checked two rounds ago; both => three), and
+      its next check is the first round >= _ROUND in the destination
+      class — a move is refused unless next - last <= period. Names in
+      --exclude are never moved (use for queries changed-but-not-yet
+      driver-checked, whose literal-derived last-check is optimistic —
+      e.g. a brand-new query awaiting its first window). Run at round
+      start AFTER `bump`, BEFORE pinning: the verdict-r9 failure mode
+      is a checked class at exactly 50 leaving zero pin slots, so any
+      changed query overflows the window mid-round.
+
   python tools/rotate_window.py set-period N
       Switch the rotation cycle length (2 or 3). Period 3 raises the
       oracled-pool capacity from 100 to 150 under the driver's
@@ -170,6 +187,112 @@ def assign_text(src: str, name: str) -> str:
     return src[: m.start()] + new_block + src[m.end():]
 
 
+def _class_labels(period: int) -> dict[int, str]:
+    """checked-round class -> registry literal name (see registry.py:
+    the set names are historical labels from the period-2 era)."""
+    labels = {0: "_DEMOTE_ODD", 1: "_DEMOTE_EVEN"}
+    if period >= 3:
+        labels[2] = "_DEMOTE_THIRD"
+    return labels
+
+
+def _class_block(src: str, label: str) -> re.Match:
+    m = re.search(label + r"(?::[^\n=]+)? = frozenset\((?:\)|\{\n.*?^\}\))",
+                  src, re.M | re.S)
+    if not m:
+        raise SystemExit(f"could not find the {label} block")
+    return m
+
+
+def rebalance_text(src: str, targets: dict[int, int] | None = None,
+                   exclude: frozenset[str] = frozenset()) -> str:
+    """Pure rewrite moving names between demotion classes to hit
+    per-class size ``targets`` (default: balanced, remainder to the
+    soonest-checked classes), refusing any move that would stretch a
+    name's between-checks gap past _PARITY_PERIOD rounds.
+
+    Last-checked rounds are derived from the literals CI already pins:
+    a name absent from _PREV_DEMOTED was driver-checked last round,
+    one absent from _PREV_DEMOTED_2 two rounds ago, and the full-cycle
+    invariant caps the rest at period rounds ago. That derivation is
+    OPTIMISTIC for names that changed recently but were not yet
+    driver-checked (e.g. a new query awaiting its first window) — pass
+    those via ``exclude`` so they are never moved."""
+    pm = _PERIOD_RE.search(src)
+    period = int(pm.group(1)) if pm else 2
+    rnd = int(_ROUND_RE.search(src).group(1))
+    labels = _class_labels(period)
+    sets = {c: set(re.findall(r'"([^"]+)"', _class_block(src, lab).group(0)))
+            for c, lab in labels.items()}
+    prev = set(re.findall(r'"([^"]+)"', _PREV_RE.search(src).group(0)))
+    prev2_m = _PREV2_RE.search(src)
+    prev2 = set(re.findall(r'"([^"]+)"', prev2_m.group(0))) if prev2_m else set()
+    pool = sum(len(s) for s in sets.values())
+    if targets is None:
+        base, extra = divmod(pool, len(sets))
+        order = sorted(sets, key=lambda c: (c - rnd) % period)
+        targets = {c: base + (1 if i < extra else 0)
+                   for i, c in enumerate(order)}
+    if sorted(targets) != sorted(sets) or sum(targets.values()) != pool:
+        raise SystemExit(
+            f"targets {targets} must cover classes {sorted(sets)} and "
+            f"sum to the pool size {pool}")
+    unknown = exclude - set().union(*sets.values())
+    if unknown:
+        raise SystemExit(f"--exclude names not in any class: {sorted(unknown)}")
+
+    def last_checked(name: str) -> int:
+        if name not in prev:
+            return rnd - 1
+        if name not in prev2:
+            return rnd - 2
+        return rnd - period  # full-cycle invariant bounds it here
+
+    def next_checked(cls: int) -> int:
+        return rnd + ((cls - rnd) % period)
+
+    moves: list[tuple[str, int, int, int]] = []
+    while True:
+        over = sorted(c for c in sets if len(sets[c]) > targets[c])
+        under = sorted(c for c in sets if len(sets[c]) < targets[c])
+        if not over and not under:
+            break
+        moved = False
+        for dst in under:
+            nxt = next_checked(dst)
+            cands = sorted(
+                (nxt - last_checked(n), n, c)
+                for c in over for n in sets[c] if n not in exclude)
+            for gap, n, c in cands:
+                if gap <= period:
+                    sets[c].discard(n)
+                    sets[dst].add(n)
+                    moves.append((n, c, dst, gap))
+                    moved = True
+                    break
+            if moved:
+                break
+        if not moved:
+            raise SystemExit(
+                "no legal move toward the targets: every candidate would "
+                "stretch a name's check gap past the period (or is "
+                "excluded) — relax targets or shrink --exclude")
+    for c, lab in labels.items():
+        m = _class_block(src, lab)
+        decl = m.group(0).split(" = frozenset", 1)[0]
+        header = (f"    # class {c} — driver-checked in rounds where "
+                  f"_ROUND % {period} == {c};\n"
+                  f"    # membership last rebalanced r{rnd} by "
+                  "rotate_window.py rebalance\n")
+        block = (decl + " = frozenset({\n" + header
+                 + _fmt_list(sorted(sets[c])) + "\n})")
+        src = src[: m.start()] + block + src[m.end():]
+    for n, c_from, c_to, gap in moves:
+        print(f"  move {n}: class {c_from} -> {c_to} "
+              f"(next check r{next_checked(c_to)}, gap {gap})")
+    return src
+
+
 def set_period_text(src: str, period: int) -> str:
     """Pure rewrite of the _PARITY_PERIOD literal (2 or 3)."""
     if period not in (2, 3):
@@ -227,7 +350,7 @@ def _verify() -> None:
 
 def main() -> None:
     if len(sys.argv) < 2 or sys.argv[1] not in ("bump", "pin", "assign",
-                                                "set-period"):
+                                                "set-period", "rebalance"):
         raise SystemExit(__doc__)
     cmd = sys.argv[1]
     with open(REGISTRY) as f:
@@ -238,6 +361,26 @@ def main() -> None:
         if len(sys.argv) < 3:
             raise SystemExit("set-period needs 2 or 3")
         new = set_period_text(original, int(sys.argv[2]))
+    elif cmd == "rebalance":
+        targets = None
+        exclude: set[str] = set()
+        rest = sys.argv[2:]
+        i = 0
+        while i < len(rest):
+            if rest[i] == "--exclude":
+                i += 1
+                if i >= len(rest):
+                    raise SystemExit("--exclude needs a comma-joined name list")
+                exclude |= {n for n in rest[i].split(",") if n}
+            else:
+                targets = {j: int(x)
+                           for j, x in enumerate(rest[i].split(","))}
+            i += 1
+        registered = set(_registered_names())
+        bad = exclude - registered
+        if bad:
+            raise SystemExit(f"--exclude names not registered: {sorted(bad)}")
+        new = rebalance_text(original, targets, frozenset(exclude))
     elif cmd == "pin":
         if len(sys.argv) < 3:
             raise SystemExit("pin needs a query name")

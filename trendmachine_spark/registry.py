@@ -4212,21 +4212,11 @@ _WINDOW_PINNED: list[str] = []  # round 10: nothing changed yet — `rotate_wind
 #: invariants. _WINDOW_PINNED overrides the class for the round a
 #: query changes (pinned names never demote).
 _DEMOTE_EVEN = frozenset({
-    # class 1 (checked when _ROUND % 3 == 1: r10, r13...): the old ODD
-    # set (driver-checked r8) minus region_revenue (seeded class 2),
-    # plus the 101st oracle multimodal_decode_jpeg (new r9: CI-exact
-    # r9 at both SFs, driver r10 — the r7 new-query precedent; the
-    # full r9 window had no pin slot: 50 incumbents + it = 51).
-    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges", "chaos_melt",
-    "content_value_counts", "corpus_decontaminate",
-    "corpus_sample_stratified", "dedup_clusters",
-    "dedup_clusters_ensemble", "dedup_embedding_cosine_bucketed",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_segments",
-    "dedup_semantic_keepers", "dedup_simhash", "embedding_outliers",
-    "event_funnel", "event_range_join", "event_session_windows",
-    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
-    "lm_familiarity", "minhash_accuracy", "multimodal_decode_jpeg",
-    "multimodal_decode_png", "multimodal_decode_real",
+    # class 1 — driver-checked in rounds where _ROUND % 3 == 1;
+    # membership last rebalanced r10 by rotate_window.py rebalance
+    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges",
+    "dedup_minhash_lsh", "dedup_simhash", "lm_familiarity",
+    "multimodal_decode_jpeg", "multimodal_decode_real",
     "multimodal_frame_sample", "multimodal_resize",
     "multimodal_resize_real", "packed_text", "pricing_summary",
     "quality_score_trained", "redact_pii", "redact_pii_planted",
@@ -4237,35 +4227,40 @@ _DEMOTE_EVEN = frozenset({
     "transition_matrix_filled", "vocab_coverage",
 })
 _DEMOTE_ODD = frozenset({
-    # PERIOD-3 FLIP (r9): contents SWAPPED with _DEMOTE_EVEN so the
-    # incumbent schedule survived the flip — the names due for their
-    # driver check in r9 under period 2 (the old EVEN set) stayed due.
-    # The variable names are CLASS LABELS now, not round parities:
-    # _DEMOTE_ODD = class 0 (checked when _ROUND % 3 == 0: r9, r12...).
-    "bpe_pair_stats", "capture_normalize", "chaos_ffill",
-    "chunk_documents", "corpus_card", "corpus_mix_temperature",
-    "corpus_stats", "daily_chaos", "daily_moving_avg", "daily_rollup",
-    "date_spine", "dedup_containment", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_multi_signal", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_simhash_near_dup", "dup_span_histogram",
-    "dup_span_profile", "event_asof_join", "event_props_stats",
-    "event_retention", "event_sessionization", "gap_fill_backward",
-    "gap_fill_forward", "headline_metrics", "lsh_bucket_health",
-    "monthly_rollup", "multimodal_metadata", "pack_sequences",
-    "periodic_samples", "quality_score", "salted_term_counts",
-    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
-    "similarity_topk", "specimen_breakdown", "status_totals",
-    "substring_dedup", "substring_dup_report", "text_fingerprints",
-    "text_pii_stats", "text_quality_flags", "text_term_stats",
-    "top_revenue_customers", "training_corpus_clean", "transition_matrix",
-    "urim_projection",
+    # class 0 — driver-checked in rounds where _ROUND % 3 == 0;
+    # membership last rebalanced r10 by rotate_window.py rebalance
+    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash_near_dup",
+    "dup_span_histogram", "dup_span_profile", "event_asof_join",
+    "event_props_stats", "event_retention", "event_sessionization",
+    "gap_fill_backward", "gap_fill_forward", "headline_metrics",
+    "lsh_bucket_health", "monthly_rollup", "multimodal_metadata",
+    "pack_sequences", "periodic_samples", "quality_score",
+    "salted_term_counts", "shipping_priority", "similarity_ann_lsh",
+    "similarity_ivf_topk", "similarity_topk", "specimen_breakdown",
+    "status_totals", "substring_dedup", "substring_dup_report",
+    "text_fingerprints", "text_pii_stats", "text_quality_flags",
+    "text_term_stats", "top_revenue_customers", "training_corpus_clean",
+    "transition_matrix", "urim_projection",
 })
 
 
 #: third rotation class — EMPTY (and unused) while _PARITY_PERIOD == 2.
 #: Under period 3 these names are driver-checked when _ROUND % 3 == 2.
 _DEMOTE_THIRD: frozenset = frozenset({
-    "region_revenue",  # class-2 seed at the r9 flip (checked r11, r14...)
+    # class 2 — driver-checked in rounds where _ROUND % 3 == 2;
+    # membership last rebalanced r10 by rotate_window.py rebalance
+    "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
+    "chunk_documents", "content_value_counts", "corpus_card",
+    "corpus_decontaminate", "corpus_mix_temperature",
+    "corpus_sample_stratified", "corpus_stats", "daily_chaos",
+    "daily_moving_avg", "daily_rollup", "date_spine", "dedup_clusters",
+    "dedup_clusters_ensemble", "dedup_containment",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
+    "dedup_exact", "dedup_incremental", "dedup_multi_signal",
+    "dedup_segments", "dedup_semantic_keepers", "embedding_outliers",
+    "event_funnel", "event_range_join", "event_session_windows",
+    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
+    "minhash_accuracy", "multimodal_decode_png", "region_revenue",
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
