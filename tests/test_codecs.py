@@ -321,6 +321,59 @@ def test_jpeg_gates_and_errors():
         encode_jpeg(np.zeros((8, 8, 3), np.uint8), "422")
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code. Pad every inter-segment boundary of a known-good stream and
+    require a byte-identical decode (r10: the walk used to read the
+    second 0xFF as marker code 0xFF and die in the length read)."""
+    encode_jpeg, decode_jpeg = _jpeg_codecs()
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)
+    good = encode_jpeg(img)
+    base = decode_jpeg(good)
+    for seg in (b"\xff\xdb", b"\xff\xc4", b"\xff\xc0", b"\xff\xda"):
+        idx = good.find(seg)
+        assert idx > 0
+        padded = good[:idx] + b"\xff\xff\xff" + good[idx:]
+        assert np.array_equal(decode_jpeg(padded), base)
+    # all boundaries at once, deeper padding
+    multi = good
+    for seg in (b"\xff\xdb", b"\xff\xc0", b"\xff\xda"):
+        i = multi.find(seg)
+        multi = multi[:i] + b"\xff" * 7 + multi[i:]
+    assert np.array_equal(decode_jpeg(multi), base)
+    # a stream ENDING in fill bytes fails loudly, not with an index error
+    with pytest.raises(ValueError, match="truncated|no SOS"):
+        decode_jpeg(good[: good.find(b"\xff\xda")] + b"\xff\xff\xff\xff")
+
+
+def test_jpeg_decompression_bomb_guard():
+    """A sub-KB payload declaring a huge frame must be rejected BEFORE
+    plane allocation (mirrors the PNG IDAT-length guard, r9 advice):
+    every coded block costs >=2 entropy bits, so declared geometry
+    whose block count can't fit the remaining bytes is a lie."""
+    import struct as _s
+
+    encode_jpeg, decode_jpeg = _jpeg_codecs()
+    good = encode_jpeg(np.full((8, 8), 100, np.uint8))
+    idx = good.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) [cid hv tq]
+    bomb = (good[:idx + 5]
+            + _s.pack(">HH", 65535, 65535)
+            + good[idx + 9:])
+    with pytest.raises(ValueError, match="entropy segment too short"):
+        decode_jpeg(bomb)
+    # crafted sampling factors outside the spec's 1..4 die at SOF parse
+    hv_off = idx + 11  # cid at +10, hv at +11 for the single component
+    assert good[hv_off] == 0x11
+    crafted = good[:hv_off] + b"\x66" + good[hv_off + 1:]
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(crafted)
+    # zero dimensions are rejected too
+    zero = (good[:idx + 5] + _s.pack(">HH", 0, 8) + good[idx + 9:])
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_jpeg(zero)
+
+
 def test_jpeg_restart_markers_round_trip():
     """Inject a DRI segment + per-interval RSTn markers by re-encoding
     through the writer path at MCU granularity is encoder surgery; the

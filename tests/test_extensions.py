@@ -1489,6 +1489,83 @@ def test_rebalance_for_fanout_gates(spark, docs, monkeypatch):
     assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_rebalance_gate_fallbacks_and_memo(spark, docs, monkeypatch):
+    """r10 hardening: (a) with the classic-mode stats handle absent
+    (Spark Connect) the partition-count gate alone decides; (b) with
+    BOTH probes absent the gate decides False — the optimization can
+    never break plan construction; (c) a non-integer
+    spark.sql.shuffle.partitions makes the whole call a no-op; (d) the
+    decision memo runs the probes ONCE per canonicalized input plan
+    (the r9 sf0.1 drift suspect: ~16 sites x ~20-70 ms per build)."""
+    from trendmachine_spark.extensions import dedup
+
+    src = docs.select("doc_id", "text").coalesce(1)
+
+    class NoStats:
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def _jdf(self):
+            raise AttributeError("_jdf is classic-mode only")
+
+        @property
+        def rdd(self):
+            return self._inner.rdd
+
+    # (a) stats absent -> partition gate: 1 split < 32*0.5 -> rebalance
+    monkeypatch.setattr(dedup, "REBALANCE_MIN_BYTES", 1 << 60)
+    assert dedup._rebalance_gate(NoStats(src), 32, 0.5) is True
+
+    class NoProbes:
+        @property
+        def _jdf(self):
+            raise AttributeError("_jdf is classic-mode only")
+
+        @property
+        def rdd(self):
+            raise RuntimeError("rdd is classic-mode only")
+
+    # (b) no probe works -> never rebalance, never raise
+    assert dedup._rebalance_gate(NoProbes(), 32, 0.5) is False
+
+    # (c) unparseable parallelism setting -> exact no-op (classic mode
+    # refuses to SET a non-integer, so simulate the session surface a
+    # different runtime could hand us)
+    monkeypatch.setattr(dedup, "REBALANCE_MIN_BYTES", 0)
+
+    class AutoConf:
+        def get(self, _key):
+            return "auto"
+
+    class AutoSession:
+        conf = AutoConf()
+
+    class AutoDf:
+        isStreaming = False
+        sparkSession = AutoSession()
+
+    stub = AutoDf()
+    assert dedup.rebalance_for_fanout(stub) is stub
+
+    # (d) memo: two semantically identical relations probe once
+    calls = []
+    real_gate = dedup._rebalance_gate
+    monkeypatch.setattr(
+        dedup, "_rebalance_gate",
+        lambda *a: (calls.append(1), real_gate(*a))[1])
+    dedup._GATE_CACHE.clear()
+    out1 = dedup.rebalance_for_fanout(docs.select("doc_id", "text"))
+    out2 = dedup.rebalance_for_fanout(docs.select("doc_id", "text"))
+    assert len(calls) == 1
+    # and the memoized decision is applied identically
+    assert (out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions())
+    # a changed gate constant is part of the key -> fresh probe
+    monkeypatch.setattr(dedup, "REBALANCE_MIN_BYTES", 1)
+    dedup.rebalance_for_fanout(docs.select("doc_id", "text"))
+    assert len(calls) == 2
+
+
 def test_multimodal_jpeg_resize_spark_path(spark, docs):
     """JPEG payloads through the REAL Spark resize slot end-to-end:
     synthetic exact-roundtrip grayscale JPEGs -> decode -> nearest

@@ -84,9 +84,12 @@ SHUFFLE_BUDGETS = {
     "text_profile": (0, True),
     # explode + element_at chunker: pure map stage, zero exchanges
     "chunk_documents": (0, True),
-    # one group-key exchange: the quantile window's sort partitioning
-    # is reused by the stats aggregation (HashAggregate, no 2nd shuffle)
-    "corpus_stats": (1, True),
+    # r10 histogram shape: docs cross the wire ONCE as map-combined
+    # (grp, chars) counts, then a second tiny exchange on grp for the
+    # running-count window (reused by the final agg). Two exchanges,
+    # but the second moves distinct lengths, not documents — the old
+    # 1-exchange row_number sort serialized on the group count
+    "corpus_stats": (2, True),
     # union of three branches: minhash (now 5 static with the r4
     # bucket-cap window, AQE-reused at runtime) + simhash (2 + its
     # distinct) + embedding bucket shuffle (1); union adds no exchange

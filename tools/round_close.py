@@ -18,13 +18,17 @@ garbage under contention):
   4. `pytest tests/test_oracle_parity.py tests/test_bench_drift.py`
      — the correctness + drift gates over the fresh artifacts
 
+  5. `python tools/gram_skew_stress.py` -> SKEW_STRESS.json — the
+     planted-skew guard re-run on final code (r10: part of the close so
+     mark-join regressions can't ship unmeasured)
+
 Usage:
-  python tools/round_close.py [--skip-scaled] [--skip-tests]
+  python tools/round_close.py [--skip-scaled] [--skip-tests] [--skip-skew]
 
 --skip-scaled leaves the x10/x20 artifacts alone (e.g. when they were
-re-measured earlier the same day on identical code); the snapshot and
-gates always run. Commit the refreshed artifacts + snapshot as the
-round's final commit.
+re-measured earlier the same day on identical code); --skip-skew
+likewise for the skew guard; the snapshot and gates always run. Commit
+the refreshed artifacts + snapshot as the round's final commit.
 """
 
 from __future__ import annotations
@@ -82,9 +86,13 @@ def main() -> None:
             json.loads(line)  # refuse to write a non-JSON artifact
             (ROOT / f"BENCH_SCALED_x{mult}.json").write_text(line + "\n")
 
+    # 5. planted-skew guard on final code (SKEW_STRESS.json)
+    if "--skip-skew" not in sys.argv:
+        _run([sys.executable, "tools/gram_skew_stress.py"], capture=True)
+
     print(f"[round_close] round {_ROUND} close complete — commit "
-          "BENCH_DETAIL_*, BENCH_SCALED_*, and the history snapshot.",
-          flush=True)
+          "BENCH_DETAIL_*, BENCH_SCALED_*, SKEW_STRESS.json, and the "
+          "history snapshot.", flush=True)
 
 
 if __name__ == "__main__":

@@ -710,12 +710,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — consume them so the NEXT byte is the marker code
+        # (without this a spec-valid padded file parses a fill 0xFF as
+        # marker code 0xFF and dies in the length read — r9 advice)
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG stream (trailing fill bytes)")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment header")
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4:pos + 2 + ln]
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -744,10 +754,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(f"{prec}-bit JPEG")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
+            if h < 1 or w < 1:
+                raise ValueError("JPEG frame with zero dimension")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                comps.append([cid, hv >> 4, hv & 15, tq])
+                hs, vs = hv >> 4, hv & 15
+                # T.81 B.2.2: sampling factors are 1..4 — reject early,
+                # a crafted factor inflates plane allocation (r9 advice)
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factors {hs}x{vs} outside 1..4")
+                comps.append([cid, hs, vs, tq])
             frame = (h, w, comps)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG (SOF2)")
@@ -783,6 +801,21 @@ def _jpeg_decode_scan(data, pos, frame, scan, quants, huffs,
     vmax = max(c[2] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # Decompression-bomb guard (mirrors the PNG IDAT-length check, r9
+    # advice): every coded 8x8 block costs >=2 bits in the entropy
+    # stream (a 1-bit DC code + a 1-bit EOB is the floor even before
+    # byte stuffing), so a payload whose remaining bytes cannot cover
+    # blocks/4 is declaring dimensions it does not carry — reject
+    # BEFORE allocating h*w planes or walking the MCU grid. A crafted
+    # sub-KB 65535x65535 header dies here instead of in a multi-GB
+    # numpy allocation; real underdeclared streams still fail later in
+    # the bit reader as before.
+    blocks_total = mcus_x * mcus_y * sum(c[1] * c[2] for c, _, _ in scan)
+    if blocks_total // 4 > len(data) - pos:
+        raise ValueError(
+            f"JPEG entropy segment too short for declared geometry "
+            f"({mcus_x}x{mcus_y} MCUs, {blocks_total} blocks, "
+            f"{len(data) - pos} bytes left)")
     planes = []
     for comp, _, _ in scan:
         _, hs, vs, _ = comp

@@ -140,6 +140,43 @@ def _materialize(df: DataFrame) -> DataFrame:
 #: pin both branches.
 REBALANCE_MIN_BYTES = 1 << 20
 
+#: (semanticHash, target, min_fraction, REBALANCE_MIN_BYTES) -> bool
+#: decision memo for :func:`rebalance_for_fanout`. The gate probes are
+#: build-time expensive (~20 ms optimizer-stats + ~50 ms physical
+#: planning for ``.rdd`` per call, measured sf0.1/x10) and ~16 fan-out
+#: sites re-run them on semantically IDENTICAL relations every suite
+#: pass — the r9 bench drift suspect. Keyed on the canonicalized-plan
+#: hash plus every input of the decision, so monkeypatched gates and
+#: changed session parallelism miss cleanly. Assumes source data is
+#: immutable within the process (true here: testdata is read-only);
+#: a same-plan relation whose files were rewritten mid-process could
+#: reuse a stale decision — result-neutral either way.
+_GATE_CACHE: dict = {}
+_GATE_MISS = object()
+
+
+def _rebalance_gate(df: DataFrame, target: int, min_fraction: float) -> bool:
+    """Uncached gate decision: True iff ``df`` should be rebalanced.
+
+    Hardened per the r9 advice: the size probe rides the classic-mode
+    JVM handle (``df._jdf``) — when it is unavailable (Spark Connect)
+    or fails, fall back to the partition-count gate alone; when THAT
+    is also unavailable (``.rdd`` is classic-only too), decide False so
+    the optimization can never break plan construction.
+    """
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if est_bytes < REBALANCE_MIN_BYTES:
+            return False
+    except Exception:
+        pass  # stats unavailable: the partition gate alone decides
+    try:
+        return df.rdd.getNumPartitions() < max(int(target * min_fraction), 1)
+    except Exception:
+        return False
+
 
 def rebalance_for_fanout(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Ensure a fan-out-heavy map stage runs at session parallelism.
@@ -173,21 +210,41 @@ def rebalance_for_fanout(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     consumer here (per-row projections, keyed aggregates, keyed
     windows). Streaming inputs pass through untouched (micro-batch
     sources size their own partitions; ``.rdd`` is illegal on them).
+
+    The gate decision is memoized per canonicalized input plan
+    (:data:`_GATE_CACHE`) — the probes force analysis+optimization and
+    physical planning, which at ~16 call sites per suite build was the
+    r9 sf0.1 drift suspect — and every probe is fault-tolerant: if the
+    classic-mode stats handle is unavailable (Spark Connect) the
+    partition-count gate alone decides, and if no probe works the
+    function is an exact no-op (r9 advice: the optimization must never
+    break plan construction).
     """
     if df.isStreaming:
         return df
-    # size gate FIRST (cheapest check: logical-plan stats, no physical
-    # planning): tiny inputs stay un-rebalanced — see REBALANCE_MIN_BYTES
-    est_bytes = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    if est_bytes < REBALANCE_MIN_BYTES:
+    try:
+        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return df  # non-integer/absent setting: degrade to a no-op
+    if target < 1:
         return df
-    spark = df.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= max(int(target * min_fraction), 1):
-        return df
-    return df.repartition(target)
+    # decision memo: ~16 fan-out sites probe semantically identical
+    # relations per suite build; semanticHash (analyzed plan only,
+    # ~7 ms) replaces the ~20-70 ms optimize+plan probes on every hit
+    try:
+        key = (df.semanticHash(), target, min_fraction, REBALANCE_MIN_BYTES)
+    except Exception:
+        key = None
+    if key is not None:
+        hit = _GATE_CACHE.get(key, _GATE_MISS)
+        if hit is not _GATE_MISS:
+            return df.repartition(target) if hit else df
+    decision = _rebalance_gate(df, target, min_fraction)
+    if key is not None:
+        if len(_GATE_CACHE) > 1024:
+            _GATE_CACHE.clear()
+        _GATE_CACHE[key] = decision
+    return df.repartition(target) if decision else df
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

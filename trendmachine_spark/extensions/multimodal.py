@@ -231,42 +231,53 @@ def _codecs_by_value():
     return codecs
 
 
-def synthetic_media_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic REAL media payloads per doc id: even ids become
-    24-bit BMPs (width 4+id%13, height 3+id%7, per-channel pixel
-    formulas), odd ids 16-bit PCM WAVs (50+id%100 samples at
-    8000+(id%4)*4000 Hz). Encoded with the real encoders — the bytes on
-    the wire are valid files any external tool could open."""
+def _media_synth_one():
+    """Per-id synthesizer closure (picklable BY VALUE — factory-nested,
+    codecs module registered by value): even ids -> 24-bit BMP (width
+    4+id%13, height 3+id%7, per-channel pixel formulas), odd ids ->
+    16-bit PCM WAV (50+id%100 samples at 8000+(id%4)*4000 Hz). Shared
+    by the two-step and fused paths so the generator formulas live in
+    exactly one place."""
     codecs = _codecs_by_value()
+    import numpy as np
+
+    def synth_one(d: int) -> tuple[bytes, str]:
+        if d % 2 == 0:
+            w, h = 4 + d % 13, 3 + d % 7
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            chan = np.concatenate(
+                [
+                    (x * 7 + y * 13 + d) % 256,
+                    (x * 11 + y * 3 + d) % 256,
+                    (x * 5 + y * 17 + d) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            return codecs.encode_bmp(chan), "image/bmp"
+        n = 50 + d % 100
+        rate = 8000 + (d % 4) * 4000
+        s = ((np.arange(n) * 31 + d) % 65536 - 32768).astype("<i2")
+        return codecs.encode_wav(s, sample_rate=rate), "audio/wav"
+
+    return synth_one
+
+
+def synthetic_media_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media payloads per doc id (see
+    :func:`_media_synth_one`). Encoded with the real encoders — the
+    bytes on the wire are valid files any external tool could open."""
+    synth_one = _media_synth_one()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             ids, payloads, types = [], [], []
             for d in pdf[id_col]:
                 d = int(d)
-                if d % 2 == 0:
-                    w, h = 4 + d % 13, 3 + d % 7
-                    x = np.arange(w)[None, :, None]
-                    y = np.arange(h)[:, None, None]
-                    chan = np.concatenate(
-                        [
-                            (x * 7 + y * 13 + d) % 256,
-                            (x * 11 + y * 3 + d) % 256,
-                            (x * 5 + y * 17 + d) % 256,
-                        ],
-                        axis=2,
-                    ).astype(np.uint8)
-                    payloads.append(codecs.encode_bmp(chan))
-                    types.append("image/bmp")
-                else:
-                    n = 50 + d % 100
-                    rate = 8000 + (d % 4) * 4000
-                    s = ((np.arange(n) * 31 + d) % 65536 - 32768).astype("<i2")
-                    payloads.append(codecs.encode_wav(s, sample_rate=rate))
-                    types.append("audio/wav")
+                payload, mtype = synth_one(d)
                 ids.append(d)
+                payloads.append(payload)
+                types.append(mtype)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -374,66 +385,101 @@ def decode_assets_real(assets: DataFrame) -> DataFrame:
     Fields that do not apply to a media kind are 0, not NULL — nullable
     int columns round-trip through pandas as floats/ext-dtypes
     differently per engine and would flake the driver's value hash."""
-    codecs = _codecs_by_value()
+    decode_one = _media_decode_one()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
-            rows = {k: [] for k in ("doc_id", "media", "width", "height",
-                                    "channels", "sample_rate", "n_samples",
-                                    "value_sum")}
-            for did, b in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(b)
-                if b[:2] == b"BM":
-                    px = codecs.decode_bmp(b).astype(np.int64)
-                    h, w = px.shape[:2]
-                    wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
-                    mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
-                    vals = (did, "bmp", w, h, 3, 0, 0, int((wgt * mixed).sum()))
-                elif b[:8] == b"\x89PNG\r\n\x1a\n":
-                    px = codecs.decode_png(b).astype(np.int64)
-                    h, w, c = px.shape
-                    wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
-                    mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
-                    if c == 4:
-                        mixed = mixed + 4 * px[:, :, 3]
-                    vals = (did, "png", w, h, c, 0, 0, int((wgt * mixed).sum()))
-                elif b[:2] == b"\xff\xd8":
-                    px = codecs.decode_jpeg(b).astype(np.int64)
-                    h, w, c = px.shape
-                    wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
-                    if c == 1:  # grayscale: the weighted Y sum
-                        mixed = px[:, :, 0]
-                    else:
-                        mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
-                    vals = (did, "jpeg", w, h, c, 0, 0, int((wgt * mixed).sum()))
-                elif b[:4] == b"RIFF":
-                    rate, _nch, samples = codecs.decode_wav(b)
-                    s = samples.astype(np.int64)
-                    vals = (did, "wav", 0, 0, 0, rate, len(s),
-                            int(((1 + np.arange(len(s)) % 7) * s).sum()))
-                else:
-                    raise NotImplementedError(
-                        f"no in-sandbox codec for payload magic {b[:4]!r}; "
-                        "plug PIL/ffmpeg here on a real cluster"
-                    )
-                for k, v in zip(rows, vals):
-                    rows[k].append(v)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
-                    "media": pd.Series(rows["media"], dtype="object"),
-                    "width": pd.Series(rows["width"], dtype="int32"),
-                    "height": pd.Series(rows["height"], dtype="int32"),
-                    "channels": pd.Series(rows["channels"], dtype="int32"),
-                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
-                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
-                    "value_sum": pd.Series(rows["value_sum"], dtype="int64"),
-                }
-            )
+            vals_rows = [decode_one(did, b)
+                         for did, b in zip(pdf["doc_id"], pdf["payload"])]
+            yield _decoded_frame(vals_rows)
 
     return assets.select("doc_id", "payload").mapInPandas(run, schema=REAL_DECODED_SCHEMA)
+
+
+def _media_decode_one():
+    """Per-payload decoder closure (picklable by value): sniff the
+    magic, decode with the pure-Python codecs, return the 8-field
+    metadata+checksum row shared by the two-step and fused paths."""
+    codecs = _codecs_by_value()
+    import numpy as np
+
+    def decode_one(did, b) -> tuple:
+        b = bytes(b)
+        if b[:2] == b"BM":
+            px = codecs.decode_bmp(b).astype(np.int64)
+            h, w = px.shape[:2]
+            wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
+            mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
+            return (did, "bmp", w, h, 3, 0, 0, int((wgt * mixed).sum()))
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            px = codecs.decode_png(b).astype(np.int64)
+            h, w, c = px.shape
+            wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
+            mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
+            if c == 4:
+                mixed = mixed + 4 * px[:, :, 3]
+            return (did, "png", w, h, c, 0, 0, int((wgt * mixed).sum()))
+        if b[:2] == b"\xff\xd8":
+            px = codecs.decode_jpeg(b).astype(np.int64)
+            h, w, c = px.shape
+            wgt = 1 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None]) % 5
+            if c == 1:  # grayscale: the weighted Y sum
+                mixed = px[:, :, 0]
+            else:
+                mixed = px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]
+            return (did, "jpeg", w, h, c, 0, 0, int((wgt * mixed).sum()))
+        if b[:4] == b"RIFF":
+            rate, _nch, samples = codecs.decode_wav(b)
+            s = samples.astype(np.int64)
+            return (did, "wav", 0, 0, 0, rate, len(s),
+                    int(((1 + np.arange(len(s)) % 7) * s).sum()))
+        raise NotImplementedError(
+            f"no in-sandbox codec for payload magic {b[:4]!r}; "
+            "plug PIL/ffmpeg here on a real cluster"
+        )
+
+    return decode_one
+
+
+def _decoded_frame(vals_rows: list) -> pd.DataFrame:
+    """8-field decoded-metadata rows -> the REAL_DECODED_SCHEMA frame."""
+    cols = list(zip(*vals_rows)) if vals_rows else [[]] * 8
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(cols[0], dtype="int64"),
+            "media": pd.Series(cols[1], dtype="object"),
+            "width": pd.Series(cols[2], dtype="int32"),
+            "height": pd.Series(cols[3], dtype="int32"),
+            "channels": pd.Series(cols[4], dtype="int32"),
+            "sample_rate": pd.Series(cols[5], dtype="int32"),
+            "n_samples": pd.Series(cols[6], dtype="int64"),
+            "value_sum": pd.Series(cols[7], dtype="int64"),
+        }
+    )
+
+
+def synth_decode_media_fused(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused synthesize->decode in ONE mapInPandas pass: identical
+    values to ``decode_assets_real(synthetic_media_assets(docs))`` (the
+    same :func:`_media_synth_one`/:func:`_media_decode_one` closures do
+    the work), but the payload bytes never cross the Arrow boundary —
+    the two-step plan serializes every encoded file Python->JVM->Python
+    between the two mapInPandas stages, which DECODE_REAL_DECOMP.json
+    measures as pure overhead on this query. The two-step path stays
+    for corpora whose payloads genuinely arrive as columns."""
+    synth_one = _media_synth_one()
+    decode_one = _media_decode_one()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals_rows = []
+            for d in pdf[id_col]:
+                d = int(d)
+                payload, _ = synth_one(d)
+                vals_rows.append(decode_one(d, payload))
+            yield _decoded_frame(vals_rows)
+
+    return docs.select(id_col).mapInPandas(run, schema=REAL_DECODED_SCHEMA)
 
 
 def resize_assets_real(assets: DataFrame, out_width: int = 8,

@@ -1080,41 +1080,65 @@ def corpus_stats(docs: DataFrame, group_col: str = "source",
     Output: (group, n_docs, total_tokens, mean_chars, p50_chars,
     p90_chars).
 
-    Shape: ONE exchange — the row_number window partitions by the
-    group key and the following groupBy reuses that clustering
-    (HashAggregate, no second exchange). The full sort-per-group is
-    what exactness costs; at 100 TB swap the two quantile columns for
-    ``percentile_approx`` (documented approximation) or keep exact and
-    accept the range-sort — n_docs/total_tokens/mean stay one
-    map-combined pass either way.
+    Shape (r10 rewrite, CORPUS_STATS_DECOMP.json): the value at
+    nearest-rank k depends only on the sorted MULTISET of lengths, so
+    instead of row_number over a full per-group sort of every document
+    (whose parallelism is bounded by the number of groups — a handful
+    of sources serialized ~0.9 s of the x20 wall on 32 cores), build
+    the (group, chars) HISTOGRAM with a map-combined aggregate, then
+    pick the rank from a running count over the tiny distinct-length
+    table. Docs cross the wire once as pre-aggregated counts; the
+    per-group sort touches distinct lengths only. Token counting is
+    arithmetic (spaces + 1 via translate) rather than materializing a
+    split() array per document — identical by definition for any
+    string, measured ~2x cheaper on the scan stage. Values are
+    bit-identical to the row_number formulation (oracle unchanged).
     """
     from trendmachine_spark.extensions.dedup import rebalance_for_fanout
 
-    n_tok = F.size(F.split(F.col(text_col), " "))
-    base = rebalance_for_fanout(
-        docs.select(F.col(group_col), F.col(id_col), F.col(text_col))
-    ).select(
-        F.col(group_col).alias("grp"),
-        F.col(id_col),
-        F.length(text_col).alias("_chars"),
-        n_tok.alias("_toks"),
+    # len(split(t, ' ')) == number of spaces + 1, for ANY string
+    # (split keeps empty tokens) — count without building the array
+    n_tok = (F.length(text_col)
+             - F.length(F.translate(F.col(text_col), " ", "")) + 1)
+    hist = (
+        rebalance_for_fanout(
+            docs.select(F.col(group_col), F.col(id_col), F.col(text_col))
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            F.length(text_col).alias("_chars"),
+            n_tok.alias("_toks"),
+        )
+        .groupBy("grp", "_chars")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_toks").alias("_tok_sum"),
+        )
     )
     wg = Window.partitionBy("grp")
-    w = wg.orderBy("_chars", id_col)
+    cum = F.sum("_cnt").over(wg.orderBy("_chars"))
     ranked = (
-        base.withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        hist.withColumn("_cum", cum)
+        .withColumn("_n", F.sum("_cnt").over(wg))
     )
     p50 = F.expr("(_n - 1) div 2 + 1")
     p90 = F.expr("((_n - 1) * 9) div 10 + 1")
+
+    def at_rank(rank):  # histogram bucket holding the 1-based rank
+        return F.max(
+            F.when((F.col("_cum") - F.col("_cnt") < rank)
+                   & (rank <= F.col("_cum")), F.col("_chars"))
+        ).cast("long")
+
     return (
         ranked.groupBy("grp")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_toks").alias("total_tokens"),
-            (F.sum("_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
-            F.max(F.when(F.col("_rn") == p50, F.col("_chars"))).cast("long").alias("p50_chars"),
-            F.max(F.when(F.col("_rn") == p90, F.col("_chars"))).cast("long").alias("p90_chars"),
+            F.sum("_cnt").alias("n_docs"),
+            F.sum("_tok_sum").alias("total_tokens"),
+            (F.sum(F.col("_chars").cast("long") * F.col("_cnt")).cast("double")
+             / F.sum("_cnt")).alias("mean_chars"),
+            at_rank(p50).alias("p50_chars"),
+            at_rank(p90).alias("p90_chars"),
         )
         .withColumnRenamed("grp", group_col)
     )

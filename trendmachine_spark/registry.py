@@ -3304,7 +3304,8 @@ def q_chunk_documents(spark, sf_dir):
 )
 def q_corpus_stats(spark, sf_dir):
     """Per-source corpus report with exact nearest-rank-lower length
-    quantiles (text.corpus_stats) — one exchange, window + reusing agg."""
+    quantiles (text.corpus_stats) — map-combined (source, chars)
+    histogram, then a tiny distinct-length window picks the ranks."""
     from trendmachine_spark.extensions.text import corpus_stats
 
     return corpus_stats(_docs(spark, sf_dir))
@@ -4197,7 +4198,16 @@ _PARITY_PERIOD = 3
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = []  # round 10: nothing changed yet — `rotate_window.py pin NAME` as queries change
+_WINDOW_PINNED: list[str] = [
+    "dedup_simhash_near_dup",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
+    "dedup_ngram_jaccard",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
+    "dedup_containment",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
+    "substring_dup_report",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
+    "text_fingerprints",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
+    "text_pii_stats",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
+    "quality_score",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
+    "corpus_stats",  # r10 histogram-quantile rewrite (CORPUS_STATS_DECOMP.json)
+]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
