@@ -468,6 +468,58 @@ def test_sampling_deterministic_and_stratified(spark):
     assert len(t) + len(e) == 2000
 
 
+def test_split_assign_and_leakage(spark):
+    """r10 split ops: (a) split_assign is disjoint+exhaustive, its
+    fractions roughly honored, and stable across invocations; (b)
+    by_content=True co-locates exact-duplicate docs in one split by
+    construction; (c) split_leakage counts exactly the planted
+    straddling family and content-keyed splitting eliminates it."""
+    from trendmachine_spark.extensions.sampling import (
+        split_assign, split_leakage,
+    )
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("srcA").alias("source"),
+        # 10 exact-duplicate families of 10 docs each, 900 uniques;
+        # the distinguishing token leads so the opening-8-gram
+        # fingerprint separates families exactly like full content
+        F.concat(
+            F.when(F.col("id") < 100, (F.col("id") % 10).cast("string"))
+             .otherwise(F.col("id").cast("string")),
+            F.lit(" alpha beta gamma delta epsilon zeta eta theta body"),
+        ).alias("text"),
+    )
+    assigned = split_assign(docs, valid_frac=0.1, test_frac=0.1)
+    counts = {r["split"]: r["n"] for r in
+              assigned.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    assert set(counts) <= {"train", "valid", "test"}
+    assert counts["train"] > 600
+    # determinism
+    a1 = sorted(map(tuple, assigned.select("doc_id", "split").collect()))
+    a2 = sorted(map(tuple, split_assign(
+        docs, valid_frac=0.1, test_frac=0.1).select("doc_id", "split").collect()))
+    assert a1 == a2
+    # content-keyed: every duplicate family lands in ONE split
+    by_content = split_assign(docs, valid_frac=0.1, test_frac=0.1,
+                              by_content=True)
+    fam_splits = (by_content.filter(F.col("doc_id") < 100)
+                  .groupBy(F.col("doc_id") % 10)
+                  .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in fam_splits)
+    # id-keyed leakage: the 10-doc families straddle with high odds;
+    # leaked docs are a subset of dup docs, and every family member of
+    # a straddling family is counted in its own split's row
+    rep = {r["split"]: r for r in split_leakage(
+        docs, valid_frac=0.1, test_frac=0.1).collect()}
+    assert sum(r["n_docs"] for r in rep.values()) == 1000
+    for r in rep.values():
+        assert r["n_leaked_docs"] <= r["n_dup_docs"] <= r["n_docs"]
+    assert sum(r["n_dup_docs"] for r in rep.values()) == 100
+    assert sum(r["n_leaked_docs"] for r in rep.values()) > 0
+
+
 def test_ivf_topk(spark, vectors):
     from trendmachine_spark.extensions.similarity import ivf_topk
 

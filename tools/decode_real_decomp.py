@@ -11,7 +11,10 @@ splits the Spark wall into its parts so the ratio has a measured cause:
   synth_only    encode-only mapInPandas (payload bytes -> noop sink)
   two_step      the shipped shape: synth stage -> Arrow -> decode stage
   fused         ONE mapInPandas doing synth+decode (bytes never cross
-                Arrow) — isolates the inter-stage Arrow/pandas hop
+                Arrow). Result (x20): SLOWER than two_step — chained
+                mapInPandas stages run as two pipelined Python workers
+                per task, so the saved Arrow hop loses to the lost
+                encode/decode overlap (fused_minus_two_step_s > 0)
   python_cpu    single-threaded encode+decode loop over a sample,
                 extrapolated: the pure codec CPU floor (divide by
                 cores for the ideal parallel wall)
@@ -78,7 +81,8 @@ def main() -> None:
     out["two_step_s"] = best(
         lambda: decode_assets_real(synthetic_media_assets(docs)))
     out["fused_s"] = best(lambda: synth_decode_media_fused(docs))
-    out["arrow_hop_s"] = round(out["two_step_s"] - out["fused_s"], 3)
+    out["fused_minus_two_step_s"] = round(
+        out["fused_s"] - out["two_step_s"], 3)
 
     # pure-Python codec CPU: encode+decode SAMPLE ids single-threaded
     synth_one, decode_one = _media_synth_one(), _media_decode_one()

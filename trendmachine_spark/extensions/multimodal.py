@@ -462,11 +462,16 @@ def synth_decode_media_fused(docs: DataFrame, id_col: str = "doc_id") -> DataFra
     """Fused synthesize->decode in ONE mapInPandas pass: identical
     values to ``decode_assets_real(synthetic_media_assets(docs))`` (the
     same :func:`_media_synth_one`/:func:`_media_decode_one` closures do
-    the work), but the payload bytes never cross the Arrow boundary —
-    the two-step plan serializes every encoded file Python->JVM->Python
-    between the two mapInPandas stages, which DECODE_REAL_DECOMP.json
-    measures as pure overhead on this query. The two-step path stays
-    for corpora whose payloads genuinely arrive as columns."""
+    the work), with the payload bytes never crossing the Arrow boundary.
+
+    MEASURED REJECTION (DECODE_REAL_DECOMP.json, x20): the fused pass
+    is SLOWER than the two-step shape (4.03 s vs 2.75 s) despite
+    skipping an Arrow hop — chained mapInPandas stages execute as two
+    pipelined Python workers per task, so encode and decode overlap,
+    while the fused worker runs them sequentially; pipeline overlap
+    beats the saved serialization on this CPU-bound pair. Kept as the
+    measured alternative and for single-worker environments; the
+    registered query stays two-step."""
     synth_one = _media_synth_one()
     decode_one = _media_decode_one()
 

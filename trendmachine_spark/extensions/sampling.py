@@ -108,3 +108,82 @@ def temperature_mix(docs: DataFrame, strata_col: str = "source",
         .filter(hash_uniform(F.col(id_col), salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def split_assign(docs: DataFrame, valid_frac: float = 0.05,
+                 test_frac: float = 0.05, salt: str = "split3",
+                 id_col: str = "doc_id", by_content: bool = False,
+                 text_col: str = "text") -> DataFrame:
+    """Add a ``split`` column: deterministic train/valid/test assignment.
+
+    One hash uniform, two thresholds: u < valid_frac -> 'valid',
+    u < valid_frac+test_frac -> 'test', else 'train' — disjoint and
+    exhaustive by construction, reproducible across runs, engines, and
+    partitionings (the corpus_sample membership discipline, one more
+    way). With ``by_content=True`` the uniform is keyed on
+    ``md5(text)`` instead of the id, so EXACT-DUPLICATE documents land
+    in the same split by construction — the standard guard against
+    train/eval leakage through duplicated content (see
+    ``split_leakage`` for the measurement of why that matters).
+
+    Thresholds are compared as IEEE doubles; the cumulative boundary
+    ``valid_frac + test_frac`` is computed once driver-side so both
+    engines compare against the identical literal.
+
+    Scale: a narrow md5 projection + CASE — zero shuffles, codegen'd,
+    predicate-pushable; composes with disjoint-salt sampling.
+    """
+    key = F.md5(F.col(text_col)) if by_content else F.col(id_col)
+    u = hash_uniform(key, salt)
+    cut1, cut2 = float(valid_frac), float(valid_frac) + float(test_frac)
+    return docs.withColumn(
+        "split",
+        F.when(u < cut1, F.lit("valid"))
+         .when(u < cut2, F.lit("test"))
+         .otherwise(F.lit("train")),
+    )
+
+
+def split_leakage(docs: DataFrame, valid_frac: float = 0.05,
+                  test_frac: float = 0.05, salt: str = "split3",
+                  id_col: str = "doc_id", text_col: str = "text",
+                  prefix_k: int = 8) -> DataFrame:
+    """Per-split leakage report for a NAIVE id-hash split: how many
+    documents share near-identical content with a document in ANOTHER
+    split, where "family" is the md5 of the opening ``prefix_k``
+    whitespace tokens (boilerplate-opening fingerprint — exact-md5
+    families are a subset, and the prefix family is nonempty at every
+    test SF, so the report is exercised everywhere).
+
+    An id-keyed split scatters duplicate families across
+    train/valid/test, so eval examples overlap the training set — the
+    contamination mechanism content-keyed splitting
+    (``split_assign(by_content=True)``) eliminates. Output one row per
+    split: n_docs, n_dup_docs (member of any >1-copy family),
+    n_leaked_docs (member of a family that straddles splits).
+
+    Scale: one fingerprint exchange for the family window (counts +
+    collect_set of splits per fingerprint — bounded by the split
+    count, max 3 elements), then a 3-row aggregate. No joins, no doc
+    text shuffled (only split/digest columns move).
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(F.concat_ws(
+        " ", F.slice(F.split(F.col(text_col), " "), 1, prefix_k)))
+    base = split_assign(
+        docs, valid_frac, test_frac, salt, id_col,
+        by_content=False, text_col=text_col,
+    ).select("split", fp.alias("_md5"))
+    w = Window.partitionBy("_md5")
+    fam = (
+        base.withColumn("_fam_n", F.count(F.lit(1)).over(w))
+        .withColumn("_fam_splits", F.size(F.collect_set("split").over(w)))
+    )
+    return fam.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_fam_n") > 1, 1).otherwise(0))
+         .cast("long").alias("n_dup_docs"),
+        F.sum(F.when(F.col("_fam_splits") > 1, 1).otherwise(0))
+         .cast("long").alias("n_leaked_docs"),
+    )

@@ -1088,18 +1088,22 @@ def corpus_stats(docs: DataFrame, group_col: str = "source",
     the (group, chars) HISTOGRAM with a map-combined aggregate, then
     pick the rank from a running count over the tiny distinct-length
     table. Docs cross the wire once as pre-aggregated counts; the
-    per-group sort touches distinct lengths only. Token counting is
-    arithmetic (spaces + 1 via translate) rather than materializing a
-    split() array per document — identical by definition for any
-    string, measured ~2x cheaper on the scan stage. Values are
+    per-group sort touches distinct lengths only. Values are
     bit-identical to the row_number formulation (oracle unchanged).
+
+    Measured dead end, kept out (CORPUS_STATS_DECOMP.json): counting
+    tokens arithmetically as spaces+1 via
+    ``length(t) - length(translate(t, ' ', ''))`` is equivalent for
+    any string but 1.5x SLOWER than ``size(split(...))`` on this scan
+    (0.90 vs 0.59 s at x20) — translate's per-char copy costs more
+    than split's array build. The whole query is tokenize-scan-bound
+    (scan floor 0.59 s of the ~1 s wall); the histogram buys
+    group-count-independent parallelism at cluster scale, not local
+    wall.
     """
     from trendmachine_spark.extensions.dedup import rebalance_for_fanout
 
-    # len(split(t, ' ')) == number of spaces + 1, for ANY string
-    # (split keeps empty tokens) — count without building the array
-    n_tok = (F.length(text_col)
-             - F.length(F.translate(F.col(text_col), " ", "")) + 1)
+    n_tok = F.size(F.split(F.col(text_col), " "))
     hist = (
         rebalance_for_fanout(
             docs.select(F.col(group_col), F.col(id_col), F.col(text_col))

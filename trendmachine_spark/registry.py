@@ -1597,6 +1597,71 @@ def q_corpus_sample_stratified(spark, sf_dir):
 
 
 @register(
+    "training_splits",
+    """WITH assigned AS (
+      SELECT source,
+             CASE WHEN u < 0.05 THEN 'valid'
+                  WHEN u < 0.1 THEN 'test'
+                  ELSE 'train' END AS split,
+             chars
+      FROM (SELECT source, length(text) AS chars,
+            ('0x' || substr(md5('split3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS u FROM documents))
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY source, split""",
+)
+def q_training_splits(spark, sf_dir):
+    """Deterministic train/valid/test assignment (sampling.split_assign:
+    one hash uniform, two thresholds — disjoint, exhaustive,
+    partition-independent) rolled up per (source, split). The split
+    column is a narrow codegen projection; the report is one
+    map-combined aggregate."""
+    from trendmachine_spark.extensions.sampling import split_assign
+
+    docs = _docs(spark, sf_dir)
+    return (
+        split_assign(docs)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "split_leakage_report",
+    """WITH assigned AS (
+      SELECT CASE WHEN u < 0.05 THEN 'valid'
+                  WHEN u < 0.1 THEN 'test'
+                  ELSE 'train' END AS split,
+             md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS m
+      FROM (SELECT doc_id, text,
+            ('0x' || substr(md5('split3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS u FROM documents)),
+    fam AS (
+      SELECT split,
+             count(*) OVER (PARTITION BY m) AS fam_n,
+             count(DISTINCT split) OVER (PARTITION BY m) AS fam_splits
+      FROM assigned)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN fam_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN fam_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_docs
+    FROM fam GROUP BY split""",
+)
+def q_split_leakage_report(spark, sf_dir):
+    """Train/eval contamination measurement for a naive id-hash split
+    (sampling.split_leakage): documents whose opening-8-gram family
+    straddles splits are leaked eval content. Spark mirrors DuckDB's
+    count(DISTINCT) window with size(collect_set) — one fingerprint
+    exchange, then a 3-row aggregate."""
+    from trendmachine_spark.extensions.sampling import split_leakage
+
+    return split_leakage(_docs(spark, sf_dir))
+
+
+@register(
     "multimodal_resize",
     """SELECT doc_id,
               CAST(64 AS INT) AS out_width,
@@ -4207,6 +4272,8 @@ _WINDOW_PINNED: list[str] = [
     "text_pii_stats",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
     "quality_score",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
     "corpus_stats",  # r10 histogram-quantile rewrite (CORPUS_STATS_DECOMP.json)
+    "training_splits",  # new r10 oracled query (first driver check)
+    "split_leakage_report",  # new r10 oracled query (first driver check)
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -4235,6 +4302,8 @@ _DEMOTE_EVEN = frozenset({
     "text_repetition_stats", "top_quality_docs", "training_corpus",
     "training_corpus_safe", "training_corpus_segmented", "training_shards",
     "transition_matrix_filled", "vocab_coverage",
+    "training_splits",  # new r10 (split assignment; pinned r10)
+    "split_leakage_report",  # new r10 (split contamination; pinned r10)
 })
 _DEMOTE_ODD = frozenset({
     # class 0 — driver-checked in rounds where _ROUND % 3 == 0;
