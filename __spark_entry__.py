@@ -5,7 +5,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The real surface lives in ``trendmachine_spark.registry``: 115 named
+The real surface lives in ``trendmachine_spark.registry``: 116 named
 queries covering SURVEY.md §2's operator inventory (capture pipeline,
 dashboard aggregates) plus the §2.6 extension operators (dedup incl.
 end-to-end clustering, segment/semantic/incremental dedup, containment,
@@ -28,9 +28,10 @@ md5-mod output-shard manifest; round 8 applies the trained BPE merge
 table to the corpus itself — per-doc token accounting — adds true
 add-one surprisal to the LM familiarity score, and drives the PII
 redaction paths end-to-end via a deterministically planted corpus
-twin; round 10 adds deterministic train/valid/test split assignment
-and the opening-8-gram split-contamination report).
-103 have exactly-parallel DuckDB
+twin; round 10 adds deterministic train/valid/test split assignment,
+the opening-8-gram split-contamination report, and last-touch
+conversion attribution).
+104 have exactly-parallel DuckDB
 oracles (dedup clustering is oracled via a recursive-CTE transitive
 closure); the O34/O35 recurrences, streaming operators, and the
 seed-dependent MLlib variants are rows-only by design (not

@@ -69,3 +69,33 @@ def test_retention_hand_counts(spark):
         ("2024-01-02", 0): 1,
         ("2024-01-02", 2): 1,
     }
+
+
+def test_attribution_hand_counts(spark):
+    """Last-touch attribution (r10): nearest strictly-earlier
+    non-conversion credits the conversion; no prior touch -> 'direct';
+    equal timestamps break by event_id; values sum as exact cents."""
+    from trendmachine_spark.operators.funnel import event_attribution
+
+    rows = [
+        # (event_id, user, type, minute, value)
+        (0, 1, "view", 0, 0.0),
+        (1, 1, "click", 5, 0.0),
+        (2, 1, "purchase", 10, 9.64),     # credited to click
+        (3, 1, "purchase", 11, 1.01),     # still click (prior purchase skipped)
+        (4, 2, "purchase", 0, 2.50),      # no prior touch -> direct
+        # user 3: view and click share a timestamp; click has the
+        # larger event_id so it is the LAST preceding row
+        (5, 3, "view", 0, 0.0),
+        (6, 3, "click", 0, 0.0),
+        (7, 3, "purchase", 1, 0.10),      # credited to click by tie-break
+    ]
+    df = spark.createDataFrame(
+        [(eid, uid, t, dt.datetime(2024, 1, 1, 9, m), v)
+         for eid, uid, t, m, v in rows],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp_ntz, value double",
+    )
+    out = {r["touch_type"]: (r["n_conversions"], r["value_cents"])
+           for r in event_attribution(df).collect()}
+    assert out == {"click": (3, 964 + 101 + 10), "direct": (1, 250)}

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["event_funnel", "event_retention"]
+__all__ = ["event_attribution", "event_funnel", "event_retention"]
 
 
 def event_funnel(events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase"),
@@ -106,4 +106,48 @@ def event_retention(events: DataFrame, user_col: str = "user_id",
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+
+
+def event_attribution(events: DataFrame, conv_type: str = "purchase",
+                      user_col: str = "user_id", type_col: str = "event_type",
+                      ts_col: str = "ts", id_col: str = "event_id",
+                      value_col: str = "value") -> DataFrame:
+    """Last-touch attribution: each conversion credits the nearest
+    strictly-earlier event of the same user that is not itself a
+    conversion; conversions with no prior touch credit ``'direct'``.
+
+    Output: (touch_type, n_conversions, value_cents) — conversion
+    values are quantized to integer cents BEFORE summing (float sums
+    across partitions are partition-order-dependent; integer sums are
+    exact — the engine's float-determinism rule).
+
+    Scale: ONE hash exchange on the user key; the running
+    last-non-conversion is a rows-frame window ending at 1 PRECEDING
+    over that partitioning (ties broken by event_id so the credited
+    touch is deterministic across engines and partitionings), and the
+    3-5-row final aggregate is map-combined.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conv_type, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("_touch", touch)
+        .filter(F.col(type_col) == conv_type)
+        .select(
+            F.coalesce(F.col("_touch"), F.lit("direct")).alias("touch_type"),
+            F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("_cents").alias("value_cents"),
+        )
     )

@@ -2273,6 +2273,35 @@ def q_event_retention(spark, sf_dir):
     return event_retention(_table(spark, sf_dir, "events"))
 
 
+@register(
+    "event_attribution",
+    """WITH e AS (
+      SELECT user_id, event_type, event_id, value,
+             CAST(epoch_us(ts) AS BIGINT) AS us
+      FROM events),
+    t AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM e)
+    SELECT coalesce(touch, 'direct') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM t WHERE event_type = 'purchase' GROUP BY touch_type""",
+)
+def q_event_attribution(spark, sf_dir):
+    """Last-touch conversion attribution (funnel.event_attribution):
+    one user exchange, a rows-frame running last-non-conversion window
+    (event_id tie-break), integer-cents value sums."""
+    from trendmachine_spark.operators.funnel import event_attribution
+
+    return event_attribution(_table(spark, sf_dir, "events"))
+
+
 # ------------------------------------------- non-SQL-expressible (goldens)
 
 @register("resilience_daily_series", None)  # O34/O35 recurrences: rows-only
@@ -4274,6 +4303,7 @@ _WINDOW_PINNED: list[str] = [
     "corpus_stats",  # r10 histogram-quantile rewrite (CORPUS_STATS_DECOMP.json)
     "training_splits",  # new r10 oracled query (first driver check)
     "split_leakage_report",  # new r10 oracled query (first driver check)
+    "event_attribution",  # new r10 oracled query (first driver check)
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -4304,6 +4334,7 @@ _DEMOTE_EVEN = frozenset({
     "transition_matrix_filled", "vocab_coverage",
     "training_splits",  # new r10 (split assignment; pinned r10)
     "split_leakage_report",  # new r10 (split contamination; pinned r10)
+    "event_attribution",  # new r10 (last-touch attribution; pinned r10)
 })
 _DEMOTE_ODD = frozenset({
     # class 0 — driver-checked in rounds where _ROUND % 3 == 0;
