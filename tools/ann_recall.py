@@ -198,8 +198,21 @@ def main() -> None:
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ANN_RECALL.json"
     )
+    # r10: keep one artifact per measured corpus multiple side by side
+    # (the r9 verdict wants x10 AND x20 on record) — merge under
+    # "scales" while keeping the top-level fields as the latest run
+    # for artifact back-compat
+    prior = {}
+    try:
+        with open(path) as fh:
+            prior = json.load(fh).get("scales", {})
+    except Exception:
+        pass
+    prior[f"x{mult}"] = out
+    out_full = dict(out)
+    out_full["scales"] = prior
     with open(path, "w") as fh:
-        json.dump(out, fh, indent=2)
+        json.dump(out_full, fh, indent=2)
     print(json.dumps(out))
     spark.stop()
 
