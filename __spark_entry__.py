@@ -5,7 +5,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The real surface lives in ``trendmachine_spark.registry``: 116 named
+The real surface lives in ``trendmachine_spark.registry``: 120 named
 queries covering SURVEY.md §2's operator inventory (capture pipeline,
 dashboard aggregates) plus the §2.6 extension operators (dedup incl.
 end-to-end clustering, segment/semantic/incremental dedup, containment,
@@ -29,9 +29,11 @@ table to the corpus itself — per-doc token accounting — adds true
 add-one surprisal to the LM familiarity score, and drives the PII
 redaction paths end-to-end via a deterministically planted corpus
 twin; round 10 adds deterministic train/valid/test split assignment,
-the opening-8-gram split-contamination report, and last-touch
-conversion attribution).
-104 have exactly-parallel DuckDB
+the opening-8-gram split-contamination report, last-touch
+conversion attribution, perceptual image hashing (aHash/dHash over
+REAL decoded pixels) with exact-family and banded hamming near-dup
+image dedup, and acoustic summary features over REAL decoded PCM).
+108 have exactly-parallel DuckDB
 oracles (dedup clustering is oracled via a recursive-CTE transitive
 closure); the O34/O35 recurrences, streaming operators, and the
 seed-dependent MLlib variants are rows-only by design (not

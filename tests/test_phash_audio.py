@@ -1,0 +1,154 @@
+"""Units for the round-10 perceptual-hash + audio-feature operators.
+
+The registry oracles (multimodal_image_hash / dedup_image_phash /
+dedup_image_phash_near / multimodal_audio_features) already verify the
+full chain hash-exact against closed-form SQL on the synthetic corpus;
+these units pin the pieces on CRAFTED inputs where each property is
+obvious by construction — known-value hashes, the 4-band pigeonhole
+guarantee at its boundary, and feature goldens for degenerate clips
+(silence, alternating full-swing, DC-only) that the corpus generator
+never produces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from trendmachine_spark.extensions.codecs import encode_bmp, encode_wav
+from trendmachine_spark.extensions.multimodal import (
+    _pack_bits64,
+    audio_features,
+    image_perceptual_hash,
+    phash_families,
+    phash_near_pairs,
+)
+
+
+def _asset_df(spark, payloads: dict[int, bytes]):
+    return spark.createDataFrame(
+        [(i, b) for i, b in payloads.items()], "doc_id bigint, payload binary"
+    )
+
+
+def test_pack_bits64_boundaries():
+    """Bit p lands in half p//32 at position p%32 — in particular bit 63
+    must use bit 31 of the HI half, never the int64 sign bit."""
+    assert _pack_bits64([0] * 64) == (0, 0)
+    one_at = lambda p: [int(i == p) for i in range(64)]
+    assert _pack_bits64(one_at(0)) == (0, 1)
+    assert _pack_bits64(one_at(31)) == (0, 1 << 31)
+    assert _pack_bits64(one_at(32)) == (1, 0)
+    assert _pack_bits64(one_at(63)) == (1 << 31, 0)
+    hi, lo = _pack_bits64([1] * 64)
+    assert (hi, lo) == (0xFFFFFFFF, 0xFFFFFFFF)  # fits BIGINT, positive
+
+
+def test_phash_known_values(spark):
+    """Constant image -> all-zero aHash and dHash (no pixel exceeds the
+    mean, no horizontal step). Pure x-gradient with equal channels ->
+    luma is the channel value exactly ((299+587+114)v // 1000 = v),
+    dHash all ones EXCEPT bit 0 of each row (the 9-wide nearest grid of
+    an 8-wide image duplicates column 0: xs = [0,0,1..7], so the first
+    step is 10 < 10 = false -> 0xFE per row), aHash = columns right of
+    the mean (gx >= 4 -> 0xF0 per 8-bit row)."""
+    const = np.full((8, 8, 3), 100, dtype=np.uint8)
+    grad = np.zeros((8, 8, 3), dtype=np.uint8)
+    for x in range(8):
+        grad[:, x, :] = 10 + 20 * x
+    rows = {
+        r["doc_id"]: r
+        for r in image_perceptual_hash(
+            _asset_df(spark, {0: encode_bmp(const), 1: encode_bmp(grad)})
+        ).collect()
+    }
+    assert (rows[0]["ahash_hi"], rows[0]["ahash_lo"]) == (0, 0)
+    assert (rows[0]["dhash_hi"], rows[0]["dhash_lo"]) == (0, 0)
+    assert (rows[1]["dhash_hi"], rows[1]["dhash_lo"]) == (0xFEFEFEFE, 0xFEFEFEFE)
+    assert (rows[1]["ahash_hi"], rows[1]["ahash_lo"]) == (0xF0F0F0F0, 0xF0F0F0F0)
+    assert (rows[1]["width"], rows[1]["height"]) == (8, 8)
+
+
+def test_phash_families_collapse_reencodes(spark):
+    """Byte-different encodings of the SAME pixels (and a brightness
+    nudge too small to flip any bit) share an aHash family; a different
+    image does not."""
+    base = np.zeros((8, 8, 3), dtype=np.uint8)
+    for x in range(8):
+        base[:, x, :] = 10 + 20 * x
+    nudged = base + 1  # +1 luma everywhere: bits vs mean unchanged
+    other = base[:, ::-1, :].copy()  # mirrored: different structure
+    fams = {
+        r["doc_id"]: r
+        for r in phash_families(
+            image_perceptual_hash(
+                _asset_df(
+                    spark,
+                    {1: encode_bmp(base), 2: encode_bmp(nudged), 3: encode_bmp(other)},
+                )
+            )
+        ).collect()
+    }
+    assert fams[1]["family_key"] == fams[2]["family_key"] == 1
+    assert fams[1]["family_size"] == fams[2]["family_size"] == 2
+    assert (fams[1]["is_keeper"], fams[2]["is_keeper"]) == (1, 0)
+    assert fams[3]["family_size"] == 1 and fams[3]["is_keeper"] == 1
+
+
+def test_phash_near_pairs_pigeonhole_boundary(spark):
+    """Planted hash table: variants of one base hash at hamming 1, 2,
+    and 3. The banded join must return exactly the <=2 pairs — the
+    hamming-3 variant shares a band with the base (pigeonhole) yet is
+    excluded by the verify filter, and hamming BETWEEN variants also
+    counts (1-flip vs 2-flip at disjoint positions = 3 -> excluded)."""
+    base_hi, base_lo = 0x12345678, 0x0BCDEF01
+    table = spark.createDataFrame(
+        [
+            (0, base_hi, base_lo),
+            (1, base_hi, base_lo ^ 0b1),            # ham 1 vs base
+            (2, base_hi ^ (1 << 20), base_lo ^ 0b10),  # ham 2 vs base
+            (3, base_hi ^ (0b111 << 8), base_lo),   # ham 3 vs base
+        ],
+        "doc_id bigint, ahash_hi bigint, ahash_lo bigint",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(table, 2).collect()
+    }
+    assert got == {(0, 1): 1, (0, 2): 2}
+    with pytest.raises(ValueError):
+        phash_near_pairs(table, 4)
+
+
+def test_audio_features_degenerate_clips(spark):
+    """Silence (zeros), alternating full-swing, and DC-only clips have
+    features obvious by construction; zero is counted as positive so a
+    0->negative edge crosses and 0->positive does not."""
+    silence = np.zeros(100, dtype="<i2")
+    swing = np.tile(np.array([20000, -20000], dtype="<i2"), 50)
+    dc = np.full(80, 1234, dtype="<i2")
+    edge = np.array([0, -5, 0, 5], dtype="<i2")  # crossings: 0->-5, -5->0
+    rows = {
+        r["doc_id"]: r
+        for r in audio_features(
+            _asset_df(
+                spark,
+                {
+                    0: encode_wav(silence, sample_rate=8000),
+                    1: encode_wav(swing, sample_rate=16000),
+                    2: encode_wav(dc, sample_rate=8000),
+                    3: encode_wav(edge, sample_rate=8000),
+                },
+            )
+        ).collect()
+    }
+    s = rows[0]
+    assert (s["peak_abs"], s["zero_crossings"], s["energy"], s["dc_sum"]) == (0, 0, 0, 0)
+    assert (s["n_samples"], s["duration_ms"]) == (100, 12)  # 100000 // 8000
+    w = rows[1]
+    assert w["zero_crossings"] == 99 and w["peak_abs"] == 20000
+    assert w["energy"] == 100 * 20000**2 and w["dc_sum"] == 0
+    assert w["sample_rate"] == 16000 and w["duration_ms"] == 6
+    d = rows[2]
+    assert (d["zero_crossings"], d["dc_sum"]) == (0, 80 * 1234)
+    assert rows[3]["zero_crossings"] == 2

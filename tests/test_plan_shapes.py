@@ -200,6 +200,16 @@ SHUFFLE_BUDGETS = {
     "redact_pii_planted": (0, True),
     # one map-combined agg on n_shards keys
     "training_shards": (1, True),
+    # r10 perceptual-hash family: the hash table is a zero-exchange
+    # mapInPandas chain (the synth rebalance is round-robin, uncounted)
+    "multimodal_image_hash": (0, True),
+    # one hash exchange for the (ahash_hi, ahash_lo) family window
+    "dedup_image_phash": (1, True),
+    # band self-join rides broadcast at sf (1 = the pair distinct);
+    # at scale it degrades to an SMJ: +2 band-key sides
+    "dedup_image_phash_near": (3, True),
+    # pure per-asset mapInPandas feature pass
+    "multimodal_audio_features": (0, True),
 }
 
 # Queries whose round-2..4 form used a count/row_number window

@@ -155,20 +155,26 @@ _GATE_CACHE: dict = {}
 _GATE_MISS = object()
 
 
-def _rebalance_gate(df: DataFrame, target: int, min_fraction: float) -> bool:
+def _rebalance_gate(
+    df: DataFrame, target: int, min_fraction: float,
+    min_bytes: int | None = None,
+) -> bool:
     """Uncached gate decision: True iff ``df`` should be rebalanced.
 
     Hardened per the r9 advice: the size probe rides the classic-mode
     JVM handle (``df._jdf``) — when it is unavailable (Spark Connect)
     or fails, fall back to the partition-count gate alone; when THAT
     is also unavailable (``.rdd`` is classic-only too), decide False so
-    the optimization can never break plan construction.
+    the optimization can never break plan construction. ``min_bytes``
+    None reads the module default (monkeypatch-visible).
     """
+    if min_bytes is None:
+        min_bytes = REBALANCE_MIN_BYTES
     try:
         est_bytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
-        if est_bytes < REBALANCE_MIN_BYTES:
+        if est_bytes < min_bytes:
             return False
     except Exception:
         pass  # stats unavailable: the partition gate alone decides
@@ -178,7 +184,9 @@ def _rebalance_gate(df: DataFrame, target: int, min_fraction: float) -> bool:
         return False
 
 
-def rebalance_for_fanout(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+def rebalance_for_fanout(
+    df: DataFrame, min_fraction: float = 0.5, min_bytes: int | None = None
+) -> DataFrame:
     """Ensure a fan-out-heavy map stage runs at session parallelism.
 
     Gram/shingle explodes and multi-regex projections do ~10x the work
@@ -219,9 +227,20 @@ def rebalance_for_fanout(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     partition-count gate alone decides, and if no probe works the
     function is an exact no-op (r9 advice: the optimization must never
     break plan construction).
+
+    ``min_bytes`` overrides the size floor for call sites whose fan-out
+    factor dwarfs the ~10x the default was calibrated for: the codec
+    synthesis/decode paths turn an 8-byte doc_id into KILOBYTES of
+    per-asset CPU (~1000x), so even a sub-MiB id projection is worth an
+    exchange there — measured at x20, multimodal_decode_real dropped
+    2.67 -> 1.14 s when its 4-split id scan was spread to 32
+    (DECODE_REAL_DECOMP.json r10 update). Pass ``min_bytes=0`` to let
+    the partition-count gate alone decide; ``None`` keeps the module
+    default (monkeypatch-visible, part of the memo key either way).
     """
     if df.isStreaming:
         return df
+    eff_min_bytes = REBALANCE_MIN_BYTES if min_bytes is None else min_bytes
     try:
         target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
@@ -232,14 +251,14 @@ def rebalance_for_fanout(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     # relations per suite build; semanticHash (analyzed plan only,
     # ~7 ms) replaces the ~20-70 ms optimize+plan probes on every hit
     try:
-        key = (df.semanticHash(), target, min_fraction, REBALANCE_MIN_BYTES)
+        key = (df.semanticHash(), target, min_fraction, eff_min_bytes)
     except Exception:
         key = None
     if key is not None:
         hit = _GATE_CACHE.get(key, _GATE_MISS)
         if hit is not _GATE_MISS:
             return df.repartition(target) if hit else df
-    decision = _rebalance_gate(df, target, min_fraction)
+    decision = _rebalance_gate(df, target, min_fraction, eff_min_bytes)
     if key is not None:
         if len(_GATE_CACHE) > 1024:
             _GATE_CACHE.clear()

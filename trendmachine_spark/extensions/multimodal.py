@@ -24,7 +24,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
@@ -266,7 +266,19 @@ def _media_synth_one():
 def synthetic_media_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL media payloads per doc id (see
     :func:`_media_synth_one`). Encoded with the real encoders — the
-    bytes on the wire are valid files any external tool could open."""
+    bytes on the wire are valid files any external tool could open.
+
+    The id projection is rebalanced with ``min_bytes=0``: codec
+    synthesis fans an 8-byte id out into KILOBYTES of per-asset CPU
+    (~1000x — far past the ~10x the default 1 MiB size gate was
+    calibrated for), so scan-split parallelism, not input size, is the
+    binding constraint. Measured at x20: decode_real 2.67 -> 1.14 s
+    (the residual "harness constant" in the first DECODE_REAL_DECOMP
+    was in fact a 4-of-32-core scan floor). At real multi-split scale
+    the partition-count gate makes it a structural no-op."""
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    docs = rebalance_for_fanout(docs.select(id_col), min_bytes=0)
     synth_one = _media_synth_one()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -471,7 +483,11 @@ def synth_decode_media_fused(docs: DataFrame, id_col: str = "doc_id") -> DataFra
     while the fused worker runs them sequentially; pipeline overlap
     beats the saved serialization on this CPU-bound pair. Kept as the
     measured alternative and for single-worker environments; the
-    registered query stays two-step."""
+    registered query stays two-step. Rebalanced like
+    :func:`synthetic_media_assets` (same ~1000x codec fan-out)."""
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    docs = rebalance_for_fanout(docs.select(id_col), min_bytes=0)
     synth_one = _media_synth_one()
     decode_one = _media_decode_one()
 
@@ -535,3 +551,200 @@ def resize_assets_real(assets: DataFrame, out_width: int = 8,
             )
 
     return assets.select("doc_id", "payload").mapInPandas(run, schema=REAL_RESIZED_SCHEMA)
+
+
+# ------------------------------------------------- perceptual hashing
+# Round 10: image dedup over the REAL decode path. aHash/dHash are the
+# classic perceptual fingerprints (resize to a tiny grid, threshold
+# against the mean / the horizontal neighbor); both are integer-exact
+# here — nearest-neighbor resample + integer luma — so a closed-form
+# SQL oracle can verify the full decode->gray->resample->threshold->
+# bit-pack chain per image. Hashes ship as two 32-bit halves in BIGINT
+# (never touching the int64 sign bit) so hamming distance is
+# bit_count(xor(hi))+bit_count(xor(lo)) in BOTH engines.
+
+PHASH_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "ahash_hi bigint, ahash_lo bigint, dhash_hi bigint, dhash_lo bigint"
+)
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, duration_ms bigint, "
+    "peak_abs bigint, zero_crossings bigint, energy bigint, dc_sum bigint"
+)
+
+
+def _pack_bits64(bits) -> tuple[int, int]:
+    """Row-major 64-bit vector -> (hi, lo) 32-bit halves as python ints
+    (bit p of the flat vector is bit p%32 of half p//32)."""
+    lo = hi = 0
+    for p, b in enumerate(bits):
+        if b:
+            if p < 32:
+                lo |= 1 << p
+            else:
+                hi |= 1 << (p - 32)
+    return hi, lo
+
+
+def image_perceptual_hash(assets: DataFrame) -> DataFrame:
+    """Per-image aHash + dHash over REAL decoded pixels.
+
+    Decode (magic-sniffed BMP/PNG/JPEG), integer luma
+    ``(299R + 587G + 114B) // 1000`` (grayscale JPEG: the Y plane),
+    then: aHash = 8x8 nearest-resample, bit = gray > floor(mean);
+    dHash = 9x8 nearest-resample, bit = gray[x] < gray[x+1] (row-major
+    bit order, 64 bits each, packed into two 32-bit halves).
+
+    Scale: pure per-asset Arrow-batched CPU, zero exchanges — the hash
+    table is ~30 bytes/image, the thing dedup joins touch instead of
+    pixels. Alpha planes are ignored by design (perceptual hashes rate
+    luminance structure)."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    px = codecs.decode_png(b)
+                elif b[:2] == b"\xff\xd8":
+                    px = codecs.decode_jpeg(b)
+                else:
+                    px = codecs.decode_bmp(b)
+                px = px.astype(np.int64)
+                if px.shape[2] == 1:
+                    gray = px[:, :, 0]
+                else:
+                    gray = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                            + 114 * px[:, :, 2]) // 1000
+                h, w = gray.shape
+                a = codecs.resize_nearest(gray, 8, 8)
+                abits = (a > (int(a.sum()) // 64)).ravel()
+                dg = codecs.resize_nearest(gray, 9, 8)
+                dbits = (dg[:, :8] < dg[:, 1:]).ravel()
+                ahi, alo = _pack_bits64(abits)
+                dhi, dlo = _pack_bits64(dbits)
+                rows.append((int(did), w, h, ahi, alo, dhi, dlo))
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(cols[0], dtype="int64"),
+                    "width": pd.Series(cols[1], dtype="int32"),
+                    "height": pd.Series(cols[2], dtype="int32"),
+                    "ahash_hi": pd.Series(cols[3], dtype="int64"),
+                    "ahash_lo": pd.Series(cols[4], dtype="int64"),
+                    "dhash_hi": pd.Series(cols[5], dtype="int64"),
+                    "dhash_lo": pd.Series(cols[6], dtype="int64"),
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_families(hashes: DataFrame) -> DataFrame:
+    """Exact perceptual-dup families: images sharing an aHash collapse
+    to one family with a min-id keeper — the standard pHash dedup move
+    (the hash IS the equivalence key; lossiness is the point).
+
+    Scale: one hash exchange on (ahash_hi, ahash_lo) over the ~30-byte
+    hash table; linear output (one row per image, never pairs)."""
+    w = Window.partitionBy("ahash_hi", "ahash_lo")
+    return hashes.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("family_key"),
+        F.count(F.lit(1)).over(w).alias("family_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("long").alias("is_keeper"),
+    )
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate image pairs: aHash hamming distance <= max_hamming.
+
+    Banded exactly like SimHash: the 64-bit aHash splits into four
+    16-bit bands; by pigeonhole, any pair within hamming
+    ``max_hamming < 4`` agrees on at least one band VERBATIM, so a
+    band-equality self-join loses nothing — candidates are verified
+    with ``bit_count(xor())`` (JVM codegen in Spark, the same builtin
+    pair in DuckDB). No all-pairs path at any scale.
+    """
+    if not 0 <= max_hamming < 4:
+        raise ValueError("4-band pigeonhole is exact only for max_hamming < 4")
+    bands = F.array(
+        F.col("ahash_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("ahash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("ahash_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("ahash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+    )
+    banded = hashes.select(
+        "doc_id", "ahash_hi", "ahash_lo", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = (
+        F.bit_count(F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi")))
+        + F.bit_count(F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Acoustic summary features over REAL decoded PCM samples: peak
+    amplitude, zero-crossing count (sign transitions, zero counted as
+    positive), total energy (sum of squares), DC sum, and integer
+    duration in ms — the stats an audio-corpus quality filter keys on
+    (clipped/silent/DC-biased clip detection), all integer-exact so the
+    closed-form oracle verifies the full RIFF parse + sample decode.
+
+    Scale: per-asset Arrow-batched CPU, zero exchanges; 16-bit samples
+    never leave the worker — ~50 bytes of features per clip do."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _nch, samples = codecs.decode_wav(bytes(b))
+                s = samples.astype(np.int64)
+                n = len(s)
+                rows.append((
+                    int(did), int(rate), n, n * 1000 // rate,
+                    int(np.abs(s).max()) if n else 0,
+                    int(((s[:-1] < 0) != (s[1:] < 0)).sum()) if n > 1 else 0,
+                    int((s * s).sum()), int(s.sum()),
+                ))
+            cols = list(zip(*rows)) if rows else [[]] * 8
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(cols[0], dtype="int64"),
+                    "sample_rate": pd.Series(cols[1], dtype="int32"),
+                    "n_samples": pd.Series(cols[2], dtype="int64"),
+                    "duration_ms": pd.Series(cols[3], dtype="int64"),
+                    "peak_abs": pd.Series(cols[4], dtype="int64"),
+                    "zero_crossings": pd.Series(cols[5], dtype="int64"),
+                    "energy": pd.Series(cols[6], dtype="int64"),
+                    "dc_sum": pd.Series(cols[7], dtype="int64"),
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )

@@ -3824,6 +3824,199 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
     return decode_assets_real(synthetic_jpeg_assets(_docs(spark, sf_dir)))
 
 
+def _phash_cte() -> str:
+    """Closed-form per-image aHash/dHash CTE chain (round 10), shared by
+    the three perceptual-hash oracles. Mirrors
+    multimodal.image_perceptual_hash over the BMP generator formulas
+    (multimodal._media_synth_one): integer luma
+    (299R + 587G + 114B) // 1000 at the nearest-resampled coordinates
+    (gx * w // 8 etc. — the resize_nearest index rule), aHash bit =
+    gray > floor(mean of the 64 cells), dHash bit = gray[x] < gray[x+1]
+    on the 9x8 grid, row-major bit p packed into 32-bit halves so both
+    engines stay inside BIGINT. Exposes `phash(doc_id, width, height,
+    ahash_hi, ahash_lo, dhash_hi, dhash_lo)`."""
+    gray = """(  299 * ((s.sx * 7  + s.sy * 13 + d.doc_id) % 256)
+          + 587 * ((s.sx * 11 + s.sy * 3  + d.doc_id) % 256)
+          + 114 * ((s.sx * 5  + s.sy * 17 + d.doc_id) % 256)) // 1000"""
+    return f"""ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    acells AS (
+      SELECT d.doc_id, gy.g * 8 + gx.g AS p, {gray} AS gray
+      FROM ids d,
+           generate_series(0, 7) AS gx(g), generate_series(0, 7) AS gy(g),
+           LATERAL (SELECT (gx.g * (4 + d.doc_id % 13)) // 8 AS sx,
+                           (gy.g * (3 + d.doc_id % 7)) // 8 AS sy) s
+    ),
+    ameans AS (SELECT doc_id, sum(gray) // 64 AS m FROM acells GROUP BY doc_id),
+    abits AS (
+      SELECT c.doc_id,
+             CAST(sum(CASE WHEN c.gray > am.m AND c.p >= 32
+                           THEN (1::BIGINT << (c.p - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+             CAST(sum(CASE WHEN c.gray > am.m AND c.p < 32
+                           THEN (1::BIGINT << c.p) ELSE 0 END) AS BIGINT) AS ahash_lo
+      FROM acells c JOIN ameans am USING (doc_id) GROUP BY c.doc_id
+    ),
+    dcells AS (
+      SELECT d.doc_id, gx.g AS gx, gy.g AS gy, {gray} AS gray
+      FROM ids d,
+           generate_series(0, 8) AS gx(g), generate_series(0, 7) AS gy(g),
+           LATERAL (SELECT (gx.g * (4 + d.doc_id % 13)) // 9 AS sx,
+                           (gy.g * (3 + d.doc_id % 7)) // 8 AS sy) s
+    ),
+    dbits AS (
+      SELECT l.doc_id,
+             CAST(sum(CASE WHEN l.gray < r.gray AND (l.gy * 8 + l.gx) >= 32
+                           THEN (1::BIGINT << (l.gy * 8 + l.gx - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+             CAST(sum(CASE WHEN l.gray < r.gray AND (l.gy * 8 + l.gx) < 32
+                           THEN (1::BIGINT << (l.gy * 8 + l.gx)) ELSE 0 END) AS BIGINT) AS dhash_lo
+      FROM dcells l JOIN dcells r ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
+      WHERE l.gx < 8 GROUP BY l.doc_id
+    ),
+    phash AS (
+      SELECT a.doc_id,
+             CAST(4 + a.doc_id % 13 AS INT) AS width,
+             CAST(3 + a.doc_id % 7 AS INT) AS height,
+             a.ahash_hi, a.ahash_lo, db.dhash_hi, db.dhash_lo
+      FROM abits a JOIN dbits db USING (doc_id)
+    )"""
+
+
+def _bmp_assets(spark, sf_dir):
+    """REAL BMP payloads for the perceptual-hash queries (even doc
+    ids of the shared media generator)."""
+    from trendmachine_spark.extensions.multimodal import synthetic_media_assets
+
+    return synthetic_media_assets(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "image/bmp"
+    )
+
+
+@register(
+    "multimodal_image_hash",
+    # Closed-form twin of the REAL decode->gray->resample->threshold->
+    # pack chain: any codec, luma, resize-index, mean-rounding, or
+    # bit-order mistake shifts a hash half. See _phash_cte.
+    f"WITH {_phash_cte()}\n    SELECT * FROM phash",
+)
+def q_multimodal_image_hash(spark, sf_dir):
+    """Per-image perceptual hashes (aHash + dHash, round 10) over REAL
+    decoded BMP pixels — the image twin of text_fingerprints: a
+    ~30-byte signature per image that downstream dedup joins touch
+    instead of pixels. Integer-exact end to end (nearest resample +
+    integer luma + floor mean), which is what lets the oracle verify
+    the whole chain in closed form. Scale: per-asset Arrow-batched CPU,
+    zero exchanges; the rebalanced id projection (see
+    synthetic_media_assets) keeps codec fan-out at session parallelism."""
+    from trendmachine_spark.extensions.multimodal import image_perceptual_hash
+
+    return image_perceptual_hash(_bmp_assets(spark, sf_dir))
+
+
+@register(
+    "dedup_image_phash",
+    # families keyed on the full 64-bit aHash; linear output (one row
+    # per image), min-id keeper — the image analog of dedup_exact.
+    f"""WITH {_phash_cte()}
+    SELECT doc_id,
+           min(doc_id) OVER w AS family_key,
+           count(*) OVER w AS family_size,
+           CAST(doc_id = min(doc_id) OVER w AS BIGINT) AS is_keeper
+    FROM phash WINDOW w AS (PARTITION BY ahash_hi, ahash_lo)""",
+)
+def q_dedup_image_phash(spark, sf_dir):
+    """Exact perceptual-dup image families (round 10): images sharing a
+    64-bit aHash collapse to one family with a min-id keeper — the
+    image analog of dedup_exact, over REAL decoded pixels (aHash's
+    lossiness IS the dedup key: re-encoded/slightly-requantized copies
+    land in one family). Scale: one hash exchange over the hash table
+    (~30 bytes/image), linear output, never pairs."""
+    from trendmachine_spark.extensions.multimodal import (
+        image_perceptual_hash,
+        phash_families,
+    )
+
+    return phash_families(image_perceptual_hash(_bmp_assets(spark, sf_dir)))
+
+
+@register(
+    "dedup_image_phash_near",
+    # oracle verifies SEMANTICS (all pairs within hamming 2) directly;
+    # the Spark side reaches the same set through the 4x16-bit band
+    # join (pigeonhole-exact for hamming < 4). bit_count(xor()) is the
+    # same builtin pair in both engines.
+    f"""WITH {_phash_cte()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+              + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming
+    FROM phash a JOIN phash b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+        + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 2""",
+)
+def q_dedup_image_phash_near(spark, sf_dir):
+    """Near-duplicate image pairs (round 10): aHash hamming <= 2 via a
+    4x16-bit band self-join — by pigeonhole a pair within hamming < 4
+    agrees on at least one band verbatim, so band equality is a
+    lossless candidate filter (the SimHash trick applied to image
+    hashes; no all-pairs path at any scale). Candidates verified with
+    codegen bit_count(xor()). The DuckDB twin states the SEMANTICS as
+    a direct hamming join, so the value hash proves the banded plan
+    reaches exactly the all-pairs answer."""
+    from trendmachine_spark.extensions.multimodal import (
+        image_perceptual_hash,
+        phash_near_pairs,
+    )
+
+    return phash_near_pairs(image_perceptual_hash(_bmp_assets(spark, sf_dir)), 2)
+
+
+@register(
+    "multimodal_audio_features",
+    # closed-form twin of the RIFF parse + PCM decode + feature pass:
+    # sample values are (i*31 + id) % 65536 - 32768 — any header-walk,
+    # sample-width, or sign bug shifts energy/zero_crossings/peak.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+    smp AS (
+      SELECT d.doc_id, i.i, (i.i * 31 + d.doc_id) % 65536 - 32768 AS v
+      FROM ids d, generate_series(0, 148) AS i(i)
+      WHERE i.i < 50 + d.doc_id % 100),
+    lagged AS (SELECT doc_id, v,
+                      lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+               FROM smp)
+    SELECT doc_id,
+      CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+      CAST(count(*) AS BIGINT) AS n_samples,
+      CAST((count(*) * 1000) // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms,
+      CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      CAST(count(*) FILTER (WHERE pv IS NOT NULL AND (pv < 0) != (v < 0)) AS BIGINT)
+        AS zero_crossings,
+      CAST(sum(v * v) AS BIGINT) AS energy,
+      CAST(sum(v) AS BIGINT) AS dc_sum
+    FROM lagged GROUP BY doc_id""",
+)
+def q_multimodal_audio_features(spark, sf_dir):
+    """Acoustic summary features (round 10) over REAL decoded PCM:
+    peak amplitude, zero-crossing count, total energy, DC sum, integer
+    duration — the stats an audio-corpus quality filter keys on
+    (silence/clipping/DC-bias detection), integer-exact so the oracle
+    verifies the full RIFF chunk walk + 16-bit sample decode. Completes
+    the audio ANALYSIS layer next to decode (multimodal_decode_real)
+    the way text_profile sits next to capture_normalize. Scale:
+    per-asset Arrow-batched CPU, zero exchanges."""
+    from trendmachine_spark.extensions.multimodal import audio_features
+
+    return audio_features(
+        synthetic_media_assets_audio(spark, sf_dir)
+    )
+
+
+def synthetic_media_assets_audio(spark, sf_dir):
+    """REAL WAV payloads (odd doc ids of the shared media generator)."""
+    from trendmachine_spark.extensions.multimodal import synthetic_media_assets
+
+    return synthetic_media_assets(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "audio/wav"
+    )
+
+
 @register(
     "quality_score_trained",
     # Exact mirror of fit_quality_logit + apply: integer features and
@@ -4304,6 +4497,12 @@ _WINDOW_PINNED: list[str] = [
     "training_splits",  # new r10 oracled query (first driver check)
     "split_leakage_report",  # new r10 oracled query (first driver check)
     "event_attribution",  # new r10 oracled query (first driver check)
+    "multimodal_decode_real",  # r10: synth id projection rebalanced (min_bytes=0 fan-out gate)
+    "multimodal_resize_real",  # r10: same shared-synth rebalance
+    "multimodal_image_hash",  # new r10 oracled query (first driver check)
+    "dedup_image_phash",  # new r10 oracled query (first driver check)
+    "dedup_image_phash_near",  # new r10 oracled query (first driver check)
+    "multimodal_audio_features",  # new r10 oracled query (first driver check)
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -4335,6 +4534,10 @@ _DEMOTE_EVEN = frozenset({
     "training_splits",  # new r10 (split assignment; pinned r10)
     "split_leakage_report",  # new r10 (split contamination; pinned r10)
     "event_attribution",  # new r10 (last-touch attribution; pinned r10)
+    "multimodal_image_hash",  # new r10 (perceptual hashes; pinned r10)
+    "dedup_image_phash",  # new r10 (phash families; pinned r10)
+    "dedup_image_phash_near",  # new r10 (banded hamming pairs; pinned r10)
+    "multimodal_audio_features",  # new r10 (PCM features; pinned r10)
 })
 _DEMOTE_ODD = frozenset({
     # class 0 — driver-checked in rounds where _ROUND % 3 == 0;
