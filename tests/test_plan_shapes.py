@@ -205,8 +205,10 @@ SHUFFLE_BUDGETS = {
     "multimodal_image_hash": (0, True),
     # one hash exchange for the (ahash_hi, ahash_lo) family window
     "dedup_image_phash": (1, True),
-    # band self-join rides broadcast at sf (1 = the pair distinct);
-    # at scale it degrades to an SMJ: +2 band-key sides
+    # distinct-hash collapse (r9 simhash shape applied up front): the
+    # hash distinct + the qualifying-pair distinct; member expansion
+    # rides broadcast at sf, +1 slack for the within-family join
+    # degrading to SMJ at scale
     "dedup_image_phash_near": (3, True),
     # pure per-asset mapInPandas feature pass
     "multimodal_audio_features": (0, True),

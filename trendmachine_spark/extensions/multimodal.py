@@ -664,44 +664,95 @@ def phash_families(hashes: DataFrame) -> DataFrame:
 def phash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
     """Near-duplicate image pairs: aHash hamming distance <= max_hamming.
 
-    Banded exactly like SimHash: the 64-bit aHash splits into four
-    16-bit bands; by pigeonhole, any pair within hamming
-    ``max_hamming < 4`` agrees on at least one band VERBATIM, so a
-    band-equality self-join loses nothing — candidates are verified
+    Banded exactly like SimHash (Manku et al.): the 64-bit aHash splits
+    into four 16-bit bands; by pigeonhole, any pair within hamming
+    ``max_hamming < 4`` agrees on at least one band VERBATIM, so band
+    equality is a lossless candidate filter — candidates are verified
     with ``bit_count(xor())`` (JVM codegen in Spark, the same builtin
     pair in DuckDB). No all-pairs path at any scale.
+
+    Shape: the band join runs on DISTINCT (hi, lo) fingerprints, not
+    images — the r9 simhash_near_dup collapse applied up front. Replica
+    corpora concentrate MASSIVELY on few hashes (the ×10 corpus: 25k
+    images -> 2,033 distinct aHashes, largest identical family 1,294),
+    and a doc-level band join would square the hot families inside the
+    join (the 453M-candidate pathology). Two docs are within hamming k
+    iff their HASHES are, so the output factors exactly into (a)
+    hamming-0 pairs within an identical-hash family (one member
+    self-join on the hash, each pair emitted once) and (b) cross pairs
+    expanded from qualifying DISTINCT-hash pairs via two member joins
+    (broadcast — banding + the hamming filter prune hard). The residual
+    quadratic term is the OUTPUT itself (~18M pairs at ×10), which any
+    engine emitting the pair form pays; keeper pipelines should consume
+    :func:`phash_families` instead.
     """
     if not 0 <= max_hamming < 4:
         raise ValueError("4-band pigeonhole is exact only for max_hamming < 4")
+    from trendmachine_spark.extensions.dedup import _materialize
+
+    # the hash table feeds the distinct, both member-expansion joins,
+    # and both within-family sides: without materialization the decode
+    # subtree instantiates per consumer (plans are trees — SCALE.md r5)
+    fp = _materialize(hashes.select("doc_id", "ahash_hi", "ahash_lo"))
+    groups = fp.select("ahash_hi", "ahash_lo").distinct()
     bands = F.array(
         F.col("ahash_lo").bitwiseAND(F.lit(0xFFFF)),
         F.shiftright("ahash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
         F.col("ahash_hi").bitwiseAND(F.lit(0xFFFF)),
         F.shiftright("ahash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
     )
-    banded = hashes.select(
-        "doc_id", "ahash_hi", "ahash_lo", F.posexplode(bands).alias("band_idx", "band_val")
+    buckets = groups.select(
+        "ahash_hi", "ahash_lo", F.posexplode(bands).alias("band", "bv")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    fa = buckets.select(
+        F.col("ahash_hi").alias("_fa_hi"), F.col("ahash_lo").alias("_fa_lo"),
+        "band", "bv",
+    )
+    fb = buckets.select(
+        F.col("ahash_hi").alias("_fb_hi"), F.col("ahash_lo").alias("_fb_lo"),
+        "band", "bv",
+    )
     ham = (
-        F.bit_count(F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi")))
-        + F.bit_count(F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo")))
+        F.bit_count(F.col("_fa_hi").bitwiseXOR(F.col("_fb_hi")))
+        + F.bit_count(F.col("_fa_lo").bitwiseXOR(F.col("_fb_lo")))
     ).cast("long")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    fpairs = (
+        fa.join(fb, ["band", "bv"])
+        .filter(  # lexicographic (hi, lo) order: each hash pair once
+            (F.col("_fa_hi") < F.col("_fb_hi"))
+            | ((F.col("_fa_hi") == F.col("_fb_hi"))
+               & (F.col("_fa_lo") < F.col("_fb_lo")))
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+        .select("_fa_hi", "_fa_lo", "_fb_hi", "_fb_lo")
         .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
     )
+    ma = fp.select(
+        F.col("doc_id").alias("_ia"),
+        F.col("ahash_hi").alias("_fa_hi"), F.col("ahash_lo").alias("_fa_lo"),
+    )
+    mb = fp.select(
+        F.col("doc_id").alias("_ib"),
+        F.col("ahash_hi").alias("_fb_hi"), F.col("ahash_lo").alias("_fb_lo"),
+    )
+    cross = (
+        ma.join(F.broadcast(fpairs), ["_fa_hi", "_fa_lo"])
+        .join(mb, ["_fb_hi", "_fb_lo"])
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    wa = fp.select(F.col("doc_id").alias("id_a"), "ahash_hi", "ahash_lo")
+    wb = fp.select(F.col("doc_id").alias("id_b"), "ahash_hi", "ahash_lo")
+    within = (
+        wa.join(wb, ["ahash_hi", "ahash_lo"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("long").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 def audio_features(assets: DataFrame) -> DataFrame:

@@ -3953,12 +3953,15 @@ def q_dedup_image_phash(spark, sf_dir):
 )
 def q_dedup_image_phash_near(spark, sf_dir):
     """Near-duplicate image pairs (round 10): aHash hamming <= 2 via a
-    4x16-bit band self-join — by pigeonhole a pair within hamming < 4
-    agrees on at least one band verbatim, so band equality is a
-    lossless candidate filter (the SimHash trick applied to image
-    hashes; no all-pairs path at any scale). Candidates verified with
-    codegen bit_count(xor()). The DuckDB twin states the SEMANTICS as
-    a direct hamming join, so the value hash proves the banded plan
+    4x16-bit band join on DISTINCT hashes — by pigeonhole a pair within
+    hamming < 4 agrees on at least one band verbatim, so band equality
+    is a lossless candidate filter, and running it on distinct hashes
+    (the r9 simhash collapse, applied up front: 25k images -> 2,033
+    hashes at x10) keeps hot identical-hash families out of the join.
+    Candidates verified with codegen bit_count(xor()); hamming-0
+    families expand via a member self-join, cross pairs via broadcast
+    member joins. The DuckDB twin states the SEMANTICS as a direct
+    hamming join, so the value hash proves the collapsed banded plan
     reaches exactly the all-pairs answer."""
     from trendmachine_spark.extensions.multimodal import (
         image_perceptual_hash,
