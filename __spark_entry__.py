@@ -5,7 +5,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The real surface lives in ``trendmachine_spark.registry``: 120 named
+The real surface lives in ``trendmachine_spark.registry``: 122 named
 queries covering SURVEY.md §2's operator inventory (capture pipeline,
 dashboard aggregates) plus the §2.6 extension operators (dedup incl.
 end-to-end clustering, segment/semantic/incremental dedup, containment,
@@ -32,8 +32,10 @@ twin; round 10 adds deterministic train/valid/test split assignment,
 the opening-8-gram split-contamination report, last-touch
 conversion attribution, perceptual image hashing (aHash/dHash over
 REAL decoded pixels) with exact-family and banded hamming near-dup
-image dedup, and acoustic summary features over REAL decoded PCM).
-108 have exactly-parallel DuckDB
+image dedup, acoustic summary features over REAL decoded PCM, and
+per-modality dedup completion — audio energy-profile fingerprint
+families and video sampled-frame-signature families).
+110 have exactly-parallel DuckDB
 oracles (dedup clustering is oracled via a recursive-CTE transitive
 closure); the O34/O35 recurrences, streaming operators, and the
 seed-dependent MLlib variants are rows-only by design (not

@@ -152,3 +152,67 @@ def test_audio_features_degenerate_clips(spark):
     d = rows[2]
     assert (d["zero_crossings"], d["dc_sum"]) == (0, 80 * 1234)
     assert rows[3]["zero_crossings"] == 2
+
+
+def test_audio_fingerprint_monotone_profiles(spark):
+    """Crafted energy profiles: amplitude ramping UP -> every
+    energy[k] > energy[k+1] is false -> fingerprint 0; ramping DOWN ->
+    all 15 delta bits set; and two byte-identical clips + one different
+    clip family correctly."""
+    import numpy as np
+
+    from trendmachine_spark.extensions.multimodal import (
+        audio_fingerprint, family_report)
+
+    up = (np.arange(160, dtype="<i2") * 100)           # quiet -> loud
+    down = up[::-1].copy()                             # loud -> quiet
+    rows = {
+        r["doc_id"]: r
+        for r in audio_fingerprint(
+            _asset_df(spark, {0: encode_wav(up), 1: encode_wav(down),
+                              2: encode_wav(up)})
+        ).collect()
+    }
+    assert rows[0]["fingerprint"] == 0
+    assert rows[1]["fingerprint"] == (1 << 15) - 1
+    assert rows[2]["fingerprint"] == rows[0]["fingerprint"]
+    fams = {
+        r["doc_id"]: r
+        for r in family_report(
+            audio_fingerprint(
+                _asset_df(spark, {0: encode_wav(up), 1: encode_wav(down),
+                                  2: encode_wav(up)})
+            ),
+            "fingerprint",
+        ).collect()
+    }
+    assert fams[0]["family_size"] == 2 and fams[2]["family_key"] == 0
+    assert fams[1]["family_size"] == 1 and fams[1]["is_keeper"] == 1
+
+
+def test_video_frame_signature_families(spark):
+    """Planted video corpus through the registered builder's shape:
+    identical text -> identical ordered frame chain -> one family;
+    text shorter than one 32-char frame -> no signature row."""
+    import pyspark.sql.functions as F
+
+    from trendmachine_spark.extensions.multimodal import (
+        family_report, frame_sample, to_binary_assets)
+
+    long_a = "w" * 40 + "x" * 40 + "y" * 40 + "z" * 40
+    docs = spark.createDataFrame(
+        [(2, long_a), (5, long_a), (8, "different " * 20), (11, "short")],
+        "doc_id bigint, text string",
+    )
+    frames = frame_sample(
+        to_binary_assets(docs).filter(F.col("media_type") == "video/mp4"))
+    sig = frames.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("|", F.transform(
+            F.array_sort(F.collect_list(F.struct("sample_ord", "frame_md5"))),
+            lambda x: x.frame_md5))).alias("video_sig"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    fams = {r["doc_id"]: r for r in family_report(sig, "video_sig").collect()}
+    assert set(fams) == {2, 5, 8}  # doc 11: no full frame, no row
+    assert fams[2]["video_sig"] == fams[5]["video_sig"]
+    assert fams[2]["family_size"] == 2 and fams[5]["family_key"] == 2
+    assert fams[8]["family_size"] == 1

@@ -212,6 +212,11 @@ SHUFFLE_BUDGETS = {
     "dedup_image_phash_near": (3, True),
     # pure per-asset mapInPandas feature pass
     "multimodal_audio_features": (0, True),
+    # zero-exchange fingerprint pass + ONE signature-window exchange
+    "dedup_audio_fingerprint": (1, True),
+    # frame explode is per-asset-bounded; one doc_id agg exchange +
+    # one signature-window exchange over ~50 bytes per video
+    "dedup_video_frames": (2, True),
 }
 
 # Queries whose round-2..4 form used a count/row_number window

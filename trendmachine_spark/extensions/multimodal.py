@@ -799,3 +799,64 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.select("doc_id", "payload").mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+def audio_fingerprint(assets: DataFrame, n_frames: int = 16) -> DataFrame:
+    """Acoustic fingerprint over REAL decoded PCM: the clip splits into
+    ``n_frames`` balanced frames (sample i -> frame ``i*n_frames // n``,
+    the integer rule both engines can state), per-frame energy is the
+    exact integer sum of squares, and bit k of the fingerprint says
+    ``energy[k] > energy[k+1]`` — the energy-DELTA-SIGN construction
+    (the shape underlying Shazam-style landmark hashing, minus the FFT
+    this sandbox cannot justify): amplitude-scale-sensitive but
+    alignment-robust, and integer-exact so the closed-form oracle
+    verifies decode + framing + the bit pack in one value.
+
+    Scale: per-asset Arrow-batched CPU, zero exchanges; one BIGINT per
+    clip comes out. Family grouping over it is the audio analog of
+    dedup_image_phash."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps = [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _nch, samples = codecs.decode_wav(bytes(b))
+                s = samples.astype(np.int64)
+                n = len(s)
+                e = np.zeros(n_frames, dtype=np.int64)
+                if n:
+                    k = (np.arange(n) * n_frames) // n
+                    np.add.at(e, k, s * s)
+                fp = 0
+                for i in range(n_frames - 1):
+                    if e[i] > e[i + 1]:
+                        fp |= 1 << i
+                ids.append(int(did))
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fingerprint": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id bigint, fingerprint bigint"
+    )
+
+
+def family_report(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Shared exact-signature family window (image aHash, audio
+    fingerprint, video frame signature): min-id keeper + family size
+    over the signature key — ONE hash exchange over the signature
+    table, linear output, never pairs."""
+    w = Window.partitionBy(*key_cols)
+    return df.select(
+        "*",
+        F.min("doc_id").over(w).alias("family_key"),
+        F.count(F.lit(1)).over(w).alias("family_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("long").alias("is_keeper"),
+    )

@@ -4021,6 +4021,116 @@ def synthetic_media_assets_audio(spark, sf_dir):
 
 
 @register(
+    "dedup_audio_fingerprint",
+    # closed-form twin of decode + balanced framing (sample i -> frame
+    # i*16 // n) + integer frame energies + delta-sign bit pack; the
+    # family window is the same exact-signature grouping as
+    # dedup_image_phash/dedup_exact.
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
+    smp AS (SELECT d.doc_id, i.i, (i.i * 31 + d.doc_id) % 65536 - 32768 AS v,
+                   50 + d.doc_id % 100 AS n
+            FROM ids d, generate_series(0, 148) AS i(i)
+            WHERE i.i < 50 + d.doc_id % 100),
+    fe AS (SELECT doc_id, (i * 16) // n AS k, CAST(sum(v * v) AS BIGINT) AS e
+           FROM smp GROUP BY doc_id, (i * 16) // n),
+    bits AS (SELECT a.doc_id,
+                    CAST(sum(CASE WHEN a.e > b.e
+                                  THEN (1::BIGINT << CAST(a.k AS INT))
+                                  ELSE 0 END) AS BIGINT) AS fingerprint
+             FROM fe a JOIN fe b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+             GROUP BY a.doc_id)
+    SELECT doc_id, fingerprint,
+           min(doc_id) OVER w AS family_key,
+           count(*) OVER w AS family_size,
+           CAST(doc_id = min(doc_id) OVER w AS BIGINT) AS is_keeper
+    FROM bits WINDOW w AS (PARTITION BY fingerprint)""",
+)
+def q_dedup_audio_fingerprint(spark, sf_dir):
+    """Audio dedup by acoustic fingerprint (round 10): clips sharing an
+    energy-delta-sign profile (16 balanced frames, bit k =
+    energy[k] > energy[k+1] over REAL decoded PCM) collapse to one
+    family with a min-id keeper — completing the per-modality dedup
+    set (text: dedup_exact/minhash/simhash; image: dedup_image_phash;
+    audio: this). Integer-exact end to end, so the oracle verifies
+    decode + framing + bit pack + grouping in one value hash. Scale:
+    zero-exchange fingerprint pass, one hash exchange for the family
+    window over one BIGINT per clip."""
+    from trendmachine_spark.extensions.multimodal import (
+        audio_fingerprint,
+        family_report,
+    )
+
+    return family_report(
+        audio_fingerprint(synthetic_media_assets_audio(spark, sf_dir)),
+        "fingerprint",
+    )
+
+
+@register(
+    "dedup_video_frames",
+    # same frame rule as the multimodal_frame_sample oracle (full
+    # 32-char frames, every 4th, max 8), signature = md5 of the
+    # ord-ordered frame-md5 chain; family window as above. Docs shorter
+    # than one frame have no signature (no rows) by the frame rule.
+    """WITH f AS (SELECT doc_id, text, length(text) // 32 AS n_frames
+                  FROM documents WHERE doc_id % 3 = 2),
+    g AS (SELECT doc_id, text,
+                 unnest(range(0, CAST(least(n_frames, 32) AS BIGINT))) AS i
+          FROM f),
+    fr AS (SELECT doc_id, i // 4 AS ord,
+                  md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS fmd5
+           FROM g WHERE i % 4 = 0),
+    sig AS (SELECT doc_id,
+                   md5(string_agg(fmd5, '|' ORDER BY ord)) AS video_sig,
+                   CAST(count(*) AS BIGINT) AS n_sampled
+            FROM fr GROUP BY doc_id)
+    SELECT doc_id, video_sig, n_sampled,
+           min(doc_id) OVER w AS family_key,
+           count(*) OVER w AS family_size,
+           CAST(doc_id = min(doc_id) OVER w AS BIGINT) AS is_keeper
+    FROM sig WINDOW w AS (PARTITION BY video_sig)""",
+)
+def q_dedup_video_frames(spark, sf_dir):
+    """Video dedup by sampled-frame signature (round 10): the stubbed
+    frame sampler (multimodal.frame_sample — real ffmpeg slot on a
+    cluster, deterministic char-frame fake here, SAME plumbing) emits
+    per-frame fingerprints; two videos sharing the ordered chain of
+    sampled-frame hashes are duplicates — the sampled-frame-hash
+    construction video pipelines use so ONE giant file never explodes
+    a partition (output bounded by max_frames). Signature = md5 of the
+    ord-ordered frame-md5 chain (array_sort on (ord, md5) structs, so
+    the agg is partition-order-independent). Scale: frame explode is
+    bounded per asset, one doc_id agg exchange + one signature-window
+    exchange over ~50 bytes per video."""
+    from trendmachine_spark.extensions.multimodal import (
+        family_report,
+        frame_sample,
+        to_binary_assets,
+    )
+
+    frames = frame_sample(
+        to_binary_assets(_docs(spark, sf_dir)).filter(
+            F.col("media_type") == "video/mp4"
+        )
+    )
+    sig = frames.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sample_ord", "frame_md5"))
+                    ),
+                    lambda x: x.frame_md5,
+                ),
+            )
+        ).alias("video_sig"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+    )
+    return family_report(sig, "video_sig")
+
+
+@register(
     "quality_score_trained",
     # Exact mirror of fit_quality_logit + apply: integer features and
     # label, hugeint training sums, the SAME symmetric-3x3 cofactor
@@ -4506,6 +4616,8 @@ _WINDOW_PINNED: list[str] = [
     "dedup_image_phash",  # new r10 oracled query (first driver check)
     "dedup_image_phash_near",  # new r10 oracled query (first driver check)
     "multimodal_audio_features",  # new r10 oracled query (first driver check)
+    "dedup_audio_fingerprint",  # new r10 oracled query (first driver check)
+    "dedup_video_frames",  # new r10 oracled query (first driver check)
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -4557,6 +4669,7 @@ _DEMOTE_ODD = frozenset({
     "text_fingerprints", "text_pii_stats", "text_quality_flags",
     "text_term_stats", "top_revenue_customers", "training_corpus_clean",
     "transition_matrix", "urim_projection",
+    "dedup_audio_fingerprint",  # new r10 (acoustic fp families; pinned r10)
 })
 
 
@@ -4577,6 +4690,7 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "event_funnel", "event_range_join", "event_session_windows",
     "first_last_capture", "gap_fill_closest", "gap_fill_identical",
     "minhash_accuracy", "multimodal_decode_png", "region_revenue",
+    "dedup_video_frames",  # new r10 (frame-signature families; pinned r10)
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
