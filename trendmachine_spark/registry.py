@@ -4581,7 +4581,7 @@ def q_training_corpus_clean(spark, sf_dir):
 # every-other-round guarantee relaxes to every-third-round).
 # ---------------------------------------------------------------------------
 
-_ROUND = 10
+_ROUND = 11
 
 #: rotation cycle length. 2 = the historical every-other-round
 #: guarantee (capacity 100 oracled under the driver's 50-entry window);
@@ -4598,27 +4598,7 @@ _PARITY_PERIOD = 3
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = [
-    "dedup_simhash_near_dup",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
-    "dedup_ngram_jaccard",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
-    "dedup_containment",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
-    "substring_dup_report",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
-    "text_fingerprints",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
-    "text_pii_stats",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
-    "quality_score",  # r10 gate memo in rebalance_for_fanout (decision-identical; site family representative)
-    "corpus_stats",  # r10 histogram-quantile rewrite (CORPUS_STATS_DECOMP.json)
-    "training_splits",  # new r10 oracled query (first driver check)
-    "split_leakage_report",  # new r10 oracled query (first driver check)
-    "event_attribution",  # new r10 oracled query (first driver check)
-    "multimodal_decode_real",  # r10: synth id projection rebalanced (min_bytes=0 fan-out gate)
-    "multimodal_resize_real",  # r10: same shared-synth rebalance
-    "multimodal_image_hash",  # new r10 oracled query (first driver check)
-    "dedup_image_phash",  # new r10 oracled query (first driver check)
-    "dedup_image_phash_near",  # new r10 oracled query (first driver check)
-    "multimodal_audio_features",  # new r10 oracled query (first driver check)
-    "dedup_audio_fingerprint",  # new r10 oracled query (first driver check)
-    "dedup_video_frames",  # new r10 oracled query (first driver check)
-]
+_WINDOW_PINNED: list[str] = []  # round 11: nothing changed yet — `rotate_window.py pin NAME` as queries change
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
@@ -4697,23 +4677,25 @@ _DEMOTE_THIRD: frozenset = frozenset({
 #: period 3 (period 2's disjointness makes it redundant); feeds the
 #: "no name demoted a full cycle" invariant in tests/test_oracle_parity.
 _PREV_DEMOTED_2: list[str] = [
-    "bpe_pair_stats", "capture_normalize", "chaos_ffill",
-    "chunk_documents", "corpus_card", "corpus_mix_temperature",
-    "corpus_stats", "daily_chaos", "daily_moving_avg", "daily_rollup",
-    "date_spine", "dedup_containment", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_multi_signal", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_simhash_near_dup", "dup_span_histogram",
-    "dup_span_profile", "event_asof_join", "event_props_stats",
-    "event_retention", "event_sessionization", "gap_fill_backward",
-    "gap_fill_forward", "headline_metrics", "lsh_bucket_health",
-    "monthly_rollup", "multimodal_metadata", "pack_sequences",
-    "periodic_samples", "quality_score", "salted_term_counts",
-    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
-    "similarity_topk", "specimen_breakdown", "status_totals",
-    "substring_dedup", "substring_dup_report", "text_fingerprints",
-    "text_pii_stats", "text_quality_flags", "text_term_stats",
-    "top_revenue_customers", "training_corpus_clean", "transition_matrix",
-    "urim_projection",
+    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges", "chaos_melt",
+    "content_value_counts", "corpus_decontaminate",
+    "corpus_sample_stratified", "dedup_clusters",
+    "dedup_clusters_ensemble", "dedup_embedding_cosine_bucketed",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_segments",
+    "dedup_semantic_keepers", "dedup_simhash", "embedding_outliers",
+    "event_funnel", "event_range_join", "event_session_windows",
+    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
+    "lm_familiarity", "minhash_accuracy", "multimodal_decode_jpeg",
+    "multimodal_decode_png", "multimodal_decode_real",
+    "multimodal_frame_sample", "multimodal_resize",
+    "multimodal_resize_real", "packed_text", "pricing_summary",
+    "quality_score_trained", "redact_pii", "redact_pii_planted",
+    "region_revenue", "session_stats", "status_month_cube",
+    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
+    "text_lang_id", "text_profile", "text_repetition_stats",
+    "top_quality_docs", "training_corpus", "training_corpus_safe",
+    "training_corpus_segmented", "training_shards",
+    "transition_matrix_filled", "vocab_coverage",
 ]
 
 
@@ -4773,25 +4755,27 @@ def _demoted_for_round(round_no: int) -> list[str]:
 #: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
 #: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges", "chaos_melt",
-    "content_value_counts", "corpus_decontaminate",
-    "corpus_sample_stratified", "dedup_clusters",
-    "dedup_clusters_ensemble", "dedup_embedding_cosine_bucketed",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_segments",
-    "dedup_semantic_keepers", "dedup_simhash", "embedding_outliers",
-    "event_funnel", "event_range_join", "event_session_windows",
-    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
-    "lm_familiarity", "minhash_accuracy", "multimodal_decode_jpeg",
-    "multimodal_decode_png", "multimodal_decode_real",
-    "multimodal_frame_sample", "multimodal_resize",
-    "multimodal_resize_real", "packed_text", "pricing_summary",
-    "quality_score_trained", "redact_pii", "redact_pii_planted",
-    "region_revenue", "session_stats", "status_month_cube",
-    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
-    "text_lang_id", "text_profile", "text_repetition_stats",
-    "top_quality_docs", "training_corpus", "training_corpus_safe",
-    "training_corpus_segmented", "training_shards",
-    "transition_matrix_filled", "vocab_coverage",
+    "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
+    "chunk_documents", "content_value_counts", "corpus_card",
+    "corpus_decontaminate", "corpus_mix_temperature",
+    "corpus_sample_stratified", "daily_chaos", "daily_moving_avg",
+    "daily_rollup", "date_spine", "dedup_clusters",
+    "dedup_clusters_ensemble", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed", "dedup_exact", "dedup_incremental",
+    "dedup_multi_signal", "dedup_segments", "dedup_semantic",
+    "dedup_semantic_keepers", "dup_span_histogram", "dup_span_profile",
+    "embedding_outliers", "event_asof_join", "event_funnel",
+    "event_props_stats", "event_range_join", "event_retention",
+    "event_session_windows", "event_sessionization", "first_last_capture",
+    "gap_fill_backward", "gap_fill_closest", "gap_fill_forward",
+    "gap_fill_identical", "headline_metrics", "lsh_bucket_health",
+    "minhash_accuracy", "monthly_rollup", "multimodal_decode_png",
+    "multimodal_metadata", "pack_sequences", "periodic_samples",
+    "region_revenue", "salted_term_counts", "shipping_priority",
+    "similarity_ann_lsh", "similarity_ivf_topk", "similarity_topk",
+    "specimen_breakdown", "status_totals", "substring_dedup",
+    "text_quality_flags", "text_term_stats", "top_revenue_customers",
+    "training_corpus_clean", "transition_matrix", "urim_projection",
 ]
 
 _DEMOTED = sorted(
