@@ -1576,10 +1576,21 @@ def test_rebalance_gate_fallbacks_and_memo(spark, docs, monkeypatch):
 
         @property
         def rdd(self):
-            raise RuntimeError("rdd is classic-mode only")
+            raise AttributeError("rdd is classic-mode only")
 
     # (b) no probe works -> never rebalance, never raise
     assert dedup._rebalance_gate(NoProbes(), 32, 0.5) is False
+
+    class BrokenAnalysis:
+        @property
+        def _jdf(self):
+            raise ValueError("genuine analysis error")
+
+    # (b') r10 advice: a NON-probe failure (bad relation, analysis bug)
+    # must PROPAGATE, not silently degrade to a no-op
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup._rebalance_gate(BrokenAnalysis(), 32, 0.5)
 
     # (c) unparseable parallelism setting -> exact no-op (classic mode
     # refuses to SET a non-integer, so simulate the session surface a
@@ -1616,6 +1627,14 @@ def test_rebalance_gate_fallbacks_and_memo(spark, docs, monkeypatch):
     monkeypatch.setattr(dedup, "REBALANCE_MIN_BYTES", 1)
     dedup.rebalance_for_fanout(docs.select("doc_id", "text"))
     assert len(calls) == 2
+    # (e) r10 advice: the memo is scoped per SparkSession (key leads
+    # with the owning session's identity) and clear_gate_cache() gives
+    # mid-process file-rewriters an explicit reset
+    assert all(k[0] == id(docs.sparkSession) for k in dedup._GATE_CACHE)
+    dedup.clear_gate_cache()
+    assert not dedup._GATE_CACHE
+    dedup.rebalance_for_fanout(docs.select("doc_id", "text"))
+    assert len(calls) == 3
 
 
 def test_multimodal_jpeg_resize_spark_path(spark, docs):

@@ -216,3 +216,14 @@ def test_video_frame_signature_families(spark):
     assert fams[2]["video_sig"] == fams[5]["video_sig"]
     assert fams[2]["family_size"] == 2 and fams[5]["family_key"] == 2
     assert fams[8]["family_size"] == 1
+
+
+def test_phash_unknown_magic_loud_gate(spark):
+    """r10 advice: a payload whose magic is not PNG/JPEG/BMP must raise
+    the clear NotImplementedError codec gate, not fail deep inside the
+    BMP parser with a misleading struct error."""
+    wav = encode_wav(np.zeros(8, dtype=np.int16), sample_rate=8000)
+    df = _asset_df(spark, {1: wav})
+    with pytest.raises(Exception) as ei:
+        image_perceptual_hash(df).collect()
+    assert "no image codec for magic" in str(ei.value)

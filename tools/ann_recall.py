@@ -206,8 +206,14 @@ def main() -> None:
     try:
         with open(path) as fh:
             prior = json.load(fh).get("scales", {})
-    except Exception:
-        pass
+    except FileNotFoundError:
+        pass  # first run: nothing to merge
+    except (OSError, json.JSONDecodeError, KeyError, AttributeError) as exc:
+        # r10 advice: a corrupt/unreadable prior artifact must not
+        # SILENTLY drop the recorded x10/x20 scale entries
+        print(f"WARNING: prior {path} unreadable ({exc!r}); "
+              "previously recorded scale entries will be dropped",
+              file=sys.stderr)
     prior[f"x{mult}"] = out
     out_full = dict(out)
     out_full["scales"] = prior

@@ -26,8 +26,36 @@ so reported similarities stay exact — recall is what's traded.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+try:  # classic-mode JVM probes surface as Py4J errors
+    from py4j.protocol import Py4JError
+except ImportError:  # pragma: no cover - py4j ships with pyspark
+    class Py4JError(Exception):
+        pass
+
+#: exception types the build-time gate probes may legitimately raise:
+#: AttributeError for handles that don't exist off classic mode
+#: (``_jdf``/``.rdd`` under Spark Connect), Py4JError for a broken or
+#: shutting-down JVM bridge. Anything else (bad relation, analysis
+#: bug) propagates — the r10 advice: a blanket except here masked
+#: genuine analysis errors until a later, more confusing failure.
+_PROBE_ERRORS = (AttributeError, Py4JError)
+
+_LOG = logging.getLogger(__name__)
+#: probe sites that already warned once (debug-level, once per site so
+#: a degraded environment is visible without flooding per call)
+_PROBE_WARNED: set = set()
+
+
+def _probe_skipped(site: str, exc: Exception) -> None:
+    """One-time debug log when a gate probe degrades to its fallback."""
+    if site not in _PROBE_WARNED:
+        _PROBE_WARNED.add(site)
+        _LOG.debug("rebalance gate probe %s skipped: %r", site, exc)
 
 #: signature layout: NUM_HASHES minhashes split into BANDS bands
 NUM_HASHES = 16
@@ -140,19 +168,41 @@ def _materialize(df: DataFrame) -> DataFrame:
 #: pin both branches.
 REBALANCE_MIN_BYTES = 1 << 20
 
-#: (semanticHash, target, min_fraction, REBALANCE_MIN_BYTES) -> bool
-#: decision memo for :func:`rebalance_for_fanout`. The gate probes are
-#: build-time expensive (~20 ms optimizer-stats + ~50 ms physical
-#: planning for ``.rdd`` per call, measured sf0.1/x10) and ~16 fan-out
-#: sites re-run them on semantically IDENTICAL relations every suite
-#: pass — the r9 bench drift suspect. Keyed on the canonicalized-plan
-#: hash plus every input of the decision, so monkeypatched gates and
-#: changed session parallelism miss cleanly. Assumes source data is
-#: immutable within the process (true here: testdata is read-only);
-#: a same-plan relation whose files were rewritten mid-process could
-#: reuse a stale decision — result-neutral either way.
+#: (session id, semanticHash, target, min_fraction, REBALANCE_MIN_BYTES)
+#: -> bool decision memo for :func:`rebalance_for_fanout`. The gate
+#: probes are build-time expensive (~20 ms optimizer-stats + ~50 ms
+#: physical planning for ``.rdd`` per call, measured sf0.1/x10) and ~16
+#: fan-out sites re-run them on semantically IDENTICAL relations every
+#: suite pass — the r9 bench drift suspect. Keyed on the owning
+#: SparkSession's identity (r10 advice: two sessions over different
+#: warehouses can canonicalize to the same plan hash) plus the
+#: canonicalized-plan hash plus every input of the decision, so
+#: monkeypatched gates, changed session parallelism, and session
+#: restarts all miss cleanly. Assumes source data is immutable within
+#: one session's lifetime (true here: testdata is read-only); callers
+#: that rewrite source files mid-process should call
+#: :func:`clear_gate_cache` — a stale hit is result-neutral either way
+#: (repartition never changes values), it only alters the plan shape.
 _GATE_CACHE: dict = {}
 _GATE_MISS = object()
+
+
+def clear_gate_cache() -> None:
+    """Drop memoized rebalance-gate decisions (see :data:`_GATE_CACHE`).
+
+    For callers that rewrite a relation's underlying files mid-process
+    and want the next :func:`rebalance_for_fanout` to re-probe sizes.
+    """
+    _GATE_CACHE.clear()
+
+
+def _session_key(df: DataFrame):
+    """Identity of the session owning ``df``, for the gate-memo key."""
+    try:
+        return id(df.sparkSession)
+    except _PROBE_ERRORS as exc:
+        _probe_skipped("sparkSession", exc)
+        return None
 
 
 def _rebalance_gate(
@@ -176,11 +226,13 @@ def _rebalance_gate(
         )
         if est_bytes < min_bytes:
             return False
-    except Exception:
-        pass  # stats unavailable: the partition gate alone decides
+    except _PROBE_ERRORS as exc:
+        # stats unavailable (Connect has no _jdf): partition gate decides
+        _probe_skipped("stats", exc)
     try:
         return df.rdd.getNumPartitions() < max(int(target * min_fraction), 1)
-    except Exception:
+    except _PROBE_ERRORS as exc:
+        _probe_skipped("rdd", exc)
         return False
 
 
@@ -243,16 +295,19 @@ def rebalance_for_fanout(
     eff_min_bytes = REBALANCE_MIN_BYTES if min_bytes is None else min_bytes
     try:
         target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
+    except (ValueError, TypeError, *_PROBE_ERRORS) as exc:
+        _probe_skipped("shuffle.partitions", exc)
         return df  # non-integer/absent setting: degrade to a no-op
     if target < 1:
         return df
     # decision memo: ~16 fan-out sites probe semantically identical
     # relations per suite build; semanticHash (analyzed plan only,
     # ~7 ms) replaces the ~20-70 ms optimize+plan probes on every hit
+    sess = _session_key(df)
     try:
-        key = (df.semanticHash(), target, min_fraction, eff_min_bytes)
-    except Exception:
+        key = (sess, df.semanticHash(), target, min_fraction, eff_min_bytes)
+    except _PROBE_ERRORS as exc:
+        _probe_skipped("semanticHash", exc)
         key = None
     if key is not None:
         hit = _GATE_CACHE.get(key, _GATE_MISS)

@@ -528,8 +528,16 @@ def resize_assets_real(assets: DataFrame, out_width: int = 8,
                     px = codecs.decode_png(b)
                 elif b[:2] == b"\xff\xd8":
                     px = codecs.decode_jpeg(b)
-                else:
+                elif b[:2] == b"BM":
                     px = codecs.decode_bmp(b)
+                else:
+                    # loud gate, mirroring _media_decode_one: a stray
+                    # WAV/corrupt payload must not fail deep inside the
+                    # BMP parser with a misleading struct error
+                    raise NotImplementedError(
+                        "no image codec for magic %r (doc_id=%s)"
+                        % (b[:8], did)
+                    )
                 rs = codecs.resize_nearest(px, out_width, out_height).astype(np.int64)
                 if rs.shape[2] == 1:  # grayscale JPEG: the Y plane IS the mix
                     mixed = rs[:, :, 0]
@@ -613,8 +621,16 @@ def image_perceptual_hash(assets: DataFrame) -> DataFrame:
                     px = codecs.decode_png(b)
                 elif b[:2] == b"\xff\xd8":
                     px = codecs.decode_jpeg(b)
-                else:
+                elif b[:2] == b"BM":
                     px = codecs.decode_bmp(b)
+                else:
+                    # loud gate, mirroring _media_decode_one: a stray
+                    # WAV/corrupt payload must not fail deep inside the
+                    # BMP parser with a misleading struct error
+                    raise NotImplementedError(
+                        "no image codec for magic %r (doc_id=%s)"
+                        % (b[:8], did)
+                    )
                 px = px.astype(np.int64)
                 if px.shape[2] == 1:
                     gray = px[:, :, 0]
