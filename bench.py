@@ -33,6 +33,26 @@ import statistics
 import sys
 import time
 
+#: single-threaded DuckDB calibration probe run before every timed
+#: pass (Spark and DuckDB alike): fixed work, fixed thread count, so
+#: its wall tracks instantaneous co-tenant CPU pressure on this shared
+#: box. ~0.15 s idle; a saturated box stretches it proportionally.
+#: The r10 verdict's ask: without load telemetry IN the artifact, every
+#: cross-round drift investigation relitigates "was the box quiet?".
+CALIB_SQL = "SELECT sum(i*i) FROM range(25000000) t(i)"
+
+#: a pass is flagged noisy when its calibration wall exceeds this
+#: multiple of the run's fastest calibration (relative: absolute probe
+#: speed varies with CPU model) — 1.5x on a ~0.15 s probe means the
+#: box was at least ~50% slower at pass start than at its quietest.
+CALIB_NOISY_RATIO = 1.5
+
+
+def _loadavg() -> list[float]:
+    with open("/proc/loadavg") as fh:
+        return [float(x) for x in fh.read().split()[:3]]
+
+
 BENCH_QUERIES = [
     # capture pipeline
     "daily_rollup",
@@ -64,17 +84,38 @@ def main() -> None:
     # (key-shifted copies, content-salted documents — see
     # tools/scale_testdata.py) so data costs, not Spark's fixed
     # per-action overhead, dominate the measurement.
+    scaled_confs: dict = {}
     if "--sf-multiple" in sys.argv:
         k = int(sys.argv[sys.argv.index("--sf-multiple") + 1])
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from tools.scale_testdata import scale_dir
+        from tools.scale_testdata import scale_dir, split_confs
 
         sf_dir = scale_dir(sf_dir, f"/tmp/trendmachine_scaled_x{k}", k)
         sf = f"{sf}x{k}"
+        # the scaled corpora are multi-row-group since r11; these confs
+        # let Spark cut the MB-scale files into ~2x-cores splits, the
+        # layout a production session gets from the defaults on
+        # multi-GB files (see tools/scale_testdata.py docstring).
+        # sf0.1 runs keep stock confs for round-over-round comparability.
+        scaled_confs = split_confs(int(cpus))
+
+    import duckdb
+
+    # load telemetry: one single-threaded calibration connection for
+    # the whole run; loadavg snapshots at the block boundaries
+    calib_con = duckdb.connect()
+    calib_con.execute("SET threads=1")
+
+    def calib() -> float:
+        t0 = time.perf_counter()
+        calib_con.execute(CALIB_SQL).fetchall()
+        return round(time.perf_counter() - t0, 4)
+
+    load_pre = _loadavg()
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("trendmachine_spark-bench")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -85,8 +126,10 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")  # keep stdout pure JSON
-        .getOrCreate()
     )
+    for key, val in scaled_confs.items():
+        builder = builder.config(key, val)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -148,9 +191,11 @@ def main() -> None:
     suite_df = suite_frame(spark, sf_dir, floor_batched)
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     batched_samples: list[float] = []
+    spark_calib: list[float] = []
     dfs = {name: QUERIES[name].builder(spark, sf_dir)
            for name in BENCH_QUERIES if name not in MATERIALIZING}
     for _ in range(4):
+        spark_calib.append(calib())
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             df = dfs[name] if name in dfs else QUERIES[name].builder(spark, sf_dir)
@@ -179,7 +224,8 @@ def main() -> None:
     # both, a regression moves only one.
     comparable = [n for n in BENCH_QUERIES if QUERIES[n].oracle is not None]
     base_samples: dict[str, list[float]] = {n: [] for n in comparable}
-    import duckdb
+    load_mid = _loadavg()
+    duckdb_calib: list[float] = []
 
     con = duckdb.connect()
     con.execute(f"SET threads={cpus}")
@@ -187,11 +233,36 @@ def main() -> None:
               "lineitem", "events", "documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     for _ in range(4):
+        duckdb_calib.append(calib())
         for name in comparable:
             t0 = time.perf_counter()
             con.execute(QUERIES[name].oracle).fetchall()
             base_samples[name].append(time.perf_counter() - t0)
     con.close()
+    load_post = _loadavg()
+    calib_con.close()
+
+    # noisy-pass flags: a pass whose calibration wall exceeded
+    # CALIB_NOISY_RATIO x the run's fastest calibration started under
+    # co-tenant CPU pressure (both engines' flags share one floor so
+    # the columns stay comparable within the artifact)
+    calib_floor = min(spark_calib + duckdb_calib)
+    noisy_spark = [i for i, c in enumerate(spark_calib)
+                   if c > CALIB_NOISY_RATIO * calib_floor]
+    noisy_duckdb = [i for i, c in enumerate(duckdb_calib)
+                    if c > CALIB_NOISY_RATIO * calib_floor]
+    load_telemetry = {
+        "loadavg_pre": load_pre,
+        "loadavg_mid": load_mid,
+        "loadavg_post": load_post,
+        "calib_sql": CALIB_SQL,
+        "calib_floor": calib_floor,
+        "calib_noisy_ratio": CALIB_NOISY_RATIO,
+        "spark_pass_calib": spark_calib,
+        "duckdb_pass_calib": duckdb_calib,
+        "noisy_spark_passes": noisy_spark,
+        "noisy_duckdb_passes": noisy_duckdb,
+    }
 
     baseline = {n: round(min(s), 3) for n, s in base_samples.items()}
     baseline_median = {n: round(statistics.median(s[1:]), 3) for n, s in base_samples.items()}
@@ -276,6 +347,7 @@ def main() -> None:
             "baseline": baseline,
             "baseline_median": baseline_median,
             "comparable": {"queries": comparable, **comparable_summary},
+            "load_telemetry": load_telemetry,
         }, fh, indent=1)
         fh.write("\n")
     print(json.dumps({
@@ -287,6 +359,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "comparable": comparable_summary,
+        "load": {"pre": load_pre[0],
+                 "noisy_spark": len(noisy_spark),
+                 "noisy_duckdb": len(noisy_duckdb)},
     }, separators=(",", ":")))
     spark.stop()
 

@@ -49,7 +49,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from tools.scale_testdata import scale_dir
+    from tools.scale_testdata import scale_dir, split_confs
     from trendmachine_spark.extensions.similarity import (
         ann_topk,
         brute_force_topk,
@@ -57,7 +57,7 @@ def main() -> None:
     )
     from trendmachine_spark.sources.tables import load_table
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
@@ -65,8 +65,11 @@ def main() -> None:
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # scaled corpora are multi-row-group since r11 (scale_testdata)
+    for key, val in split_confs(32).items():
+        builder = builder.config(key, val)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     sf_dir = scale_dir("/root/testdata/sf0.1", f"/tmp/trendmachine_scaled_x{mult}", mult)

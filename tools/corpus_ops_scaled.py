@@ -36,8 +36,10 @@ OPS = [
 def run_spark(sf_dir: str) -> None:
     from pyspark.sql import SparkSession
 
+    from tools.scale_testdata import split_confs
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -46,8 +48,12 @@ def run_spark(sf_dir: str) -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # scaled corpora are multi-row-group since r11; these confs let the
+    # session cut the MB-scale files into ~2x-cores splits
+    for key, val in split_confs(int(cpus)).items():
+        builder = builder.config(key, val)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     from trendmachine_spark.registry import QUERIES, _docs, _embeddings
 

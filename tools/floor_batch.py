@@ -53,10 +53,10 @@ def main() -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from tools.scale_testdata import scale_dir
+    from tools.scale_testdata import scale_dir, split_confs
     from trendmachine_spark.registry import QUERIES
 
-    spark = (
+    _builder = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
@@ -64,8 +64,11 @@ def main() -> None:
         .config("spark.driver.memory", "64g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # scaled corpora are multi-row-group since r11 (scale_testdata)
+    for _k, _v in split_confs(32).items():
+        _builder = _builder.config(_k, _v)
+    spark = _builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     sf_dir = scale_dir(

@@ -49,8 +49,10 @@ def spark_stages(sf_dir: str, passes: int) -> dict[str, float]:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    from tools.scale_testdata import split_confs
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    _builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -58,8 +60,11 @@ def spark_stages(sf_dir: str, passes: int) -> dict[str, float]:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # scaled corpora are multi-row-group since r11 (scale_testdata)
+    for _k, _v in split_confs(int(cpus)).items():
+        _builder = _builder.config(_k, _v)
+    spark = _builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     from trendmachine_spark.extensions import dedup
     from trendmachine_spark.registry import _docs
@@ -163,7 +168,7 @@ def main() -> None:
     if "--passes" in sys.argv:
         passes = int(sys.argv[sys.argv.index("--passes") + 1])
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from tools.scale_testdata import scale_dir
+    from tools.scale_testdata import scale_dir, split_confs
 
     sf_dir = scale_dir(src, f"/tmp/trendmachine_scaled_x{mult}", mult)
     spark = spark_stages(sf_dir, passes)

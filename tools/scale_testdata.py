@@ -29,6 +29,28 @@ Single parquet FILES (pyarrow), not Spark part-directories, because
 bench.py's page-cache warmup and the streaming source open
 ``{dir}/{table}.parquet`` as a plain file.
 
+Row-group layout (round 11): fact tables are written with explicit
+``row_group_size`` so each file carries at least :data:`TARGET_ROW_GROUPS`
+row groups. Through round 10 they were written with pyarrow's default
+(one giant row group for documents/events), and Spark's byte-range
+splitting cannot cut inside a row group — the scans ran on 2 of 32
+cores and that single layout artifact was the root cause of the entire
+scan-floor weak class (training_splits 5.07x, split_leakage 3.11x,
+corpus_stats 3.4x at x20 — NEWOPS_FLOOR_DECOMP.json) plus two rounds
+of rebalance patches. A 100 TB corpus is never one row group; the
+scaled corpora now model the production layout. Values are unchanged
+(layout only); the ``.scaled_xK.v2.ok`` marker versions the layout so
+stale /tmp dirs regenerate. ``rebalance_for_fanout`` stays in the
+engine for genuinely under-split inputs.
+
+Splittable files are necessary but not sufficient: Spark sizes splits
+as ``min(maxPartitionBytes, max(openCostInBytes, totalBytes/
+minPartitionNum))`` and the 4 MiB ``openCostInBytes`` default yields 2
+splits of a 6 MB file no matter how many row groups it has. Scaled
+measurement sessions should apply :func:`split_confs` — openCost small
+and minPartitionNum = 2x cores — which a production session reading
+100+ GB files gets for free from the defaults.
+
 Usage:
   python tools/scale_testdata.py --multiple 10 \
       [--src /root/testdata/sf0.1] [--out /tmp/trendmachine_scaled_x10]
@@ -45,6 +67,30 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 DIMS = ("region", "nation", "supplier", "part")
+
+#: minimum row groups per scaled fact file = 2x the 32-core session —
+#: enough byte-range split points that every narrow map runs at full
+#: parallelism (see module docstring)
+TARGET_ROW_GROUPS = 64
+
+#: floor on rows per row group: dims and tiny tables keep sane groups
+#: instead of degenerating to one row each
+MIN_ROWS_PER_GROUP = 256
+
+#: layout version, part of the idempotency marker name: bump when the
+#: written layout changes so stale /tmp dirs regenerate
+LAYOUT_VERSION = 2
+
+
+def split_confs(cpus: int) -> dict:
+    """Session confs that let Spark actually cut the scaled files into
+    ~2x-cores splits (see module docstring). Production-default-
+    equivalent for multi-GB files; needed here only because the scaled
+    corpora are MB-scale stand-ins."""
+    return {
+        "spark.sql.files.openCostInBytes": str(64 * 1024),
+        "spark.sql.files.minPartitionNum": str(2 * cpus),
+    }
 
 #: per-copy shift for each shifted int64 key column (big enough that
 #: copies never collide; keys at sf0.1 stay well under these)
@@ -84,7 +130,9 @@ def _shift_copy(table: pa.Table, name: str, i: int) -> pa.Table:
 
 def scale_dir(src: str, out: str, multiple: int) -> str:
     os.makedirs(out, exist_ok=True)
-    marker = os.path.join(out, f".scaled_x{multiple}.ok")
+    marker = os.path.join(
+        out, f".scaled_x{multiple}.v{LAYOUT_VERSION}.ok"
+    )
     if os.path.exists(marker):
         return out
     for fname in sorted(os.listdir(src)):
@@ -98,10 +146,16 @@ def scale_dir(src: str, out: str, multiple: int) -> str:
             scaled = pa.concat_tables(
                 [_shift_copy(table, name, i) for i in range(multiple)]
             )
-        pq.write_table(scaled, os.path.join(out, fname))
+        rows_per_group = max(
+            MIN_ROWS_PER_GROUP,
+            -(-scaled.num_rows // TARGET_ROW_GROUPS),
+        )
+        pq.write_table(
+            scaled, os.path.join(out, fname), row_group_size=rows_per_group
+        )
         # stderr: bench.py's stdout must stay one pure JSON line
-        print(f"{name}: {table.num_rows} -> {scaled.num_rows} rows",
-              file=sys.stderr)
+        print(f"{name}: {table.num_rows} -> {scaled.num_rows} rows "
+              f"({rows_per_group} rows/group)", file=sys.stderr)
     with open(marker, "w") as fh:
         fh.write("ok\n")
     return out

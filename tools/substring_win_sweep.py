@@ -160,7 +160,7 @@ def natural_sweep(spark, n_docs: int) -> dict:
 def replica_sweep(spark, mult: int) -> dict:
     from pyspark.sql import functions as F
 
-    from tools.scale_testdata import scale_dir
+    from tools.scale_testdata import scale_dir, split_confs
     from trendmachine_spark.extensions.dedup import (
         duplicated_spans,
         strip_duplicated_spans,
@@ -212,7 +212,9 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    from tools.scale_testdata import split_confs
+
+    _builder = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
@@ -220,8 +222,11 @@ def main() -> None:
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # scaled corpora are multi-row-group since r11 (scale_testdata)
+    for _k, _v in split_confs(32).items():
+        _builder = _builder.config(_k, _v)
+    spark = _builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     path = os.path.join(

@@ -46,7 +46,7 @@ def main() -> None:
     skip_duckdb = "--skip-duckdb" in sys.argv
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from tools.scale_testdata import scale_dir
+    from tools.scale_testdata import scale_dir, split_confs
 
     sf_dir = scale_dir(
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -56,7 +56,7 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    _builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("trendmachine_spark-suffix-scale")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -66,8 +66,11 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # scaled corpora are multi-row-group since r11 (scale_testdata)
+    for _k, _v in split_confs(int(cpus)).items():
+        _builder = _builder.config(_k, _v)
+    spark = _builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from trendmachine_spark.extensions.dedup import (
