@@ -227,3 +227,114 @@ def test_phash_unknown_magic_loud_gate(spark):
     with pytest.raises(Exception) as ei:
         image_perceptual_hash(df).collect()
     assert "no image codec for magic" in str(ei.value)
+
+
+def test_mjpeg_container_roundtrip_and_gates():
+    """r11 MJPEG container: byte-exact frame walk in order; bit-exact
+    pixel roundtrip for the exact-roundtrip JPEG construction; loud
+    ValueError gates on bad magic, truncated frames, and trailing
+    garbage (a mis-framed length must never decode silently)."""
+    from trendmachine_spark.extensions.codecs import (
+        decode_mjpeg,
+        decode_mjpeg_frames,
+        encode_jpeg,
+        encode_mjpeg,
+    )
+
+    frames = []
+    for f in range(3):
+        blocks = (2 * ((np.arange(2)[None, :] * 5
+                        + np.arange(3)[:, None] * 11 + 7 + 17 * f) % 128)
+                  ).astype(np.uint8)
+        frames.append(encode_jpeg(np.repeat(np.repeat(blocks, 8, 0), 8, 1)))
+    clip = encode_mjpeg(frames)
+    assert decode_mjpeg_frames(clip) == frames  # byte-exact, in order
+    for f, px in enumerate(decode_mjpeg(clip)):
+        blocks = (2 * ((np.arange(2)[None, :] * 5
+                        + np.arange(3)[:, None] * 11 + 7 + 17 * f) % 128)
+                  ).astype(np.uint8)
+        assert np.array_equal(px[:, :, 0], np.repeat(np.repeat(blocks, 8, 0), 8, 1))
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_mjpeg_frames(b"RIFF" + clip[4:])
+    with pytest.raises(ValueError, match="truncated MJPEG frame"):
+        decode_mjpeg_frames(clip[:-3])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_mjpeg_frames(clip + b"\x00")
+    with pytest.raises(ValueError, match="no SOI"):
+        encode_mjpeg([b"not a jpeg"])
+
+
+def test_video_frame_signature_skips_unsampled_decodes(spark):
+    """The scale contract of frame sampling: UNSAMPLED frames are never
+    entropy-decoded. Planted clip where frame 1 is valid container
+    framing around a corrupt JPEG body — every_n=2 samples frames 0 and
+    2 only, so the signature row must come back cleanly; decoding all
+    frames must raise."""
+    import struct
+
+    from trendmachine_spark.extensions.codecs import encode_jpeg, encode_mjpeg
+    from trendmachine_spark.extensions.multimodal import (
+        video_decode_real,
+        video_frame_signature,
+    )
+
+    good = encode_jpeg(np.full((8, 8), 128, dtype=np.uint8))
+    corrupt = b"\xff\xd8" + b"\x00" * 20  # SOI magic, garbage body
+    clip = encode_mjpeg([good, corrupt, good])
+    df = _asset_df(spark, {1: clip})
+    rows = video_frame_signature(df, every_n=2, max_frames=8).collect()
+    assert [(r["frame_idx"], r["sample_ord"]) for r in rows] == [(0, 0), (2, 1)]
+    assert rows[0]["frame_md5"] == rows[1]["frame_md5"]  # same pixels
+    with pytest.raises(Exception):  # decode-all path hits the corrupt frame
+        video_decode_real(df).collect()
+
+
+def test_video_decode_real_known_values(spark):
+    """Hand-computed decode metadata for one synthesized clip: content
+    key c=2 -> 5 frames; per-frame dims/pixel sums from the generator
+    formulas; wsum applies the (1 + f%7) frame weights in order."""
+    from trendmachine_spark.extensions.multimodal import (
+        _video_frame_params,
+        _video_synth_one,
+        video_decode_real,
+    )
+
+    clip = _video_synth_one()(2)
+    [row] = video_decode_real(_asset_df(spark, {2: clip})).collect()
+    exp_tot, exp_wsum = 0, 0
+    for f in range(5):
+        bw, bh, k = _video_frame_params(2, f)
+        bx = np.arange(bw)[None, :]
+        by = np.arange(bh)[:, None]
+        blocks = 2 * ((bx * 5 + by * 11 + k) % 128)
+        exp_tot += 64 * bw * bh
+        exp_wsum += (1 + f % 7) * 64 * int(blocks.sum())
+    assert (row["n_frames"], row["total_pixels"], row["wsum"]) == (5, exp_tot, exp_wsum)
+
+
+def test_video_dedup_families_from_content_keys(spark):
+    """doc_ids congruent mod VIDEO_CONTENT_MOD synthesize byte-identical
+    clips -> one signature family with a min-id keeper; a different
+    content key lands in a different family."""
+    from trendmachine_spark.extensions.multimodal import (
+        VIDEO_CONTENT_MOD,
+        family_report,
+        synthetic_video_assets,
+        video_frame_signature,
+    )
+    from pyspark.sql import functions as F
+
+    m = VIDEO_CONTENT_MOD
+    docs = spark.createDataFrame(
+        [(2, "x"), (2 + 3 * m, "x"), (5, "x")], "doc_id bigint, text string")
+    frames = video_frame_signature(synthetic_video_assets(docs))
+    sig = frames.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("|", F.transform(
+            F.array_sort(F.collect_list(F.struct("sample_ord", "frame_md5"))),
+            lambda x: x.frame_md5))).alias("video_sig"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    fams = {r["doc_id"]: r for r in family_report(sig, "video_sig").collect()}
+    assert set(fams) == {2, 2 + 3 * m, 5}
+    assert fams[2]["video_sig"] == fams[2 + 3 * m]["video_sig"]
+    assert fams[2]["family_size"] == 2 and fams[2 + 3 * m]["family_key"] == 2
+    assert fams[5]["family_size"] == 1 and fams[5]["is_keeper"] == 1

@@ -216,7 +216,11 @@ SHUFFLE_BUDGETS = {
     "dedup_audio_fingerprint": (1, True),
     # frame explode is per-asset-bounded; one doc_id agg exchange +
     # one signature-window exchange over ~50 bytes per video
+    # (r11: signatures now hash DECODED pixels — same plan shape)
     "dedup_video_frames": (2, True),
+    # r11 real video decode: per-clip mapInPandas chain, zero exchanges
+    # (the synth rebalance is round-robin, uncounted)
+    "multimodal_video_decode": (0, True),
 }
 
 # Queries whose round-2..4 form used a count/row_number window

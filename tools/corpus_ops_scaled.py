@@ -20,6 +20,27 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def _telemetry_probe():
+    """Same load telemetry as bench.py (r11): single-threaded DuckDB
+    calibration probe + loadavg, so co-tenant pressure is visible
+    inside the artifact it pollutes. Returns (calib() -> float,
+    loadavg() -> list)."""
+    import duckdb
+
+    from bench import CALIB_SQL, _loadavg
+
+    con = duckdb.connect()
+    con.execute("SET threads=1")
+
+    def calib() -> float:
+        t0 = time.perf_counter()
+        con.execute(CALIB_SQL).fetchall()
+        return round(time.perf_counter() - t0, 4)
+
+    return calib, _loadavg
+
+
 OPS = [
     "dedup_segments",
     "dedup_semantic",
@@ -59,8 +80,12 @@ def run_spark(sf_dir: str) -> None:
 
     _docs(spark, sf_dir).count()
     _embeddings(spark, sf_dir).count()
+    calib, loadavg = _telemetry_probe()
+    load_pre = loadavg()
+    pass_calib: list[float] = []
     timings: dict[str, float] = {}
     for _ in range(4):
+        pass_calib.append(calib())
         for n in OPS:
             # builder INSIDE the timer: dedup_semantic_keepers'
             # connected-components iteration materializes during build
@@ -69,7 +94,9 @@ def run_spark(sf_dir: str) -> None:
             QUERIES[n].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[n] = round(min(timings.get(n, 1e9), time.perf_counter() - t0), 3)
     print(json.dumps({"engine": "spark", "sf_dir": sf_dir, "queries": timings,
-                      "total": round(sum(timings.values()), 3)}))
+                      "total": round(sum(timings.values()), 3),
+                      "load": {"pre": load_pre, "post": loadavg(),
+                               "pass_calib": pass_calib}}))
     spark.stop()
 
 
@@ -83,14 +110,20 @@ def run_duckdb(sf_dir: str) -> None:
     con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    calib, loadavg = _telemetry_probe()
+    load_pre = loadavg()
+    pass_calib: list[float] = []
     timings: dict[str, float] = {}
     for _ in range(4):
+        pass_calib.append(calib())
         for n in OPS:
             t0 = time.perf_counter()
             con.execute(QUERIES[n].oracle).fetchall()
             timings[n] = round(min(timings.get(n, 1e9), time.perf_counter() - t0), 3)
     print(json.dumps({"engine": "duckdb", "sf_dir": sf_dir, "queries": timings,
-                      "total": round(sum(timings.values()), 3)}))
+                      "total": round(sum(timings.values()), 3),
+                      "load": {"pre": load_pre, "post": loadavg(),
+                               "pass_calib": pass_calib}}))
 
 
 if __name__ == "__main__":

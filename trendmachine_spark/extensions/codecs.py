@@ -874,3 +874,72 @@ def _jpeg_decode_scan(data, pos, frame, scan, quants, huffs,
     if len(full) == 1:
         return full[0][:, :, None].copy()
     return _ycbcr_to_rgb(np.stack(full, axis=2))
+
+
+# -------------------------------------------------------------- MJPEG
+# Minimal Motion-JPEG container: the sandbox-honest analog of the
+# documented ffmpeg slot (multimodal.frame_sample's real_decode path).
+# Real MJPEG-in-AVI/MOV is a container walk around concatenated
+# baseline JPEG frames; this strips the container bookkeeping to its
+# essential shape — a magic, a frame count, and length-prefixed JPEG
+# payloads — so the frame walk, per-frame decode, and frame-order
+# semantics are all REAL (every frame round-trips through
+# encode_jpeg/decode_jpeg above) while staying decodable from spec with
+# no external tooling. Layout, all little-endian:
+#
+#   b"MJPG" | u32 n_frames | n_frames x (u32 byte_len | JPEG bytes)
+
+MJPEG_MAGIC = b"MJPG"
+
+
+def encode_mjpeg(frames: list) -> bytes:
+    """Container-pack already-encoded JPEG frame payloads in order.
+
+    Each element must be a complete baseline JPEG (SOI..EOI) as
+    produced by :func:`encode_jpeg`; the container stores bytes
+    verbatim, so frame content is exactly what decode_jpeg will see.
+    """
+    parts = [MJPEG_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        if bytes(fr[:2]) != b"\xff\xd8":
+            raise ValueError("MJPEG frames must be JPEG payloads (no SOI)")
+        parts.append(struct.pack("<I", len(fr)))
+        parts.append(bytes(fr))
+    return b"".join(parts)
+
+
+def decode_mjpeg_frames(data: bytes) -> list:
+    """Split the container into its raw JPEG frame payloads, in order.
+
+    Pure container walk — no pixel decode — so callers that only need
+    SOME frames (the bounded sampler) can skip decoding the rest,
+    which is the point of frame sampling at scale. Truncated or
+    mis-framed payloads raise ValueError loudly.
+    """
+    if bytes(data[:4]) != MJPEG_MAGIC:
+        raise ValueError("not an MJPEG payload (bad magic)")
+    (n,) = struct.unpack_from("<I", data, 4)
+    pos = 8
+    frames = []
+    for i in range(n):
+        if pos + 4 > len(data):
+            raise ValueError(f"truncated MJPEG header at frame {i}")
+        (ln,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if pos + ln > len(data):
+            raise ValueError(f"truncated MJPEG frame {i}")
+        frames.append(data[pos:pos + ln])
+        pos += ln
+    if pos != len(data):
+        raise ValueError(f"{len(data) - pos} trailing bytes after frame {n - 1}")
+    return frames
+
+
+def decode_mjpeg(data: bytes) -> list:
+    """Decode every frame to its pixel array (list of (h, w, c) uint8).
+
+    Frames are independent baseline JPEGs; sizes may differ per frame
+    (real MJPEG guarantees neither constant dimensions nor constant
+    tables). Exotic per-frame codecs raise inside decode_jpeg.
+    """
+    return [decode_jpeg(fr) for fr in decode_mjpeg_frames(data)]

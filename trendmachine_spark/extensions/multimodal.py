@@ -876,3 +876,184 @@ def family_report(df: DataFrame, *key_cols: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("family_size"),
         (F.col("doc_id") == F.min("doc_id").over(w)).cast("long").alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------
+# REAL video path (round 11): MJPEG-container clips whose frames are
+# the exact-roundtrip JPEG corpus construction, so the container walk,
+# per-frame Huffman/IDCT decode, and frame-order semantics are all
+# verified by closed-form SQL oracles — the same trick as the r9 JPEG
+# corpus (multimodal.py synthetic_jpeg_assets), lifted one level to
+# multi-frame clips. Replaces the r10 char-frame stub as the signature
+# source for dedup_video_frames (the stub remains for the historical
+# oracled frame_sample query).
+# ---------------------------------------------------------------------
+
+VIDEO_DECODED_SCHEMA = (
+    "doc_id bigint, n_frames int, total_pixels bigint, wsum bigint"
+)
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, sample_ord int, frame_md5 string"
+)
+
+#: content-key modulus: clips whose doc_ids are congruent mod 251 carry
+#: byte-identical frame sequences — the replica structure video dedup
+#: families collapse (251 is prime and coprime to the id%3 media split,
+#: so every residue occurs; ~6-7 members per family at sf0.01)
+VIDEO_CONTENT_MOD = 251
+
+
+def _video_frame_params(c: int, f: int) -> tuple[int, int, int]:
+    """(blocks_wide, blocks_high, k) for frame ``f`` of content key
+    ``c`` — the per-frame instance of the exact-roundtrip JPEG
+    generator (constant 8x8 blocks at even values, DC divisible by the
+    Annex-K luma q00, bit-exact reconstruction)."""
+    return 1 + (c + f) % 4, 1 + (c + f) % 3, c + 17 * f
+
+
+def _video_synth_one():
+    """Per-id MJPEG clip synthesizer (picklable by value): content key
+    c = id % VIDEO_CONTENT_MOD, 3 + c%6 frames, frame f an exact-
+    roundtrip grayscale JPEG with blocks
+    v(bx, by) = 2*((5*bx + 11*by + c + 17*f) % 128).
+
+    Everything the closure touches is a LOCAL binding (the module
+    constant is copied into a closure cell, the param helper inlined):
+    a nested function's references to multimodal-module globals would
+    pickle as imports of this package, which the driver harness does
+    not provide on executor workers (verify SKILL gotchas)."""
+    codecs = _codecs_by_value()
+    import numpy as np
+
+    content_mod = VIDEO_CONTENT_MOD
+
+    def synth_one(d: int) -> bytes:
+        c = d % content_mod
+        frames = []
+        for f in range(3 + c % 6):
+            bw, bh, k = 1 + (c + f) % 4, 1 + (c + f) % 3, c + 17 * f
+            bx = np.arange(bw)[None, :]
+            by = np.arange(bh)[:, None]
+            blocks = (2 * ((bx * 5 + by * 11 + k) % 128)).astype(np.uint8)
+            img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            frames.append(codecs.encode_jpeg(img))
+        return codecs.encode_mjpeg(frames)
+
+    return synth_one
+
+
+def synthetic_video_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL MJPEG clips for the video ids (doc_id%3==2,
+    the media_type split to_binary_assets uses). Same min_bytes=0
+    rebalance rationale as synthetic_media_assets: codec synthesis
+    fans an 8-byte id into ~100x per-clip CPU, so scan-split
+    parallelism is the binding constraint, not input size."""
+    from trendmachine_spark.extensions.dedup import rebalance_for_fanout
+
+    vids = docs.select(id_col).filter(F.col(id_col) % 3 == 2)
+    vids = rebalance_for_fanout(vids, min_bytes=0)
+    synth_one = _video_synth_one()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, types = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                ids.append(d)
+                payloads.append(synth_one(d))
+                types.append("video/mjpeg")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "media_type": pd.Series(types, dtype="object"),
+                }
+            )
+
+    return vids.mapInPandas(run, schema=REAL_ASSET_SCHEMA)
+
+
+def video_decode_real(assets: DataFrame) -> DataFrame:
+    """REAL clip decode: container walk + per-frame JPEG decode, per
+    clip emitting frame count, total decoded pixels, and the frame-
+    order-weighted checksum ``sum_f (1 + f%7) * sum(gray_f)`` — integer
+    throughout, sensitive to exactly the mistakes a container walk can
+    make (skipped/duplicated/reordered frames, mis-framed lengths)
+    on top of the per-frame decode exactness the JPEG queries pin.
+
+    Scale: zero exchanges — pure per-clip Arrow-batched CPU; only
+    ~30 bytes of metadata leave the worker per clip."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                frames = codecs.decode_mjpeg(bytes(b))
+                tot = 0
+                wsum = 0
+                for f, px in enumerate(frames):
+                    gray = px[:, :, 0].astype(np.int64)
+                    tot += gray.size
+                    wsum += (1 + f % 7) * int(gray.sum())
+                rows.append((int(did), len(frames), tot, wsum))
+            cols = list(zip(*rows)) if rows else [[]] * 4
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(cols[0], dtype="int64"),
+                    "n_frames": pd.Series(cols[1], dtype="int32"),
+                    "total_pixels": pd.Series(cols[2], dtype="int64"),
+                    "wsum": pd.Series(cols[3], dtype="int64"),
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run, schema=VIDEO_DECODED_SCHEMA
+    )
+
+
+def video_frame_signature(assets: DataFrame, every_n: int = 2,
+                          max_frames: int = 8) -> DataFrame:
+    """Sampled-frame fingerprints over DECODED pixels (round 11 — the
+    r10 char-frame stub retired from the dedup path): walk the MJPEG
+    container, decode every ``every_n``-th frame up to ``max_frames``
+    samples, fingerprint each as md5 of the comma-joined raveled
+    grayscale values (a canonical serialization of the decoded matrix
+    that a SQL oracle can reconstruct in closed form — any decode or
+    frame-walk bug changes the values and therefore the hash).
+
+    Scale: the container walk is length-prefix arithmetic — UNSAMPLED
+    frames are never entropy-decoded (the point of frame sampling: a
+    2-hour clip costs max_frames decodes); output is bounded per clip;
+    zero exchanges."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, ords, md5s = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = codecs.decode_mjpeg_frames(bytes(b))
+                cap = min(len(raw), every_n * max_frames)
+                for ord_, f in enumerate(range(0, cap, every_n)):
+                    gray = codecs.decode_jpeg(raw[f])[:, :, 0]
+                    ser = ",".join(str(int(v)) for v in gray.ravel())
+                    ids.append(int(did))
+                    idxs.append(f)
+                    ords.append(ord_)
+                    md5s.append(hashlib.md5(ser.encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "sample_ord": pd.Series(ords, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAME_SCHEMA
+    )

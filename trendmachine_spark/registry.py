@@ -4067,23 +4067,83 @@ def q_dedup_audio_fingerprint(spark, sf_dir):
 
 
 @register(
-    "dedup_video_frames",
-    # same frame rule as the multimodal_frame_sample oracle (full
-    # 32-char frames, every 4th, max 8), signature = md5 of the
-    # ord-ordered frame-md5 chain; family window as above. Docs shorter
-    # than one frame have no signature (no rows) by the frame rule.
-    """WITH f AS (SELECT doc_id, text, length(text) // 32 AS n_frames
+    "multimodal_video_decode",
+    # closed-form twin of the MJPEG clip generator (multimodal.py
+    # _video_synth_one / codecs.py encode_mjpeg): content key
+    # c = doc_id % 251 (VIDEO_CONTENT_MOD), 3 + c%6 frames, frame f a
+    # bw x bh grid (bw = 1+(c+f)%4, bh = 1+(c+f)%3) of constant 8x8
+    # blocks at v = 2*((5bx + 11by + c + 17f) % 128) — even DC-only
+    # values reconstruct BIT-EXACTLY through the Huffman/IDCT round
+    # trip (the r9 JPEG-corpus trick), so the container walk, frame
+    # order, and per-frame decode are all checked by exact values:
+    # wsum weights each frame's pixel sum by (1 + f%7).
+    """WITH v AS (SELECT doc_id, doc_id % 251 AS c
                   FROM documents WHERE doc_id % 3 = 2),
-    g AS (SELECT doc_id, text,
-                 unnest(range(0, CAST(least(n_frames, 32) AS BIGINT))) AS i
-          FROM f),
-    fr AS (SELECT doc_id, i // 4 AS ord,
-                  md5(substr(text, CAST(i * 32 + 1 AS BIGINT), 32)) AS fmd5
-           FROM g WHERE i % 4 = 0),
+    fr AS (SELECT doc_id, c, unnest(range(3 + c % 6)) AS f FROM v),
+    d AS (SELECT doc_id, c, f,
+                 1 + (c + f) % 4 AS bw, 1 + (c + f) % 3 AS bh
+          FROM fr),
+    b AS (SELECT doc_id, f, bw, bh,
+                 2 * (((bi % bw) * 5 + (bi // bw) * 11 + c + 17 * f)
+                      % 128) AS bv
+          FROM (SELECT *, unnest(range(bw * bh)) AS bi FROM d)),
+    fs AS (SELECT doc_id, f, any_value(bw * bh) AS nb, sum(bv) AS bsum
+           FROM b GROUP BY doc_id, f)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_frames,
+           CAST(64 * sum(nb) AS BIGINT) AS total_pixels,
+           CAST(64 * sum((1 + f % 7) * bsum) AS BIGINT) AS wsum
+    FROM fs GROUP BY doc_id""",
+)
+def q_multimodal_video_decode(spark, sf_dir):
+    """REAL video decode (round 11 — the mandate that retires video's
+    stub status): synthesize MJPEG clips (length-prefixed baseline-JPEG
+    frame concat — codecs.encode_mjpeg, the sandbox-honest analog of
+    the documented ffmpeg slot), then walk the container and decode
+    every frame through the real Huffman/IDCT path, emitting per-clip
+    frame count, decoded pixel total, and a frame-order-weighted
+    checksum. Completes the modality matrix: image (BMP/PNG/JPEG),
+    audio (WAV), and now video all decode real bytes in-sandbox.
+    Scale: zero exchanges — per-clip Arrow-batched CPU; ~30 bytes of
+    metadata leave the worker per clip."""
+    from trendmachine_spark.extensions.multimodal import (
+        synthetic_video_assets,
+        video_decode_real,
+    )
+
+    return video_decode_real(synthetic_video_assets(_docs(spark, sf_dir)))
+
+
+@register(
+    "dedup_video_frames",
+    # r11: signatures now hash DECODED pixels (r10 hashed 32-char text
+    # slices). Sampled frames (every 2nd, cap 8) of the MJPEG corpus
+    # above; each frame's fingerprint is md5 of the comma-joined
+    # raveled grayscale values — reconstructed here in closed form from
+    # the generator (pi walks the 8bh x 8bw frame row-major:
+    # x = pi % 8bw, y = pi // 8bw, block (x//8, y//8)); signature =
+    # md5 of the ord-ordered fingerprint chain; family window as in
+    # dedup_image_phash. Every clip has >= 3 frames, so every video id
+    # emits exactly one row.
+    """WITH v AS (SELECT doc_id, doc_id % 251 AS c
+                  FROM documents WHERE doc_id % 3 = 2),
+    fr AS (SELECT doc_id, c, unnest(range(3 + c % 6)) AS f FROM v),
+    s AS (SELECT doc_id, c, f, f // 2 AS ord,
+                 1 + (c + f) % 4 AS bw, 1 + (c + f) % 3 AS bh
+          FROM fr WHERE f % 2 = 0 AND f < 16),
+    px AS (SELECT doc_id, ord, pi,
+                  2 * ((((pi % (8 * bw)) // 8) * 5
+                        + ((pi // (8 * bw)) // 8) * 11
+                        + c + 17 * f) % 128) AS pv
+           FROM (SELECT *, unnest(range(64 * bw * bh)) AS pi FROM s)),
+    fm AS (SELECT doc_id, ord,
+                  md5(string_agg(CAST(pv AS VARCHAR), ',' ORDER BY pi))
+                    AS fmd5
+           FROM px GROUP BY doc_id, ord),
     sig AS (SELECT doc_id,
                    md5(string_agg(fmd5, '|' ORDER BY ord)) AS video_sig,
                    CAST(count(*) AS BIGINT) AS n_sampled
-            FROM fr GROUP BY doc_id)
+            FROM fm GROUP BY doc_id)
     SELECT doc_id, video_sig, n_sampled,
            min(doc_id) OVER w AS family_key,
            count(*) OVER w AS family_size,
@@ -4091,27 +4151,25 @@ def q_dedup_audio_fingerprint(spark, sf_dir):
     FROM sig WINDOW w AS (PARTITION BY video_sig)""",
 )
 def q_dedup_video_frames(spark, sf_dir):
-    """Video dedup by sampled-frame signature (round 10): the stubbed
-    frame sampler (multimodal.frame_sample — real ffmpeg slot on a
-    cluster, deterministic char-frame fake here, SAME plumbing) emits
-    per-frame fingerprints; two videos sharing the ordered chain of
-    sampled-frame hashes are duplicates — the sampled-frame-hash
-    construction video pipelines use so ONE giant file never explodes
-    a partition (output bounded by max_frames). Signature = md5 of the
-    ord-ordered frame-md5 chain (array_sort on (ord, md5) structs, so
-    the agg is partition-order-independent). Scale: frame explode is
-    bounded per asset, one doc_id agg exchange + one signature-window
+    """Video dedup by sampled-frame signature over REAL decoded pixels
+    (re-pointed in round 11; the r10 version hashed the char-frame
+    stub): the MJPEG container walk skips unsampled frames without
+    entropy-decoding them (length-prefix arithmetic — the scale point
+    of frame sampling: a 2-hour clip costs max_frames decodes), each
+    sampled frame is fingerprinted from its decoded grayscale matrix,
+    and two clips sharing the ordered fingerprint chain are duplicates.
+    Signature = md5 of the ord-ordered chain (array_sort on (ord, md5)
+    structs, so the agg is partition-order-independent). Scale: bounded
+    per-clip output, one doc_id agg exchange + one signature-window
     exchange over ~50 bytes per video."""
     from trendmachine_spark.extensions.multimodal import (
         family_report,
-        frame_sample,
-        to_binary_assets,
+        synthetic_video_assets,
+        video_frame_signature,
     )
 
-    frames = frame_sample(
-        to_binary_assets(_docs(spark, sf_dir)).filter(
-            F.col("media_type") == "video/mp4"
-        )
+    frames = video_frame_signature(
+        synthetic_video_assets(_docs(spark, sf_dir))
     )
     sig = frames.groupBy("doc_id").agg(
         F.md5(
@@ -4598,7 +4656,10 @@ _PARITY_PERIOD = 3
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = []  # round 11: nothing changed yet — `rotate_window.py pin NAME` as queries change
+_WINDOW_PINNED: list[str] = [
+    "multimodal_video_decode",  # new r11: MJPEG real video decode
+    "dedup_video_frames",  # r11: re-pointed at decoded-pixel frame signatures
+]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
@@ -4650,6 +4711,7 @@ _DEMOTE_ODD = frozenset({
     "text_term_stats", "top_revenue_customers", "training_corpus_clean",
     "transition_matrix", "urim_projection",
     "dedup_audio_fingerprint",  # new r10 (acoustic fp families; pinned r10)
+    "multimodal_video_decode",  # new r11 (MJPEG real decode; pinned r11)
 })
 
 
