@@ -1,6 +1,15 @@
 """ANN recall artifact (round-4 mandate): recall@k of the approximate
 similarity paths vs the exact brute-force ranking, on the ×10 corpus.
 
+Round 11: the eval corpus is PERTURBED — deterministic per-(vec_id,
+dim) noise (see EPS) makes replica family members near- rather than
+exact-copies. On the raw scaled corpus every config saturated to
+recall 1.0 at x20 (>= 19 exact copies fill the exact top-10), so the
+artifact stopped measuring the index; with the perturbation, family
+members scatter across adjacent SRP buckets / IVF cells and the
+configs separate again. The raw-corpus saturation number is still
+recorded for the record (saturation_raw_corpus_recall_at_10).
+
 Both ANN paths are value-hash-exact against their own DEFINITIONS (the
 driver oracles pin that); this artifact tracks the other axis —
 approximation QUALITY — round-over-round:
@@ -26,6 +35,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_QUERIES = 32
 K = 10
+
+#: perturbation amplitude for the r11 discriminating eval: each
+#: element of each corpus vector gets deterministic uniform noise in
+#: [-EPS, EPS] (hash of (vec_id, dim) — reproducible, seedless). On
+#: the ~unit-norm 64-dim corpus this is a ~0.09 rad rotation per
+#: replica (replica cosine ~0.996), small enough that family members
+#: remain the true top-k but large enough that they scatter across
+#: nearby SRP buckets / IVF cells — so recall once again MEASURES the
+#: index instead of the replica ceiling (the r10 verdict: every config
+#: read 1.0 at x20 because >= 19 EXACT copies saturated top-10).
+EPS = 0.02
+
+
+def _perturb(emb, eps: float = EPS):
+    """Deterministic per-(vec_id, dim) noise on the embedding column."""
+    from pyspark.sql import functions as F
+
+    noisy = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            + F.lit(eps)
+            * ((F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2001))
+                .cast("double") - 1000.0) / 1000.0)
+        ).cast("float"),
+    )
+    return emb.select("vec_id", noisy.alias("embedding"))
 
 
 def _topk_sets(rows):
@@ -73,10 +109,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     sf_dir = scale_dir("/root/testdata/sf0.1", f"/tmp/trendmachine_scaled_x{mult}", mult)
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_corpus = emb.count()
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb_raw.count()
+
+    # r11: the eval corpus is PERTURBED (see EPS) — localCheckpoint so
+    # every consumer (exact baseline, SRP, IVF, bucket stats) scores
+    # the same materialized vectors instead of re-deriving the noise
+    # map per plan subtree
+    emb = _perturb(emb_raw).localCheckpoint()
 
     exact_sets = _topk_sets(brute_force_topk(emb, N_QUERIES, K).collect())
+
+    # the r10 saturation number, kept as documentation: on the RAW
+    # replica corpus every config reads ~1.0 at x20 because >= 19 exact
+    # copies fill the exact top-10 — a data property, not index quality
+    saturation_raw = _recall(
+        ann_topk(emb_raw, N_QUERIES, K, n_planes=8, n_flip=0).collect(),
+        _topk_sets(brute_force_topk(emb_raw, N_QUERIES, K).collect()))
 
     # SRP sweep over (planes, flips). candidates = avg per-query scored
     # pair count (the cost axis the round-5 recall mandate budgets:
@@ -177,11 +226,16 @@ def main() -> None:
         ann_topk(emb, N_QUERIES, fam, n_planes=8, n_flip=0).collect(), exact_fam)
 
     out = {
-        "metric": "ANN recall@k vs exact brute-force cosine top-k",
+        "metric": ("ANN recall@k vs exact brute-force cosine top-k on the "
+                   "PERTURBED replica corpus (r11: deterministic per-"
+                   "(vec_id,dim) noise, eps in docstring — replicas are "
+                   "near- not exact-copies, so configs separate again)"),
         "sf": f"0.1x{mult}",
         "n_corpus_vectors": n_corpus,
         "n_queries": N_QUERIES,
         "k": K,
+        "perturb_eps": EPS,
+        "saturation_raw_corpus_recall_at_10": saturation_raw,
         "srp_lsh": srp,
         "ivf": ivf,
         "ceiling": {
@@ -189,12 +243,11 @@ def main() -> None:
             "in_family_k": fam,
             "srp_recall_at_family_k": recall_fam,
             "note": (
-                "replica families bound true neighbors at in_family_k; the "
-                "k-th exact match beyond that is isotropic noise (see the "
-                "cosine cliff in exact_rank_cosine_medians) hashing "
-                "uniformly across buckets — recall@10 ~0.90 is the data "
-                "ceiling, not index quality; recall at family k is the "
-                "index-quality number."
+                "rank medians on the PERTURBED corpus: in-family ranks sit "
+                "near cos~0.996 (the eps rotation), the cliff past "
+                "in_family_k is isotropic noise. With replicas perturbed, "
+                "recall@10 varies by config again (the r11 point); recall "
+                "at family k remains the family-coverage number."
             ),
         },
     }

@@ -53,6 +53,35 @@ def _run(cmd: list[str], capture: bool = False) -> str:
     return ""
 
 
+#: 1-min loadavg above which a timed run would start visibly co-tenant
+#: polluted (r10 verdict: the x20 medians were unusable; r11 telemetry
+#: made the pollution visible, this gate avoids creating it)
+QUIET_LOAD = 4.0
+
+
+def _wait_quiet(label: str, max_wait_s: int = 600) -> None:
+    """Block until 1-min loadavg drops under QUIET_LOAD (or max_wait_s
+    elapses — then proceed loudly; the in-artifact telemetry still
+    records whatever pressure remains)."""
+    import time
+
+    waited = 0
+    while waited <= max_wait_s:
+        with open("/proc/loadavg") as fh:
+            la1 = float(fh.read().split()[0])
+        if la1 < QUIET_LOAD:
+            if waited:
+                print(f"[round_close] box quiet (load {la1}) after "
+                      f"{waited}s — starting {label}", flush=True)
+            return
+        print(f"[round_close] loadavg {la1} >= {QUIET_LOAD}, waiting "
+              f"before {label} ({waited}/{max_wait_s}s)", flush=True)
+        time.sleep(30)
+        waited += 30
+    print(f"[round_close] WARNING: box never went quiet; {label} will "
+          "be measured under load (telemetry will show it)", flush=True)
+
+
 def main() -> None:
     skip_scaled = "--skip-scaled" in sys.argv
     skip_tests = "--skip-tests" in sys.argv
@@ -60,6 +89,7 @@ def main() -> None:
     from trendmachine_spark.registry import _ROUND
 
     # 1. final sf0.1 bench (refreshes BENCH_DETAIL_sf0.1.json)
+    _wait_quiet("sf0.1 bench")
     _run([sys.executable, "bench.py"], capture=True)
 
     # 2. the correctness + drift gates — BEFORE the snapshot, so the
@@ -80,6 +110,7 @@ def main() -> None:
     # the round the code changed; stdout line IS the artifact
     if not skip_scaled:
         for mult in (10, 20):
+            _wait_quiet(f"x{mult} bench")
             out = _run([sys.executable, "bench.py", "--sf-multiple",
                         str(mult)], capture=True)
             line = out.strip().splitlines()[-1]
