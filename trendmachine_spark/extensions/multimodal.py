@@ -2,12 +2,14 @@
 
 Driver-mandated extension (SURVEY.md §2.6). The *decode* step runs for
 REAL on the formats decodable from spec without PIL/librosa/ffmpeg —
-uncompressed 24-bit BMP, RIFF PCM WAV, 8-bit truecolor PNG (round 7)
-and baseline sequential JPEG (round 9) — all in
-``extensions/codecs.py``, with ``NotImplementedError`` reserved for
-the genuinely gated variants (progressive/arithmetic JPEG, palette/
-16-bit/interlaced PNG, MP4/...). The historical deterministic-fake
-path remains for oracled metadata flows over text-derived assets.
+uncompressed 24-bit BMP, RIFF PCM WAV, 8-bit truecolor PNG (round 7),
+baseline sequential JPEG (round 9), and MJPEG video clips (round 11:
+length-prefixed baseline-JPEG frame concat, the sandbox-honest analog
+of an ffmpeg container walk) — all in ``extensions/codecs.py``, with
+``NotImplementedError`` reserved for the genuinely gated variants
+(progressive/arithmetic JPEG, palette/16-bit/interlaced PNG, MP4/...).
+The historical deterministic-fake path remains for oracled metadata
+flows over text-derived assets.
 Spark-side plumbing is identical either way: binary columns, typed
 metadata structs, Arrow-batched ``mapInPandas`` with an explicit output
 schema, and partition-count-preserving flow.
@@ -144,14 +146,18 @@ FRAME_SCHEMA = "doc_id bigint, frame_idx int, sample_ord int, frame_md5 string"
 
 def frame_sample(assets: DataFrame, frame_len: int = 32, every_n: int = 4,
                  max_frames: int = 8, real_decode: bool = False) -> DataFrame:
-    """Arrow-batched frame sampling over binary payloads (ffmpeg slot stubbed).
+    """Arrow-batched frame sampling over binary payloads (char-frame
+    fake — the REAL frame path is :func:`video_frame_signature` over
+    MJPEG clips since round 11; this historical form stays for the
+    oracled ``multimodal_frame_sample`` metadata-flow query).
 
     Models video frame extraction: the payload is treated as a sequence
     of non-overlapping ``frame_len``-character frames; every
     ``every_n``-th frame is sampled, up to ``max_frames`` samples per
     asset, and each sampled frame is fingerprinted (md5). With
     ``real_decode=True`` this is where ffmpeg/pyav frame extraction
-    would run — unavailable here, so it raises.
+    would run — unavailable here, so it raises (the in-sandbox real
+    path is the MJPEG one).
 
     Output is one row per sampled frame (the row-explosion shape a real
     frame sampler has): ``frame_idx`` is the frame's position in the
