@@ -84,12 +84,21 @@ LAYOUT_VERSION = 2
 
 def split_confs(cpus: int) -> dict:
     """Session confs that let Spark actually cut the scaled files into
-    ~2x-cores splits (see module docstring). Production-default-
-    equivalent for multi-GB files; needed here only because the scaled
-    corpora are MB-scale stand-ins."""
+    ~cores splits (see module docstring). Production-default-equivalent
+    for multi-GB files; needed here only because the scaled corpora are
+    MB-scale stand-ins.
+
+    minPartitionNum is 1x cores, not 2x: local-mode task scheduling
+    costs ~4-5 ms/task (measured r11 partition sweep, SCALE.md), so on
+    a sub-second MB-scale query every extra stage-task is pure floor —
+    64-split scans cost ~+0.2 s/query over 32 with zero parallelism
+    gain on 32 cores. CPU-heavy codec/fan-out paths get exactly one
+    task per core natively. The FILES still carry 64 row groups
+    (TARGET_ROW_GROUPS) so any engine or session can split finer when
+    its task economics differ."""
     return {
         "spark.sql.files.openCostInBytes": str(64 * 1024),
-        "spark.sql.files.minPartitionNum": str(2 * cpus),
+        "spark.sql.files.minPartitionNum": str(cpus),
     }
 
 #: per-copy shift for each shifted int64 key column (big enough that
