@@ -338,3 +338,26 @@ def test_video_dedup_families_from_content_keys(spark):
     assert fams[2]["video_sig"] == fams[2 + 3 * m]["video_sig"]
     assert fams[2]["family_size"] == 2 and fams[2 + 3 * m]["family_key"] == 2
     assert fams[5]["family_size"] == 1 and fams[5]["is_keeper"] == 1
+
+
+def test_video_near_pairs_shared_frame_semantics(spark):
+    """Hand-planted frame tables: pairs require >= min_shared common
+    fingerprints; counts ride along; ordering id_a < id_b."""
+    from trendmachine_spark.extensions.multimodal import video_near_pairs
+
+    frames = spark.createDataFrame(
+        [(1, 0, 0, "A"), (1, 2, 1, "B"), (1, 4, 2, "C"),
+         (2, 0, 0, "A"), (2, 2, 1, "B"),              # shares A,B with 1
+         (3, 0, 0, "A"),                              # shares only A
+         (4, 0, 0, "X"), (4, 2, 1, "Y")],             # disjoint
+        "doc_id bigint, frame_idx int, sample_ord int, frame_md5 string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r
+            for r in video_near_pairs(frames, min_shared=2).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (2, 3, 2)
+    # min_shared=1 admits the single-frame overlap pairs
+    rows1 = {(r["id_a"], r["id_b"])
+             for r in video_near_pairs(frames, min_shared=1).collect()}
+    assert rows1 == {(1, 2), (1, 3), (2, 3)}

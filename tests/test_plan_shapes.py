@@ -221,6 +221,10 @@ SHUFFLE_BUDGETS = {
     # r11 real video decode: per-clip mapInPandas chain, zero exchanges
     # (the synth rebalance is round-robin, uncounted)
     "multimodal_video_decode": (0, True),
+    # r11 frame-containment pairs: materialized fingerprint table, one
+    # pair-agg exchange + one counts-agg exchange; +2 slack for the two
+    # count joins degrading from broadcast to SMJ at scale
+    "dedup_video_near": (4, True),
 }
 
 # Queries whose round-2..4 form used a count/row_number window

@@ -1063,3 +1063,50 @@ def video_frame_signature(assets: DataFrame, every_n: int = 2,
     return assets.select("doc_id", "payload").mapInPandas(
         run, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+def video_near_pairs(frames: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Near-duplicate clip pairs by shared sampled-frame fingerprints
+    (round 11): two clips that have ``min_shared`` or more identical
+    decoded-frame fingerprints among their samples are near-dups — the
+    frame-containment construction video pipelines use to catch
+    re-encodes/trims that exact chain signatures miss (chain equality
+    is shared == all frames on both sides; this relaxes it).
+
+    Input is :func:`video_frame_signature` output. Output one row per
+    unordered pair: id_a < id_b, n_shared, n_a, n_b.
+
+    Scale: inverted-index join on the fingerprint (the ngram_jaccard
+    shape with a hard per-clip bound — max_frames samples per clip, so
+    a clip joins at most max_frames postings); one fingerprint
+    exchange + one pair agg exchange; the pair output is inherently
+    quadratic IN FAMILY SIZE (any engine emitting the pair form pays
+    it) — keeper pipelines should consume the linear
+    ``dedup_video_frames`` families instead.
+
+    The fingerprint table is MATERIALIZED first: it feeds both
+    self-join sides and both count joins, and Spark instantiates a
+    shared lineage once per consumer (plans are trees — SCALE.md r5),
+    which would re-run the CPU-heavy container-walk + frame-decode
+    chain four times."""
+    from trendmachine_spark.extensions.dedup import _materialize
+
+    frames = _materialize(frames.select("doc_id", "frame_md5"))
+    fp = frames.select("doc_id", "frame_md5")
+    counts = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames_sampled"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "frame_md5")
+    b = fp.select(F.col("doc_id").alias("id_b"), "frame_md5")
+    pairs = (
+        a.join(b, "frame_md5")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    na = counts.select(F.col("doc_id").alias("id_a"),
+                       F.col("n_frames_sampled").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("id_b"),
+                       F.col("n_frames_sampled").alias("n_b"))
+    return pairs.join(na, "id_a").join(nb, "id_b").select(
+        "id_a", "id_b", "n_shared", "n_a", "n_b")

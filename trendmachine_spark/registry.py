@@ -4189,6 +4189,60 @@ def q_dedup_video_frames(spark, sf_dir):
 
 
 @register(
+    "dedup_video_near",
+    # same decoded-pixel frame fingerprints as dedup_video_frames (the
+    # fm CTE), relaxed from chain equality to >= 2 SHARED fingerprints
+    # per unordered pair — the frame-containment near-dup form.
+    """WITH v AS (SELECT doc_id, doc_id % 251 AS c
+                  FROM documents WHERE doc_id % 3 = 2),
+    fr AS (SELECT doc_id, c, unnest(range(3 + c % 6)) AS f FROM v),
+    s AS (SELECT doc_id, c, f, f // 2 AS ord,
+                 1 + (c + f) % 4 AS bw, 1 + (c + f) % 3 AS bh
+          FROM fr WHERE f % 2 = 0 AND f < 16),
+    px AS (SELECT doc_id, ord, pi,
+                  2 * ((((pi % (8 * bw)) // 8) * 5
+                        + ((pi // (8 * bw)) // 8) * 11
+                        + c + 17 * f) % 128) AS pv
+           FROM (SELECT *, unnest(range(64 * bw * bh)) AS pi FROM s)),
+    fm AS (SELECT doc_id, ord,
+                  md5(string_agg(CAST(pv AS VARCHAR), ',' ORDER BY pi))
+                    AS fmd5
+           FROM px GROUP BY doc_id, ord),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM fm a JOIN fm b
+                ON a.fmd5 = b.fmd5 AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 2),
+    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM fm GROUP BY doc_id)
+    SELECT id_a, id_b, n_shared, ca.n AS n_a, cb.n AS n_b
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b""",
+)
+def q_dedup_video_near(spark, sf_dir):
+    """Near-duplicate clip pairs by shared decoded-frame fingerprints
+    (round 11): the frame-containment relaxation of
+    ``dedup_video_frames`` — >= 2 identical sampled-frame fingerprints
+    make a pair, catching the re-encode/trim class that exact chain
+    signatures miss. Scale: inverted-index join on the fingerprint
+    with a hard per-clip posting bound (max_frames samples), one
+    fingerprint exchange + one pair agg; pair output is quadratic in
+    family size by definition — keeper pipelines consume the linear
+    dedup_video_frames families."""
+    from trendmachine_spark.extensions.multimodal import (
+        synthetic_video_assets,
+        video_frame_signature,
+        video_near_pairs,
+    )
+
+    return video_near_pairs(
+        video_frame_signature(synthetic_video_assets(_docs(spark, sf_dir)))
+    )
+
+
+@register(
     "quality_score_trained",
     # Exact mirror of fit_quality_logit + apply: integer features and
     # label, hugeint training sums, the SAME symmetric-3x3 cofactor
@@ -4659,6 +4713,7 @@ _PARITY_PERIOD = 3
 _WINDOW_PINNED: list[str] = [
     "multimodal_video_decode",  # new r11: MJPEG real video decode
     "dedup_video_frames",  # r11: re-pointed at decoded-pixel frame signatures
+    "dedup_video_near",  # new r11: frame-containment video near-dup
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -4733,6 +4788,7 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "first_last_capture", "gap_fill_closest", "gap_fill_identical",
     "minhash_accuracy", "multimodal_decode_png", "region_revenue",
     "dedup_video_frames",  # new r10 (frame-signature families; pinned r10)
+    "dedup_video_near",  # new r11 (frame-containment pairs; pinned r11)
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
