@@ -398,3 +398,30 @@ def test_jpeg_resize_path():
     rs = resize_nearest(decode_jpeg(encode_jpeg(img)), 6, 4)
     assert rs.shape == (4, 6, 1)
     assert np.array_equal(rs, resize_nearest(img[:, :, None], 6, 4))
+
+
+def test_mjpeg_container_roundtrip_property():
+    """Property (hypothesis): for ANY list of SOI-prefixed payloads —
+    arbitrary sizes, including empty lists and 0-byte bodies — the
+    container walk returns the exact byte sequence in order. The
+    container is pure framing; this pins it independently of what the
+    per-frame codec can decode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trendmachine_spark.extensions.codecs import (
+        decode_mjpeg_frames,
+        encode_mjpeg,
+    )
+
+    payloads = st.lists(
+        st.binary(min_size=0, max_size=300).map(lambda b: b"\xff\xd8" + b),
+        min_size=0, max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(payloads)
+    def roundtrip(frames):
+        assert decode_mjpeg_frames(encode_mjpeg(frames)) == frames
+
+    roundtrip()
