@@ -214,10 +214,10 @@ SHUFFLE_BUDGETS = {
     "multimodal_audio_features": (0, True),
     # zero-exchange fingerprint pass + ONE signature-window exchange
     "dedup_audio_fingerprint": (1, True),
-    # frame explode is per-asset-bounded; one doc_id agg exchange +
-    # one signature-window exchange over ~50 bytes per video
-    # (r11: signatures now hash DECODED pixels — same plan shape)
-    "dedup_video_frames": (2, True),
+    # r11: signatures hash DECODED pixels and the chain md5 is computed
+    # IN-WORKER (video_clip_signature) — the doc_id agg exchange is
+    # gone; only the family-window exchange remains
+    "dedup_video_frames": (1, True),
     # r11 real video decode: per-clip mapInPandas chain, zero exchanges
     # (the synth rebalance is round-robin, uncounted)
     "multimodal_video_decode": (0, True),

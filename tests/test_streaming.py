@@ -743,3 +743,55 @@ def test_streaming_session_windows_match_batch_closed_subset(spark):
     }
     assert got <= all_batch
     assert got
+
+
+def test_streaming_video_dedup_matches_batch_families(spark):
+    """r11 streaming video dedup: one survivor per chain signature,
+    signature set identical to the batch family report's, and the
+    batch in-worker signature (video_clip_signature) byte-matches the
+    historical agg form on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from trendmachine_spark.extensions.multimodal import (
+        family_report,
+        synthetic_video_assets,
+        video_clip_signature,
+        video_frame_signature,
+    )
+    from trendmachine_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    batch = family_report(
+        video_clip_signature(synthetic_video_assets(docs)), "video_sig")
+    want = {r["video_sig"] for r in batch.select("video_sig").distinct().collect()}
+
+    # agg-form equivalence: md5 of the same '|'-joined chain
+    agg = (
+        video_frame_signature(synthetic_video_assets(docs))
+        .groupBy("doc_id")
+        .agg(F.md5(F.concat_ws("|", F.transform(
+            F.array_sort(F.collect_list(F.struct("sample_ord", "frame_md5"))),
+            lambda x: x.frame_md5))).alias("video_sig"))
+    )
+    assert (
+        {(r["doc_id"], r["video_sig"]) for r in agg.collect()}
+        == {(r["doc_id"], r["video_sig"])
+            for r in batch.select("doc_id", "video_sig").collect()}
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(SF)
+    )
+    sigs = video_clip_signature(synthetic_video_assets(stream)).withColumn(
+        "event_time", F.lit("2020-01-01 00:00:00").cast("timestamp"))
+    _run_to_memory(
+        sigs.withWatermark("event_time", "1 day")
+        .dropDuplicatesWithinWatermark(["video_sig"]),
+        "video_dedup_stream", "append")
+    got = spark.sql(
+        "SELECT video_sig, count(*) c FROM video_dedup_stream GROUP BY video_sig"
+    ).collect()
+    assert all(r["c"] == 1 for r in got)
+    assert {r["video_sig"] for r in got} == want

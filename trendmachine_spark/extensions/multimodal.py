@@ -1110,3 +1110,52 @@ def video_near_pairs(frames: DataFrame, min_shared: int = 2) -> DataFrame:
                        F.col("n_frames_sampled").alias("n_b"))
     return pairs.join(na, "id_a").join(nb, "id_b").select(
         "id_a", "id_b", "n_shared", "n_a", "n_b")
+
+
+VIDEO_SIG_SCHEMA = "doc_id bigint, video_sig string, n_sampled bigint"
+
+
+def video_clip_signature(assets: DataFrame, every_n: int = 2,
+                         max_frames: int = 8) -> DataFrame:
+    """Per-clip sampled-frame chain signature computed IN-WORKER
+    (round 11): same sampling and fingerprints as
+    :func:`video_frame_signature`, but a clip's frames all live in its
+    own payload, so the ord-ordered chain md5 needs no grouped
+    aggregation — frames never materialize as rows and the doc_id agg
+    exchange disappears (2 -> 1 exchanges on the dedup path; the
+    remaining one is the family window). Byte-identical signatures to
+    the batch agg form (same '|'-joined chain string), verified
+    CI-exact at both SFs.
+
+    Also the STREAMING form: stateless mapInPandas appends cleanly, so
+    `dropDuplicatesWithinWatermark(video_sig)` downstream is streaming
+    video dedup with bounded state."""
+    codecs = _codecs_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, sigs, ns = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = codecs.decode_mjpeg_frames(bytes(b))
+                cap = min(len(raw), every_n * max_frames)
+                md5s = []
+                for f in range(0, cap, every_n):
+                    gray = codecs.decode_jpeg(raw[f])[:, :, 0]
+                    ser = ",".join(str(int(v)) for v in gray.ravel())
+                    md5s.append(hashlib.md5(ser.encode()).hexdigest())
+                ids.append(int(did))
+                sigs.append(hashlib.md5("|".join(md5s).encode()).hexdigest())
+                ns.append(len(md5s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "video_sig": pd.Series(sigs, dtype="object"),
+                    "n_sampled": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run, schema=VIDEO_SIG_SCHEMA
+    )

@@ -4158,34 +4158,22 @@ def q_dedup_video_frames(spark, sf_dir):
     of frame sampling: a 2-hour clip costs max_frames decodes), each
     sampled frame is fingerprinted from its decoded grayscale matrix,
     and two clips sharing the ordered fingerprint chain are duplicates.
-    Signature = md5 of the ord-ordered chain (array_sort on (ord, md5)
-    structs, so the agg is partition-order-independent). Scale: bounded
-    per-clip output, one doc_id agg exchange + one signature-window
-    exchange over ~50 bytes per video."""
+    Signature = md5 of the ord-ordered chain, computed IN-WORKER
+    (multimodal.video_clip_signature — a clip's frames all live in its
+    own payload, so no grouped agg is needed and frames never
+    materialize as rows; byte-identical to the agg form's
+    '|'-joined-chain md5). Scale: bounded per-clip decode, ONE
+    signature-window exchange over ~50 bytes per video."""
     from trendmachine_spark.extensions.multimodal import (
         family_report,
         synthetic_video_assets,
-        video_frame_signature,
+        video_clip_signature,
     )
 
-    frames = video_frame_signature(
-        synthetic_video_assets(_docs(spark, sf_dir))
+    return family_report(
+        video_clip_signature(synthetic_video_assets(_docs(spark, sf_dir))),
+        "video_sig",
     )
-    sig = frames.groupBy("doc_id").agg(
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("sample_ord", "frame_md5"))
-                    ),
-                    lambda x: x.frame_md5,
-                ),
-            )
-        ).alias("video_sig"),
-        F.count(F.lit(1)).cast("long").alias("n_sampled"),
-    )
-    return family_report(sig, "video_sig")
 
 
 @register(
@@ -4240,6 +4228,43 @@ def q_dedup_video_near(spark, sf_dir):
     return video_near_pairs(
         video_frame_signature(synthetic_video_assets(_docs(spark, sf_dir)))
     )
+
+
+@register("video_dedup_streaming", None)  # streaming, keeper arrival-order
+def q_video_dedup_streaming(spark, sf_dir):
+    """Streaming video dedup (round 11 — the streaming twin of
+    dedup_video_frames, completing the streaming matrix for the new
+    modality): clip synthesis + container walk + sampled-frame decode +
+    chain signature are ALL stateless mapInPandas (append-safe on a
+    stream), so `dropDuplicatesWithinWatermark(video_sig)` gives
+    first-arrival keepers with watermark-bounded state — the shape a
+    live ingest pipeline runs. Signature-set equivalence with the
+    batch family report is pinned in tests/test_streaming.py;
+    rows-only here (keeper identity is arrival-order by design)."""
+    from trendmachine_spark.extensions.multimodal import (
+        synthetic_video_assets,
+        video_clip_signature,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+    sigs = video_clip_signature(synthetic_video_assets(stream)).withColumn(
+        "event_time", F.lit("2020-01-01 00:00:00").cast("timestamp")
+    )
+    q = (
+        sigs.withWatermark("event_time", "1 day")
+        .dropDuplicatesWithinWatermark(["video_sig"])
+        .writeStream.format("memory")
+        .queryName("_video_dedup_stream_q")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM _video_dedup_stream_q")
 
 
 @register(
