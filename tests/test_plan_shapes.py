@@ -80,6 +80,13 @@ SHUFFLE_BUDGETS = {
     # corpus scores via MapInPandas without shuffling; one exchange
     # for the per-query top-k window
     "similarity_topk": (1, True),
+    # PQ/ADC (r11): encode + LUT scoring are chained MapInPandas with
+    # zero exchanges (codebooks/queries ride as literals); the only
+    # exchange is the per-query top-k window over task-pruned rows
+    "similarity_pq_topk": (1, True),
+    # bounded (subspace, code) partials -> two tiny aggregations; the
+    # corpus itself never shuffles
+    "pq_distortion": (2, True),
     # pure per-row projection — no exchange at all
     "text_profile": (0, True),
     # explode + element_at chunker: pure map stage, zero exchanges

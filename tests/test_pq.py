@@ -1,0 +1,142 @@
+"""Product-quantization ANN (round 11): codebook training
+determinism, encode compression contract, ADC ranking invariants,
+and the distortion report's conservation properties.
+
+The hash-exact DuckDB parity for ``similarity_pq_topk`` and
+``pq_distortion`` lives in test_oracle_parity.py like every other
+oracled query; these tests pin the properties the oracle can't see —
+partition invariance of the trained codebooks, the no-member seed
+fallback, and the LUT scorer's agreement with a direct reconstruction
+dot product.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from trendmachine_spark.extensions.similarity import (
+    pq_codebooks,
+    pq_distortion,
+    pq_encode,
+    pq_topk,
+    quantize_embeddings,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qv(spark, emb):
+    return quantize_embeddings(emb)
+
+
+def test_codebooks_partition_invariant(qv):
+    """Lloyd training aggregates exact int64 partials, so the trained
+    books must be bit-identical under any input partitioning."""
+    cb1 = pq_codebooks(qv, refine=1)
+    cb2 = pq_codebooks(qv.repartition(7), refine=1)
+    assert np.array_equal(cb1, cb2)
+
+
+def test_codebooks_shape_and_refine_zero_is_seeds(qv):
+    cb0 = pq_codebooks(qv, refine=0)
+    assert cb0.shape == (8, 16, 8)
+    rows = sorted(
+        qv.filter("vid < 16").collect(), key=lambda r: r["vid"]
+    )
+    S = np.array([r["qvec"] for r in rows], dtype=np.int64)
+    for m in range(8):
+        assert np.array_equal(cb0[m], S[:, m * 8:(m + 1) * 8])
+
+
+def test_empty_corpus_paths(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    assert pq_topk(empty).count() == 0
+    assert pq_distortion(empty).count() == 0
+
+
+def test_encode_is_compressed_and_in_code_range(qv):
+    cb = pq_codebooks(qv)
+    enc = pq_encode(qv, cb).collect()
+    n = qv.count()
+    assert len(enc) == n
+    for r in enc:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+        assert r["rnorm2"] >= 0
+
+
+def test_encode_rnorm2_matches_codebook_norms(qv):
+    cb = pq_codebooks(qv)
+    cbn2 = (cb ** 2).sum(axis=2)
+    for r in pq_encode(qv, cb).limit(50).collect():
+        expect = sum(int(cbn2[m, c]) for m, c in enumerate(r["codes"]))
+        assert r["rnorm2"] == expect
+
+
+def test_adc_score_matches_reconstruction_dot(qv, emb):
+    """LUT gather scoring == dot(query, concat(codewords)) — the ADC
+    identity; checked against a driver-side reconstruction."""
+    cb = pq_codebooks(qv)
+    codes = {r["vid"]: (list(r["codes"]), r["rnorm2"])
+             for r in pq_encode(qv, cb).collect()}
+    qrows = {r["vid"]: (np.array(r["qvec"], dtype=np.int64), r["norm2"])
+             for r in qv.filter("vid < 10").collect()}
+    out = pq_topk(emb, n_queries=10, k=5).collect()
+    assert out, "expected non-empty top-k"
+    for r in out:
+        q, qn2 = qrows[r["query_id"]]
+        cds, rn2 = codes[r["neighbor_id"]]
+        recon = np.concatenate([cb[m, c] for m, c in enumerate(cds)])
+        adot = int(q @ recon)
+        expect = adot / (np.sqrt(float(qn2)) * np.sqrt(float(rn2)))
+        assert r["adc_cosine"] == pytest.approx(expect, abs=0.0), (
+            r["query_id"], r["neighbor_id"])
+
+
+def test_topk_shape_and_rank_contract(emb):
+    out = pq_topk(emb, n_queries=10, k=5)
+    rows = out.collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r["adc_cosine"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_topk_partition_invariant(emb):
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in pq_topk(emb, n_queries=5, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in pq_topk(emb.repartition(9), n_queries=5, k=3).collect()}
+    assert a == b
+
+
+def test_distortion_conservation(qv, emb):
+    """Every vector contributes to every subspace exactly once, and
+    total_sq_err equals the sum of per-vector best distances."""
+    rows = pq_distortion(emb).collect()
+    assert len(rows) == 8
+    n = qv.count()
+    cb = pq_codebooks(qv)
+    V = np.array(
+        [r["qvec"] for r in sorted(qv.collect(), key=lambda r: r["vid"])],
+        dtype=np.int64,
+    )
+    for r in rows:
+        assert r["n_vecs"] == n
+        assert 1 <= r["codes_used"] <= 16
+        m = r["subspace"]
+        sub = V[:, m * 8:(m + 1) * 8]
+        d = ((sub[:, None, :] - cb[m][None]) ** 2).sum(axis=2)
+        assert r["total_sq_err"] == int(d.min(axis=1).sum())

@@ -848,3 +848,325 @@ def embedding_outliers(emb: DataFrame, label_col: str = "label",
         cos.alias("cos_centroid"),
         (cos < threshold).cast("long").alias("is_outlier"),
     )
+
+
+# ------------------------------------------------------------------ PQ / ADC
+
+#: product-quantization defaults for the 64-dim embeddings table:
+#: 8 subspaces x 8 dims, 16 codes per subspace -> a vector compresses
+#: from 64 x 8 B (raw int64 qvec) to 8 codes + one bigint norm, the
+#: 64x memory collapse that lets a 100 TB corpus's ANN index live in
+#: executor memory (Jegou, Douze, Schmid: "Product Quantization for
+#: Nearest Neighbor Search", TPAMI 2011).
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def pq_codebooks(qv: DataFrame, n_sub: int = PQ_SUBSPACES,
+                 n_codes: int = PQ_CODES, refine: int = 1):
+    """Deterministic per-subspace PQ codebooks as a driver-side numpy
+    int64 array of shape ``(n_sub, K, dim // n_sub)`` — trained exactly
+    like :func:`ivf_centroids` but per subspace and under L2 (the PQ
+    objective): seeds are the subvectors of the ``n_codes`` lowest ids
+    (code j = the j-th lowest seed id, densely renumbered so the code
+    space is 0..K-1 even when ids are sparse), then ``refine`` exact
+    Lloyd iterations — assignment is argmin squared L2 distance with
+    ties to the LOWEST code (np.argmin first-occurrence == the SQL
+    mirror's ``ORDER BY dist, code``), the update is
+    ``floor(sum / count)`` per component (int64 sums exact; one IEEE
+    division on exactly-representable operands; floor deterministic),
+    and a code that captured no members keeps its seed subvector.
+
+    SCALE: each Lloyd pass is one ``mapInPandas`` over the corpus
+    emitting per-partition (subspace, code, pos, val) partial sums —
+    at most ``n_sub * K * (ds + 1)`` rows per partition regardless of
+    corpus size — followed by one tiny map-combined aggregation; the
+    collected result is ``n_sub * K * ds`` values. Integer safety:
+    |component| <= ~5 * QUANT_SCALE, so a squared subspace distance is
+    <= ds * (2 * 5000)^2 ~ 8e8 and per-dimension sums stay far inside
+    int64. Returns ``None`` when the corpus holds no seed vectors.
+    """
+    import numpy as np
+
+    crows = sorted(qv.filter(F.col("vid") < n_codes).collect(),
+                   key=lambda r: r["vid"])
+    if not crows:
+        return None
+    S = np.array([r["qvec"] for r in crows], dtype=np.int64)        # (K', d)
+    dim = S.shape[1]
+    if dim % n_sub:
+        raise ValueError(
+            f"embedding dim {dim} not divisible by n_sub={n_sub}")
+    ds = dim // n_sub
+    cb = np.stack([S[:, m * ds:(m + 1) * ds] for m in range(n_sub)])
+    n_k = cb.shape[1]
+
+    for _ in range(refine):
+        cb_pass = cb  # bind the CURRENT books into the closure
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            sums = np.zeros((n_sub, n_k, ds), dtype=np.int64)
+            counts = np.zeros((n_sub, n_k), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+                for m in range(n_sub):
+                    sub = V[:, m * ds:(m + 1) * ds]
+                    d = ((sub[:, None, :] - cb_pass[m][None]) ** 2).sum(axis=2)
+                    code = np.argmin(d, axis=1)  # first min = lowest code
+                    for j in np.unique(code):
+                        msk = code == j
+                        sums[m, j] += sub[msk].sum(axis=0)
+                        counts[m, j] += int(msk.sum())
+            rows = []
+            for m in range(n_sub):
+                for j in range(n_k):
+                    if counts[m, j]:
+                        rows.append((m, j, -1, int(counts[m, j])))
+                        rows.extend(
+                            (m, j, p, int(sums[m, j, p])) for p in range(ds))
+            yield pd.DataFrame(rows, columns=["m", "code", "pos", "val"])
+
+        totals = (
+            qv.mapInPandas(partials, "m int, code int, pos int, val long")
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("val").alias("val"))
+            .collect()
+        )
+        sums = np.zeros((n_sub, n_k, ds), dtype=np.int64)
+        counts = np.zeros((n_sub, n_k), dtype=np.int64)
+        for r in totals:
+            if r["pos"] < 0:
+                counts[r["m"], r["code"]] = r["val"]
+            else:
+                sums[r["m"], r["code"], r["pos"]] = r["val"]
+        refined = cb.copy()
+        ne = counts > 0
+        # floor(sum/count) via IEEE double division on exactly-
+        # representable operands — identical in numpy and DuckDB
+        refined[ne] = np.floor(sums[ne] / counts[ne][:, None]).astype(np.int64)
+        cb = refined
+    return cb
+
+
+def _pq_assign(V, cb):
+    """codes (n, M) int64: per-subspace argmin squared L2 against the
+    codebooks; ties -> lowest code (np.argmin first occurrence)."""
+    import numpy as np
+
+    n_sub, _, ds = cb.shape
+    codes = np.empty((len(V), n_sub), dtype=np.int64)
+    for m in range(n_sub):
+        sub = V[:, m * ds:(m + 1) * ds]
+        d = ((sub[:, None, :] - cb[m][None]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_encode(qv: DataFrame, cb) -> DataFrame:
+    """Compressed corpus representation ``(vid, codes array<int>,
+    rnorm2 bigint)`` — ``rnorm2`` is the squared norm of the
+    RECONSTRUCTED vector (sum of the assigned codewords' squared
+    norms across subspaces; subspace cross-terms are zero because
+    reconstruction is a concatenation, not a sum).
+
+    SCALE: zero exchanges — one Arrow-batched per-partition numpy
+    pass; the output is ~n_sub bytes of codes + 16 bytes per vector,
+    the representation a 100 TB ANN index actually stores."""
+    import numpy as np
+
+    cbn2 = (cb ** 2).sum(axis=2)                                     # (M, K)
+    n_sub = cb.shape[0]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            codes = _pq_assign(V, cb)
+            rn2 = cbn2[np.arange(n_sub)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                    "rnorm2": rn2.astype(np.int64),
+                }
+            )
+
+    return qv.mapInPandas(run, "vid long, codes array<int>, rnorm2 long")
+
+
+def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+            n_sub: int = PQ_SUBSPACES, n_codes: int = PQ_CODES,
+            refine: int = 1, vec_col: str = "embedding",
+            id_col: str = "vec_id", probe=None) -> DataFrame:
+    """PQ/ADC approximate top-k: queries stay EXACT, the corpus is
+    scanned in its compressed code form, and each candidate's score is
+    the asymmetric-distance-computation dot — the query's exact
+    subvectors against the candidate's assigned codewords — normalized
+    by the exact query norm and the candidate's reconstruction norm
+    (``adc_cosine``). Approximate by construction (quantization error
+    moves rankings) but deterministic end to end, so the DuckDB oracle
+    pins it hash-exact.
+
+    Output: query_id, neighbor_id, rank, adc_cosine.
+
+    SCALE: the 100 TB story is the memory collapse — the scan reads
+    ``n_sub`` codes + one bigint per vector (64x smaller than the raw
+    vectors), and each task scores ALL queries against its partition
+    via a per-query lookup table (LUT[q, m, j] = exact int64 dot of
+    the query's m-th subvector with codeword j), built once per task
+    from the broadcast query matrix + codebooks: scoring is n_sub
+    table gathers per candidate, NO per-candidate dot product. Tasks
+    emit only their per-query top-k in the final window's exact total
+    order (map-side prune, same as brute_force_topk), so the rank
+    exchange is n_tasks * n_queries * k rows. Zero corpus shuffles.
+
+    ``probe``: pre-resolved ``(qids, Q, norm2)`` from
+    :func:`load_probe_matrix` — skips the construction-time collect
+    for the query matrix (the codebook training pass still runs: it
+    is data-dependent by definition).
+    """
+    import numpy as np
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    spark = qv.sparkSession
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, adc_cosine double")
+    cb = pq_codebooks(qv, n_sub, n_codes, refine)
+    if cb is None:
+        return spark.createDataFrame([], empty_schema)
+    if probe is not None:
+        qids, Q, n2 = probe
+        qids = np.asarray(qids, dtype=np.int64)
+        Q = np.asarray(Q, dtype=np.int64)
+        qn = np.sqrt(np.asarray(n2, dtype=np.float64))
+    else:
+        qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
+                       key=lambda r: r["vid"])
+        if not qrows:
+            return spark.createDataFrame([], empty_schema)
+        qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+        Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+        qn = np.sqrt(np.array([r["norm2"] for r in qrows], dtype=np.float64))
+    nq = len(qids)
+    n_sub_, _, ds = cb.shape
+    # ADC lookup table: exact int64 dots, (nq, M, K)
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(nq, n_sub_, ds), cb)
+    codes_df = pq_encode(qv, cb)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        best_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        best_nid = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, M)
+            adc = np.zeros((nq, len(Cd)), dtype=np.int64)
+            for m in range(n_sub_):
+                adc += lut[:, m, Cd[:, m]]
+            rn = np.sqrt(pdf["rnorm2"].to_numpy(dtype=np.float64))
+            cos = adc / (qn[:, None] * rn[None, :])                  # (nq, n)
+            nids = pdf["vid"].to_numpy(dtype=np.int64)
+            for j in range(nq):
+                keep = nids != qids[j]
+                c = np.concatenate([best_cos[j], cos[j, keep]])
+                n = np.concatenate([best_nid[j], nids[keep]])
+                # same total order as the final window (adc_cosine
+                # desc NULLS LAST, neighbor_id asc): bury NaN
+                key = np.where(np.isnan(c), np.inf, -c)
+                order = np.lexsort((n, key))[:k]
+                best_cos[j], best_nid[j] = c[order], n[order]
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, [len(b) for b in best_nid]),
+                "neighbor_id": (np.concatenate(best_nid)
+                                if best_nid else np.empty(0, dtype=np.int64)),
+                "adc_cosine": (np.concatenate(best_cos)
+                               if best_cos else np.empty(0)),
+            }
+        )
+
+    scored = codes_df.mapInPandas(
+        score, "query_id long, neighbor_id long, adc_cosine double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_cosine")
+    )
+
+
+def pq_distortion(emb: DataFrame, n_sub: int = PQ_SUBSPACES,
+                  n_codes: int = PQ_CODES, refine: int = 1,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-subspace quantization-error report — the health check a PQ
+    index ships with (is any subspace's codebook collapsing? how much
+    of the code space is live?): for each subspace, the exact total
+    squared L2 error between subvectors and their assigned codewords,
+    the vector count, and the number of DISTINCT codes in use.
+
+    Output: subspace, total_sq_err, n_vecs, codes_used.
+
+    SCALE: one Arrow-batched pass emitting per-partition
+    (subspace, code, err2, cnt) partials — at most n_sub * K rows per
+    partition — then two tiny aggregations over that bounded table;
+    the corpus never shuffles."""
+    import numpy as np
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    spark = qv.sparkSession
+    cb = pq_codebooks(qv, n_sub, n_codes, refine)
+    if cb is None:
+        return spark.createDataFrame(
+            [], "subspace int, total_sq_err long, n_vecs long, codes_used long")
+    n_sub_, n_k, ds = cb.shape
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        err = np.zeros((n_sub_, n_k), dtype=np.int64)
+        cnt = np.zeros((n_sub_, n_k), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            for m in range(n_sub_):
+                sub = V[:, m * ds:(m + 1) * ds]
+                d = ((sub[:, None, :] - cb[m][None]) ** 2).sum(axis=2)
+                code = np.argmin(d, axis=1)
+                best = d[np.arange(len(d)), code]
+                np.add.at(err[m], code, best)
+                np.add.at(cnt[m], code, 1)
+        rows = [
+            (m, j, int(err[m, j]), int(cnt[m, j]))
+            for m in range(n_sub_)
+            for j in range(n_k)
+            if cnt[m, j]
+        ]
+        yield pd.DataFrame(rows, columns=["subspace", "code", "err2", "cnt"])
+
+    p = qv.mapInPandas(
+        partials, "subspace int, code int, err2 long, cnt long")
+    per_code = p.groupBy("subspace", "code").agg(
+        F.sum("err2").alias("err2"), F.sum("cnt").alias("cnt"))
+    return per_code.groupBy("subspace").agg(
+        F.sum("err2").alias("total_sq_err"),
+        F.sum("cnt").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("codes_used"),
+    )

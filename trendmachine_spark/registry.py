@@ -3055,6 +3055,150 @@ def q_similarity_ivf_topk(spark, sf_dir):
     return ivf_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_probe=2)
 
 
+def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8) -> str:
+    """CTE chain qv -> nv -> subs -> seed codebooks -> one exact Lloyd
+    iteration -> cb/codes — mirrors similarity.pq_codebooks(refine=1)
+    + pq_encode: seeds are the subvectors of the ``n_codes`` lowest
+    ids densely renumbered (code j = j-th lowest seed id), assignment
+    is argmin exact-int squared L2 with ties to the lowest code, the
+    refined component is floor(sum/count) (int64 sums exact, one IEEE
+    division on exactly-representable operands, floor deterministic),
+    and a code with no members keeps its seed subvector. ``codes``
+    carries the final per-(vector, subspace) code with its codeword
+    squared-norm ``cn2`` and assignment distance ``dist``."""
+    return f"""qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
+      FROM qv
+    ),
+    subs AS (
+      SELECT vec_id, m,
+             list_transform(generate_series(1, {ds}), i -> q[m * {ds} + i]) AS sub
+      FROM nv, unnest(generate_series(0, {n_sub - 1})) AS t(m)
+    ),
+    seeds AS (
+      SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
+             sub AS cvec
+      FROM subs WHERE vec_id < {n_codes}
+    ),
+    d1 AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(list_sum(list_transform(generate_series(1, {ds}),
+                  i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
+      FROM subs s JOIN seeds c ON s.m = c.m
+    ),
+    a1 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, code) AS _rk
+        FROM d1
+      ) WHERE _rk = 1
+    ),
+    csums AS (
+      SELECT a.m, a.code, i AS pos,
+             CAST(sum(s.sub[i]) AS BIGINT) AS ssum, count(*) AS cnt
+      FROM a1 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m,
+           unnest(generate_series(1, {ds})) AS t(i)
+      GROUP BY a.m, a.code, i
+    ),
+    refined AS (
+      SELECT m, code,
+             list(CAST(floor(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
+      FROM csums GROUP BY m, code
+    ),
+    cb AS (
+      SELECT s.m, s.code, COALESCE(r.cvec, s.cvec) AS cvec,
+             CAST(list_sum(list_transform(COALESCE(r.cvec, s.cvec), v -> v * v)) AS BIGINT) AS cn2
+      FROM seeds s LEFT JOIN refined r ON s.m = r.m AND s.code = r.code
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.m, c.code, c.cn2,
+             CAST(list_sum(list_transform(generate_series(1, {ds}),
+                  i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
+      FROM subs s JOIN cb c ON s.m = c.m
+    ),
+    codes AS (
+      SELECT vec_id, m, code, cn2, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, code) AS _rk
+        FROM d2
+      ) WHERE _rk = 1
+    )"""
+
+
+def _pq_topk_oracle(n_queries: int = 10, k: int = 5, n_sub: int = 8,
+                    n_codes: int = 16, ds: int = 8) -> str:
+    """Exact mirror of similarity.pq_topk — ADC scoring: the query's
+    EXACT subvectors against the candidate's assigned codewords,
+    normalized by exact query norm x reconstruction norm; ranking
+    (adc_cosine DESC, neighbor_id), self excluded."""
+    return f"""WITH {_pq_ctes(n_sub, n_codes, ds)},
+    recon AS (
+      SELECT vec_id, CAST(sum(cn2) AS BIGINT) AS rnorm2 FROM codes GROUP BY vec_id
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, q, norm2 FROM nv WHERE vec_id < {n_queries}
+    ),
+    adc AS (
+      SELECT qu.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(list_sum(list_transform(generate_series(1, {ds}),
+                  i -> qu.q[c.m * {ds} + i] * b.cvec[i]))) AS BIGINT) AS adot
+      FROM queries qu JOIN codes c ON qu.query_id <> c.vec_id
+           JOIN cb b ON c.m = b.m AND c.code = b.code
+      GROUP BY qu.query_id, c.vec_id
+    ),
+    scored AS (
+      SELECT a.query_id, a.neighbor_id,
+             CAST(a.adot AS DOUBLE)
+               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(r.rnorm2 AS DOUBLE))) AS adc_cosine
+      FROM adc a JOIN queries qu ON a.query_id = qu.query_id
+           JOIN recon r ON a.neighbor_id = r.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_pq_topk", _pq_topk_oracle())
+def q_similarity_pq_topk(spark, sf_dir):
+    """PQ/ADC ANN top-k (round 11): the corpus is scanned as 8 codes +
+    one bigint per vector (64x memory collapse — the representation a
+    100 TB in-memory ANN index stores); approximate by construction,
+    deterministic end to end (exact-int codebook training + ADC)."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
+                                                          pq_topk)
+
+    probe = load_probe_matrix(os.path.join(sf_dir, "embeddings.parquet"), 10)
+    return pq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, probe=probe)
+
+
+@register(
+    "pq_distortion",
+    f"""WITH {_pq_ctes()}
+    SELECT CAST(m AS INT) AS subspace,
+           CAST(sum(dist) AS BIGINT) AS total_sq_err,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT code) AS BIGINT) AS codes_used
+    FROM codes GROUP BY m""",
+)
+def q_pq_distortion(spark, sf_dir):
+    """Per-subspace PQ quantization-error report (round 11) — the
+    index health check: exact total squared L2 error, vector count,
+    live code count per subspace."""
+    from trendmachine_spark.extensions.similarity import pq_distortion
+
+    return pq_distortion(_embeddings(spark, sf_dir))
+
+
 @register("session_windows_streaming", None)  # native streaming sessions: rows-only
 def q_session_windows_streaming(spark, sf_dir):
     """Native ``session_window`` on a readStream source (watermarked,
@@ -4739,6 +4883,8 @@ _WINDOW_PINNED: list[str] = [
     "multimodal_video_decode",  # new r11: MJPEG real video decode
     "dedup_video_frames",  # r11: re-pointed at decoded-pixel frame signatures
     "dedup_video_near",  # new r11: frame-containment video near-dup
+    "similarity_pq_topk",  # new r11: PQ/ADC ANN top-k
+    "pq_distortion",  # new r11: PQ quantization-error report
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -4792,6 +4938,7 @@ _DEMOTE_ODD = frozenset({
     "transition_matrix", "urim_projection",
     "dedup_audio_fingerprint",  # new r10 (acoustic fp families; pinned r10)
     "multimodal_video_decode",  # new r11 (MJPEG real decode; pinned r11)
+    "similarity_pq_topk",  # new r11 (PQ/ADC ANN; pinned r11)
 })
 
 
@@ -4814,6 +4961,7 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "minhash_accuracy", "multimodal_decode_png", "region_revenue",
     "dedup_video_frames",  # new r10 (frame-signature families; pinned r10)
     "dedup_video_near",  # new r11 (frame-containment pairs; pinned r11)
+    "pq_distortion",  # new r11 (PQ health report; pinned r11)
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
