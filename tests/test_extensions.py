@@ -45,6 +45,39 @@ def test_exact_dedup(spark, docs):
     assert sum(out.values()) == 6
 
 
+def test_exact_norm_dedup_collapses_variants(spark):
+    """Casing/punctuation/whitespace variants are one family with the
+    min-id keeper; n_raw_forms counts the byte-exact variants; a
+    genuinely different doc stays its own family."""
+    from trendmachine_spark.extensions.dedup import exact_norm_dedup
+
+    rows = [
+        (0, "The quick brown fox!"),
+        (1, "the  quick   brown fox"),      # whitespace + case variant
+        (2, "THE QUICK, BROWN... FOX?!"),   # punctuation + case variant
+        (3, "the quick brown fox"),         # already canonical
+        (4, "an entirely different doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["keeper_id"]: r for r in exact_norm_dedup(docs).collect()}
+    assert set(out) == {0, 4}
+    assert out[0]["n_copies"] == 4
+    assert out[0]["n_raw_forms"] == 4       # all four byte-distinct
+    assert out[4]["n_copies"] == 1 and out[4]["n_raw_forms"] == 1
+
+
+def test_exact_norm_dedup_counts_byte_exact_copies_once(spark):
+    from trendmachine_spark.extensions.dedup import exact_norm_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "Same Text")],
+        "doc_id long, text string")
+    fam = exact_norm_dedup(docs).collect()
+    assert len(fam) == 1
+    assert fam[0]["n_copies"] == 3
+    assert fam[0]["n_raw_forms"] == 2       # two byte-exact forms
+
+
 def test_shingles_short_doc_empty(spark, docs):
     sh = shingles(docs).filter(F.col("doc_id") == 5)
     assert sh.count() == 0

@@ -196,6 +196,23 @@ def main() -> None:
         }
     ivf["cell_balance"] = balance
 
+    # PQ/ADC (round 11): full-corpus compressed scan, so recall here is
+    # purely quantization quality (no candidate restriction axis like
+    # SRP/IVF). Sweep subspace count / code count / Lloyd refinement —
+    # more subspaces or codes = finer reconstruction = higher recall;
+    # refine=0 is the untrained-seed twin.
+    from trendmachine_spark.extensions.similarity import pq_topk
+
+    pq = {}
+    for n_sub, n_codes, refine in (
+        (8, 16, 1), (8, 16, 0), (8, 8, 1), (4, 16, 1), (16, 16, 1),
+    ):
+        key = f"n_sub={n_sub},n_codes={n_codes},refine={refine}"
+        pq[key] = _recall(
+            pq_topk(emb, N_QUERIES, K,
+                    n_sub=n_sub, n_codes=n_codes, refine=refine).collect(),
+            exact_sets)
+
     # Recall CEILING evidence (round 5): the scaled corpus replicates
     # each base vector, so a query has exactly |family|-1 true
     # neighbors; the k-th exact "neighbor" beyond that is isotropic
@@ -238,6 +255,7 @@ def main() -> None:
         "saturation_raw_corpus_recall_at_10": saturation_raw,
         "srp_lsh": srp,
         "ivf": ivf,
+        "pq_adc": pq,
         "ceiling": {
             "exact_rank_cosine_medians": rank_medians,
             "in_family_k": fam,

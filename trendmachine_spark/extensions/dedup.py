@@ -337,6 +337,39 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def exact_norm_dedup(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Normalization-insensitive exact dedup (round 11): families key
+    on md5 of the CANONICALIZED text — lowercase, every non-alnum run
+    collapsed to one space, ends trimmed — the "fuzzy exact" pass
+    production corpus pipelines run between byte-exact dedup and
+    near-dup (casing/punctuation/whitespace variants of one document
+    are the most common boilerplate duplicates and are invisible to
+    ``exact_dedup``). ``n_raw_forms`` counts the distinct byte-exact
+    variants each family collapsed.
+
+    Scale: the canonicalization is a codegen'd JVM projection riding
+    the scan (lower + one regexp_replace + trim); ONE hash-shuffle on
+    the family digest, exactly :func:`exact_dedup`'s plan shape — the
+    normalized text itself never moves, only its 32-char md5.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return (
+        docs.select(
+            F.col(id_col),
+            F.md5(norm).alias("norm_md5"),
+            F.md5(F.col(text_col)).alias("_raw_md5"),
+        )
+        .groupBy("norm_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("_raw_md5").alias("n_raw_forms"),
+        )
+    )
+
+
 def gram_array(text_col: str = "text", k: int = SHINGLE_K):
     """Column: array of word k-grams in document order (may repeat)."""
     words = F.split(F.col(text_col), " ")

@@ -693,6 +693,24 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+@register(
+    "dedup_exact_norm",
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_md5,
+              CAST(min(doc_id) AS BIGINT) AS keeper_id,
+              CAST(count(*) AS BIGINT) AS n_copies,
+              CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_forms
+       FROM documents
+       GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))""",
+)
+def q_dedup_exact_norm(spark, sf_dir):
+    """Normalization-insensitive exact dedup (round 11): the "fuzzy
+    exact" pass between byte-exact and near-dup — families key on the
+    canonicalized text's md5, counting collapsed byte-exact variants."""
+    from trendmachine_spark.extensions.dedup import exact_norm_dedup
+
+    return exact_norm_dedup(_docs(spark, sf_dir))
+
+
 def _minhash_ctes() -> str:
     """CTE chain ending in ``cand`` = the LSH candidate pairs (bucket
     cap mirrored from dedup.minhash_near_dup: all-pairs for buckets up
@@ -4885,6 +4903,7 @@ _WINDOW_PINNED: list[str] = [
     "dedup_video_near",  # new r11: frame-containment video near-dup
     "similarity_pq_topk",  # new r11: PQ/ADC ANN top-k
     "pq_distortion",  # new r11: PQ quantization-error report
+    "dedup_exact_norm",  # new r11: normalization-insensitive exact dedup
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -4939,6 +4958,7 @@ _DEMOTE_ODD = frozenset({
     "dedup_audio_fingerprint",  # new r10 (acoustic fp families; pinned r10)
     "multimodal_video_decode",  # new r11 (MJPEG real decode; pinned r11)
     "similarity_pq_topk",  # new r11 (PQ/ADC ANN; pinned r11)
+    "dedup_exact_norm",  # new r11 (normalized exact dedup; pinned r11)
 })
 
 
