@@ -87,6 +87,16 @@ SHUFFLE_BUDGETS = {
     # bounded (subspace, code) partials -> two tiny aggregations; the
     # corpus itself never shuffles
     "pq_distortion": (2, True),
+    # IVF+PQ (r11): fused cell+code encode is zero-shuffle, the probe
+    # table joins as a BROADCAST on cell (no corpus exchange), scoring
+    # is a LUT-gather map; the one exchange is the rank window. The
+    # cell join must never become a shuffle join (forbid NLJ too)
+    "similarity_ivfpq_topk": (1, True),
+    # canonicalization rides the scan; the count(DISTINCT raw_md5)
+    # plans as Spark's two-phase distinct aggregate — exchange on
+    # (norm_md5, raw_md5) then on norm_md5, both moving 32-char
+    # digests with map-side partial dedup, never the text
+    "dedup_exact_norm": (2, True),
     # pure per-row projection — no exchange at all
     "text_profile": (0, True),
     # explode + element_at chunker: pure map stage, zero exchanges

@@ -140,3 +140,63 @@ def test_distortion_conservation(qv, emb):
         sub = V[:, m * 8:(m + 1) * 8]
         d = ((sub[:, None, :] - cb[m][None]) ** 2).sum(axis=2)
         assert r["total_sq_err"] == int(d.min(axis=1).sum())
+
+
+def test_ivfpq_neighbors_come_from_probed_cells(qv, emb):
+    """Every returned neighbor must sit in one of its query's n_probe
+    best cells — the candidate-restriction contract."""
+    import numpy as np
+
+    from trendmachine_spark.extensions.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+    )
+
+    cells, Cm, cnm = ivf_centroids(qv, 16, refine=1)
+    rows = sorted(qv.collect(), key=lambda r: r["vid"])
+    V = np.array([r["qvec"] for r in rows], dtype=np.int64)
+    vids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    aff = (V @ Cm.T) / cnm[None, :]
+    cell_of = {int(v): int(cells[i])
+               for v, i in zip(vids, np.argmax(aff, axis=1))}
+    probed: dict[int, set] = {}
+    for q in range(10):
+        j = int(np.where(vids == q)[0][0])
+        key = np.where(np.isnan(aff[j]), np.inf, -aff[j])
+        order = np.lexsort((cells, key))[:2]
+        probed[q] = {int(cells[i]) for i in order}
+    out = ivfpq_topk(emb, n_queries=10, k=5, n_cells=16, n_probe=2).collect()
+    assert out
+    for r in out:
+        assert cell_of[r["neighbor_id"]] in probed[r["query_id"]], r
+
+
+def test_ivfpq_partition_invariant(emb):
+    from trendmachine_spark.extensions.similarity import ivfpq_topk
+
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in ivfpq_topk(emb, n_queries=5, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in ivfpq_topk(emb.repartition(9), n_queries=5, k=3).collect()}
+    assert a == b
+
+
+def test_ivfpq_empty_corpus(spark):
+    from trendmachine_spark.extensions.similarity import ivfpq_topk
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    assert ivfpq_topk(empty).count() == 0
+
+
+def test_ivfpq_full_probe_equals_pq_on_probed_union(emb):
+    """With n_probe = n_cells every cell is probed, so IVFPQ must
+    reduce exactly to the full-corpus PQ scan."""
+    from trendmachine_spark.extensions.similarity import ivfpq_topk, pq_topk
+
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cosine"])
+         for r in ivfpq_topk(emb, n_queries=5, k=3,
+                             n_cells=16, n_probe=16).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cosine"])
+         for r in pq_topk(emb, n_queries=5, k=3).collect()}
+    assert a == b

@@ -863,7 +863,8 @@ PQ_CODES = 16
 
 
 def pq_codebooks(qv: DataFrame, n_sub: int = PQ_SUBSPACES,
-                 n_codes: int = PQ_CODES, refine: int = 1):
+                 n_codes: int = PQ_CODES, refine: int = 1,
+                 seed_probe=None):
     """Deterministic per-subspace PQ codebooks as a driver-side numpy
     int64 array of shape ``(n_sub, K, dim // n_sub)`` — trained exactly
     like :func:`ivf_centroids` but per subspace and under L2 (the PQ
@@ -885,14 +886,29 @@ def pq_codebooks(qv: DataFrame, n_sub: int = PQ_SUBSPACES,
     |component| <= ~5 * QUANT_SCALE, so a squared subspace distance is
     <= ds * (2 * 5000)^2 ~ 8e8 and per-dimension sums stay far inside
     int64. Returns ``None`` when the corpus holds no seed vectors.
+
+    ``seed_probe``: pre-resolved ``(ids, Q, norm2)`` from
+    :func:`load_probe_matrix` at ``n_codes`` — skips the seed-collect
+    Spark job (a full corpus scan submission, ~0.4 s of the measured
+    PQ walls at x20; the quantization is bit-identical by the probe
+    parity test). The Lloyd passes still run distributed: training is
+    data-dependent by definition.
     """
     import numpy as np
 
-    crows = sorted(qv.filter(F.col("vid") < n_codes).collect(),
-                   key=lambda r: r["vid"])
-    if not crows:
-        return None
-    S = np.array([r["qvec"] for r in crows], dtype=np.int64)        # (K', d)
+    if seed_probe is not None:
+        sids, SQ, _ = seed_probe
+        keep = np.asarray(sids) < n_codes
+        crows = None
+        S = np.asarray(SQ, dtype=np.int64)[keep]
+        if not len(S):
+            return None
+    else:
+        crows = sorted(qv.filter(F.col("vid") < n_codes).collect(),
+                       key=lambda r: r["vid"])
+        if not crows:
+            return None
+        S = np.array([r["qvec"] for r in crows], dtype=np.int64)    # (K', d)
     dim = S.shape[1]
     if dim % n_sub:
         raise ValueError(
@@ -1006,7 +1022,7 @@ def pq_encode(qv: DataFrame, cb) -> DataFrame:
 def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
             n_sub: int = PQ_SUBSPACES, n_codes: int = PQ_CODES,
             refine: int = 1, vec_col: str = "embedding",
-            id_col: str = "vec_id", probe=None) -> DataFrame:
+            id_col: str = "vec_id", probe=None, seed_probe=None) -> DataFrame:
     """PQ/ADC approximate top-k: queries stay EXACT, the corpus is
     scanned in its compressed code form, and each candidate's score is
     the asymmetric-distance-computation dot — the query's exact
@@ -1040,7 +1056,7 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     spark = qv.sparkSession
     empty_schema = (
         "query_id long, neighbor_id long, rank int, adc_cosine double")
-    cb = pq_codebooks(qv, n_sub, n_codes, refine)
+    cb = pq_codebooks(qv, n_sub, n_codes, refine, seed_probe=seed_probe)
     if cb is None:
         return spark.createDataFrame([], empty_schema)
     if probe is not None:
@@ -1113,7 +1129,7 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
 def pq_distortion(emb: DataFrame, n_sub: int = PQ_SUBSPACES,
                   n_codes: int = PQ_CODES, refine: int = 1,
                   vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id", seed_probe=None) -> DataFrame:
     """Per-subspace quantization-error report — the health check a PQ
     index ships with (is any subspace's codebook collapsing? how much
     of the code space is live?): for each subspace, the exact total
@@ -1130,7 +1146,7 @@ def pq_distortion(emb: DataFrame, n_sub: int = PQ_SUBSPACES,
 
     qv = quantize_embeddings(emb, vec_col, id_col)
     spark = qv.sparkSession
-    cb = pq_codebooks(qv, n_sub, n_codes, refine)
+    cb = pq_codebooks(qv, n_sub, n_codes, refine, seed_probe=seed_probe)
     if cb is None:
         return spark.createDataFrame(
             [], "subspace int, total_sq_err long, n_vecs long, codes_used long")
@@ -1169,4 +1185,149 @@ def pq_distortion(emb: DataFrame, n_sub: int = PQ_SUBSPACES,
         F.sum("err2").alias("total_sq_err"),
         F.sum("cnt").alias("n_vecs"),
         F.count(F.lit(1)).cast("long").alias("codes_used"),
+    )
+
+
+def ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+               n_cells: int = 16, n_probe: int = 2,
+               n_sub: int = PQ_SUBSPACES, n_codes: int = PQ_CODES,
+               refine: int = 1, vec_col: str = "embedding",
+               id_col: str = "vec_id", seed_probe=None) -> DataFrame:
+    """IVF + PQ — the production 100 TB ANN shape (Jegou et al. 2011,
+    the FAISS ``IVFxx,PQyy`` index family): the corpus is coarsely
+    partitioned into ``n_cells`` IVF cells (Lloyd-refined deterministic
+    centroids, same as :func:`ivf_topk`) AND stored PQ-compressed
+    (same codebooks as :func:`pq_topk`); a query ranks cells by
+    centroid affinity, touches only its ``n_probe`` best cells, and
+    ADC-scores the candidates there in the compressed domain.
+
+    Codes quantize the RAW vectors, not cell residuals — the variant
+    whose exact-integer training both engines can mirror bit-for-bit
+    (residuals would subtract float centroids into the quantizer);
+    documented divergence from the residual-encoding FAISS default.
+
+    Output: query_id, neighbor_id, rank, adc_cosine.
+
+    SCALE: cell assignment + PQ encode fuse into ONE zero-shuffle
+    Arrow-batched pass (both argmax/argmin run against literal
+    matrices); at rest the index is (cell, 8 codes, one bigint) per
+    vector. Probe selection is driver-side numpy over the tiny
+    (n_queries x n_cells) affinity matrix — the same exact-int dot /
+    IEEE divide as the SQL mirror. Candidates reach the scorer via a
+    BROADCAST join on cell (the probe table is n_queries * n_probe
+    rows), each task LUT-gathers its candidates' ADC scores and emits
+    only its per-query top-k, so the one real exchange — the rank
+    window — moves n_tasks * n_queries * k rows. A query scans
+    n_probe/n_cells of the corpus at 1/64th the bytes: the two
+    multiplicative reductions a 100 TB ANN deployment needs.
+    """
+    import numpy as np
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    spark = qv.sparkSession
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, adc_cosine double")
+    cent = ivf_centroids(qv, n_cells, refine)
+    cb = pq_codebooks(qv, n_sub, n_codes, refine, seed_probe=seed_probe)
+    if cent is None or cb is None:
+        return spark.createDataFrame([], empty_schema)
+    cells, Cm, cnm = cent
+    qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
+                   key=lambda r: r["vid"])
+    if not qrows:
+        return spark.createDataFrame([], empty_schema)
+    qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+    qn = np.sqrt(np.array([r["norm2"] for r in qrows], dtype=np.float64))
+    nq = len(qids)
+    n_sub_, _, ds = cb.shape
+    cbn2 = (cb ** 2).sum(axis=2)
+
+    # driver-side probe ranking: affinity = exact int64 dot / sqrt(cn),
+    # order (aff DESC, cell ASC) with NaN buried last — the SQL
+    # mirror's row_number order on the same IEEE doubles
+    aff = (Q @ Cm.T) / cnm[None, :]                                  # (nq, c)
+    probe_rows = []
+    for j in range(nq):
+        key = np.where(np.isnan(aff[j]), np.inf, -aff[j])
+        order = np.lexsort((cells, key))[:n_probe]
+        probe_rows.extend(
+            (int(qids[j]), int(cells[i])) for i in order)
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+
+    # fused encode: IVF cell + PQ codes + reconstruction norm in ONE
+    # zero-shuffle pass (both quantizers are literal numpy matrices)
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            a = (V @ Cm.T) / cnm[None, :]
+            cell = cells[np.argmax(a, axis=1)]  # first max = lowest cell
+            codes = _pq_assign(V, cb)
+            rn2 = cbn2[np.arange(n_sub_)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(dtype=np.int64),
+                    "cell": cell,
+                    "codes": list(codes),
+                    "rnorm2": rn2.astype(np.int64),
+                }
+            )
+
+    enc = qv.mapInPandas(
+        encode, "vid long, cell long, codes array<int>, rnorm2 long")
+    cand = enc.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("vid"))
+
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(nq, n_sub_, ds), cb)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        best_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        best_nid = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            adot = np.zeros(len(Cd), dtype=np.int64)
+            for m in range(n_sub_):
+                adot += lut[qi, m, Cd[:, m]]
+            rn = np.sqrt(pdf["rnorm2"].to_numpy(dtype=np.float64))
+            cos = adot / (qn[qi] * rn)
+            nids = pdf["vid"].to_numpy(dtype=np.int64)
+            for j in np.unique(qi):
+                msk = qi == j
+                c = np.concatenate([best_cos[j], cos[msk]])
+                n = np.concatenate([best_nid[j], nids[msk]])
+                key = np.where(np.isnan(c), np.inf, -c)
+                order = np.lexsort((n, key))[:k]
+                best_cos[j], best_nid[j] = c[order], n[order]
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, [len(b) for b in best_nid]),
+                "neighbor_id": (np.concatenate(best_nid)
+                                if best_nid else np.empty(0, dtype=np.int64)),
+                "adc_cosine": (np.concatenate(best_cos)
+                               if best_cos else np.empty(0)),
+            }
+        )
+
+    scored = cand.select("query_id", "vid", "codes", "rnorm2").mapInPandas(
+        score, "query_id long, neighbor_id long, adc_cosine double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_cosine")
     )

@@ -3073,7 +3073,8 @@ def q_similarity_ivf_topk(spark, sf_dir):
     return ivf_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_probe=2)
 
 
-def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8) -> str:
+def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
+             include_base: bool = True) -> str:
     """CTE chain qv -> nv -> subs -> seed codebooks -> one exact Lloyd
     iteration -> cb/codes — mirrors similarity.pq_codebooks(refine=1)
     + pq_encode: seeds are the subvectors of the ``n_codes`` lowest
@@ -3083,8 +3084,14 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8) -> str:
     division on exactly-representable operands, floor deterministic),
     and a code with no members keeps its seed subvector. ``codes``
     carries the final per-(vector, subspace) code with its codeword
-    squared-norm ``cn2`` and assignment distance ``dist``."""
-    return f"""qv AS (
+    squared-norm ``cn2`` and assignment distance ``dist``.
+
+    ``include_base=False`` drops the shared qv/nv prologue so the
+    chain can compose with another chain (the IVFPQ oracle) that
+    already defines the identical qv/nv; internal names are
+    pq_-prefixed where they would collide (csums/refined exist in
+    the IVF chain too)."""
+    base = f"""qv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
       FROM embeddings
@@ -3094,7 +3101,8 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8) -> str:
              CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
       FROM qv
     ),
-    subs AS (
+    """
+    return (base if include_base else "") + f"""subs AS (
       SELECT vec_id, m,
              list_transform(generate_series(1, {ds}), i -> q[m * {ds} + i]) AS sub
       FROM nv, unnest(generate_series(0, {n_sub - 1})) AS t(m)
@@ -3117,22 +3125,22 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8) -> str:
         FROM d1
       ) WHERE _rk = 1
     ),
-    csums AS (
+    pq_csums AS (
       SELECT a.m, a.code, i AS pos,
              CAST(sum(s.sub[i]) AS BIGINT) AS ssum, count(*) AS cnt
       FROM a1 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m,
            unnest(generate_series(1, {ds})) AS t(i)
       GROUP BY a.m, a.code, i
     ),
-    refined AS (
+    pq_refined AS (
       SELECT m, code,
              list(CAST(floor(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
-      FROM csums GROUP BY m, code
+      FROM pq_csums GROUP BY m, code
     ),
     cb AS (
       SELECT s.m, s.code, COALESCE(r.cvec, s.cvec) AS cvec,
              CAST(list_sum(list_transform(COALESCE(r.cvec, s.cvec), v -> v * v)) AS BIGINT) AS cn2
-      FROM seeds s LEFT JOIN refined r ON s.m = r.m AND s.code = r.code
+      FROM seeds s LEFT JOIN pq_refined r ON s.m = r.m AND s.code = r.code
     ),
     d2 AS (
       SELECT s.vec_id, s.m, c.code, c.cn2,
@@ -3184,6 +3192,68 @@ def _pq_topk_oracle(n_queries: int = 10, k: int = 5, n_sub: int = 8,
     ) WHERE rank <= {k}"""
 
 
+def _ivfpq_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
+                       n_probe: int = 2, n_sub: int = 8, n_codes: int = 16,
+                       ds: int = 8) -> str:
+    """Exact mirror of similarity.ivfpq_topk — IVF probe selection from
+    the Lloyd-refined centroid affinities (aff DESC, cell), candidates
+    restricted to probed cells, ADC scoring in the compressed domain
+    (query exact subvectors x assigned codewords), rank
+    (adc_cosine DESC, neighbor_id). Composes the two trained-structure
+    chains: the IVF CTEs contribute cents2/aff/assigned, the PQ CTEs
+    (base dropped — qv/nv are shared) contribute cb/codes."""
+    return f"""WITH {_ivf_refined_ctes(n_cells)},
+    {_pq_ctes(n_sub, n_codes, ds, include_base=False)},
+    probes AS (
+      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _aff DESC, cell) AS _rk
+        FROM aff WHERE vec_id < {n_queries}
+      ) WHERE _rk <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, p.q, p.qn, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, max(c.qn) AS qn,
+             CAST(sum(list_sum(list_transform(generate_series(1, {ds}),
+                  i -> c.q[kk.m * {ds} + i] * b.cvec[i]))) AS BIGINT) AS adot
+      FROM cand c JOIN codes kk ON c.neighbor_id = kk.vec_id
+           JOIN cb b ON kk.m = b.m AND kk.code = b.code
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    recon AS (
+      SELECT vec_id, CAST(sum(cn2) AS BIGINT) AS rnorm2 FROM codes GROUP BY vec_id
+    ),
+    ivfpq_scored AS (
+      SELECT a.query_id, a.neighbor_id,
+             CAST(a.adot AS DOUBLE)
+               / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(r.rnorm2 AS DOUBLE))) AS adc_cosine
+      FROM adc a JOIN recon r ON a.neighbor_id = r.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_cosine DESC, neighbor_id) AS rank
+      FROM ivfpq_scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_ivfpq_topk", _ivfpq_topk_oracle())
+def q_similarity_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ ANN top-k (round 11): the production 100 TB shape —
+    probe n_probe/n_cells of the corpus, scan it as 8 codes + one
+    bigint per vector, ADC-score in the compressed domain."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (ivfpq_topk,
+                                                          load_probe_matrix)
+
+    seeds = load_probe_matrix(os.path.join(sf_dir, "embeddings.parquet"), 16)
+    return ivfpq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
+                      n_cells=16, n_probe=2, seed_probe=seeds)
+
+
 @register("similarity_pq_topk", _pq_topk_oracle())
 def q_similarity_pq_topk(spark, sf_dir):
     """PQ/ADC ANN top-k (round 11): the corpus is scanned as 8 codes +
@@ -3195,8 +3265,11 @@ def q_similarity_pq_topk(spark, sf_dir):
     from trendmachine_spark.extensions.similarity import (load_probe_matrix,
                                                           pq_topk)
 
-    probe = load_probe_matrix(os.path.join(sf_dir, "embeddings.parquet"), 10)
-    return pq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, probe=probe)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    probe = load_probe_matrix(path, 10)
+    seeds = load_probe_matrix(path, 16)
+    return pq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, probe=probe,
+                   seed_probe=seeds)
 
 
 @register(
@@ -3212,9 +3285,13 @@ def q_pq_distortion(spark, sf_dir):
     """Per-subspace PQ quantization-error report (round 11) — the
     index health check: exact total squared L2 error, vector count,
     live code count per subspace."""
-    from trendmachine_spark.extensions.similarity import pq_distortion
+    import os
 
-    return pq_distortion(_embeddings(spark, sf_dir))
+    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
+                                                          pq_distortion)
+
+    seeds = load_probe_matrix(os.path.join(sf_dir, "embeddings.parquet"), 16)
+    return pq_distortion(_embeddings(spark, sf_dir), seed_probe=seeds)
 
 
 @register("session_windows_streaming", None)  # native streaming sessions: rows-only
@@ -4904,6 +4981,7 @@ _WINDOW_PINNED: list[str] = [
     "similarity_pq_topk",  # new r11: PQ/ADC ANN top-k
     "pq_distortion",  # new r11: PQ quantization-error report
     "dedup_exact_norm",  # new r11: normalization-insensitive exact dedup
+    "similarity_ivfpq_topk",  # new r11: IVF+PQ compressed-domain ANN
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -4982,6 +5060,7 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "dedup_video_frames",  # new r10 (frame-signature families; pinned r10)
     "dedup_video_near",  # new r11 (frame-containment pairs; pinned r11)
     "pq_distortion",  # new r11 (PQ health report; pinned r11)
+    "similarity_ivfpq_topk",  # new r11 (IVF+PQ ANN; pinned r11)
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
