@@ -92,6 +92,10 @@ SHUFFLE_BUDGETS = {
     # is a LUT-gather map; the one exchange is the rank window. The
     # cell join must never become a shuffle join (forbid NLJ too)
     "similarity_ivfpq_topk": (1, True),
+    # two-stage (r11): stage-1 PQ window + stage-2 rank window; the
+    # candidate table re-joins the corpus as a BROADCAST (no corpus
+    # exchange in the exact stage)
+    "similarity_pq_rerank": (2, True),
     # canonicalization rides the scan; the count(DISTINCT raw_md5)
     # plans as Spark's two-phase distinct aggregate — exchange on
     # (norm_md5, raw_md5) then on norm_md5, both moving 32-char

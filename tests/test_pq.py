@@ -200,3 +200,44 @@ def test_ivfpq_full_probe_equals_pq_on_probed_union(emb):
     b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cosine"])
          for r in pq_topk(emb, n_queries=5, k=3).collect()}
     assert a == b
+
+
+def test_pq_rerank_candidates_come_from_adc_stage(emb):
+    from trendmachine_spark.extensions.similarity import (
+        pq_rerank_topk,
+        pq_topk,
+    )
+
+    cand = {(r["query_id"], r["neighbor_id"])
+            for r in pq_topk(emb, n_queries=5, k=12).collect()}
+    out = pq_rerank_topk(emb, n_queries=5, k=3, expand=4).collect()
+    assert out
+    for r in out:
+        assert (r["query_id"], r["neighbor_id"]) in cand
+
+
+def test_pq_rerank_full_expand_equals_brute_force(emb):
+    """With k*expand >= corpus size every vector is a candidate, so
+    the exact re-rank must reproduce brute-force exactly (values
+    included)."""
+    from trendmachine_spark.extensions.similarity import (
+        brute_force_topk,
+        pq_rerank_topk,
+    )
+
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+         for r in pq_rerank_topk(emb, n_queries=5, k=3, expand=200).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+         for r in brute_force_topk(emb, n_queries=5, k=3).collect()}
+    assert a == b
+
+
+def test_pq_rerank_partition_invariant(emb):
+    from trendmachine_spark.extensions.similarity import pq_rerank_topk
+
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in pq_rerank_topk(emb, n_queries=5, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in pq_rerank_topk(emb.repartition(9), n_queries=5,
+                                 k=3).collect()}
+    assert a == b

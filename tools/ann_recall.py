@@ -213,6 +213,15 @@ def main() -> None:
                     n_sub=n_sub, n_codes=n_codes, refine=refine).collect(),
             exact_sets)
 
+    # two-stage: ADC candidates + exact re-rank — the production shape
+    # that closes the compressed scan's quantization-error ceiling
+    from trendmachine_spark.extensions.similarity import pq_rerank_topk
+
+    for expand in (2, 4):
+        pq[f"rerank,expand={expand}"] = _recall(
+            pq_rerank_topk(emb, N_QUERIES, K, expand=expand).collect(),
+            exact_sets)
+
     # Recall CEILING evidence (round 5): the scaled corpus replicates
     # each base vector, so a query has exactly |family|-1 true
     # neighbors; the k-th exact "neighbor" beyond that is isotropic

@@ -1331,3 +1331,88 @@ def ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_cosine")
     )
+
+
+def pq_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                   expand: int = 4, n_sub: int = PQ_SUBSPACES,
+                   n_codes: int = PQ_CODES, refine: int = 1,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   probe=None, seed_probe=None) -> DataFrame:
+    """Two-stage ANN — PQ candidate generation + EXACT re-rank (the
+    production deployment shape): the compressed ADC scan proposes
+    ``k * expand`` candidates per query, then the raw vectors of just
+    that tiny set are fetched and re-scored with the exact quantized
+    cosine. ADC cannot resolve score gaps below its quantization
+    error (ANN_RECALL's pq_adc ceiling on near-identical replicas);
+    the re-rank restores exact ordering among everything the
+    compressed scan surfaced.
+
+    Output: query_id, neighbor_id, rank, cosine (exact).
+
+    SCALE: stage 1 is :func:`pq_topk`'s plan (compressed scan, one
+    window exchange over task-pruned rows). Stage 2 BROADCASTS the
+    candidate table (n_queries * k * expand rows) against the corpus —
+    a broadcast hash join that streams the scan with zero corpus
+    exchange — and re-scores via the literal query matrix; the final
+    rank window moves candidate rows only. The raw corpus is read, not
+    shuffled: at 100 TB the exact stage touches the scan once and
+    moves kilobytes."""
+    import numpy as np
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    spark = qv.sparkSession
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, cosine double")
+    cand = pq_topk(emb, n_queries, k * expand, n_sub, n_codes, refine,
+                   vec_col, id_col, probe=probe, seed_probe=seed_probe)
+    if probe is not None:
+        qids, Q, n2 = probe
+        qids = np.asarray(qids, dtype=np.int64)
+        Q = np.asarray(Q, dtype=np.int64)
+        qn = np.sqrt(np.asarray(n2, dtype=np.float64))
+    else:
+        qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
+                       key=lambda r: r["vid"])
+        if not qrows:
+            return spark.createDataFrame([], empty_schema)
+        qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+        Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+        qn = np.sqrt(np.array([r["norm2"] for r in qrows], dtype=np.float64))
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    joined = F.broadcast(cand.select("query_id", "neighbor_id")).join(
+        qv.select(F.col("vid").alias("neighbor_id"), "qvec", "norm2"),
+        "neighbor_id",
+    )
+
+    def rescore(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
+            C = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            dots = np.einsum("ij,ij->i", Q[qi], C)                  # exact
+            cos = dots / (qn[qi] * np.sqrt(
+                pdf["norm2"].to_numpy(dtype=np.float64)))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "cosine": cos,
+                }
+            )
+
+    scored = joined.mapInPandas(
+        rescore, "query_id long, neighbor_id long, cosine double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -3157,14 +3157,12 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
     )"""
 
 
-def _pq_topk_oracle(n_queries: int = 10, k: int = 5, n_sub: int = 8,
-                    n_codes: int = 16, ds: int = 8) -> str:
-    """Exact mirror of similarity.pq_topk — ADC scoring: the query's
-    EXACT subvectors against the candidate's assigned codewords,
-    normalized by exact query norm x reconstruction norm; ranking
-    (adc_cosine DESC, neighbor_id), self excluded."""
-    return f"""WITH {_pq_ctes(n_sub, n_codes, ds)},
-    recon AS (
+def _pq_adc_ctes(n_queries: int = 10, ds: int = 8) -> str:
+    """recon/queries/adc/scored — the full-corpus ADC scoring chain on
+    top of :func:`_pq_ctes` (cb/codes): the query's EXACT subvectors
+    against each candidate's assigned codewords, normalized by exact
+    query norm x reconstruction norm; self excluded."""
+    return f"""recon AS (
       SELECT vec_id, CAST(sum(cn2) AS BIGINT) AS rnorm2 FROM codes GROUP BY vec_id
     ),
     queries AS (
@@ -3184,11 +3182,52 @@ def _pq_topk_oracle(n_queries: int = 10, k: int = 5, n_sub: int = 8,
                / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(r.rnorm2 AS DOUBLE))) AS adc_cosine
       FROM adc a JOIN queries qu ON a.query_id = qu.query_id
            JOIN recon r ON a.neighbor_id = r.vec_id
-    )
+    )"""
+
+
+def _pq_topk_oracle(n_queries: int = 10, k: int = 5, n_sub: int = 8,
+                    n_codes: int = 16, ds: int = 8) -> str:
+    """Exact mirror of similarity.pq_topk — ADC scoring in the
+    compressed domain, ranking (adc_cosine DESC, neighbor_id)."""
+    return f"""WITH {_pq_ctes(n_sub, n_codes, ds)},
+    {_pq_adc_ctes(n_queries, ds)}
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_cosine FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adc_cosine DESC, neighbor_id) AS rank
       FROM scored
+    ) WHERE rank <= {k}"""
+
+
+def _pq_rerank_oracle(n_queries: int = 10, k: int = 5, expand: int = 4,
+                      n_sub: int = 8, n_codes: int = 16,
+                      ds: int = 8) -> str:
+    """Exact mirror of similarity.pq_rerank_topk — ADC candidate
+    generation at k*expand, then EXACT quantized-cosine re-rank of the
+    candidates (the production two-stage ANN: the compressed scan
+    cannot resolve score gaps below its quantization error, so the
+    final ordering re-fetches raw vectors for the tiny candidate
+    set). Final ranking (cosine DESC, neighbor_id)."""
+    return f"""WITH {_pq_ctes(n_sub, n_codes, ds)},
+    {_pq_adc_ctes(n_queries, ds)},
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_cosine DESC, neighbor_id) AS _rk
+        FROM scored
+      ) WHERE _rk <= {k * expand}
+    ),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(qu.q)),
+                  i -> qu.q[i] * nb.q[i])) AS DOUBLE)
+               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
+      FROM cand c JOIN queries qu ON c.query_id = qu.query_id
+           JOIN nv nb ON c.neighbor_id = nb.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM exact
     ) WHERE rank <= {k}"""
 
 
@@ -3252,6 +3291,23 @@ def q_similarity_ivfpq_topk(spark, sf_dir):
     seeds = load_probe_matrix(os.path.join(sf_dir, "embeddings.parquet"), 16)
     return ivfpq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
                       n_cells=16, n_probe=2, seed_probe=seeds)
+
+
+@register("similarity_pq_rerank", _pq_rerank_oracle())
+def q_similarity_pq_rerank(spark, sf_dir):
+    """Two-stage ANN (round 11): PQ/ADC candidate generation at
+    k*expand, exact quantized-cosine re-rank of the tiny candidate
+    set — the production remedy for ADC's quantization-error ceiling."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
+                                                          pq_rerank_topk)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return pq_rerank_topk(
+        _embeddings(spark, sf_dir), n_queries=10, k=5, expand=4,
+        probe=load_probe_matrix(path, 10),
+        seed_probe=load_probe_matrix(path, 16))
 
 
 @register("similarity_pq_topk", _pq_topk_oracle())
@@ -4982,6 +5038,7 @@ _WINDOW_PINNED: list[str] = [
     "pq_distortion",  # new r11: PQ quantization-error report
     "dedup_exact_norm",  # new r11: normalization-insensitive exact dedup
     "similarity_ivfpq_topk",  # new r11: IVF+PQ compressed-domain ANN
+    "similarity_pq_rerank",  # new r11: PQ candidates + exact re-rank
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5003,6 +5060,7 @@ _DEMOTE_EVEN = frozenset({
     "dedup_minhash_lsh", "dedup_simhash", "lm_familiarity",
     "multimodal_decode_jpeg", "multimodal_decode_real",
     "multimodal_frame_sample", "multimodal_resize",
+    "similarity_pq_rerank",  # new r11 (PQ + exact re-rank; pinned r11)
     "multimodal_resize_real", "packed_text", "pricing_summary",
     "quality_score_trained", "redact_pii", "redact_pii_planted",
     "session_stats", "status_month_cube", "substring_dup_report_fine",
