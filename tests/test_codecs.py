@@ -425,3 +425,26 @@ def test_mjpeg_container_roundtrip_property():
         assert decode_mjpeg_frames(encode_mjpeg(frames)) == frames
 
     roundtrip()
+
+
+def test_constant_table_memos_are_value_neutral():
+    """r11 memoization: the DCT basis and Huffman tables are cached
+    per process — repeated calls return the SAME objects (no rebuild),
+    the basis is frozen against caller mutation, and an encode/decode
+    round trip after a memo hit is still bit-exact."""
+    import numpy as np
+
+    from trendmachine_spark.extensions import codecs as C
+
+    b1 = C._jpeg_dct_basis()
+    b2 = C._jpeg_dct_basis()
+    assert b1 is b2
+    assert not b1.flags.writeable
+    e1 = C._huff_encode_table(*C._JPEG_DC_LUMA)
+    assert C._huff_encode_table(*C._JPEG_DC_LUMA) is e1
+    blocks = (2 * ((np.arange(2)[:, None] * 11 + np.arange(3)[None, :] * 5
+                    + 7) % 128)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:, :, None]
+    data = C.encode_jpeg(img)
+    out = C.decode_jpeg(data)
+    assert np.array_equal(out[:, :, 0], img[:, :, 0])

@@ -371,19 +371,39 @@ _JPEG_AC_CHROMA = (
 )
 
 
+#: constant-table memos (r11): the DCT basis and canonical Huffman
+#: tables are pure functions of their (constant) inputs, but profiling
+#: the MJPEG chain showed ~30% of codec CPU rebuilding them PER
+#: encode/decode call (5490 basis + 16470 table builds for 500 clips).
+#: Caching is value-neutral — identical tables, bit-identical streams;
+#: callers only read (matmuls / dict lookups). The module ships to
+#: workers by value (cloudpickle), where each worker fills its own
+#: memo on first use.
+_DCT_BASIS_MEMO: np.ndarray | None = None
+_HUFF_MEMO: dict = {}
+
+
 def _jpeg_dct_basis() -> np.ndarray:
     """A[u, x] = C(u)/2 * cos((2x+1) u pi / 16): forward DCT is
     A @ block @ A.T, inverse is A.T @ coefs @ A."""
-    a = np.zeros((8, 8))
-    for u in range(8):
-        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
-        for x in range(8):
-            a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
-    return a
+    global _DCT_BASIS_MEMO
+    if _DCT_BASIS_MEMO is None:
+        a = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        a.flags.writeable = False  # shared constant: no caller may mutate
+        _DCT_BASIS_MEMO = a
+    return _DCT_BASIS_MEMO
 
 
 def _huff_encode_table(bits, vals) -> dict:
     """value -> (code, length) under canonical JPEG code assignment."""
+    key = ("enc", tuple(bits), tuple(vals))
+    memo = _HUFF_MEMO.get(key)
+    if memo is not None:
+        return memo
     table, code, k = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
@@ -391,11 +411,16 @@ def _huff_encode_table(bits, vals) -> dict:
             code += 1
             k += 1
         code <<= 1
+    _HUFF_MEMO[key] = table
     return table
 
 
 def _huff_decode_table(bits, vals) -> dict:
     """(length, code) -> value — the inverse of canonical assignment."""
+    key = ("dec", tuple(bits), tuple(vals))
+    memo = _HUFF_MEMO.get(key)
+    if memo is not None:
+        return memo
     table, code, k = {}, 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
@@ -403,6 +428,7 @@ def _huff_decode_table(bits, vals) -> dict:
             code += 1
             k += 1
         code <<= 1
+    _HUFF_MEMO[key] = table
     return table
 
 

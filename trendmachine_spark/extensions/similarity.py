@@ -899,7 +899,6 @@ def pq_codebooks(qv: DataFrame, n_sub: int = PQ_SUBSPACES,
     if seed_probe is not None:
         sids, SQ, _ = seed_probe
         keep = np.asarray(sids) < n_codes
-        crows = None
         S = np.asarray(SQ, dtype=np.int64)[keep]
         if not len(S):
             return None
