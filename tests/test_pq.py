@@ -241,3 +241,60 @@ def test_pq_rerank_partition_invariant(emb):
          for r in pq_rerank_topk(emb.repartition(9), n_queries=5,
                                  k=3).collect()}
     assert a == b
+
+
+# ---------------------------- numpy-kernel properties (no Spark jobs)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _corpus_and_books(draw):
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    n_sub = draw(st.sampled_from([2, 4]))
+    ds = draw(st.sampled_from([2, 4]))
+    n_k = draw(st.sampled_from([2, 4, 8]))
+    n = draw(st.integers(1, 40))
+    V = rng.randint(-5000, 5000, size=(n, n_sub * ds)).astype(np.int64)
+    cb = rng.randint(-5000, 5000, size=(n_sub, n_k, ds)).astype(np.int64)
+    return V, cb
+
+
+@given(_corpus_and_books())
+@settings(max_examples=60, deadline=None)
+def test_pq_assign_matches_bruteforce_with_lowest_tie(data):
+    """_pq_assign == per-row per-subspace argmin L2 with ties to the
+    LOWEST code (the oracle's ORDER BY dist, code)."""
+    from trendmachine_spark.extensions.similarity import _pq_assign
+
+    V, cb = data
+    n_sub, n_k, ds = cb.shape
+    codes = _pq_assign(V, cb)
+    for i in range(len(V)):
+        for m in range(n_sub):
+            sub = V[i, m * ds:(m + 1) * ds]
+            dists = [int(((sub - cb[m, j]) ** 2).sum()) for j in range(n_k)]
+            best = min(range(n_k), key=lambda j: (dists[j], j))
+            assert codes[i, m] == best
+
+
+@given(_corpus_and_books())
+@settings(max_examples=60, deadline=None)
+def test_adc_lut_gather_equals_reconstruction_dot(data):
+    """LUT[q, m, code] summed over m == dot(q, concat(codewords)) —
+    the ADC identity the scorer relies on, for arbitrary codes."""
+    V, cb = data
+    n_sub, n_k, ds = cb.shape
+    Q = V[: min(len(V), 5)]
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), n_sub, ds), cb)
+    rng = np.random.RandomState(7)
+    codes = rng.randint(0, n_k, size=(len(V), n_sub))
+    adc = np.zeros((len(Q), len(V)), dtype=np.int64)
+    for m in range(n_sub):
+        adc += lut[:, m, codes[:, m]]
+    for qi in range(len(Q)):
+        for vi in range(len(V)):
+            recon = np.concatenate([cb[m, codes[vi, m]]
+                                    for m in range(n_sub)])
+            assert adc[qi, vi] == int(Q[qi] @ recon)

@@ -222,6 +222,15 @@ def main() -> None:
             pq_rerank_topk(emb, N_QUERIES, K, expand=expand).collect(),
             exact_sets)
 
+    # IVF+PQ: both reductions composed — cell pruning (recall axis =
+    # n_probe, as plain IVF) x compressed scoring (the ADC ceiling)
+    from trendmachine_spark.extensions.similarity import ivfpq_topk
+
+    for np_ in (1, 2, 4):
+        pq[f"ivfpq,n_probe={np_}"] = _recall(
+            ivfpq_topk(emb, N_QUERIES, K, n_cells=16, n_probe=np_).collect(),
+            exact_sets)
+
     # Recall CEILING evidence (round 5): the scaled corpus replicates
     # each base vector, so a query has exactly |family|-1 true
     # neighbors; the k-th exact "neighbor" beyond that is isotropic
