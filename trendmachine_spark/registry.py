@@ -3350,6 +3350,56 @@ def q_pq_distortion(spark, sf_dir):
     return pq_distortion(_embeddings(spark, sf_dir), seed_probe=seeds)
 
 
+@register(
+    "pq_encode_streaming",
+    f"""WITH {_pq_ctes()}
+    SELECT vec_id, CAST(m AS INT) AS subspace, CAST(code AS INT) AS code
+    FROM codes""",
+)
+def q_pq_encode_streaming(spark, sf_dir):
+    """Streaming PQ encode (round 11) — the production train-offline /
+    encode-online pattern: codebooks are trained on the BATCH corpus
+    (a nightly job), then a readStream of new vectors encodes against
+    the FROZEN books in a stateless mapInPandas (append-safe, no
+    state store). Unlike the other streaming twins, the output is
+    fully deterministic — encoding has no arrival-order dependence —
+    so this streaming query carries a full value-hash DuckDB oracle
+    (the repo's first oracled streaming entry)."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
+                                                          pq_codebooks,
+                                                          pq_encode,
+                                                          quantize_embeddings)
+
+    emb = _embeddings(spark, sf_dir)
+    seeds = load_probe_matrix(
+        os.path.join(sf_dir, "embeddings.parquet"), 16)
+    cb = pq_codebooks(quantize_embeddings(emb), seed_probe=seeds)
+    if cb is None:
+        return spark.createDataFrame(
+            [], "vec_id long, subspace int, code int")
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(sf_dir)
+    )
+    enc = pq_encode(quantize_embeddings(stream), cb)
+    out = enc.select(
+        F.col("vid").alias("vec_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("_pq_encode_stream_q")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql("SELECT * FROM _pq_encode_stream_q")
+
+
 @register("session_windows_streaming", None)  # native streaming sessions: rows-only
 def q_session_windows_streaming(spark, sf_dir):
     """Native ``session_window`` on a readStream source (watermarked,
@@ -5039,6 +5089,7 @@ _WINDOW_PINNED: list[str] = [
     "dedup_exact_norm",  # new r11: normalization-insensitive exact dedup
     "similarity_ivfpq_topk",  # new r11: IVF+PQ compressed-domain ANN
     "similarity_pq_rerank",  # new r11: PQ candidates + exact re-rank
+    "pq_encode_streaming",  # new r11: frozen-codebook streaming encode (oracled)
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5061,6 +5112,7 @@ _DEMOTE_EVEN = frozenset({
     "multimodal_decode_jpeg", "multimodal_decode_real",
     "multimodal_frame_sample", "multimodal_resize",
     "similarity_pq_rerank",  # new r11 (PQ + exact re-rank; pinned r11)
+    "pq_encode_streaming",  # new r11 (oracled streaming encode; pinned r11)
     "multimodal_resize_real", "packed_text", "pricing_summary",
     "quality_score_trained", "redact_pii", "redact_pii_planted",
     "session_stats", "status_month_cube", "substring_dup_report_fine",
