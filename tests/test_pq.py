@@ -298,3 +298,44 @@ def test_adc_lut_gather_equals_reconstruction_dot(data):
             recon = np.concatenate([cb[m, codes[vi, m]]
                                     for m in range(n_sub)])
             assert adc[qi, vi] == int(Q[qi] @ recon)
+
+
+def test_codebooks_reject_indivisible_dim(spark):
+    from trendmachine_spark.extensions.similarity import pq_codebooks
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 10) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    qv = quantize_embeddings(emb)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(qv, n_sub=4)
+
+
+def test_seed_probe_equals_collect_path(qv):
+    """pq_codebooks(seed_probe=...) must train identical books to the
+    collect path — the bit-identity contract the pyarrow fast path
+    rides on."""
+    from trendmachine_spark.extensions.similarity import load_probe_matrix
+
+    probe = load_probe_matrix(f"{SF}/embeddings.parquet", 16)
+    a = pq_codebooks(qv, refine=1)
+    b = pq_codebooks(qv, refine=1, seed_probe=probe)
+    assert np.array_equal(a, b)
+
+
+def test_seed_probe_with_fewer_rows_than_codes(spark):
+    """A probe resolved at a smaller id bound still trains (fewer
+    codes), matching the collect path on the same corpus."""
+    from trendmachine_spark.extensions.similarity import load_probe_matrix
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    small = emb.filter("vec_id < 40")
+    qv_small = quantize_embeddings(small)
+    probe = load_probe_matrix(f"{SF}/embeddings.parquet", 16)
+    sids, SQ, n2 = probe
+    cut = [i for i, s in enumerate(sids) if s < 8]
+    sub_probe = (sids[cut], SQ[cut], n2[cut])
+    a = pq_codebooks(qv_small, n_codes=8, refine=1)
+    b = pq_codebooks(qv_small, n_codes=8, refine=1, seed_probe=sub_probe)
+    assert a.shape[1] == 8
+    assert np.array_equal(a, b)
