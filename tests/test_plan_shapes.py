@@ -96,6 +96,10 @@ SHUFFLE_BUDGETS = {
     # candidate table re-joins the corpus as a BROADCAST (no corpus
     # exchange in the exact stage)
     "similarity_pq_rerank": (2, True),
+    # at-rest serve (r11): pruned file scan + broadcast probe join +
+    # LUT scoring map; the one exchange is the rank window (partition
+    # pruning asserted separately below)
+    "similarity_ivfpq_index": (1, True),
     # canonicalization rides the scan; the count(DISTINCT raw_md5)
     # plans as Spark's two-phase distinct aggregate — exchange on
     # (norm_md5, raw_md5) then on norm_md5, both moving 32-char
@@ -416,3 +420,19 @@ def test_semantic_dedup_pair_stage_is_grouped_matmul(spark):
     for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert op not in plan, f"dedup_semantic planned a {op}"
+
+
+def test_ivfpq_index_scan_is_partition_pruned(spark):
+    """The at-rest IVFPQ serve must read ONLY the probed cells: the
+    file scan plans with PartitionFilters on the raw cell column and
+    its INSET holds fewer cells than the index has (a cast before the
+    filter — or filtering after the join — would forfeit this and
+    read the whole index)."""
+    import re
+
+    plan = _plan(spark, "similarity_ivfpq_index")
+    m = re.search(r"PartitionFilters: \[cell[^\]]*INSET ([^\]]*)", plan)
+    assert m, f"no cell INSET PartitionFilters in plan:\n{plan[:2000]}"
+    n_cells_read = len([t for t in m.group(1).split(",")
+                        if t.strip().rstrip(")").strip().isdigit()])
+    assert 0 < n_cells_read < 16, m.group(1)

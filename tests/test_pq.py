@@ -339,3 +339,31 @@ def test_seed_probe_with_fewer_rows_than_codes(spark):
     b = pq_codebooks(qv_small, n_codes=8, refine=1, seed_probe=sub_probe)
     assert a.shape[1] == 8
     assert np.array_equal(a, b)
+
+
+def test_ivfpq_index_serve_equals_in_memory(spark, emb):
+    """The at-rest index serve must reproduce the in-memory IVFPQ
+    exactly — same trained structures, scoring, tie-breaks; only the
+    byte source differs."""
+    import tempfile
+
+    from trendmachine_spark.extensions.similarity import (
+        ivfpq_index_write,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+        load_probe_matrix,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        trained = ivfpq_index_write(emb, f"{td}/idx")
+        probe = load_probe_matrix(f"{SF}/embeddings.parquet", 10)
+        served = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                               r["adc_cosine"])
+                  for r in ivfpq_topk_from_index(
+                      spark, f"{td}/idx", trained, n_queries=10, k=5,
+                      n_probe=2, probe=probe).collect()}
+        mem = {(r["query_id"], r["rank"]): (r["neighbor_id"],
+                                            r["adc_cosine"])
+               for r in ivfpq_topk(emb, n_queries=10, k=5,
+                                   n_probe=2).collect()}
+    assert served == mem and served

@@ -1415,3 +1415,160 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivfpq_index_write(emb: DataFrame, path: str,
+                      n_cells: int = 16, n_sub: int = PQ_SUBSPACES,
+                      n_codes: int = PQ_CODES, refine: int = 1,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      seed_probe=None) -> tuple:
+    """Materialize the IVF+PQ index AT REST: one parquet directory per
+    IVF cell (``partitionBy("cell")``), rows carrying only
+    (vid, codes, rnorm2) — ~20 bytes per vector. This is the serving
+    layout a 100 TB deployment stores: a query's n_probe cells map to
+    n_probe DIRECTORIES, so the scan planner prunes the other
+    (n_cells - n_probe)/n_cells of the index at the FILE level before
+    a single byte is read (PartitionFilters, asserted in
+    tests/test_plan_shapes.py).
+
+    Returns the trained ``(cells, C, cn, cb)`` structures the query
+    side needs (centroids for probe ranking, codebooks for the LUT) —
+    persisting those (tiny: n_cells x dim + n_sub x K x ds ints) is
+    the caller's catalog concern."""
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    cent = ivf_centroids(qv, n_cells, refine)
+    cb = pq_codebooks(qv, n_sub, n_codes, refine, seed_probe=seed_probe)
+    if cent is None or cb is None:
+        return None
+    cells, Cm, cnm = cent
+    import numpy as np
+
+    cbn2 = (cb ** 2).sum(axis=2)
+    n_sub_ = cb.shape[0]
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            a = (V @ Cm.T) / cnm[None, :]
+            cell = cells[np.argmax(a, axis=1)]
+            codes = _pq_assign(V, cb)
+            rn2 = cbn2[np.arange(n_sub_)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(dtype=np.int64),
+                    "cell": cell,
+                    "codes": list(codes),
+                    "rnorm2": rn2.astype(np.int64),
+                }
+            )
+
+    enc = qv.mapInPandas(
+        encode, "vid long, cell long, codes array<int>, rnorm2 long")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return cells, Cm, cnm, cb
+
+
+def ivfpq_topk_from_index(spark, index_path: str, trained,
+                          n_queries: int = 10, k: int = 5,
+                          n_probe: int = 2, probe=None) -> DataFrame:
+    """Serve IVF+PQ top-k from the at-rest index written by
+    :func:`ivfpq_index_write`: rank the query's cells against the
+    trained centroids (driver-side, as in :func:`ivfpq_topk`), then
+    read ONLY those cells' partitions — ``cell IN (literal ids)`` on
+    the partition column prunes every other directory at plan time —
+    and LUT/ADC-score the compressed rows. Results are identical to
+    the in-memory :func:`ivfpq_topk` by construction (same trained
+    structures, same scoring, same tie-breaks); the difference is
+    WHERE the candidate bytes come from: a pruned file scan instead
+    of a full-corpus encode."""
+    import numpy as np
+
+    cells, Cm, cnm, cb = trained
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, adc_cosine double")
+    if probe is None:
+        raise ValueError("probe required: the index holds no raw vectors")
+    qids, Q, n2 = probe
+    qids = np.asarray(qids, dtype=np.int64)[:n_queries]
+    Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
+    qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+    if not len(qids):
+        return spark.createDataFrame([], empty_schema)
+    nq = len(qids)
+    n_sub_, _, ds = cb.shape
+
+    aff = (Q @ Cm.T) / cnm[None, :]
+    probe_rows = []
+    probed_cells = set()
+    for j in range(nq):
+        key = np.where(np.isnan(aff[j]), np.inf, -aff[j])
+        order = np.lexsort((cells, key))[:n_probe]
+        for i in order:
+            probe_rows.append((int(qids[j]), int(cells[i])))
+            probed_cells.add(int(cells[i]))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+
+    idx = spark.read.parquet(index_path)
+    # partition-column filter with literal ids ON THE RAW COLUMN: the
+    # scan plans with PartitionFilters = cell IN (...) and never
+    # lists, opens, or reads the other cells' directories. (A cast
+    # before the filter would wrap the partition column in an
+    # expression and silently forfeit the pruning.)
+    idx = idx.filter(F.col("cell").isin(sorted(probed_cells))).select(
+        "vid", F.col("cell").cast("long").alias("cell"), "codes", "rnorm2")
+    cand = idx.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("vid"))
+
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(nq, n_sub_, ds), cb)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        best_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        best_nid = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            adot = np.zeros(len(Cd), dtype=np.int64)
+            for m in range(n_sub_):
+                adot += lut[qi, m, Cd[:, m]]
+            rn = np.sqrt(pdf["rnorm2"].to_numpy(dtype=np.float64))
+            cos = adot / (qn[qi] * rn)
+            nids = pdf["vid"].to_numpy(dtype=np.int64)
+            for j in np.unique(qi):
+                msk = qi == j
+                c = np.concatenate([best_cos[j], cos[msk]])
+                n = np.concatenate([best_nid[j], nids[msk]])
+                key = np.where(np.isnan(c), np.inf, -c)
+                order = np.lexsort((n, key))[:k]
+                best_cos[j], best_nid[j] = c[order], n[order]
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, [len(b) for b in best_nid]),
+                "neighbor_id": (np.concatenate(best_nid)
+                                if best_nid else np.empty(0, dtype=np.int64)),
+                "adc_cosine": (np.concatenate(best_cos)
+                               if best_cos else np.empty(0)),
+            }
+        )
+
+    scored = cand.select("query_id", "vid", "codes", "rnorm2").mapInPandas(
+        score, "query_id long, neighbor_id long, adc_cosine double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_cosine")
+    )
