@@ -415,6 +415,14 @@ def _huff_encode_table(bits, vals) -> dict:
     return table
 
 
+#: decode-path memo bound: encode-side keys come from the module's own
+#: constant tables (4 entries), but decode-side keys derive from STREAM
+#: content — a long-lived worker fed external JPEGs with many distinct
+#: custom Huffman tables must not grow the memo forever. Beyond the
+#: cap, tables are built per call (correct, just uncached).
+_HUFF_MEMO_MAX = 64
+
+
 def _huff_decode_table(bits, vals) -> dict:
     """(length, code) -> value — the inverse of canonical assignment."""
     key = ("dec", tuple(bits), tuple(vals))
@@ -428,7 +436,8 @@ def _huff_decode_table(bits, vals) -> dict:
             code += 1
             k += 1
         code <<= 1
-    _HUFF_MEMO[key] = table
+    if len(_HUFF_MEMO) < _HUFF_MEMO_MAX:
+        _HUFF_MEMO[key] = table
     return table
 
 

@@ -1187,75 +1187,17 @@ def pq_distortion(emb: DataFrame, n_sub: int = PQ_SUBSPACES,
     )
 
 
-def ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
-               n_cells: int = 16, n_probe: int = 2,
-               n_sub: int = PQ_SUBSPACES, n_codes: int = PQ_CODES,
-               refine: int = 1, vec_col: str = "embedding",
-               id_col: str = "vec_id", seed_probe=None) -> DataFrame:
-    """IVF + PQ — the production 100 TB ANN shape (Jegou et al. 2011,
-    the FAISS ``IVFxx,PQyy`` index family): the corpus is coarsely
-    partitioned into ``n_cells`` IVF cells (Lloyd-refined deterministic
-    centroids, same as :func:`ivf_topk`) AND stored PQ-compressed
-    (same codebooks as :func:`pq_topk`); a query ranks cells by
-    centroid affinity, touches only its ``n_probe`` best cells, and
-    ADC-scores the candidates there in the compressed domain.
-
-    Codes quantize the RAW vectors, not cell residuals — the variant
-    whose exact-integer training both engines can mirror bit-for-bit
-    (residuals would subtract float centroids into the quantizer);
-    documented divergence from the residual-encoding FAISS default.
-
-    Output: query_id, neighbor_id, rank, adc_cosine.
-
-    SCALE: cell assignment + PQ encode fuse into ONE zero-shuffle
-    Arrow-batched pass (both argmax/argmin run against literal
-    matrices); at rest the index is (cell, 8 codes, one bigint) per
-    vector. Probe selection is driver-side numpy over the tiny
-    (n_queries x n_cells) affinity matrix — the same exact-int dot /
-    IEEE divide as the SQL mirror. Candidates reach the scorer via a
-    BROADCAST join on cell (the probe table is n_queries * n_probe
-    rows), each task LUT-gathers its candidates' ADC scores and emits
-    only its per-query top-k, so the one real exchange — the rank
-    window — moves n_tasks * n_queries * k rows. A query scans
-    n_probe/n_cells of the corpus at 1/64th the bytes: the two
-    multiplicative reductions a 100 TB ANN deployment needs.
-    """
+def _ivfpq_encode_fn(cells, Cm, cnm, cb):
+    """Fused IVF-cell + PQ-code encode closure, shared by
+    :func:`ivfpq_topk` (in-memory) and :func:`ivfpq_index_write`
+    (at-rest): one zero-shuffle Arrow-batched pass against the two
+    literal trained structures. Shared so the in-memory and served
+    paths stay bit-identical (they answer to the same oracle)."""
     import numpy as np
 
-    qv = quantize_embeddings(emb, vec_col, id_col)
-    spark = qv.sparkSession
-    empty_schema = (
-        "query_id long, neighbor_id long, rank int, adc_cosine double")
-    cent = ivf_centroids(qv, n_cells, refine)
-    cb = pq_codebooks(qv, n_sub, n_codes, refine, seed_probe=seed_probe)
-    if cent is None or cb is None:
-        return spark.createDataFrame([], empty_schema)
-    cells, Cm, cnm = cent
-    qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
-                   key=lambda r: r["vid"])
-    if not qrows:
-        return spark.createDataFrame([], empty_schema)
-    qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
-    Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
-    qn = np.sqrt(np.array([r["norm2"] for r in qrows], dtype=np.float64))
-    nq = len(qids)
-    n_sub_, _, ds = cb.shape
     cbn2 = (cb ** 2).sum(axis=2)
+    n_sub_ = cb.shape[0]
 
-    # driver-side probe ranking: affinity = exact int64 dot / sqrt(cn),
-    # order (aff DESC, cell ASC) with NaN buried last — the SQL
-    # mirror's row_number order on the same IEEE doubles
-    aff = (Q @ Cm.T) / cnm[None, :]                                  # (nq, c)
-    probe_rows = []
-    for j in range(nq):
-        key = np.where(np.isnan(aff[j]), np.inf, -aff[j])
-        order = np.lexsort((cells, key))[:n_probe]
-        probe_rows.extend(
-            (int(qids[j]), int(cells[i])) for i in order)
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
-
-    # fused encode: IVF cell + PQ codes + reconstruction norm in ONE
-    # zero-shuffle pass (both quantizers are literal numpy matrices)
     def encode(batches):
         import numpy as np
         import pandas as pd
@@ -1277,12 +1219,33 @@ def ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                 }
             )
 
-    enc = qv.mapInPandas(
-        encode, "vid long, cell long, codes array<int>, rnorm2 long")
-    cand = enc.join(F.broadcast(probes), "cell").filter(
-        F.col("query_id") != F.col("vid"))
+    return encode
 
-    lut = np.einsum("qmd,mkd->qmk", Q.reshape(nq, n_sub_, ds), cb)
+
+def _probe_cell_rows(qids, aff, cells, n_probe):
+    """[(query_id, cell)] — per-query top-``n_probe`` cells in the SQL
+    mirror's exact order (aff DESC, cell ASC, NaN buried last)."""
+    import numpy as np
+
+    rows = []
+    for j in range(len(qids)):
+        key = np.where(np.isnan(aff[j]), np.inf, -aff[j])
+        order = np.lexsort((cells, key))[:n_probe]
+        rows.extend((int(qids[j]), int(cells[i])) for i in order)
+    return rows
+
+
+def _adc_lut_topk(cand, qids, qn, lut, k):
+    """Per-task LUT/ADC scoring with map-side top-k prune + the final
+    rank window, over candidate rows (query_id, vid, codes, rnorm2) —
+    shared by :func:`ivfpq_topk` and :func:`ivfpq_topk_from_index`.
+    Task-local selection uses the window's exact total order
+    (adc_cosine DESC with NaN-as-NULL buried last, neighbor_id ASC),
+    so the prune is value-neutral."""
+    import numpy as np
+
+    nq = len(qids)
+    n_sub_ = lut.shape[1]
     qpos = {int(q): i for i, q in enumerate(qids)}
 
     def score(batches):
@@ -1330,6 +1293,90 @@ def ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_cosine")
     )
+
+
+def ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+               n_cells: int = 16, n_probe: int = 2,
+               n_sub: int = PQ_SUBSPACES, n_codes: int = PQ_CODES,
+               refine: int = 1, vec_col: str = "embedding",
+               id_col: str = "vec_id", probe=None,
+               seed_probe=None) -> DataFrame:
+    """IVF + PQ — the production 100 TB ANN shape (Jegou et al. 2011,
+    the FAISS ``IVFxx,PQyy`` index family): the corpus is coarsely
+    partitioned into ``n_cells`` IVF cells (Lloyd-refined deterministic
+    centroids, same as :func:`ivf_topk`) AND stored PQ-compressed
+    (same codebooks as :func:`pq_topk`); a query ranks cells by
+    centroid affinity, touches only its ``n_probe`` best cells, and
+    ADC-scores the candidates there in the compressed domain.
+
+    Codes quantize the RAW vectors, not cell residuals — the variant
+    whose exact-integer training both engines can mirror bit-for-bit
+    (residuals would subtract float centroids into the quantizer);
+    documented divergence from the residual-encoding FAISS default.
+
+    Output: query_id, neighbor_id, rank, adc_cosine.
+
+    SCALE: cell assignment + PQ encode fuse into ONE zero-shuffle
+    Arrow-batched pass (both argmax/argmin run against literal
+    matrices); at rest the index is (cell, 8 codes, one bigint) per
+    vector. Probe selection is driver-side numpy over the tiny
+    (n_queries x n_cells) affinity matrix — the same exact-int dot /
+    IEEE divide as the SQL mirror. Candidates reach the scorer via a
+    BROADCAST join on cell (the probe table is n_queries * n_probe
+    rows), each task LUT-gathers its candidates' ADC scores and emits
+    only its per-query top-k, so the one real exchange — the rank
+    window — moves n_tasks * n_queries * k rows. A query scans
+    n_probe/n_cells of the corpus at 1/64th the bytes: the two
+    multiplicative reductions a 100 TB ANN deployment needs.
+    """
+    import numpy as np
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    spark = qv.sparkSession
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, adc_cosine double")
+    cent = ivf_centroids(qv, n_cells, refine)
+    cb = pq_codebooks(qv, n_sub, n_codes, refine, seed_probe=seed_probe)
+    if cent is None or cb is None:
+        return spark.createDataFrame([], empty_schema)
+    cells, Cm, cnm = cent
+    if probe is not None:
+        qids, Q, n2 = probe
+        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
+        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
+        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        if not len(qids):
+            return spark.createDataFrame([], empty_schema)
+    else:
+        qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
+                       key=lambda r: r["vid"])
+        if not qrows:
+            return spark.createDataFrame([], empty_schema)
+        qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+        Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+        qn = np.sqrt(np.array([r["norm2"] for r in qrows],
+                              dtype=np.float64))
+    nq = len(qids)
+    n_sub_, _, ds = cb.shape
+
+    # driver-side probe ranking: affinity = exact int64 dot / sqrt(cn),
+    # order (aff DESC, cell ASC) with NaN buried last — the SQL
+    # mirror's row_number order on the same IEEE doubles
+    aff = (Q @ Cm.T) / cnm[None, :]                                  # (nq, c)
+    probes = spark.createDataFrame(
+        _probe_cell_rows(qids, aff, cells, n_probe),
+        "query_id long, cell long")
+
+    # fused encode: IVF cell + PQ codes + reconstruction norm in ONE
+    # zero-shuffle pass (both quantizers are literal numpy matrices)
+    enc = qv.mapInPandas(
+        _ivfpq_encode_fn(cells, Cm, cnm, cb),
+        "vid long, cell long, codes array<int>, rnorm2 long")
+    cand = enc.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("vid"))
+
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(nq, n_sub_, ds), cb)
+    return _adc_lut_topk(cand, qids, qn, lut, k)
 
 
 def pq_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
@@ -1441,34 +1488,9 @@ def ivfpq_index_write(emb: DataFrame, path: str,
     if cent is None or cb is None:
         return None
     cells, Cm, cnm = cent
-    import numpy as np
-
-    cbn2 = (cb ** 2).sum(axis=2)
-    n_sub_ = cb.shape[0]
-
-    def encode(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
-            a = (V @ Cm.T) / cnm[None, :]
-            cell = cells[np.argmax(a, axis=1)]
-            codes = _pq_assign(V, cb)
-            rn2 = cbn2[np.arange(n_sub_)[None, :], codes].sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vid": pdf["vid"].to_numpy(dtype=np.int64),
-                    "cell": cell,
-                    "codes": list(codes),
-                    "rnorm2": rn2.astype(np.int64),
-                }
-            )
-
     enc = qv.mapInPandas(
-        encode, "vid long, cell long, codes array<int>, rnorm2 long")
+        _ivfpq_encode_fn(cells, Cm, cnm, cb),
+        "vid long, cell long, codes array<int>, rnorm2 long")
     enc.write.mode("overwrite").partitionBy("cell").parquet(path)
     return cells, Cm, cnm, cb
 
@@ -1503,14 +1525,8 @@ def ivfpq_topk_from_index(spark, index_path: str, trained,
     n_sub_, _, ds = cb.shape
 
     aff = (Q @ Cm.T) / cnm[None, :]
-    probe_rows = []
-    probed_cells = set()
-    for j in range(nq):
-        key = np.where(np.isnan(aff[j]), np.inf, -aff[j])
-        order = np.lexsort((cells, key))[:n_probe]
-        for i in order:
-            probe_rows.append((int(qids[j]), int(cells[i])))
-            probed_cells.add(int(cells[i]))
+    probe_rows = _probe_cell_rows(qids, aff, cells, n_probe)
+    probed_cells = {c for _, c in probe_rows}
     probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
 
     idx = spark.read.parquet(index_path)
@@ -1525,50 +1541,4 @@ def ivfpq_topk_from_index(spark, index_path: str, trained,
         F.col("query_id") != F.col("vid"))
 
     lut = np.einsum("qmd,mkd->qmk", Q.reshape(nq, n_sub_, ds), cb)
-    qpos = {int(q): i for i, q in enumerate(qids)}
-
-    def score(batches):
-        import numpy as np
-        import pandas as pd
-
-        best_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
-        best_nid = [np.empty(0, dtype=np.int64) for _ in range(nq)]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qi = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
-            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            adot = np.zeros(len(Cd), dtype=np.int64)
-            for m in range(n_sub_):
-                adot += lut[qi, m, Cd[:, m]]
-            rn = np.sqrt(pdf["rnorm2"].to_numpy(dtype=np.float64))
-            cos = adot / (qn[qi] * rn)
-            nids = pdf["vid"].to_numpy(dtype=np.int64)
-            for j in np.unique(qi):
-                msk = qi == j
-                c = np.concatenate([best_cos[j], cos[msk]])
-                n = np.concatenate([best_nid[j], nids[msk]])
-                key = np.where(np.isnan(c), np.inf, -c)
-                order = np.lexsort((n, key))[:k]
-                best_cos[j], best_nid[j] = c[order], n[order]
-        yield pd.DataFrame(
-            {
-                "query_id": np.repeat(qids, [len(b) for b in best_nid]),
-                "neighbor_id": (np.concatenate(best_nid)
-                                if best_nid else np.empty(0, dtype=np.int64)),
-                "adc_cosine": (np.concatenate(best_cos)
-                               if best_cos else np.empty(0)),
-            }
-        )
-
-    scored = cand.select("query_id", "vid", "codes", "rnorm2").mapInPandas(
-        score, "query_id long, neighbor_id long, adc_cosine double")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_cosine")
-    )
+    return _adc_lut_topk(cand, qids, qn, lut, k)

@@ -3288,9 +3288,11 @@ def q_similarity_ivfpq_topk(spark, sf_dir):
     from trendmachine_spark.extensions.similarity import (ivfpq_topk,
                                                           load_probe_matrix)
 
-    seeds = load_probe_matrix(os.path.join(sf_dir, "embeddings.parquet"), 16)
+    path = os.path.join(sf_dir, "embeddings.parquet")
     return ivfpq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
-                      n_cells=16, n_probe=2, seed_probe=seeds)
+                      n_cells=16, n_probe=2,
+                      probe=load_probe_matrix(path, 10),
+                      seed_probe=load_probe_matrix(path, 16))
 
 
 #: at-rest IVFPQ index memo per (applicationId, sf_dir): the index
