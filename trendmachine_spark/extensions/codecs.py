@@ -411,7 +411,11 @@ def _huff_encode_table(bits, vals) -> dict:
             code += 1
             k += 1
         code <<= 1
-    _HUFF_MEMO[key] = table
+    # same bound as the decode side: today encode keys come only from
+    # the 4 module constants, but the cap must not silently stop
+    # holding if encode ever accepts caller-supplied tables
+    if len(_HUFF_MEMO) < _HUFF_MEMO_MAX:
+        _HUFF_MEMO[key] = table
     return table
 
 

@@ -25,6 +25,18 @@ from pyspark.sql import functions as F
 QUANT_SCALE = 1000
 
 
+class _ProbeMatrix(tuple):
+    """``(qids, Q, norm2)`` with the id bound it was resolved at.
+
+    Unpacks exactly like the historical 3-tuple, but carries ``bound``
+    so consumers that SEED from a probe (``pq_codebooks``) can verify
+    the probe actually covers every id below their own cutoff — a
+    probe resolved at a smaller bound would otherwise silently train
+    fewer codebook entries than the collect path (round-12 advisory)."""
+
+    bound: int = 0
+
+
 def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
     """(id, qvec: array<bigint>, norm2: bigint) — exact integer geometry."""
@@ -98,7 +110,9 @@ def load_probe_matrix(parquet_path: str, n_queries: int,
     )
     qids = ids[order].astype(np.int64)
     norm2 = (Q * Q).sum(axis=1)
-    return qids, Q, norm2
+    pm = _ProbeMatrix((qids, Q, norm2))
+    pm.bound = n_queries
+    return pm
 
 
 def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
@@ -897,6 +911,14 @@ def pq_codebooks(qv: DataFrame, n_sub: int = PQ_SUBSPACES,
     import numpy as np
 
     if seed_probe is not None:
+        # the probe must have been resolved at a bound covering every
+        # seed id, else it silently trains fewer codebook entries than
+        # the collect path and the bit-identity contract breaks
+        bound = getattr(seed_probe, "bound", None)
+        if bound is not None and bound < n_codes:
+            raise ValueError(
+                f"seed_probe resolved at id bound {bound} < n_codes="
+                f"{n_codes}: probe does not cover the seed set")
         sids, SQ, _ = seed_probe
         keep = np.asarray(sids) < n_codes
         S = np.asarray(SQ, dtype=np.int64)[keep]
@@ -1059,10 +1081,14 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     if cb is None:
         return spark.createDataFrame([], empty_schema)
     if probe is not None:
+        # same [:n_queries] truncation as ivfpq_topk: a probe resolved
+        # at a larger id bound must not silently answer extra queries
         qids, Q, n2 = probe
-        qids = np.asarray(qids, dtype=np.int64)
-        Q = np.asarray(Q, dtype=np.int64)
-        qn = np.sqrt(np.asarray(n2, dtype=np.float64))
+        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
+        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
+        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        if not len(qids):
+            return spark.createDataFrame([], empty_schema)
     else:
         qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
                        key=lambda r: r["vid"])
@@ -1412,10 +1438,13 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     cand = pq_topk(emb, n_queries, k * expand, n_sub, n_codes, refine,
                    vec_col, id_col, probe=probe, seed_probe=seed_probe)
     if probe is not None:
+        # [:n_queries] for consistency with pq_topk/ivfpq_topk
         qids, Q, n2 = probe
-        qids = np.asarray(qids, dtype=np.int64)
-        Q = np.asarray(Q, dtype=np.int64)
-        qn = np.sqrt(np.asarray(n2, dtype=np.float64))
+        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
+        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
+        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        if not len(qids):
+            return spark.createDataFrame([], empty_schema)
     else:
         qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
                        key=lambda r: r["vid"])

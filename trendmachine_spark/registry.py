@@ -3322,7 +3322,19 @@ def q_similarity_ivfpq_index(spark, sf_dir):
         load_probe_matrix,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # key on the CONTENT identity of the corpus (path + file stat),
+    # not applicationId: every new Spark application would otherwise
+    # leave a fresh orphan index dir in /tmp (round-12 advisory). The
+    # index is deterministic in the corpus, so reusing the path across
+    # sessions is value-neutral (mode=overwrite on write) and the
+    # number of on-disk index dirs is bounded by distinct corpora.
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb_path)
+        content_id = (emb_path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        content_id = (emb_path, -1, -1)
+    key = content_id
     if key not in _PQ_INDEX_CACHE:
         h = hashlib.md5(repr(key).encode()).hexdigest()[:10]
         path = f"/tmp/trendmachine_pq_index_{h}"
@@ -3437,15 +3449,22 @@ def q_pq_encode_streaming(spark, sf_dir):
         F.col("vid").alias("vec_id"),
         F.posexplode("codes").alias("subspace", "code"),
     )
+    # per-source query/table name: a fixed name would fail on the
+    # duplicate active query if two constructions ever overlap in one
+    # session (round-12 advisory — re-entrancy, not a harness need)
+    import hashlib as _hashlib
+
+    qname = ("_pq_encode_stream_q_"
+             + _hashlib.md5(sf_dir.encode()).hexdigest()[:8])
     q = (
         out.writeStream.format("memory")
-        .queryName("_pq_encode_stream_q")
+        .queryName(qname)
         .outputMode("append")
         .start()
     )
     q.processAllAvailable()
     q.stop()
-    return spark.sql("SELECT * FROM _pq_encode_stream_q")
+    return spark.sql(f"SELECT * FROM {qname}")
 
 
 @register("session_windows_streaming", None)  # native streaming sessions: rows-only
@@ -5111,7 +5130,7 @@ def q_training_corpus_clean(spark, sf_dir):
 # every-other-round guarantee relaxes to every-third-round).
 # ---------------------------------------------------------------------------
 
-_ROUND = 11
+_ROUND = 12
 
 #: rotation cycle length. 2 = the historical every-other-round
 #: guarantee (capacity 100 oracled under the driver's 50-entry window);
@@ -5128,18 +5147,7 @@ _PARITY_PERIOD = 3
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = [
-    "multimodal_video_decode",  # new r11: MJPEG real video decode
-    "dedup_video_frames",  # r11: re-pointed at decoded-pixel frame signatures
-    "dedup_video_near",  # new r11: frame-containment video near-dup
-    "similarity_pq_topk",  # new r11: PQ/ADC ANN top-k
-    "pq_distortion",  # new r11: PQ quantization-error report
-    "dedup_exact_norm",  # new r11: normalization-insensitive exact dedup
-    "similarity_ivfpq_topk",  # new r11: IVF+PQ compressed-domain ANN
-    "similarity_pq_rerank",  # new r11: PQ candidates + exact re-rank
-    "pq_encode_streaming",  # new r11: frozen-codebook streaming encode (oracled)
-    "similarity_ivfpq_index",  # new r11: at-rest partition-pruned IVFPQ serve
-]
+_WINDOW_PINNED: list[str] = []  # round 12: nothing changed yet — `rotate_window.py pin NAME` as queries change
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
@@ -5227,25 +5235,27 @@ _DEMOTE_THIRD: frozenset = frozenset({
 #: period 3 (period 2's disjointness makes it redundant); feeds the
 #: "no name demoted a full cycle" invariant in tests/test_oracle_parity.
 _PREV_DEMOTED_2: list[str] = [
-    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges", "chaos_melt",
-    "content_value_counts", "corpus_decontaminate",
-    "corpus_sample_stratified", "dedup_clusters",
-    "dedup_clusters_ensemble", "dedup_embedding_cosine_bucketed",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_segments",
-    "dedup_semantic_keepers", "dedup_simhash", "embedding_outliers",
-    "event_funnel", "event_range_join", "event_session_windows",
-    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
-    "lm_familiarity", "minhash_accuracy", "multimodal_decode_jpeg",
-    "multimodal_decode_png", "multimodal_decode_real",
-    "multimodal_frame_sample", "multimodal_resize",
-    "multimodal_resize_real", "packed_text", "pricing_summary",
-    "quality_score_trained", "redact_pii", "redact_pii_planted",
-    "region_revenue", "session_stats", "status_month_cube",
-    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
-    "text_lang_id", "text_profile", "text_repetition_stats",
-    "top_quality_docs", "training_corpus", "training_corpus_safe",
-    "training_corpus_segmented", "training_shards",
-    "transition_matrix_filled", "vocab_coverage",
+    "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
+    "chunk_documents", "content_value_counts", "corpus_card",
+    "corpus_decontaminate", "corpus_mix_temperature",
+    "corpus_sample_stratified", "daily_chaos", "daily_moving_avg",
+    "daily_rollup", "date_spine", "dedup_clusters",
+    "dedup_clusters_ensemble", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed", "dedup_exact", "dedup_incremental",
+    "dedup_multi_signal", "dedup_segments", "dedup_semantic",
+    "dedup_semantic_keepers", "dup_span_histogram", "dup_span_profile",
+    "embedding_outliers", "event_asof_join", "event_funnel",
+    "event_props_stats", "event_range_join", "event_retention",
+    "event_session_windows", "event_sessionization", "first_last_capture",
+    "gap_fill_backward", "gap_fill_closest", "gap_fill_forward",
+    "gap_fill_identical", "headline_metrics", "lsh_bucket_health",
+    "minhash_accuracy", "monthly_rollup", "multimodal_decode_png",
+    "multimodal_metadata", "pack_sequences", "periodic_samples",
+    "region_revenue", "salted_term_counts", "shipping_priority",
+    "similarity_ann_lsh", "similarity_ivf_topk", "similarity_topk",
+    "specimen_breakdown", "status_totals", "substring_dedup",
+    "text_quality_flags", "text_term_stats", "top_revenue_customers",
+    "training_corpus_clean", "transition_matrix", "urim_projection",
 ]
 
 
@@ -5305,27 +5315,32 @@ def _demoted_for_round(round_no: int) -> list[str]:
 #: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
 #: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
-    "chunk_documents", "content_value_counts", "corpus_card",
-    "corpus_decontaminate", "corpus_mix_temperature",
-    "corpus_sample_stratified", "daily_chaos", "daily_moving_avg",
-    "daily_rollup", "date_spine", "dedup_clusters",
-    "dedup_clusters_ensemble", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_bucketed", "dedup_exact", "dedup_incremental",
-    "dedup_multi_signal", "dedup_segments", "dedup_semantic",
-    "dedup_semantic_keepers", "dup_span_histogram", "dup_span_profile",
-    "embedding_outliers", "event_asof_join", "event_funnel",
-    "event_props_stats", "event_range_join", "event_retention",
-    "event_session_windows", "event_sessionization", "first_last_capture",
-    "gap_fill_backward", "gap_fill_closest", "gap_fill_forward",
-    "gap_fill_identical", "headline_metrics", "lsh_bucket_health",
-    "minhash_accuracy", "monthly_rollup", "multimodal_decode_png",
-    "multimodal_metadata", "pack_sequences", "periodic_samples",
-    "region_revenue", "salted_term_counts", "shipping_priority",
-    "similarity_ann_lsh", "similarity_ivf_topk", "similarity_topk",
-    "specimen_breakdown", "status_totals", "substring_dedup",
-    "text_quality_flags", "text_term_stats", "top_revenue_customers",
-    "training_corpus_clean", "transition_matrix", "urim_projection",
+    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges",
+    "dedup_audio_fingerprint", "dedup_image_phash",
+    "dedup_image_phash_near", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash", "dedup_simhash_near_dup",
+    "dup_span_histogram", "dup_span_profile", "event_asof_join",
+    "event_attribution", "event_props_stats", "event_retention",
+    "event_sessionization", "gap_fill_backward", "gap_fill_forward",
+    "headline_metrics", "lm_familiarity", "lsh_bucket_health",
+    "monthly_rollup", "multimodal_audio_features",
+    "multimodal_decode_jpeg", "multimodal_decode_real",
+    "multimodal_frame_sample", "multimodal_image_hash",
+    "multimodal_metadata", "multimodal_resize", "multimodal_resize_real",
+    "pack_sequences", "packed_text", "periodic_samples", "pricing_summary",
+    "quality_score", "quality_score_trained", "redact_pii",
+    "redact_pii_planted", "salted_term_counts", "session_stats",
+    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
+    "similarity_topk", "specimen_breakdown", "split_leakage_report",
+    "status_month_cube", "status_totals", "substring_dedup",
+    "substring_dup_report", "substring_dup_report_fine",
+    "suffix_group_stats", "summary_stats", "text_fingerprints",
+    "text_lang_id", "text_pii_stats", "text_profile", "text_quality_flags",
+    "text_repetition_stats", "text_term_stats", "top_quality_docs",
+    "top_revenue_customers", "training_corpus", "training_corpus_clean",
+    "training_corpus_safe", "training_corpus_segmented", "training_shards",
+    "training_splits", "transition_matrix", "transition_matrix_filled",
+    "urim_projection", "vocab_coverage",
 ]
 
 _DEMOTED = sorted(
