@@ -361,3 +361,71 @@ def test_video_near_pairs_shared_frame_semantics(spark):
     rows1 = {(r["id_a"], r["id_b"])
              for r in video_near_pairs(frames, min_shared=1).collect()}
     assert rows1 == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_video_near_pairs_frame_freq_guard(spark):
+    """Planted-skew row budget (round 12, the r11 verdict's mandate):
+    one boilerplate fingerprint in 30% of clips must not square the
+    self-join's hot key — the guard drops it from candidate postings
+    and from n_shared, while n_a/n_b stay full sample counts."""
+    from pyspark.sql import functions as F
+
+    from trendmachine_spark.extensions.multimodal import (
+        _guarded_frame_postings,
+        video_near_pairs,
+    )
+
+    n_clips, hot_share = 40, 12  # 30% of clips carry the HOT frame
+    rows = []
+    for i in range(n_clips):
+        ord_ = 0
+        if i < hot_share:
+            rows.append((i, 0, ord_, "HOT"))
+            ord_ += 1
+        # discriminative content: clips (2j, 2j+1) are true near-dups
+        j = i // 2
+        if i < 4:
+            # first two hot pairs: (0,1) shares P0a+P0b (+HOT);
+            # (2,3) shares ONLY P1a (+HOT) -> qualifies only via HOT
+            tags = [f"P{j}a", f"P{j}b"] if i < 2 else [f"P{j}a", f"Q{i}"]
+        else:
+            tags = [f"P{j}a", f"P{j}b"]
+        for t in tags:
+            rows.append((i, 2 * ord_, ord_, t))
+            ord_ += 1
+    frames = spark.createDataFrame(
+        rows, "doc_id bigint, frame_idx int, sample_ord int, frame_md5 string")
+
+    cap = 5
+    # --- row budget: the guarded posting table loses exactly the HOT
+    # postings, and the candidate self-join's row count is bounded by
+    # sum C(freq,2) over surviving fingerprints — strictly below the
+    # C(12,2)=66 rows the unguarded hot key alone would emit
+    guarded = _guarded_frame_postings(frames, cap)
+    assert guarded.count() == len(rows) - hot_share
+    a = guarded.select(F.col("doc_id").alias("id_a"), "frame_md5")
+    b = guarded.select(F.col("doc_id").alias("id_b"), "frame_md5")
+    join_rows = a.join(b, "frame_md5").filter(F.col("id_a") < F.col("id_b")).count()
+    freqs = [r["n"] for r in guarded.groupBy("frame_md5")
+             .agg(F.countDistinct("doc_id").alias("n")).collect()]
+    assert max(freqs) <= cap
+    budget = sum(n * (n - 1) // 2 for n in freqs)
+    assert join_rows == budget
+    assert join_rows < hot_share * (hot_share - 1) // 2
+
+    # --- semantics: guarded result keeps true near-dup pairs with
+    # HOT excluded from n_shared; the boilerplate-only pair (2,3) is
+    # out; full sample counts are untouched
+    got = {(r["id_a"], r["id_b"]): r
+           for r in video_near_pairs(frames, min_shared=2,
+                                     max_frame_freq=cap).collect()}
+    expect = {(2 * j, 2 * j + 1) for j in range(n_clips // 2)} - {(2, 3)}
+    assert set(got) == expect
+    assert got[(0, 1)]["n_shared"] == 2          # HOT not counted
+    assert got[(0, 1)]["n_a"] == 3               # full sample count
+    # unguarded (max_frame_freq=None) restores the historical form:
+    # HOT counts, so (0,1) has 3 shared and (2,3) qualifies via HOT
+    legacy = {(r["id_a"], r["id_b"]): r["n_shared"]
+              for r in video_near_pairs(frames, min_shared=2,
+                                        max_frame_freq=None).collect()}
+    assert legacy[(0, 1)] == 3 and legacy[(2, 3)] == 2

@@ -1065,7 +1065,42 @@ def video_frame_signature(assets: DataFrame, every_n: int = 2,
     )
 
 
-def video_near_pairs(frames: DataFrame, min_shared: int = 2) -> DataFrame:
+#: default per-fingerprint clip-frequency cap for video_near_pairs —
+#: the same skew stance as dedup.MAX_SHINGLE_FREQ: a frame fingerprint
+#: present in more clips than this is non-discriminative boilerplate
+#: (solid-color intro/outro, test pattern, station ident) and is
+#: dropped from CANDIDATE GENERATION, capping the self-join's per-key
+#: fan-out at max_frame_freq^2 rows instead of (corpus share)^2.
+MAX_FRAME_FREQ = 50
+
+
+def _guarded_frame_postings(frames: DataFrame,
+                            max_frame_freq: int | None) -> DataFrame:
+    """(doc_id, frame_md5) postings with fingerprints appearing in more
+    than ``max_frame_freq`` DISTINCT clips removed — the candidate side
+    of :func:`video_near_pairs`' inverted-index self-join, factored out
+    so the skew test can assert the row budget directly.
+
+    The hot set comes from a map-combined groupBy over the ~32-byte
+    fingerprint (partial aggregation bounds the shuffle at distinct
+    fingerprints per partition) and is true boilerplate frames only, so
+    AQE broadcasts the anti-join. A count-window over frame_md5 would
+    single-task a ubiquitous frame's full posting list — the skew shape
+    AQE cannot split (the ngram_jaccard lesson, dedup.py round 5)."""
+    fp = frames.select("doc_id", "frame_md5")
+    if max_frame_freq is None:
+        return fp
+    hot = (
+        fp.groupBy("frame_md5")
+        .agg(F.countDistinct("doc_id").alias("_ff"))
+        .filter(F.col("_ff") > max_frame_freq)
+        .select("frame_md5")
+    )
+    return fp.join(hot, "frame_md5", "left_anti")
+
+
+def video_near_pairs(frames: DataFrame, min_shared: int = 2,
+                     max_frame_freq: int | None = MAX_FRAME_FREQ) -> DataFrame:
     """Near-duplicate clip pairs by shared sampled-frame fingerprints
     (round 11): two clips that have ``min_shared`` or more identical
     decoded-frame fingerprints among their samples are near-dups — the
@@ -1076,25 +1111,41 @@ def video_near_pairs(frames: DataFrame, min_shared: int = 2) -> DataFrame:
     Input is :func:`video_frame_signature` output. Output one row per
     unordered pair: id_a < id_b, n_shared, n_a, n_b.
 
+    ``max_frame_freq`` (ON by default — round 12, closing the r11
+    verdict's one scale-killer): fingerprints appearing in more than
+    that many DISTINCT clips are dropped from candidate generation AND
+    from ``n_shared`` — a ubiquitous frame (solid-color intro/outro,
+    test pattern) would otherwise emit F^2 self-join rows for a
+    fingerprint shared by F clips before the ``min_shared`` filter
+    discards them, exactly the skewed-key blow-up every sibling
+    near-dup path already guards (``ngram_jaccard.max_shingle_freq``,
+    simhash/phash DISTINCT-signature banding). ``n_a``/``n_b`` stay
+    the FULL per-clip sample counts, so reported containment ratios
+    are over the clips' true sample sets; only pairs whose overlap is
+    *solely* boilerplate frames are missed — by construction the pairs
+    a containment dedup must NOT emit. Mirrored verbatim in the DuckDB
+    oracle CTE (registry ``dedup_video_near``).
+
     Scale: inverted-index join on the fingerprint (the ngram_jaccard
-    shape with a hard per-clip bound — max_frames samples per clip, so
-    a clip joins at most max_frames postings); one fingerprint
-    exchange + one pair agg exchange; the pair output is inherently
-    quadratic IN FAMILY SIZE (any engine emitting the pair form pays
-    it) — keeper pipelines should consume the linear
+    shape with BOTH bounds: max_frames postings per clip, and now
+    max_frame_freq clips per fingerprint, so the join's row budget is
+    <= distinct_fingerprints * max_frame_freq^2 regardless of skew);
+    one fingerprint exchange + one pair agg exchange; the pair output
+    is inherently quadratic IN FAMILY SIZE (any engine emitting the
+    pair form pays it) — keeper pipelines should consume the linear
     ``dedup_video_frames`` families instead.
 
     The fingerprint table is MATERIALIZED first: it feeds both
-    self-join sides and both count joins, and Spark instantiates a
-    shared lineage once per consumer (plans are trees — SCALE.md r5),
-    which would re-run the CPU-heavy container-walk + frame-decode
-    chain four times."""
+    self-join sides, the hot-set agg, and both count joins, and Spark
+    instantiates a shared lineage once per consumer (plans are trees —
+    SCALE.md r5), which would re-run the CPU-heavy container-walk +
+    frame-decode chain five times."""
     from trendmachine_spark.extensions.dedup import _materialize
 
     frames = _materialize(frames.select("doc_id", "frame_md5"))
-    fp = frames.select("doc_id", "frame_md5")
     counts = frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames_sampled"))
+    fp = _guarded_frame_postings(frames, max_frame_freq)
     a = fp.select(F.col("doc_id").alias("id_a"), "frame_md5")
     b = fp.select(F.col("doc_id").alias("id_b"), "frame_md5")
     pairs = (

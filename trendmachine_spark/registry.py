@@ -4592,7 +4592,10 @@ def q_dedup_video_frames(spark, sf_dir):
     "dedup_video_near",
     # same decoded-pixel frame fingerprints as dedup_video_frames (the
     # fm CTE), relaxed from chain equality to >= 2 SHARED fingerprints
-    # per unordered pair — the frame-containment near-dup form.
+    # per unordered pair — the frame-containment near-dup form. r12:
+    # the hot/fmg CTEs mirror multimodal.MAX_FRAME_FREQ=50 — candidate
+    # postings drop fingerprints in > 50 distinct clips; cnt (n_a/n_b)
+    # stays over the FULL fm sample sets.
     """WITH v AS (SELECT doc_id, doc_id % 251 AS c
                   FROM documents WHERE doc_id % 3 = 2),
     fr AS (SELECT doc_id, c, unnest(range(3 + c % 6)) AS f FROM v),
@@ -4608,9 +4611,13 @@ def q_dedup_video_frames(spark, sf_dir):
                   md5(string_agg(CAST(pv AS VARCHAR), ',' ORDER BY pi))
                     AS fmd5
            FROM px GROUP BY doc_id, ord),
+    hot AS (SELECT fmd5 FROM fm GROUP BY fmd5
+            HAVING count(DISTINCT doc_id) > 50),
+    fmg AS (SELECT * FROM fm
+            WHERE fmd5 NOT IN (SELECT fmd5 FROM hot)),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(count(*) AS BIGINT) AS n_shared
-              FROM fm a JOIN fm b
+              FROM fmg a JOIN fmg b
                 ON a.fmd5 = b.fmd5 AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id
               HAVING count(*) >= 2),
@@ -4627,7 +4634,9 @@ def q_dedup_video_near(spark, sf_dir):
     ``dedup_video_frames`` — >= 2 identical sampled-frame fingerprints
     make a pair, catching the re-encode/trim class that exact chain
     signatures miss. Scale: inverted-index join on the fingerprint
-    with a hard per-clip posting bound (max_frames samples), one
+    with hard bounds on BOTH axes — max_frames postings per clip and
+    (round 12) max_frame_freq=50 clips per fingerprint, so a
+    boilerplate frame can no longer square a hot join key — one
     fingerprint exchange + one pair agg; pair output is quadratic in
     family size by definition — keeper pipelines consume the linear
     dedup_video_frames families."""
@@ -5147,7 +5156,9 @@ _PARITY_PERIOD = 3
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = []  # round 12: nothing changed yet — `rotate_window.py pin NAME` as queries change
+_WINDOW_PINNED: list[str] = [
+    "dedup_video_near",  # r12: max_frame_freq guard on the frame-containment join
+]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
