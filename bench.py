@@ -101,6 +101,24 @@ def main() -> None:
 
     import duckdb
 
+    # Size the INITIAL shuffle-partition count to the corpus, not the
+    # core count (round 12 — the structural close of the unbatched-
+    # median overhang): at 5 MB sf0.1, 32-way shuffles are pure
+    # scheduling floor (~4-5 ms/task, r11 partition sweep), and the
+    # FLOOR_AQE probe measured shuffle.partitions=8 beating 32 on
+    # EVERY sub-second query with AQE on. One partition per ~MB,
+    # clamped to [8, cpus], reproduces production sizing logic (where
+    # partitions target ~128 MB each): scaled corpora (>= cpus MB)
+    # keep exactly the historical cpus-way setting, so x10/x20
+    # round-over-round comparability is untouched — only the tiny-SF
+    # floor regime changes, and AQE still coalesces below the initial
+    # number when even that is too many.
+    total_mb = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    ) / (1 << 20)
+    shuffle_parts = str(max(8, min(int(cpus), int(total_mb))))
+
     # load telemetry: one single-threaded calibration connection for
     # the whole run; loadavg snapshots at the block boundaries
     calib_con = duckdb.connect()
@@ -118,7 +136,7 @@ def main() -> None:
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("trendmachine_spark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -313,6 +331,11 @@ def main() -> None:
             "methodology": {
                 "rebuilt_per_pass": sorted(MATERIALIZING),
                 "floor_batched": floor_batched,
+                "shuffle_partitions": int(shuffle_parts),
+                "shuffle_sizing": "max(8, min(cpus, corpus_MB)) since r12 "
+                                  "— data-sized initial shuffle width; "
+                                  "identical to the historical cpus-way "
+                                  "setting for any corpus >= cpus MB",
                 "note": "Queries listed in rebuilt_per_pass construct their "
                         "DataFrame INSIDE the timed window every pass (their "
                         "builders materialize state via localCheckpoint; "
