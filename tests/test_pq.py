@@ -367,3 +367,106 @@ def test_ivfpq_index_serve_equals_in_memory(spark, emb):
                for r in ivfpq_topk(emb, n_queries=10, k=5,
                                    n_probe=2).collect()}
     assert served == mem and served
+
+
+# ---------------------------------------------------------------- residual
+
+
+def test_residual_exact_when_codes_cover_corpus(spark, emb):
+    """With n_codes >= corpus size and refine=0, every residual is its
+    own seed codeword, so reconstruction is EXACT and full-probe
+    residual ADC must equal brute-force exact cosine bit-for-bit —
+    dot(q, c) + dot(q, r) = dot(q, v) in exact int64, identical IEEE
+    normalization. The strongest end-to-end check of the residual
+    encode/score arithmetic."""
+    from trendmachine_spark.extensions.similarity import (
+        brute_force_topk,
+        ivfpq_residual_topk,
+    )
+
+    small = emb.filter("vec_id < 16")
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cosine"])
+         for r in ivfpq_residual_topk(small, n_queries=4, k=3, n_cells=4,
+                                      n_probe=4, n_codes=16,
+                                      refine=0).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+         for r in brute_force_topk(small, n_queries=4, k=3).collect()}
+    assert a == b
+
+
+def test_residual_partition_invariant(emb):
+    from trendmachine_spark.extensions.similarity import ivfpq_residual_topk
+
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cosine"])
+         for r in ivfpq_residual_topk(emb, n_queries=5, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cosine"])
+         for r in ivfpq_residual_topk(emb.repartition(9), n_queries=5,
+                                      k=3).collect()}
+    assert a == b
+
+
+def test_residual_neighbors_come_from_probed_cells(qv, emb):
+    """Candidate restriction carries over unchanged from ivfpq_topk:
+    cells come from the SAME coarse quantizer (residuals change the
+    fine codes, not the partitioning)."""
+    from trendmachine_spark.extensions.similarity import (
+        ivf_centroids,
+        ivfpq_residual_topk,
+    )
+
+    cells, Cm, cnm = ivf_centroids(qv, 16, refine=1)
+    rows = sorted(qv.collect(), key=lambda r: r["vid"])
+    V = np.array([r["qvec"] for r in rows], dtype=np.int64)
+    vids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    aff = (V @ Cm.T) / cnm[None, :]
+    cell_of = {int(v): int(cells[i])
+               for v, i in zip(vids, np.argmax(aff, axis=1))}
+    probed: dict[int, set] = {}
+    for q in range(10):
+        j = int(np.where(vids == q)[0][0])
+        key = np.where(np.isnan(aff[j]), np.inf, -aff[j])
+        order = np.lexsort((cells, key))[:2]
+        probed[q] = {int(cells[i]) for i in order}
+    out = ivfpq_residual_topk(emb, n_queries=10, k=5, n_cells=16,
+                              n_probe=2).collect()
+    assert out
+    for r in out:
+        assert cell_of[r["neighbor_id"]] in probed[r["query_id"]], r
+
+
+def test_residual_probe_paths_equal_collect(emb):
+    """probe/seed_probe fast paths must be value-neutral for the
+    residual variant too (the driver-side residual-seed transform must
+    match the distributed assignment bit-for-bit)."""
+    from trendmachine_spark.extensions.similarity import (
+        ivfpq_residual_topk,
+        load_probe_matrix,
+    )
+
+    path = f"{SF}/embeddings.parquet"
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cosine"])
+         for r in ivfpq_residual_topk(emb, n_queries=5, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_cosine"])
+         for r in ivfpq_residual_topk(
+             emb, n_queries=5, k=3,
+             probe=load_probe_matrix(path, 10),
+             seed_probe=load_probe_matrix(path, 16)).collect()}
+    assert a == b
+
+
+def test_residual_empty_corpus(spark):
+    from trendmachine_spark.extensions.similarity import ivfpq_residual_topk
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    assert ivfpq_residual_topk(empty).count() == 0
+
+
+def test_seed_probe_bound_guard(qv):
+    """A probe resolved at an id bound below n_codes must raise, not
+    silently train fewer codebook entries (round-12 advisory)."""
+    from trendmachine_spark.extensions.similarity import load_probe_matrix
+
+    probe = load_probe_matrix(f"{SF}/embeddings.parquet", 8)
+    with pytest.raises(ValueError, match="bound 8 < n_codes=16"):
+        pq_codebooks(qv, refine=1, seed_probe=probe)

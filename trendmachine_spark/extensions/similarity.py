@@ -32,9 +32,11 @@ class _ProbeMatrix(tuple):
     so consumers that SEED from a probe (``pq_codebooks``) can verify
     the probe actually covers every id below their own cutoff — a
     probe resolved at a smaller bound would otherwise silently train
-    fewer codebook entries than the collect path (round-12 advisory)."""
+    fewer codebook entries than the collect path (round-12 advisory).
+    ``bound`` is set by the constructor site; a plain 3-tuple (no
+    bound attribute) skips the coverage check for back-compat."""
 
-    bound: int = 0
+    bound: int  # annotation only — instances set it explicitly
 
 
 def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
@@ -1261,13 +1263,20 @@ def _probe_cell_rows(qids, aff, cells, n_probe):
     return rows
 
 
-def _adc_lut_topk(cand, qids, qn, lut, k):
+def _adc_lut_topk(cand, qids, qn, lut, k, cell_dot=None):
     """Per-task LUT/ADC scoring with map-side top-k prune + the final
     rank window, over candidate rows (query_id, vid, codes, rnorm2) —
-    shared by :func:`ivfpq_topk` and :func:`ivfpq_topk_from_index`.
-    Task-local selection uses the window's exact total order
-    (adc_cosine DESC with NaN-as-NULL buried last, neighbor_id ASC),
-    so the prune is value-neutral."""
+    shared by :func:`ivfpq_topk`, :func:`ivfpq_topk_from_index`, and
+    (round 12) :func:`ivfpq_residual_topk`. Task-local selection uses
+    the window's exact total order (adc_cosine DESC with NaN-as-NULL
+    buried last, neighbor_id ASC), so the prune is value-neutral.
+
+    ``cell_dot``: optional ``(cell_pos, QC)`` for residual encoding —
+    ``cell_pos`` maps cell id -> column of ``QC`` (nq x n_cells exact
+    int64 query·centroid dots); when set, candidate rows must carry
+    ``cell`` and each score adds the candidate cell's centroid dot
+    (ADC against residual codes approximates dot(q, c + r̂) =
+    dot(q, c) + dot(q, r̂); the first term is exact)."""
     import numpy as np
 
     nq = len(qids)
@@ -1288,6 +1297,10 @@ def _adc_lut_topk(cand, qids, qn, lut, k):
             adot = np.zeros(len(Cd), dtype=np.int64)
             for m in range(n_sub_):
                 adot += lut[qi, m, Cd[:, m]]
+            if cell_dot is not None:
+                cell_pos, QC = cell_dot
+                ci = pdf["cell"].map(cell_pos).to_numpy(dtype=np.int64)
+                adot += QC[qi, ci]
             rn = np.sqrt(pdf["rnorm2"].to_numpy(dtype=np.float64))
             cos = adot / (qn[qi] * rn)
             nids = pdf["vid"].to_numpy(dtype=np.int64)
@@ -1308,7 +1321,10 @@ def _adc_lut_topk(cand, qids, qn, lut, k):
             }
         )
 
-    scored = cand.select("query_id", "vid", "codes", "rnorm2").mapInPandas(
+    cols = ["query_id", "vid", "codes", "rnorm2"]
+    if cell_dot is not None:
+        cols.append("cell")
+    scored = cand.select(*cols).mapInPandas(
         score, "query_id long, neighbor_id long, adc_cosine double")
     from pyspark.sql import Window
 
@@ -1403,6 +1419,181 @@ def ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
 
     lut = np.einsum("qmd,mkd->qmk", Q.reshape(nq, n_sub_, ds), cb)
     return _adc_lut_topk(cand, qids, qn, lut, k)
+
+
+def _residual_qv(qv: DataFrame, cells, Cm, cnm) -> DataFrame:
+    """(vid, qvec = v − centroid(cell(v)), norm2, cell) — the residual
+    view of the corpus under the trained coarse quantizer. Centroids
+    are exact integers (floor-of-mean, :func:`ivf_centroids`), so
+    residuals stay int64-exact and everything downstream keeps the
+    bit-parity story. Zero shuffles: one Arrow-batched matmul+subtract
+    per partition against the literal centroid matrix."""
+    import numpy as np  # noqa: F401  (closure capture for workers)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            a = (V @ Cm.T) / cnm[None, :]
+            ci = np.argmax(a, axis=1)  # first max = lowest cell
+            R = V - Cm[ci]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(dtype=np.int64),
+                    "qvec": list(R),
+                    "norm2": (R * R).sum(axis=1),
+                    "cell": cells[ci],
+                }
+            )
+
+    return qv.mapInPandas(
+        run, "vid long, qvec array<long>, norm2 long, cell long")
+
+
+def ivfpq_residual_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                        n_cells: int = 16, n_probe: int = 2,
+                        n_sub: int = PQ_SUBSPACES, n_codes: int = PQ_CODES,
+                        refine: int = 1, vec_col: str = "embedding",
+                        id_col: str = "vec_id", probe=None,
+                        seed_probe=None) -> DataFrame:
+    """IVF + PQ with RESIDUAL encoding — the FAISS ``IVFxx,PQyy``
+    default (Jegou et al. 2011 §IV-A): PQ codebooks are trained on,
+    and codes quantize, the residual ``r = v − c(v)`` of each vector
+    from its cell centroid rather than the raw vector. Residuals
+    concentrate the quantizer's dynamic range (within a cell, vectors
+    share the centroid, so the residual distribution is tighter than
+    the raw one), which buys recall at equal code budget —
+    ANN_RECALL.json carries the raw-vs-residual measurement.
+
+    The r11 ``ivfpq_topk`` documented raw encoding as its divergence
+    from FAISS because residuals seemed to break bit-exact
+    cross-engine training; they don't: centroids are exact integers
+    (floor-of-mean), so residuals are int64-exact and every training
+    sum, code assignment, and ADC dot below is the same exact-integer
+    arithmetic the raw variant pins — this variant closes that
+    divergence as a first-class oracled query.
+
+    Scoring: ADC approximates ``dot(q, c + r̂) = dot(q, c) +
+    dot(q, r̂)`` — the centroid term is EXACT (both sides int64; the
+    per-(query, cell) dot matrix ships with the probe table), the
+    residual term is the standard per-task LUT gather over the
+    residual codebooks. Normalization uses the exact reconstruction
+    norm ``‖c + r̂‖² = ‖c‖² + 2·dot(c, r̂) + ‖r̂‖²``, computed at
+    encode time from the trained structures (integer throughout).
+
+    Output: query_id, neighbor_id, rank, adc_cosine.
+
+    SCALE: identical plan shape to :func:`ivfpq_topk` — fused
+    zero-shuffle cell+residual+code encode, broadcast probe join, one
+    k-bounded rank window; the extra cost is one (n_cells × n_sub ×
+    K) driver-side einsum for the centroid·codeword table and one
+    subtract per vector in the encode pass. The same two
+    multiplicative reductions (n_probe/n_cells of the rows at 1/64th
+    the bytes) carry over unchanged.
+    """
+    import numpy as np
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    spark = qv.sparkSession
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, adc_cosine double")
+    cent = ivf_centroids(qv, n_cells, refine)
+    if cent is None:
+        return spark.createDataFrame([], empty_schema)
+    cells, Cm, cnm = cent
+
+    # residual seed probe: assign each pre-resolved raw seed vector to
+    # its cell DRIVER-SIDE (same exact ints, IEEE divides, and
+    # first-max tie-break as the distributed pass) and subtract — so
+    # codebook training still skips the seed-collect Spark job
+    rseed = None
+    if seed_probe is not None:
+        sids, SQ, _ = seed_probe
+        S = np.asarray(SQ, dtype=np.int64)
+        if len(S):
+            a = (S @ Cm.T) / cnm[None, :]
+            R = S - Cm[np.argmax(a, axis=1)]
+            rseed = _ProbeMatrix((np.asarray(sids, dtype=np.int64), R,
+                                  (R * R).sum(axis=1)))
+            b = getattr(seed_probe, "bound", None)
+            if b is not None:
+                rseed.bound = b
+
+    rv = _residual_qv(qv, cells, Cm, cnm)
+    cb = pq_codebooks(rv, n_sub, n_codes, refine, seed_probe=rseed)
+    if cb is None:
+        return spark.createDataFrame([], empty_schema)
+    if probe is not None:
+        qids, Q, n2 = probe
+        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
+        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
+        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        if not len(qids):
+            return spark.createDataFrame([], empty_schema)
+    else:
+        qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
+                       key=lambda r: r["vid"])
+        if not qrows:
+            return spark.createDataFrame([], empty_schema)
+        qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+        Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+        qn = np.sqrt(np.array([r["norm2"] for r in qrows],
+                              dtype=np.float64))
+    nq = len(qids)
+    n_sub_, _, ds = cb.shape
+    n_cells_ = len(cells)
+
+    aff = (Q @ Cm.T) / cnm[None, :]
+    probes = spark.createDataFrame(
+        _probe_cell_rows(qids, aff, cells, n_probe),
+        "query_id long, cell long")
+
+    # fused encode: cell + residual codes + exact reconstruction norm
+    # ‖c + r̂‖² = ‖c‖² + 2·dot(c, r̂) + ‖r̂‖² in ONE zero-shuffle pass
+    cbn2 = (cb ** 2).sum(axis=2)                                    # (M, K)
+    ccw = np.einsum("cmd,mkd->cmk",
+                    Cm.reshape(n_cells_, n_sub_, ds), cb)           # (C, M, K)
+    cn2c = (Cm ** 2).sum(axis=1)                                    # (C,)
+    marange = np.arange(n_sub_)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            a = (V @ Cm.T) / cnm[None, :]
+            ci = np.argmax(a, axis=1)
+            R = V - Cm[ci]
+            codes = _pq_assign(R, cb)
+            rn2 = (cn2c[ci]
+                   + 2 * ccw[ci[:, None], marange[None, :], codes].sum(axis=1)
+                   + cbn2[marange[None, :], codes].sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(dtype=np.int64),
+                    "cell": cells[ci],
+                    "codes": list(codes),
+                    "rnorm2": rn2.astype(np.int64),
+                }
+            )
+
+    enc = qv.mapInPandas(
+        encode, "vid long, cell long, codes array<int>, rnorm2 long")
+    cand = enc.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("vid"))
+
+    lut = np.einsum("qmd,mkd->qmk", Q.reshape(nq, n_sub_, ds), cb)
+    QC = Q @ Cm.T                                                   # exact
+    cell_pos = {int(c): i for i, c in enumerate(cells)}
+    return _adc_lut_topk(cand, qids, qn, lut, k,
+                         cell_dot=(cell_pos, QC))
 
 
 def pq_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,

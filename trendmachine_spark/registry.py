@@ -3278,6 +3278,121 @@ def _ivfpq_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
     ) WHERE rank <= {k}"""
 
 
+def _ivfpq_residual_topk_oracle(n_queries: int = 10, k: int = 5,
+                                n_cells: int = 16, n_probe: int = 2,
+                                n_sub: int = 8, n_codes: int = 16,
+                                ds: int = 8) -> str:
+    """Exact mirror of similarity.ivfpq_residual_topk — the FAISS-
+    default residual encoding: PQ codebooks trained on r = v − c(v)
+    (centroids are exact floor-of-mean integers, so residuals are
+    int64-exact), ADC = exact query·centroid dot + residual LUT sum,
+    normalized by the exact reconstruction norm ‖c + r̂‖² =
+    ‖c‖² + 2·dot(c, r̂) + ‖r̂‖². All r-prefixed CTEs are the _pq_ctes
+    chain re-sourced from residual subvectors; cand carries the
+    per-(query, candidate-cell) centroid dot."""
+    return f"""WITH {_ivf_refined_ctes(n_cells)},
+    rsubs AS (
+      SELECT a.vec_id, a.cell, m,
+             list_transform(generate_series(1, {ds}),
+                            i -> a.q[m * {ds} + i] - c.cvec[m * {ds} + i]) AS sub
+      FROM assigned a JOIN cents2 c ON a.cell = c.cell,
+           unnest(generate_series(0, {n_sub - 1})) AS t(m)
+    ),
+    rseeds AS (
+      SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
+             sub AS cvec
+      FROM rsubs WHERE vec_id < {n_codes}
+    ),
+    rd1 AS (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(list_sum(list_transform(generate_series(1, {ds}),
+                  i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
+      FROM rsubs s JOIN rseeds c ON s.m = c.m
+    ),
+    ra1 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, code) AS _rk
+        FROM rd1
+      ) WHERE _rk = 1
+    ),
+    r_csums AS (
+      SELECT a.m, a.code, i AS pos,
+             CAST(sum(s.sub[i]) AS BIGINT) AS ssum, count(*) AS cnt
+      FROM ra1 a JOIN rsubs s ON a.vec_id = s.vec_id AND a.m = s.m,
+           unnest(generate_series(1, {ds})) AS t(i)
+      GROUP BY a.m, a.code, i
+    ),
+    r_refined AS (
+      SELECT m, code,
+             list(CAST(floor(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
+      FROM r_csums GROUP BY m, code
+    ),
+    rcb AS (
+      SELECT s.m, s.code, COALESCE(r.cvec, s.cvec) AS cvec,
+             CAST(list_sum(list_transform(COALESCE(r.cvec, s.cvec), v -> v * v)) AS BIGINT) AS cn2
+      FROM rseeds s LEFT JOIN r_refined r ON s.m = r.m AND s.code = r.code
+    ),
+    rd2 AS (
+      SELECT s.vec_id, s.m, c.code, c.cn2, c.cvec,
+             CAST(list_sum(list_transform(generate_series(1, {ds}),
+                  i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
+      FROM rsubs s JOIN rcb c ON s.m = c.m
+    ),
+    rcodes AS (
+      SELECT vec_id, m, code, cn2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, code) AS _rk
+        FROM rd2
+      ) WHERE _rk = 1
+    ),
+    rrecon AS (
+      SELECT kk.vec_id,
+             CAST(any_value(c.cn)
+                  + 2 * sum(list_sum(list_transform(generate_series(1, {ds}),
+                            i -> c.cvec[kk.m * {ds} + i] * b.cvec[i])))
+                  + sum(b.cn2) AS BIGINT) AS rnorm2
+      FROM rcodes kk
+           JOIN assigned a ON kk.vec_id = a.vec_id
+           JOIN cents2 c ON a.cell = c.cell
+           JOIN rcb b ON kk.m = b.m AND kk.code = b.code
+      GROUP BY kk.vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _aff DESC, cell) AS _rk
+        FROM aff WHERE vec_id < {n_queries}
+      ) WHERE _rk <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, p.q, p.qn, a.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(p.q)),
+                  i -> p.q[i] * c.cvec[i])) AS BIGINT) AS qc
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
+           JOIN cents2 c ON a.cell = c.cell
+    ),
+    radc AS (
+      SELECT cd.query_id, cd.neighbor_id, max(cd.qn) AS qn, max(cd.qc) AS qc,
+             CAST(sum(list_sum(list_transform(generate_series(1, {ds}),
+                  i -> cd.q[kk.m * {ds} + i] * b.cvec[i]))) AS BIGINT) AS radot
+      FROM cand cd JOIN rcodes kk ON cd.neighbor_id = kk.vec_id
+           JOIN rcb b ON kk.m = b.m AND kk.code = b.code
+      GROUP BY cd.query_id, cd.neighbor_id
+    ),
+    res_scored AS (
+      SELECT a.query_id, a.neighbor_id,
+             CAST(a.qc + a.radot AS DOUBLE)
+               / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(r.rnorm2 AS DOUBLE))) AS adc_cosine
+      FROM radc a JOIN rrecon r ON a.neighbor_id = r.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_cosine DESC, neighbor_id) AS rank
+      FROM res_scored
+    ) WHERE rank <= {k}"""
+
+
 @register("similarity_ivfpq_topk", _ivfpq_topk_oracle())
 def q_similarity_ivfpq_topk(spark, sf_dir):
     """IVF+PQ ANN top-k (round 11): the production 100 TB shape —
@@ -3293,6 +3408,29 @@ def q_similarity_ivfpq_topk(spark, sf_dir):
                       n_cells=16, n_probe=2,
                       probe=load_probe_matrix(path, 10),
                       seed_probe=load_probe_matrix(path, 16))
+
+
+@register("similarity_ivfpq_residual_topk", _ivfpq_residual_topk_oracle())
+def q_similarity_ivfpq_residual_topk(spark, sf_dir):
+    """IVF+PQ with RESIDUAL encoding (round 12): the FAISS default —
+    PQ codes quantize v − centroid(cell(v)) instead of the raw vector
+    (residuals concentrate the quantizer's dynamic range; ANN_RECALL
+    carries the raw-vs-residual recall delta at equal code budget).
+    Centroids are exact floor-of-mean integers, so residual training
+    stays bit-exact cross-engine — closing the divergence the r11
+    ivfpq_topk docstring declared."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (
+        ivfpq_residual_topk,
+        load_probe_matrix,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return ivfpq_residual_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
+                               n_cells=16, n_probe=2,
+                               probe=load_probe_matrix(path, 10),
+                               seed_probe=load_probe_matrix(path, 16))
 
 
 #: at-rest IVFPQ index memo per (applicationId, sf_dir): the index
@@ -5158,6 +5296,7 @@ _PARITY_PERIOD = 3
 #: sf0.01 oracle now, so they never enter the rotation pool this round
 _WINDOW_PINNED: list[str] = [
     "dedup_video_near",  # r12: max_frame_freq guard on the frame-containment join
+    "similarity_ivfpq_residual_topk",  # new r12: residual-encoding IVFPQ
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5240,6 +5379,7 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "dedup_video_near",  # new r11 (frame-containment pairs; pinned r11)
     "pq_distortion",  # new r11 (PQ health report; pinned r11)
     "similarity_ivfpq_topk",  # new r11 (IVF+PQ ANN; pinned r11)
+    "similarity_ivfpq_residual_topk",  # new r12 (residual IVFPQ; pinned r12)
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
