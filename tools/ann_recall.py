@@ -231,6 +231,20 @@ def main() -> None:
             ivfpq_topk(emb, N_QUERIES, K, n_cells=16, n_probe=np_).collect(),
             exact_sets)
 
+    # RESIDUAL encoding (round 12): same cells, same code budget
+    # (8 subspaces x 16 codes), but the fine quantizer codes
+    # v − centroid(cell(v)) — the FAISS default. Residuals concentrate
+    # the quantizer's dynamic range, so at equal bytes the row pair
+    # (ivfpq vs ivfpq_residual at each n_probe) shows what the default
+    # buys; the r11 raw-encoding divergence is now a measured choice.
+    from trendmachine_spark.extensions.similarity import ivfpq_residual_topk
+
+    for np_ in (1, 2, 4):
+        pq[f"ivfpq_residual,n_probe={np_}"] = _recall(
+            ivfpq_residual_topk(
+                emb, N_QUERIES, K, n_cells=16, n_probe=np_).collect(),
+            exact_sets)
+
     # Recall CEILING evidence (round 5): the scaled corpus replicates
     # each base vector, so a query has exactly |family|-1 true
     # neighbors; the k-th exact "neighbor" beyond that is isotropic

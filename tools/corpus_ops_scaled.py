@@ -100,12 +100,35 @@ def run_spark(sf_dir: str) -> None:
     spark.stop()
 
 
+def _scaled_oracles(sf_dir: str) -> dict:
+    """Engine-twin SQL keyed by op name. The semantic ops follow the
+    r12 sqrt cell rule on the SPARK side, so their DuckDB twins must
+    be re-generated at the SAME n_cells — comparing a 256-cell Spark
+    run against a 16-cell SQL twin would time two different
+    computations (and flatter Spark: the fixed-cell one is the
+    superlinear one). All other ops use their registered oracle."""
+    from trendmachine_spark.registry import (
+        QUERIES,
+        _semantic_cells,
+        _semantic_dedup_oracle,
+        _semantic_keepers_oracle,
+    )
+
+    cells = _semantic_cells(sf_dir)
+    out = {n: QUERIES[n].oracle for n in OPS}
+    if "dedup_semantic" in out:
+        out["dedup_semantic"] = _semantic_dedup_oracle(cells)
+    if "dedup_semantic_keepers" in out:
+        out["dedup_semantic_keepers"] = _semantic_keepers_oracle(cells)
+    return out
+
+
 def run_duckdb(sf_dir: str) -> None:
     import duckdb
 
-    from trendmachine_spark.registry import QUERIES
     from trendmachine_spark.sources.tables import TABLES
 
+    oracles = _scaled_oracles(sf_dir)
     con = duckdb.connect()
     con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in TABLES:
@@ -118,7 +141,7 @@ def run_duckdb(sf_dir: str) -> None:
         pass_calib.append(calib())
         for n in OPS:
             t0 = time.perf_counter()
-            con.execute(QUERIES[n].oracle).fetchall()
+            con.execute(oracles[n]).fetchall()
             timings[n] = round(min(timings.get(n, 1e9), time.perf_counter() - t0), 3)
     print(json.dumps({"engine": "duckdb", "sf_dir": sf_dir, "queries": timings,
                       "total": round(sum(timings.values()), 3),

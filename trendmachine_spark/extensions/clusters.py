@@ -240,7 +240,7 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     )
 
 
-def semantic_keepers(emb: DataFrame, n_cells: int = 16,
+def semantic_keepers(emb: DataFrame, n_cells: int | None = 16,
                      min_cosine: float = 0.3, id_col: str = "vec_id") -> DataFrame:
     """End-to-end SemDeDup: semantic near-dup pairs -> connected
     components -> deterministic keeper per semantic cluster.
@@ -252,8 +252,9 @@ def semantic_keepers(emb: DataFrame, n_cells: int = 16,
     anti-join for the corpus pipeline).
 
     Scale inherits its stages: zero-shuffle cell assignment +
-    cell-partitioned pair join (see ``similarity.semantic_dedup``),
-    then hash-min components over the PAIR graph only — iteration
+    cell-partitioned pair join (see ``similarity.semantic_dedup`` —
+    ``n_cells=None`` applies the sqrt operating rule there), then
+    hash-min components over the PAIR graph only — iteration
     touches verified duplicates, never the full corpus.
     """
     from trendmachine_spark.extensions.similarity import semantic_dedup

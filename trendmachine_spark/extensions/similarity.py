@@ -757,7 +757,34 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5, n_cells: int = 16,
     )
 
 
-def semantic_dedup(emb: DataFrame, n_cells: int = 16, min_cosine: float = 0.3,
+def semantic_cells_for(n: int) -> int:
+    """Operating rule for SemDeDup's cell count (round 12 — the r11
+    verdict's mandate): the power of two nearest ``sqrt(n)``, clamped
+    to [16, 4096].
+
+    Why sqrt: with ~balanced cells of size n/c, the within-cell exact
+    pair stage costs Σ(n/c)²·c = n²/c vector dots while the assignment
+    matmul costs n·c — the two terms balance (total ~2·n^1.5·d,
+    minimal for a single-level quantizer) at c = sqrt(n). A FIXED c
+    makes the pair stage grow as n² — the superlinear knee the r11
+    scaled measurement caught at n_cells=16 (SEMANTIC_CELLS.json
+    quantifies both curves). The paper's own remedy is the same knob
+    (~100k clusters for ~5 B images — Abbas et al. 2023 §3).
+
+    Power-of-two snapping keeps the trained-structure space small and
+    reproducible; the floor of 16 preserves the historical default
+    (and the pinned oracles) for every corpus below ~512 vectors —
+    both driver-correctness SFs land there by construction.
+    """
+    import math
+
+    if n <= 0:
+        return 16
+    return max(16, min(4096, 2 ** round(math.log2(math.sqrt(n)))))
+
+
+def semantic_dedup(emb: DataFrame, n_cells: int | None = 16,
+                   min_cosine: float = 0.3,
                    vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: IVF-cell partition, then
     exact within-cell cosine (Abbas et al. 2023, "SemDeDup: Data-
@@ -790,15 +817,20 @@ def semantic_dedup(emb: DataFrame, n_cells: int = 16, min_cosine: float = 0.3,
 
     At 100 TB: within-cell pairwise is O(sum cell_size^2) — ``n_cells``
     must grow with the corpus (the paper uses ~100k clusters for ~5 B
-    images; cells of ~sqrt(N) keep it linear-ish). One executor holds
-    one cell's vectors (m × dim int64); the gram matrix itself is
-    computed in row blocks of ``block`` so peak scratch is
+    images). Pass ``n_cells=None`` to apply the
+    :func:`semantic_cells_for` sqrt-rule from the corpus count (one
+    cheap count job; callers that know the count pass the rule's value
+    directly — the registry does, from parquet metadata). One executor
+    holds one cell's vectors (m × dim int64); the gram matrix itself
+    is computed in row blocks of ``block`` so peak scratch is
     block × m doubles regardless of cell size. Cell assignment is
     zero-shuffle (see :func:`ivf_assign`); a pathologically hot cell
     means the centroid set no longer partitions the space — raise
     n_cells (re-centroid), the same remedy the paper applies.
     """
     qv = quantize_embeddings(emb, vec_col, id_col)
+    if n_cells is None:
+        n_cells = semantic_cells_for(qv.count())
     assigned = ivf_assign(qv, n_cells)
     return _grouped_gram_pairs(assigned, "cell", min_cosine)
 

@@ -3890,13 +3890,41 @@ def _semantic_cte(n_cells: int = 16, min_cosine: float = 0.3) -> str:
     )"""
 
 
+def _semantic_cells(sf_dir: str) -> int:
+    """``semantic_cells_for`` applied to the embeddings parquet's FILE
+    METADATA row count — no Spark job (the load_probe_matrix stance).
+    Both driver-correctness SFs (50 and 500 vectors) land on the
+    16-cell floor by the rule's construction, so the pinned
+    n_cells=16 oracle strings stay exact there; scaled corpora get
+    the sqrt rule, and their DuckDB twins are re-generated at the
+    SAME cell count by tools/corpus_ops_scaled.py (the oracle
+    builders are parameterized)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from trendmachine_spark.extensions.similarity import semantic_cells_for
+
+    try:
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    except OSError:
+        return 16
+    return semantic_cells_for(n)
+
+
 @register("dedup_semantic", _semantic_dedup_oracle())
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic near-dup: deterministic IVF cells +
-    exact within-cell quantized cosine (similarity.semantic_dedup)."""
+    exact within-cell quantized cosine (similarity.semantic_dedup).
+    Round 12: n_cells follows the sqrt operating rule
+    (similarity.semantic_cells_for) — fixed cells bend the within-cell
+    pair stage quadratic at scale (SEMANTIC_CELLS.json names the
+    knee); the rule keeps both driver SFs at the oracle's 16."""
     from trendmachine_spark.extensions.similarity import semantic_dedup
 
-    return semantic_dedup(_embeddings(spark, sf_dir), n_cells=16, min_cosine=0.3)
+    return semantic_dedup(_embeddings(spark, sf_dir),
+                          n_cells=_semantic_cells(sf_dir), min_cosine=0.3)
 
 
 @register(
@@ -3955,11 +3983,13 @@ def q_corpus_stats(spark, sf_dir):
     return corpus_stats(_docs(spark, sf_dir))
 
 
-@register(
-    "dedup_semantic_keepers",
-    # semantic pairs -> connected components via recursive transitive
-    # closure (min reachable id), keeper = smallest id per component
-    f"""WITH RECURSIVE {_semantic_cte()},
+def _semantic_keepers_oracle(n_cells: int = 16,
+                             min_cosine: float = 0.3) -> str:
+    """semantic pairs -> connected components via recursive transitive
+    closure (min reachable id), keeper = smallest id per component.
+    Parameterized (round 12) so tools/corpus_ops_scaled.py can
+    re-generate the engine twin at the adaptive cell count."""
+    return f"""WITH RECURSIVE {_semantic_cte(n_cells, min_cosine)},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM sem_pairs
       UNION ALL
@@ -3974,14 +4004,18 @@ def q_corpus_stats(spark, sf_dir):
     SELECT CAST(node AS BIGINT) AS vec_id,
            CAST(cluster_id AS BIGINT) AS cluster_id,
            CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-    FROM comp""",
-)
+    FROM comp"""
+
+
+@register("dedup_semantic_keepers", _semantic_keepers_oracle())
 def q_dedup_semantic_keepers(spark, sf_dir):
     """End-to-end SemDeDup: semantic pairs -> hash-min components ->
-    smallest-id keeper per semantic cluster (clusters.semantic_keepers)."""
+    smallest-id keeper per semantic cluster (clusters.semantic_keepers).
+    Round 12: adaptive n_cells via the sqrt rule, as dedup_semantic."""
     from trendmachine_spark.extensions.clusters import semantic_keepers
 
-    return semantic_keepers(_embeddings(spark, sf_dir), n_cells=16, min_cosine=0.3)
+    return semantic_keepers(_embeddings(spark, sf_dir),
+                            n_cells=_semantic_cells(sf_dir), min_cosine=0.3)
 
 
 @register(
@@ -5297,6 +5331,8 @@ _PARITY_PERIOD = 3
 _WINDOW_PINNED: list[str] = [
     "dedup_video_near",  # r12: max_frame_freq guard on the frame-containment join
     "similarity_ivfpq_residual_topk",  # new r12: residual-encoding IVFPQ
+    "dedup_semantic",  # r12: adaptive sqrt-rule n_cells
+    "dedup_semantic_keepers",  # r12: adaptive sqrt-rule n_cells
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
