@@ -2980,7 +2980,7 @@ def _ivf_refined_ctes(n_cells: int) -> str:
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
       FROM embeddings
     ),
-    nv AS (
+    nv AS MATERIALIZED (
       SELECT vec_id, q,
              CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
       FROM qv
@@ -3013,7 +3013,7 @@ def _ivf_refined_ctes(n_cells: int) -> str:
              list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
       FROM csums GROUP BY cell
     ),
-    cents2 AS (
+    cents2 AS MATERIALIZED (
       SELECT c.cell,
              COALESCE(r.cvec, c.cvec) AS cvec,
              CAST(list_sum(list_transform(COALESCE(r.cvec, c.cvec), v -> v * v)) AS BIGINT) AS cn
@@ -3026,7 +3026,7 @@ def _ivf_refined_ctes(n_cells: int) -> str:
                / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
       FROM nv v, cents2 c
     ),
-    assigned AS (
+    assigned AS MATERIALIZED (
       SELECT vec_id, q, norm2, cell FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY _aff DESC, cell) AS _rk
@@ -3102,7 +3102,7 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
       FROM qv
     ),
     """
-    return (base if include_base else "") + f"""subs AS (
+    return (base if include_base else "") + f"""subs AS MATERIALIZED (
       SELECT vec_id, m,
              list_transform(generate_series(1, {ds}), i -> q[m * {ds} + i]) AS sub
       FROM nv, unnest(generate_series(0, {n_sub - 1})) AS t(m)
@@ -3137,7 +3137,7 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
              list(CAST(floor(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
       FROM pq_csums GROUP BY m, code
     ),
-    cb AS (
+    cb AS MATERIALIZED (
       SELECT s.m, s.code, COALESCE(r.cvec, s.cvec) AS cvec,
              CAST(list_sum(list_transform(COALESCE(r.cvec, s.cvec), v -> v * v)) AS BIGINT) AS cn2
       FROM seeds s LEFT JOIN pq_refined r ON s.m = r.m AND s.code = r.code
@@ -3148,7 +3148,7 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
                   i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
       FROM subs s JOIN cb c ON s.m = c.m
     ),
-    codes AS (
+    codes AS MATERIALIZED (
       SELECT vec_id, m, code, cn2, dist FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                      ORDER BY dist, code) AS _rk
@@ -3291,7 +3291,7 @@ def _ivfpq_residual_topk_oracle(n_queries: int = 10, k: int = 5,
     chain re-sourced from residual subvectors; cand carries the
     per-(query, candidate-cell) centroid dot."""
     return f"""WITH {_ivf_refined_ctes(n_cells)},
-    rsubs AS (
+    rsubs AS MATERIALIZED (
       SELECT a.vec_id, a.cell, m,
              list_transform(generate_series(1, {ds}),
                             i -> a.q[m * {ds} + i] - c.cvec[m * {ds} + i]) AS sub
@@ -3328,7 +3328,7 @@ def _ivfpq_residual_topk_oracle(n_queries: int = 10, k: int = 5,
              list(CAST(floor(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
       FROM r_csums GROUP BY m, code
     ),
-    rcb AS (
+    rcb AS MATERIALIZED (
       SELECT s.m, s.code, COALESCE(r.cvec, s.cvec) AS cvec,
              CAST(list_sum(list_transform(COALESCE(r.cvec, s.cvec), v -> v * v)) AS BIGINT) AS cn2
       FROM rseeds s LEFT JOIN r_refined r ON s.m = r.m AND s.code = r.code
@@ -3339,7 +3339,7 @@ def _ivfpq_residual_topk_oracle(n_queries: int = 10, k: int = 5,
                   i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
       FROM rsubs s JOIN rcb c ON s.m = c.m
     ),
-    rcodes AS (
+    rcodes AS MATERIALIZED (
       SELECT vec_id, m, code, cn2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                      ORDER BY dist, code) AS _rk
@@ -4779,13 +4779,15 @@ def q_dedup_video_frames(spark, sf_dir):
                         + ((pi // (8 * bw)) // 8) * 11
                         + c + 17 * f) % 128) AS pv
            FROM (SELECT *, unnest(range(64 * bw * bh)) AS pi FROM s)),
-    fm AS (SELECT doc_id, ord,
+    fm AS MATERIALIZED (
+           SELECT doc_id, ord,
                   md5(string_agg(CAST(pv AS VARCHAR), ',' ORDER BY pi))
                     AS fmd5
            FROM px GROUP BY doc_id, ord),
     hot AS (SELECT fmd5 FROM fm GROUP BY fmd5
             HAVING count(DISTINCT doc_id) > 50),
-    fmg AS (SELECT * FROM fm
+    fmg AS MATERIALIZED (
+            SELECT * FROM fm
             WHERE fmd5 NOT IN (SELECT fmd5 FROM hot)),
     pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(count(*) AS BIGINT) AS n_shared
