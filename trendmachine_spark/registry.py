@@ -2968,19 +2968,28 @@ def q_tfidf_ml(spark, sf_dir):
     )
 
 
-def _ivf_refined_ctes(n_cells: int) -> str:
+def _ivf_refined_ctes(n_cells: int, materialize: bool = False) -> str:
     """CTE chain qv -> nv -> seed cents -> one exact Lloyd iteration ->
     cents2/aff/assigned — mirrors similarity.ivf_centroids(refine=1):
     members assigned by (aff DESC, cell) argmax against the seed
     centroids; the refined component is floor(sum/count) (int64 sums
     exact, one IEEE division on exactly-representable operands, floor
-    deterministic); a cell with no members keeps its seed vector."""
+    deterministic); a cell with no members keeps its seed vector.
+
+    ``materialize``: add AS MATERIALIZED to the multi-referenced
+    nv/cents2/assigned CTEs. OFF by default — DuckDB's own CTE
+    heuristics beat forced materialization on the plain IVF/IVFPQ
+    chains (measured 2-10x slower with blanket hints at x20) — and ON
+    only for composers whose downstream chains re-reference these CTEs
+    multiplicatively (the residual-PQ oracle, where inlining
+    re-expanded the training chain into 83+ CPU-minutes at x10)."""
+    m = " MATERIALIZED" if materialize else ""
     return f"""qv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
       FROM embeddings
     ),
-    nv AS MATERIALIZED (
+    nv AS{m} (
       SELECT vec_id, q,
              CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
       FROM qv
@@ -3013,7 +3022,7 @@ def _ivf_refined_ctes(n_cells: int) -> str:
              list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
       FROM csums GROUP BY cell
     ),
-    cents2 AS MATERIALIZED (
+    cents2 AS{m} (
       SELECT c.cell,
              COALESCE(r.cvec, c.cvec) AS cvec,
              CAST(list_sum(list_transform(COALESCE(r.cvec, c.cvec), v -> v * v)) AS BIGINT) AS cn
@@ -3026,7 +3035,7 @@ def _ivf_refined_ctes(n_cells: int) -> str:
                / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
       FROM nv v, cents2 c
     ),
-    assigned AS MATERIALIZED (
+    assigned AS{m} (
       SELECT vec_id, q, norm2, cell FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                                      ORDER BY _aff DESC, cell) AS _rk
@@ -3102,7 +3111,7 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
       FROM qv
     ),
     """
-    return (base if include_base else "") + f"""subs AS MATERIALIZED (
+    return (base if include_base else "") + f"""subs AS (
       SELECT vec_id, m,
              list_transform(generate_series(1, {ds}), i -> q[m * {ds} + i]) AS sub
       FROM nv, unnest(generate_series(0, {n_sub - 1})) AS t(m)
@@ -3137,7 +3146,7 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
              list(CAST(floor(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
       FROM pq_csums GROUP BY m, code
     ),
-    cb AS MATERIALIZED (
+    cb AS (
       SELECT s.m, s.code, COALESCE(r.cvec, s.cvec) AS cvec,
              CAST(list_sum(list_transform(COALESCE(r.cvec, s.cvec), v -> v * v)) AS BIGINT) AS cn2
       FROM seeds s LEFT JOIN pq_refined r ON s.m = r.m AND s.code = r.code
@@ -3148,7 +3157,7 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
                   i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
       FROM subs s JOIN cb c ON s.m = c.m
     ),
-    codes AS MATERIALIZED (
+    codes AS (
       SELECT vec_id, m, code, cn2, dist FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id, m
                                      ORDER BY dist, code) AS _rk
@@ -3290,7 +3299,7 @@ def _ivfpq_residual_topk_oracle(n_queries: int = 10, k: int = 5,
     ‖c‖² + 2·dot(c, r̂) + ‖r̂‖². All r-prefixed CTEs are the _pq_ctes
     chain re-sourced from residual subvectors; cand carries the
     per-(query, candidate-cell) centroid dot."""
-    return f"""WITH {_ivf_refined_ctes(n_cells)},
+    return f"""WITH {_ivf_refined_ctes(n_cells, materialize=True)},
     rsubs AS MATERIALIZED (
       SELECT a.vec_id, a.cell, m,
              list_transform(generate_series(1, {ds}),
@@ -3877,8 +3886,13 @@ def _semantic_dedup_oracle(n_cells: int = 16, min_cosine: float = 0.3) -> str:
 def _semantic_cte(n_cells: int = 16, min_cosine: float = 0.3) -> str:
     """The semantic-pair CTE chain shared by dedup_semantic and
     dedup_semantic_keepers (mirrors the refined ivf_assign + within-
-    cell cosine)."""
-    return f"""{_ivf_refined_ctes(n_cells)},
+    cell cosine). Composes the IVF chain WITH materialization hints:
+    sem_pairs self-joins `assigned` (and keepers re-reads sem_pairs
+    from both edge directions), and DuckDB's CTE inlining re-expands
+    the whole Lloyd chain per reference — measured 373 s vs 25.9 s at
+    x10 (hint-free vs hinted, r12). Value-neutral: parity re-verified
+    hash-exact at both SFs."""
+    return f"""{_ivf_refined_ctes(n_cells, materialize=True)},
     sem_pairs AS (
       SELECT id_a, id_b, cell, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
