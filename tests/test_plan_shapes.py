@@ -246,9 +246,12 @@ SHUFFLE_BUDGETS = {
     # r11 real video decode: per-clip mapInPandas chain, zero exchanges
     # (the synth rebalance is round-robin, uncounted)
     "multimodal_video_decode": (0, True),
-    # r11 frame-containment pairs: materialized fingerprint table, one
-    # pair-agg exchange + one counts-agg exchange; +2 slack for the two
-    # count joins degrading from broadcast to SMJ at scale
+    # r11 frame-containment pairs; r12 adds the max_frame_freq guard
+    # with TWO materialization points (raw fingerprints + guarded
+    # postings — the hot-set countDistinct would otherwise instantiate
+    # per self-join side, measured 7 exchanges). Executed plan: 3
+    # (self-join key + pair agg + counts agg); +1 slack for a count
+    # join degrading from broadcast to SMJ at scale
     "dedup_video_near": (4, True),
 }
 

@@ -1135,17 +1135,21 @@ def video_near_pairs(frames: DataFrame, min_shared: int = 2,
     pair form pays it) — keeper pipelines should consume the linear
     ``dedup_video_frames`` families instead.
 
-    The fingerprint table is MATERIALIZED first: it feeds both
-    self-join sides, the hot-set agg, and both count joins, and Spark
-    instantiates a shared lineage once per consumer (plans are trees —
-    SCALE.md r5), which would re-run the CPU-heavy container-walk +
-    frame-decode chain five times."""
+    TWO materialization points (plans are trees — SCALE.md r5): the
+    raw fingerprint table first (it feeds the count agg, the hot-set
+    agg, and the guard's anti-join — without it the CPU-heavy
+    container-walk + frame-decode chain re-runs per consumer), then
+    the GUARDED posting table (it feeds both self-join sides — without
+    it the hot-set agg's two-phase countDistinct instantiates per
+    side, measured +3 exchanges in the executed plan)."""
     from trendmachine_spark.extensions.dedup import _materialize
 
     frames = _materialize(frames.select("doc_id", "frame_md5"))
     counts = frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames_sampled"))
     fp = _guarded_frame_postings(frames, max_frame_freq)
+    if max_frame_freq is not None:
+        fp = _materialize(fp)
     a = fp.select(F.col("doc_id").alias("id_a"), "frame_md5")
     b = fp.select(F.col("doc_id").alias("id_b"), "frame_md5")
     pairs = (
