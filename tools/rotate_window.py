@@ -67,6 +67,7 @@ module fails its own import-time asserts.
 
 from __future__ import annotations
 
+import os
 import re
 import subprocess
 import sys
@@ -316,10 +317,13 @@ def _registered_names() -> list[str]:
     substring match against registry.py source would accept any quoted
     literal (a column name, an SQL fragment, a demotion-set entry) as a
     'registered query' and pin garbage (round-6 ADVICE)."""
+    env = dict(os.environ, TM_ROTATION_DEFER="1")  # a NEW @register may
+    # not have a demotion class yet — that is exactly what `assign` is
+    # being run to fix, so the listing import must not assert on it
     out = subprocess.run(
         [sys.executable, "-c",
          "from trendmachine_spark.registry import QUERIES; print('\\n'.join(QUERIES))"],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True, check=True, env=env,
     )
     return [ln for ln in out.stdout.splitlines() if ln.strip()]
 

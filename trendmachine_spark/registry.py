@@ -13,6 +13,7 @@ covered by FIXTURES.md goldens instead.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -5499,6 +5500,16 @@ def _demoted_for_round(round_no: int) -> list[str]:
         f"names in more than one demotion class: {sorted(set(dupes))}"
     )
     unassigned = [n for n in pool if n not in assigned]
+    # TM_ROTATION_DEFER lets tools/rotate_window.py `assign` import a
+    # registry that ALREADY contains the new @register it is about to
+    # classify (r12 papercut: the assert fired inside the tool that
+    # exists to fix it). Deferred names are treated as checked (never
+    # demoted) until assigned, so the contract only loosens for the
+    # one tool invocation that sets the variable.
+    if unassigned and os.environ.get("TM_ROTATION_DEFER"):
+        for n in unassigned:
+            assigned[n] = round_no % _PARITY_PERIOD
+        unassigned = []
     assert not unassigned, (
         f"oracled queries with no demotion class: {unassigned} — add each "
         "to _DEMOTE_ODD/_DEMOTE_EVEN"
