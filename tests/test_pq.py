@@ -470,3 +470,53 @@ def test_seed_probe_bound_guard(qv):
     probe = load_probe_matrix(f"{SF}/embeddings.parquet", 8)
     with pytest.raises(ValueError, match="bound 8 < n_codes=16"):
         pq_codebooks(qv, refine=1, seed_probe=probe)
+
+
+# ---------------------------------------------------------------- SQ8
+
+
+def test_sq8_exact_when_scales_unit(spark):
+    """Components within ±127 quantized units give s_d = 1 everywhere,
+    so reconstruction is EXACT and SQ8 must equal brute-force cosine
+    bit-for-bit — the end-to-end check of the train/encode/score
+    arithmetic."""
+    from trendmachine_spark.extensions.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    rows = [(i, [((i * 7 + j * 3) % 255 - 127) / 1000.0
+                 for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sq_cosine"])
+         for r in sq8_topk(emb, n_queries=4, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+         for r in brute_force_topk(emb, n_queries=4, k=3).collect()}
+    assert a == b
+
+
+def test_sq8_partition_invariant(emb):
+    from trendmachine_spark.extensions.similarity import sq8_topk
+
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sq_cosine"])
+         for r in sq8_topk(emb, n_queries=5, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sq_cosine"])
+         for r in sq8_topk(emb.repartition(9), n_queries=5, k=3).collect()}
+    assert a == b
+
+
+def test_sq8_codes_in_range_and_empty(spark, qv):
+    """Trained scales bound every code to ±127 by construction; empty
+    corpus short-circuits."""
+    import numpy as np
+
+    from trendmachine_spark.extensions.similarity import sq8_scales, sq8_topk
+
+    S = sq8_scales(qv)
+    rows = qv.collect()
+    V = np.array([r["qvec"] for r in rows], dtype=np.int64)
+    C = np.sign(V) * (np.abs(V) // S[None, :])
+    assert np.abs(C).max() <= 127
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    assert sq8_topk(empty).count() == 0

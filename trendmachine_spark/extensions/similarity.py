@@ -1185,6 +1185,152 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
+def sq8_scales(qv: DataFrame):
+    """Per-dimension SQ8 scales as a driver-side int64 vector:
+    ``s_d = max(1, ceil(amax_d / 127))`` where ``amax_d`` is the
+    corpus max |component| — exact integers end to end, so the
+    trained quantizer is bit-identical across engines.
+
+    SCALE: one Arrow-batched pass emitting a per-partition max row
+    (dim values per partition regardless of size) + one tiny
+    map-combined agg; the collected result is dim ints. Returns None
+    on an empty corpus."""
+    import numpy as np
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.abs(np.stack(pdf["qvec"].to_numpy()).astype(np.int64))
+            m = V.max(axis=0)
+            best = m if best is None else np.maximum(best, m)
+        if best is None:
+            yield pd.DataFrame({"pos": pd.Series(dtype="int32"),
+                                "amax": pd.Series(dtype="int64")})
+        else:
+            yield pd.DataFrame({"pos": np.arange(len(best), dtype="int32"),
+                                "amax": best})
+
+    rows = (
+        qv.mapInPandas(partials, "pos int, amax long")
+        .groupBy("pos").agg(F.max("amax").alias("amax"))
+        .collect()
+    )
+    if not rows:
+        return None
+    amax = np.zeros(max(r["pos"] for r in rows) + 1, dtype=np.int64)
+    for r in rows:
+        amax[r["pos"]] = r["amax"]
+    return np.maximum(1, (amax + 126) // 127)
+
+
+def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             probe=None) -> DataFrame:
+    """Scalar-quantization (SQ8) approximate top-k — the FAISS ``SQ8``
+    index family: each dimension quantizes independently to an int8
+    code ``c_d = clamp(trunc(v_d / s_d), ±127)`` against the trained
+    per-dimension scale, so the corpus stores dim BYTES per vector (8x
+    collapse vs raw floats at much higher precision than PQ's 64x —
+    the middle point of the memory/recall trade; ANN_RECALL carries
+    the measured comparison). Queries stay exact; candidates score as
+    ``dot(q, c*s) / (|q| * |c*s|)`` — the reconstruction ``c_d * s_d``
+    is an exact int64, so every dot/norm below is exact integer
+    arithmetic and the DuckDB oracle pins the whole
+    train/encode/search chain value-hash-exact.
+
+    Truncation is toward ZERO on both engines (numpy floor-divide
+    floors toward -inf, DuckDB ``//`` truncates — mirrored here as
+    ``sign(v) * (|v| // s)``, the symmetric quantizer).
+
+    Output: query_id, neighbor_id, rank, sq_cosine.
+
+    SCALE: the scale vector ships as a literal (dim ints); encode +
+    scoring fuse into ONE zero-shuffle Arrow-batched pass (quantize,
+    reconstruct, one (n, dim) x (dim, nq) matmul), each task emitting
+    only its per-query top-k in the final window's exact total order —
+    the same map-side-prune shape as brute_force_topk, ONE k-bounded
+    rank exchange. At rest the index is dim int8 codes + one bigint
+    per vector."""
+    import numpy as np
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    spark = qv.sparkSession
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, sq_cosine double")
+    S = sq8_scales(qv)
+    if S is None:
+        return spark.createDataFrame([], empty_schema)
+    if probe is not None:
+        qids, Q, n2 = probe
+        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
+        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
+        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        if not len(qids):
+            return spark.createDataFrame([], empty_schema)
+    else:
+        qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
+                       key=lambda r: r["vid"])
+        if not qrows:
+            return spark.createDataFrame([], empty_schema)
+        qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+        Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+        qn = np.sqrt(np.array([r["norm2"] for r in qrows],
+                              dtype=np.float64))
+    nq = len(qids)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        best_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        best_nid = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            C = np.sign(V) * (np.abs(V) // S[None, :])   # trunc toward 0
+            R = np.clip(C, -127, 127) * S[None, :]       # exact recon
+            rn = np.sqrt((R * R).sum(axis=1).astype(np.float64))
+            dots = R @ Q.T                               # exact int64
+            cos = dots.T / (qn[:, None] * rn[None, :])
+            nids = pdf["vid"].to_numpy(dtype=np.int64)
+            for j in range(nq):
+                keep = nids != qids[j]
+                c = np.concatenate([best_cos[j], cos[j, keep]])
+                n = np.concatenate([best_nid[j], nids[keep]])
+                key = np.where(np.isnan(c), np.inf, -c)
+                order = np.lexsort((n, key))[:k]
+                best_cos[j], best_nid[j] = c[order], n[order]
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, [len(b) for b in best_nid]),
+                "neighbor_id": (np.concatenate(best_nid)
+                                if best_nid else np.empty(0, dtype=np.int64)),
+                "sq_cosine": (np.concatenate(best_cos)
+                              if best_cos else np.empty(0)),
+            }
+        )
+
+    import pandas as pd  # noqa: F401  (closure capture)
+
+    scored = qv.mapInPandas(
+        score, "query_id long, neighbor_id long, sq_cosine double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sq_cosine")
+    )
+
+
 def pq_distortion(emb: DataFrame, n_sub: int = PQ_SUBSPACES,
                   n_codes: int = PQ_CODES, refine: int = 1,
                   vec_col: str = "embedding",

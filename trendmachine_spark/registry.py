@@ -3403,6 +3403,78 @@ def _ivfpq_residual_topk_oracle(n_queries: int = 10, k: int = 5,
     ) WHERE rank <= {k}"""
 
 
+def _sq8_topk_oracle(n_queries: int = 10, k: int = 5) -> str:
+    """Exact mirror of similarity.sq8_topk — per-dimension int8 scalar
+    quantization: s_d = max(1, ceil(amax_d / 127)) (exact ints),
+    code = clamp(trunc(q_d / s_d), ±127) (DuckDB // truncates toward
+    zero; the Spark side mirrors with sign·(|v|//s)), reconstruction
+    code*s is exact int64, scoring/normalization the usual exact-int
+    dot + one IEEE division. recon is MATERIALIZED: it feeds the norm
+    and the scoring join, and the per-dimension unnest underneath is
+    the expensive subtree inlining would duplicate."""
+    return f"""WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
+      FROM qv
+    ),
+    amax AS (
+      SELECT i, max(abs(q[i])) AS a
+      FROM nv, unnest(generate_series(1, len(q))) AS t(i)
+      GROUP BY i
+    ),
+    sc AS (SELECT i, greatest(1, (a + 126) // 127) AS s FROM amax),
+    recon AS MATERIALIZED (
+      SELECT vec_id,
+             list(greatest(-127, least(127, q[t.i] // s)) * s ORDER BY t.i) AS r
+      FROM nv, unnest(generate_series(1, len(q))) AS t(i), sc
+      WHERE sc.i = t.i
+      GROUP BY vec_id
+    ),
+    rn AS (
+      SELECT vec_id, r,
+             CAST(list_sum(list_transform(r, v -> v * v)) AS BIGINT) AS rn2
+      FROM recon
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, q, norm2 FROM nv WHERE vec_id < {n_queries}
+    ),
+    sq_scored AS (
+      SELECT qu.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(qu.q)),
+                  i -> qu.q[i] * c.r[i])) AS DOUBLE)
+               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(c.rn2 AS DOUBLE))) AS sq_cosine
+      FROM queries qu JOIN rn c ON qu.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sq_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sq_cosine DESC, neighbor_id) AS rank
+      FROM sq_scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_sq8_topk", _sq8_topk_oracle())
+def q_similarity_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantization ANN (round 12): dim int8 codes per
+    vector — the 8x memory collapse at much higher precision than
+    PQ's 64x, the middle point of the FAISS index family
+    (IndexScalarQuantizer). Exact-integer train/encode/score chain,
+    value-hash-exact across engines; recall vs PQ measured in
+    ANN_RECALL."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
+                                                          sq8_topk)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return sq8_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
+                    probe=load_probe_matrix(path, 10))
+
+
 @register("similarity_ivfpq_topk", _ivfpq_topk_oracle())
 def q_similarity_ivfpq_topk(spark, sf_dir):
     """IVF+PQ ANN top-k (round 11): the production 100 TB shape —
@@ -5350,6 +5422,7 @@ _WINDOW_PINNED: list[str] = [
     "similarity_ivfpq_residual_topk",  # new r12: residual-encoding IVFPQ
     "dedup_semantic",  # r12: adaptive sqrt-rule n_cells
     "dedup_semantic_keepers",  # r12: adaptive sqrt-rule n_cells
+    "similarity_sq8_topk",  # new r12: SQ8 scalar-quantization ANN
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5387,6 +5460,7 @@ _DEMOTE_EVEN = frozenset({
     "dedup_image_phash",  # new r10 (phash families; pinned r10)
     "dedup_image_phash_near",  # new r10 (banded hamming pairs; pinned r10)
     "multimodal_audio_features",  # new r10 (PCM features; pinned r10)
+    "similarity_sq8_topk",  # assigned by rotate_window.py
 })
 _DEMOTE_ODD = frozenset({
     # class 0 — driver-checked in rounds where _ROUND % 3 == 0;
