@@ -213,6 +213,14 @@ def main() -> None:
                     n_sub=n_sub, n_codes=n_codes, refine=refine).collect(),
             exact_sets)
 
+    # SQ8 (round 12): per-dimension int8 scalar quantization — 8x
+    # memory collapse at much higher precision than PQ's 64x; the
+    # row pair (sq8 vs pq at equal corpus) measures the
+    # precision-per-byte trade the FAISS family offers.
+    from trendmachine_spark.extensions.similarity import sq8_topk
+
+    pq["sq8"] = _recall(sq8_topk(emb, N_QUERIES, K).collect(), exact_sets)
+
     # two-stage: ADC candidates + exact re-rank — the production shape
     # that closes the compressed scan's quantization-error ceiling
     from trendmachine_spark.extensions.similarity import pq_rerank_topk
