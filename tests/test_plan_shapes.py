@@ -96,6 +96,16 @@ SHUFFLE_BUDGETS = {
     # candidate table re-joins the corpus as a BROADCAST (no corpus
     # exchange in the exact stage)
     "similarity_pq_rerank": (2, True),
+    # residual IVFPQ (r12): identical skeleton to ivfpq_topk — fused
+    # zero-shuffle encode, broadcast probe join, LUT+centroid-dot map,
+    # ONE rank-window exchange
+    "similarity_ivfpq_residual_topk": (1, True),
+    # SQ8 (r12): literal scale vector, fused encode+score+top-k map —
+    # the brute_force_topk shape, ONE rank-window exchange
+    "similarity_sq8_topk": (1, True),
+    # IVF+SQ8 (r12): fused cell+code encode, broadcast probe join,
+    # exact-int scoring map, ONE rank-window exchange
+    "similarity_ivfsq8_topk": (1, True),
     # at-rest serve (r11): pruned file scan + broadcast probe join +
     # LUT scoring map; the one exchange is the rank window (partition
     # pruning asserted separately below)

@@ -520,3 +520,29 @@ def test_sq8_codes_in_range_and_empty(spark, qv):
     empty = spark.createDataFrame(
         [], "vec_id long, embedding array<float>, label int")
     assert sq8_topk(empty).count() == 0
+
+
+def test_ivfsq8_full_probe_equals_sq8(emb):
+    """With every cell probed, IVF+SQ8 must reduce exactly to the
+    full-corpus SQ8 scan — the composition contract."""
+    from trendmachine_spark.extensions.similarity import ivfsq8_topk, sq8_topk
+
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sq_cosine"])
+         for r in ivfsq8_topk(emb, n_queries=5, k=3,
+                              n_cells=16, n_probe=16).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sq_cosine"])
+         for r in sq8_topk(emb, n_queries=5, k=3).collect()}
+    assert a == b
+
+
+def test_ivfsq8_partition_invariant_and_empty(spark, emb):
+    from trendmachine_spark.extensions.similarity import ivfsq8_topk
+
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sq_cosine"])
+         for r in ivfsq8_topk(emb, n_queries=5, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["sq_cosine"])
+         for r in ivfsq8_topk(emb.repartition(9), n_queries=5, k=3).collect()}
+    assert a == b
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    assert ivfsq8_topk(empty).count() == 0

@@ -1331,6 +1331,136 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
+def ivfsq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                n_cells: int = 16, n_probe: int = 2, refine: int = 1,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                probe=None) -> DataFrame:
+    """IVF + SQ8 — the FAISS ``IVFxx,SQ8`` index family, completing
+    the partitioner × quantizer matrix (IVF composes with PQ, with
+    residual-PQ, and now with the scalar quantizer): the corpus is
+    coarsely partitioned into ``n_cells`` Lloyd-refined cells and
+    stored as dim int8 codes + one bigint per vector; a query touches
+    its ``n_probe`` best cells and scores candidates against the
+    exact-integer reconstruction ``code_d * s_d``.
+
+    vs IVF+PQ: 8x collapse instead of 64x, but near-exact recall
+    (ANN_RECALL: sq8 0.95 at x20 where PQ reads 0.54) — the right
+    point when executor memory affords a byte per dimension.
+
+    Output: query_id, neighbor_id, rank, sq_cosine.
+
+    SCALE: both trained structures (centroids, dim scales) are
+    literals; cell assignment + SQ8 encode fuse into ONE zero-shuffle
+    Arrow-batched pass; candidates reach the scorer via a BROADCAST
+    join on cell; the one exchange is the k-bounded rank window. A
+    query scans n_probe/n_cells of the corpus at 1/8th the bytes."""
+    import numpy as np
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    spark = qv.sparkSession
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, sq_cosine double")
+    cent = ivf_centroids(qv, n_cells, refine)
+    S = sq8_scales(qv)
+    if cent is None or S is None:
+        return spark.createDataFrame([], empty_schema)
+    cells, Cm, cnm = cent
+    if probe is not None:
+        qids, Q, n2 = probe
+        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
+        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
+        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        if not len(qids):
+            return spark.createDataFrame([], empty_schema)
+    else:
+        qrows = sorted(qv.filter(F.col("vid") < n_queries).collect(),
+                       key=lambda r: r["vid"])
+        if not qrows:
+            return spark.createDataFrame([], empty_schema)
+        qids = np.array([r["vid"] for r in qrows], dtype=np.int64)
+        Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+        qn = np.sqrt(np.array([r["norm2"] for r in qrows],
+                              dtype=np.float64))
+    nq = len(qids)
+
+    aff = (Q @ Cm.T) / cnm[None, :]
+    probes = spark.createDataFrame(
+        _probe_cell_rows(qids, aff, cells, n_probe),
+        "query_id long, cell long")
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            a = (V @ Cm.T) / cnm[None, :]
+            ci = np.argmax(a, axis=1)
+            C = np.clip(np.sign(V) * (np.abs(V) // S[None, :]), -127, 127)
+            R = C * S[None, :]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(dtype=np.int64),
+                    "cell": cells[ci],
+                    "codes": list(C),
+                    "rn2": (R * R).sum(axis=1),
+                }
+            )
+
+    enc = qv.mapInPandas(
+        encode, "vid long, cell long, codes array<int>, rn2 long")
+    cand = enc.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("vid"))
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        best_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        best_nid = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(qpos).to_numpy(dtype=np.int64)
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            R = C * S[None, :]
+            dots = np.einsum("ij,ij->i", Q[qi], R)               # exact
+            rn = np.sqrt(pdf["rn2"].to_numpy(dtype=np.float64))
+            cos = dots / (qn[qi] * rn)
+            nids = pdf["vid"].to_numpy(dtype=np.int64)
+            for j in np.unique(qi):
+                msk = qi == j
+                c = np.concatenate([best_cos[j], cos[msk]])
+                n = np.concatenate([best_nid[j], nids[msk]])
+                key = np.where(np.isnan(c), np.inf, -c)
+                order = np.lexsort((n, key))[:k]
+                best_cos[j], best_nid[j] = c[order], n[order]
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, [len(b) for b in best_nid]),
+                "neighbor_id": (np.concatenate(best_nid)
+                                if best_nid else np.empty(0, dtype=np.int64)),
+                "sq_cosine": (np.concatenate(best_cos)
+                              if best_cos else np.empty(0)),
+            }
+        )
+
+    scored = cand.select("query_id", "vid", "codes", "rn2").mapInPandas(
+        score, "query_id long, neighbor_id long, sq_cosine double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sq_cosine")
+    )
+
+
 def pq_distortion(emb: DataFrame, n_sub: int = PQ_SUBSPACES,
                   n_codes: int = PQ_CODES, refine: int = 1,
                   vec_col: str = "embedding",

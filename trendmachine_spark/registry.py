@@ -3475,6 +3475,74 @@ def q_similarity_sq8_topk(spark, sf_dir):
                     probe=load_probe_matrix(path, 10))
 
 
+def _ivfsq8_topk_oracle(n_queries: int = 10, k: int = 5,
+                        n_cells: int = 16, n_probe: int = 2) -> str:
+    """Exact mirror of similarity.ivfsq8_topk — IVF probe selection
+    (Lloyd-refined centroid affinities, aff DESC/cell), candidates
+    restricted to probed cells, scored against the exact-integer SQ8
+    reconstruction (the _sq8_topk_oracle quantizer: per-dim scales
+    s = max(1, ceil(amax/127)), trunc-toward-zero codes, clamp ±127)."""
+    return f"""WITH {_ivf_refined_ctes(n_cells)},
+    amax AS (
+      SELECT i, max(abs(q[i])) AS a
+      FROM nv, unnest(generate_series(1, len(q))) AS t(i)
+      GROUP BY i
+    ),
+    sc AS (SELECT i, greatest(1, (a + 126) // 127) AS s FROM amax),
+    recon AS MATERIALIZED (
+      SELECT vec_id,
+             list(greatest(-127, least(127, q[t.i] // s)) * s ORDER BY t.i) AS r
+      FROM nv, unnest(generate_series(1, len(q))) AS t(i), sc
+      WHERE sc.i = t.i
+      GROUP BY vec_id
+    ),
+    rn AS (
+      SELECT vec_id, r,
+             CAST(list_sum(list_transform(r, v -> v * v)) AS BIGINT) AS rn2
+      FROM recon
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _aff DESC, cell) AS _rk
+        FROM aff WHERE vec_id < {n_queries}
+      ) WHERE _rk <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, p.q, p.qn, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
+    ),
+    sq_scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(cd.q)),
+                  i -> cd.q[i] * c.r[i])) AS DOUBLE)
+               / (sqrt(CAST(cd.qn AS DOUBLE)) * sqrt(CAST(c.rn2 AS DOUBLE))) AS sq_cosine
+      FROM cand cd JOIN rn c ON cd.neighbor_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sq_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sq_cosine DESC, neighbor_id) AS rank
+      FROM sq_scored
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_ivfsq8_topk", _ivfsq8_topk_oracle())
+def q_similarity_ivfsq8_topk(spark, sf_dir):
+    """IVF+SQ8 ANN (round 12): the FAISS IVFxx,SQ8 family — n_probe/
+    n_cells of the corpus scanned at 1/8th the bytes with near-exact
+    per-candidate precision (ANN_RECALL: sq8 0.95 recall@10 at x20 vs
+    PQ's 0.54), completing the partitioner x quantizer matrix."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (ivfsq8_topk,
+                                                          load_probe_matrix)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return ivfsq8_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
+                       n_cells=16, n_probe=2,
+                       probe=load_probe_matrix(path, 10))
+
+
 @register("similarity_ivfpq_topk", _ivfpq_topk_oracle())
 def q_similarity_ivfpq_topk(spark, sf_dir):
     """IVF+PQ ANN top-k (round 11): the production 100 TB shape —
@@ -5423,6 +5491,7 @@ _WINDOW_PINNED: list[str] = [
     "dedup_semantic",  # r12: adaptive sqrt-rule n_cells
     "dedup_semantic_keepers",  # r12: adaptive sqrt-rule n_cells
     "similarity_sq8_topk",  # new r12: SQ8 scalar-quantization ANN
+    "similarity_ivfsq8_topk",  # new r12: IVF+SQ8 ANN
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5482,6 +5551,7 @@ _DEMOTE_ODD = frozenset({
     "similarity_pq_topk",  # new r11 (PQ/ADC ANN; pinned r11)
     "dedup_exact_norm",  # new r11 (normalized exact dedup; pinned r11)
     "similarity_ivfpq_index",  # new r11 (at-rest pruned serve; pinned r11)
+    "similarity_ivfsq8_topk",  # assigned by rotate_window.py
 })
 
 
