@@ -221,6 +221,16 @@ def main() -> None:
 
     pq["sq8"] = _recall(sq8_topk(emb, N_QUERIES, K).collect(), exact_sets)
 
+    # IVF+SQ8 (r12): cell pruning x scalar quantizer — near-exact
+    # per-candidate precision means the recall axis collapses to the
+    # IVF probe choice (compare against the plain ivf rows above)
+    from trendmachine_spark.extensions.similarity import ivfsq8_topk
+
+    for np_ in (1, 2, 4):
+        pq[f"ivfsq8,n_probe={np_}"] = _recall(
+            ivfsq8_topk(emb, N_QUERIES, K, n_cells=16,
+                        n_probe=np_).collect(), exact_sets)
+
     # two-stage: ADC candidates + exact re-rank — the production shape
     # that closes the compressed scan's quantization-error ceiling
     from trendmachine_spark.extensions.similarity import pq_rerank_topk
