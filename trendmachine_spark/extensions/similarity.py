@@ -1331,6 +1331,33 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
+def sq8_encode(qv: DataFrame, S) -> DataFrame:
+    """``(vid, codes array<int>)`` against FROZEN per-dimension scales
+    — one stateless Arrow-batched pass (append-safe on a readStream:
+    the train-offline/encode-online pattern, like :func:`pq_encode`).
+    Codes are ``clamp(trunc(v/s), ±127)``, the :func:`sq8_topk`
+    quantizer."""
+    import numpy as np  # noqa: F401  (closure capture)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            C = np.clip(np.sign(V) * (np.abs(V) // S[None, :]), -127, 127)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(dtype=np.int64),
+                    "codes": list(C.astype(np.int64)),
+                }
+            )
+
+    return qv.mapInPandas(run, "vid long, codes array<int>")
+
+
 def ivfsq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                 n_cells: int = 16, n_probe: int = 2, refine: int = 1,
                 vec_col: str = "embedding", id_col: str = "vec_id",

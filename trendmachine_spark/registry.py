@@ -3755,6 +3755,65 @@ def q_pq_encode_streaming(spark, sf_dir):
     return spark.sql(f"SELECT * FROM {qname}")
 
 
+@register(
+    "sq8_encode_streaming",
+    """WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    amax AS (
+      SELECT i, max(abs(q[i])) AS a
+      FROM qv, unnest(generate_series(1, len(q))) AS t(i)
+      GROUP BY i
+    ),
+    sc AS (SELECT i, greatest(1, (a + 126) // 127) AS s FROM amax)
+    SELECT vec_id, CAST(t.i - 1 AS INT) AS pos,
+           CAST(greatest(-127, least(127, q[t.i] // s)) AS INT) AS code
+    FROM qv, unnest(generate_series(1, len(q))) AS t(i), sc
+    WHERE sc.i = t.i""",
+)
+def q_sq8_encode_streaming(spark, sf_dir):
+    """Streaming SQ8 encode (round 12) — the scalar-quantizer twin of
+    pq_encode_streaming: per-dimension scales train on the BATCH
+    corpus, then a readStream of vectors encodes against the FROZEN
+    scales in one stateless mapInPandas. Deterministic and
+    arrival-order-independent, so this is the second streaming query
+    carrying a full value-hash DuckDB oracle."""
+    import hashlib as _hashlib
+
+    from trendmachine_spark.extensions.similarity import (
+        quantize_embeddings,
+        sq8_encode,
+        sq8_scales,
+    )
+
+    S = sq8_scales(quantize_embeddings(_embeddings(spark, sf_dir)))
+    if S is None:
+        return spark.createDataFrame([], "vec_id long, pos int, code int")
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(sf_dir)
+    )
+    enc = sq8_encode(quantize_embeddings(stream), S)
+    out = enc.select(
+        F.col("vid").alias("vec_id"),
+        F.posexplode("codes").alias("pos", "code"),
+    ).select("vec_id", F.col("pos").cast("int"), F.col("code").cast("int"))
+    qname = ("_sq8_encode_stream_q_"
+             + _hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {qname}")
+
+
 @register("session_windows_streaming", None)  # native streaming sessions: rows-only
 def q_session_windows_streaming(spark, sf_dir):
     """Native ``session_window`` on a readStream source (watermarked,
@@ -5492,6 +5551,7 @@ _WINDOW_PINNED: list[str] = [
     "dedup_semantic_keepers",  # r12: adaptive sqrt-rule n_cells
     "similarity_sq8_topk",  # new r12: SQ8 scalar-quantization ANN
     "similarity_ivfsq8_topk",  # new r12: IVF+SQ8 ANN
+    "sq8_encode_streaming",  # new r12: oracled streaming SQ8 encode
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5577,6 +5637,7 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "pq_distortion",  # new r11 (PQ health report; pinned r11)
     "similarity_ivfpq_topk",  # new r11 (IVF+PQ ANN; pinned r11)
     "similarity_ivfpq_residual_topk",  # new r12 (residual IVFPQ; pinned r12)
+    "sq8_encode_streaming",  # assigned by rotate_window.py
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
