@@ -326,12 +326,23 @@ def test_rebalance_never_stretches_a_twice_demoted_name():
 def test_current_registry_has_pin_headroom():
     """The r9 verdict failure mode: a checked class at exactly 50
     leaves zero pin slots and any changed query overflows the window
-    mid-round. Guard structurally: every class must leave >=10 slots
-    of the driver's 50-entry window (raise this bound deliberately if
-    the oracled pool ever outgrows 120)."""
+    mid-round. Guard structurally, pool-aware (r12 — the pool outgrew
+    the historical fixed 40): every class must be optimally BALANCED
+    (<= ceil(pool / period) — rebalance can always achieve that) AND
+    leave >= 6 pin slots of the driver's 50-entry window. At 6 the
+    next escalation is set-period 4, not another bound bump."""
+    import math
+
     import trendmachine_spark.registry as reg
 
-    for cls, names in reg._parity_classes().items():
-        assert len(names) <= 40, (
+    classes = reg._parity_classes()
+    pool = sum(len(v) for v in classes.values())
+    optimal = math.ceil(pool / len(classes))
+    for cls, names in classes.items():
+        assert len(names) <= optimal, (
+            f"class {cls} holds {len(names)} names (> balanced "
+            f"{optimal}) — run `rotate_window.py rebalance`")
+        assert len(names) <= 44, (
             f"class {cls} holds {len(names)} names — a round checking it "
-            "has <10 pin slots; run `rotate_window.py rebalance`")
+            "has <6 pin slots; the pool has outgrown period 3 "
+            "(`rotate_window.py set-period 4`)")

@@ -5568,50 +5568,40 @@ _WINDOW_PINNED: list[str] = [
 #: query changes (pinned names never demote).
 _DEMOTE_EVEN = frozenset({
     # class 1 — driver-checked in rounds where _ROUND % 3 == 1;
-    # membership last rebalanced r10 by rotate_window.py rebalance
+    # membership last rebalanced r12 by rotate_window.py rebalance
     "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges",
-    "dedup_minhash_lsh", "dedup_simhash", "lm_familiarity",
-    "multimodal_decode_jpeg", "multimodal_decode_real",
-    "multimodal_frame_sample", "multimodal_resize",
-    "similarity_pq_rerank",  # new r11 (PQ + exact re-rank; pinned r11)
-    "pq_encode_streaming",  # new r11 (oracled streaming encode; pinned r11)
-    "multimodal_resize_real", "packed_text", "pricing_summary",
+    "dedup_image_phash", "dedup_image_phash_near", "dedup_minhash_lsh",
+    "dedup_simhash", "event_attribution", "lm_familiarity",
+    "multimodal_audio_features", "multimodal_decode_jpeg",
+    "multimodal_decode_real", "multimodal_frame_sample",
+    "multimodal_image_hash", "multimodal_resize", "multimodal_resize_real",
+    "packed_text", "pq_encode_streaming", "pricing_summary",
     "quality_score_trained", "redact_pii", "redact_pii_planted",
-    "session_stats", "status_month_cube", "substring_dup_report_fine",
-    "suffix_group_stats", "summary_stats", "text_lang_id", "text_profile",
-    "text_repetition_stats", "top_quality_docs", "training_corpus",
-    "training_corpus_safe", "training_corpus_segmented", "training_shards",
+    "session_stats", "similarity_pq_rerank", "similarity_sq8_topk",
+    "split_leakage_report", "status_month_cube",
+    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
+    "text_lang_id", "text_profile", "text_repetition_stats",
+    "top_quality_docs", "training_corpus", "training_corpus_safe",
+    "training_corpus_segmented", "training_shards", "training_splits",
     "transition_matrix_filled", "vocab_coverage",
-    "training_splits",  # new r10 (split assignment; pinned r10)
-    "split_leakage_report",  # new r10 (split contamination; pinned r10)
-    "event_attribution",  # new r10 (last-touch attribution; pinned r10)
-    "multimodal_image_hash",  # new r10 (perceptual hashes; pinned r10)
-    "dedup_image_phash",  # new r10 (phash families; pinned r10)
-    "dedup_image_phash_near",  # new r10 (banded hamming pairs; pinned r10)
-    "multimodal_audio_features",  # new r10 (PCM features; pinned r10)
-    "similarity_sq8_topk",  # assigned by rotate_window.py
 })
 _DEMOTE_ODD = frozenset({
     # class 0 — driver-checked in rounds where _ROUND % 3 == 0;
-    # membership last rebalanced r10 by rotate_window.py rebalance
-    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash_near_dup",
-    "dup_span_histogram", "dup_span_profile", "event_asof_join",
-    "event_props_stats", "event_retention", "event_sessionization",
-    "gap_fill_backward", "gap_fill_forward", "headline_metrics",
-    "lsh_bucket_health", "monthly_rollup", "multimodal_metadata",
+    # membership last rebalanced r12 by rotate_window.py rebalance
+    "dedup_audio_fingerprint", "dedup_exact_norm", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash_near_dup", "dup_span_histogram",
+    "dup_span_profile", "event_asof_join", "event_props_stats",
+    "event_retention", "event_sessionization", "gap_fill_backward",
+    "gap_fill_forward", "headline_metrics", "lsh_bucket_health",
+    "monthly_rollup", "multimodal_metadata", "multimodal_video_decode",
     "pack_sequences", "periodic_samples", "quality_score",
     "salted_term_counts", "shipping_priority", "similarity_ann_lsh",
-    "similarity_ivf_topk", "similarity_topk", "specimen_breakdown",
-    "status_totals", "substring_dedup", "substring_dup_report",
-    "text_fingerprints", "text_pii_stats", "text_quality_flags",
-    "text_term_stats", "top_revenue_customers", "training_corpus_clean",
-    "transition_matrix", "urim_projection",
-    "dedup_audio_fingerprint",  # new r10 (acoustic fp families; pinned r10)
-    "multimodal_video_decode",  # new r11 (MJPEG real decode; pinned r11)
-    "similarity_pq_topk",  # new r11 (PQ/ADC ANN; pinned r11)
-    "dedup_exact_norm",  # new r11 (normalized exact dedup; pinned r11)
-    "similarity_ivfpq_index",  # new r11 (at-rest pruned serve; pinned r11)
-    "similarity_ivfsq8_topk",  # assigned by rotate_window.py
+    "similarity_ivf_topk", "similarity_ivfpq_index",
+    "similarity_ivfsq8_topk", "similarity_pq_topk", "similarity_topk",
+    "specimen_breakdown", "status_totals", "substring_dedup",
+    "substring_dup_report", "text_fingerprints", "text_pii_stats",
+    "text_quality_flags", "text_term_stats", "top_revenue_customers",
+    "training_corpus_clean", "transition_matrix", "urim_projection",
 })
 
 
@@ -5619,7 +5609,7 @@ _DEMOTE_ODD = frozenset({
 #: Under period 3 these names are driver-checked when _ROUND % 3 == 2.
 _DEMOTE_THIRD: frozenset = frozenset({
     # class 2 — driver-checked in rounds where _ROUND % 3 == 2;
-    # membership last rebalanced r10 by rotate_window.py rebalance
+    # membership last rebalanced r12 by rotate_window.py rebalance
     "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
     "chunk_documents", "content_value_counts", "corpus_card",
     "corpus_decontaminate", "corpus_mix_temperature",
@@ -5628,16 +5618,13 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "dedup_clusters_ensemble", "dedup_containment",
     "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
     "dedup_exact", "dedup_incremental", "dedup_multi_signal",
-    "dedup_segments", "dedup_semantic_keepers", "embedding_outliers",
-    "event_funnel", "event_range_join", "event_session_windows",
-    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
-    "minhash_accuracy", "multimodal_decode_png", "region_revenue",
-    "dedup_video_frames",  # new r10 (frame-signature families; pinned r10)
-    "dedup_video_near",  # new r11 (frame-containment pairs; pinned r11)
-    "pq_distortion",  # new r11 (PQ health report; pinned r11)
-    "similarity_ivfpq_topk",  # new r11 (IVF+PQ ANN; pinned r11)
-    "similarity_ivfpq_residual_topk",  # new r12 (residual IVFPQ; pinned r12)
-    "sq8_encode_streaming",  # assigned by rotate_window.py
+    "dedup_segments", "dedup_semantic_keepers", "dedup_video_frames",
+    "dedup_video_near", "embedding_outliers", "event_funnel",
+    "event_range_join", "event_session_windows", "first_last_capture",
+    "gap_fill_closest", "gap_fill_identical", "minhash_accuracy",
+    "multimodal_decode_png", "pq_distortion", "region_revenue",
+    "similarity_ivfpq_residual_topk", "similarity_ivfpq_topk",
+    "sq8_encode_streaming",
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
