@@ -37,10 +37,32 @@ EXPLAINED_REGRESSIONS: dict[str, str] = {
     # r9: untouched floor-trio query, +0.22 s on a ~0.46 s action-floor
     # wall — host variance, attributed with the git-diff evidence
     "pricing_summary": "pricing_summary r9 drift attribution",
+    # r12: the DRIVER's post-close bench (2 of 4 Spark passes
+    # self-flagged noisy) overwrote the builder's clean close artifact
+    # and the stale-history diff read +33% on untouched code; the
+    # recovered clean snapshot clears the gate on real numbers, the
+    # anchor documents the process fix (see _run_is_noisy below)
+    "resilience_daily_series":
+        "resilience_daily_series r12 driver-run drift attribution",
 }
 
 REL_THRESHOLD = 1.30
 ABS_THRESHOLD_S = 0.15
+
+#: a current artifact whose own calibration telemetry flags this many
+#: (or more) of its 4 Spark passes as noisy is load-polluted: its
+#: best-of-4 may not contain a single quiet measurement pair, so a
+#: regression read from it is not attributable to code. The gate skips
+#: (visibly) instead of demanding written attribution for co-tenancy —
+#: the r12 lesson (SCALE.md "resilience_daily_series r12 driver-run
+#: drift attribution"). Quiet-run semantics are unchanged: <= 1 noisy
+#: pass still demands attribution for every offender.
+NOISY_PASS_LIMIT = 2
+
+
+def _run_is_noisy(artifact: dict) -> bool:
+    tel = artifact.get("load_telemetry") or {}
+    return len(tel.get("noisy_spark_passes", [])) >= NOISY_PASS_LIMIT
 
 
 def _latest_snapshot() -> Path | None:
@@ -54,7 +76,8 @@ def test_no_unexplained_bench_regressions():
     if prev_path is None or not CURRENT.exists():
         pytest.skip("no bench history/current artifact to diff")
     prev = json.loads(prev_path.read_text())["queries_best"]
-    cur = json.loads(CURRENT.read_text())["queries_best"]
+    cur_artifact = json.loads(CURRENT.read_text())
+    cur = cur_artifact["queries_best"]
     scale_md = (ROOT / "SCALE.md").read_text()
 
     offenders = []
@@ -75,7 +98,27 @@ def test_no_unexplained_bench_regressions():
                 offenders.append(
                     f"{name}: registered anchor {anchor!r} not found in "
                     f"SCALE.md — the attribution must actually be written")
+    if offenders and _run_is_noisy(cur_artifact):
+        tel = cur_artifact["load_telemetry"]
+        pytest.skip(
+            f"current artifact self-flags noisy Spark passes "
+            f"{tel['noisy_spark_passes']} (calib vs floor "
+            f"{tel['calib_floor']}): regressions read from a "
+            f"load-polluted run are not attributable to code — "
+            f"re-run bench.py on a quiet box; would-be offenders: "
+            + "; ".join(offenders))
     assert not offenders, "\n".join(offenders)
+
+
+def test_noisy_run_detection_logic():
+    """The telemetry gate itself: exactly the artifact shapes it must
+    distinguish (r12's noisy driver run vs the clean close run vs a
+    pre-telemetry artifact)."""
+    assert _run_is_noisy({"load_telemetry": {"noisy_spark_passes": [2, 3]}})
+    assert not _run_is_noisy({"load_telemetry": {"noisy_spark_passes": [1]}})
+    assert not _run_is_noisy({"load_telemetry": {"noisy_spark_passes": []}})
+    assert not _run_is_noisy({})          # pre-telemetry artifact: quiet
+    assert not _run_is_noisy({"load_telemetry": {}})
 
 
 def test_explained_regression_anchors_exist():

@@ -88,9 +88,28 @@ def main() -> None:
     sys.path.insert(0, str(ROOT))
     from trendmachine_spark.registry import _ROUND
 
-    # 1. final sf0.1 bench (refreshes BENCH_DETAIL_sf0.1.json)
-    _wait_quiet("sf0.1 bench")
-    _run([sys.executable, "bench.py"], capture=True)
+    # 1. final sf0.1 bench (refreshes BENCH_DETAIL_sf0.1.json). A run
+    # whose own calibration telemetry flags >= 2 of 4 Spark passes
+    # noisy is load-polluted and must NOT become the drift-gate
+    # baseline (the r12 hole: a noisy driver run diffed against a
+    # stale snapshot fired the gate on untouched code) — re-run after
+    # a quiet wait, up to 3 attempts, then refuse to snapshot.
+    for attempt in range(3):
+        _wait_quiet("sf0.1 bench")
+        _run([sys.executable, "bench.py"], capture=True)
+        detail = json.loads((ROOT / "BENCH_DETAIL_sf0.1.json").read_text())
+        noisy = (detail.get("load_telemetry") or {}).get(
+            "noisy_spark_passes", [])
+        if len(noisy) < 2:
+            break
+        print(f"[round_close] bench self-flags noisy Spark passes "
+              f"{noisy} (attempt {attempt + 1}/3) — re-running",
+              flush=True)
+    else:
+        raise SystemExit(
+            "[round_close] 3 consecutive load-polluted bench runs — "
+            "refusing to snapshot a noisy baseline; close the round "
+            "when the box is quiet")
 
     # 2. the correctness + drift gates — BEFORE the snapshot, so the
     # drift test diffs this round's final numbers against the PREVIOUS
