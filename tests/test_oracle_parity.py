@@ -112,16 +112,18 @@ def test_demotion_cross_round_invariant():
     double-demoted stragglers must sit at the FRONT of _DEMOTED so the
     window's slack reaches them first."""
     from trendmachine_spark.registry import (
-        _DEMOTED, _PARITY_PERIOD, _PREV_DEMOTED, _PREV_DEMOTED_2, _ROUND,
+        _DEMOTED, _PARITY_PERIOD, _PREV_DEMOTED, _PREV_DEMOTED_2,
+        _PREV_DEMOTED_3, _ROUND,
     )
 
-    if _PARITY_PERIOD == 2:
-        overlap = [n for n in _DEMOTED if n in _PREV_DEMOTED]
-    else:  # period 3: illegal only if demoted a FULL 3-round cycle
-        overlap = [
-            n for n in _DEMOTED
-            if n in _PREV_DEMOTED and n in _PREV_DEMOTED_2
-        ]
+    # illegal only if demoted a FULL cycle: this round plus the
+    # period-1 preceding rounds' literal history
+    prev_chain = [_PREV_DEMOTED, _PREV_DEMOTED_2,
+                  _PREV_DEMOTED_3][: _PARITY_PERIOD - 1]
+    overlap = [
+        n for n in _DEMOTED
+        if all(n in prev for prev in prev_chain)
+    ]
     if _ROUND >= 5:
         assert not overlap, (
             f"names absent from the driver window a full cycle: {overlap} "

@@ -136,7 +136,7 @@ def test_set_period_flips_literal_only():
     # everything else byte-identical
     assert out.replace("_PARITY_PERIOD = 3", "_PARITY_PERIOD = 2") == FAKE_REGISTRY
     with pytest.raises(SystemExit):
-        set_period_text(FAKE_REGISTRY, 4)
+        set_period_text(FAKE_REGISTRY, 5)
 
 
 def test_assign_period3_balances_into_third_class():
@@ -329,8 +329,18 @@ def test_current_registry_has_pin_headroom():
     mid-round. Guard structurally, pool-aware (r12 — the pool outgrew
     the historical fixed 40): every class must be optimally BALANCED
     (<= ceil(pool / period) — rebalance can always achieve that) AND
-    leave >= 6 pin slots of the driver's 50-entry window. At 6 the
-    next escalation is set-period 4, not another bound bump."""
+    leave >= 6 pin slots of the driver's 50-entry window.
+
+    Exception (r13): in the round a period flip happens
+    (_PERIOD_FLIPPED_AT == _ROUND) the outgoing classes are
+    necessarily over the new balanced size — the cover invariant
+    blocks moving a name whose next check would stretch its gap past
+    the period, and the flip round's checked class additionally
+    carries the OLD period's schedule promise (its due names must be
+    checked THIS round, so they may not move at all). The balance
+    assertion is deferred exactly one round; the >= 6 pin-slot bound
+    never is. The next bump re-arms balance enforcement, forcing the
+    finishing `rebalance` the tool docstring prescribes."""
     import math
 
     import trendmachine_spark.registry as reg
@@ -338,11 +348,182 @@ def test_current_registry_has_pin_headroom():
     classes = reg._parity_classes()
     pool = sum(len(v) for v in classes.values())
     optimal = math.ceil(pool / len(classes))
+    in_flip_grace = reg._ROUND == reg._PERIOD_FLIPPED_AT
     for cls, names in classes.items():
-        assert len(names) <= optimal, (
-            f"class {cls} holds {len(names)} names (> balanced "
-            f"{optimal}) — run `rotate_window.py rebalance`")
+        if not in_flip_grace:
+            assert len(names) <= optimal, (
+                f"class {cls} holds {len(names)} names (> balanced "
+                f"{optimal}) — run `rotate_window.py rebalance`")
         assert len(names) <= 44, (
             f"class {cls} holds {len(names)} names — a round checking it "
-            "has <6 pin slots; the pool has outgrown period 3 "
-            "(`rotate_window.py set-period 4`)")
+            "has <6 pin slots; the pool has outgrown the current period "
+            f"({reg._PARITY_PERIOD}): `rotate_window.py set-period "
+            f"{reg._PARITY_PERIOD + 1}` (extend the machinery if needed)")
+
+
+# ---------------------------------------------------------------------------
+# Period-4 rotation (r13 mandate: the pool hit 123 oracled names at
+# 41/41/41 — one round of period-3 headroom left — so the machinery
+# must exist BEFORE the import-time assert fires mid-round). Same
+# drill as the r9 period-3 build-out: drive the tool rewrites and the
+# registry schedule logic at period 4 against fixtures.
+# ---------------------------------------------------------------------------
+
+# Round 13, period 4, just flipped from period 3. History encoded:
+# r12 checked class 0 (so "e"+"t" were demoted r12 -> _PREV_DEMOTED),
+# r11 checked class 2 ("e"+"o" demoted -> _PREV_DEMOTED_2), r10
+# checked class 1 ("o"+"t" demoted -> _PREV_DEMOTED_3). Derived last
+# checks: e r10, t r11, o r12. Class 3 is the new, empty fourth class.
+FAKE_P4 = '''\
+_ROUND = 13
+_PARITY_PERIOD = 4
+_PERIOD_FLIPPED_AT = 13
+_WINDOW_PINNED: list[str] = []  # round 13: nothing changed yet
+_DEMOTE_EVEN = frozenset({
+    "e1", "e2", "e3",
+})
+_DEMOTE_ODD = frozenset({
+    "o1", "o2", "o3",
+})
+_DEMOTE_THIRD: frozenset = frozenset({
+    "t1", "t2", "t3",
+})
+_DEMOTE_FOURTH: frozenset = frozenset()
+_PREV_DEMOTED = [
+    "e1", "e2", "e3", "t1", "t2", "t3",
+]
+_PREV_DEMOTED_2: list[str] = [
+    "e1", "e2", "e3", "o1", "o2", "o3",
+]
+_PREV_DEMOTED_3: list[str] = [
+    "o1", "o2", "o3", "t1", "t2", "t3",
+]
+'''
+
+
+def test_set_period_4_flips_literal_and_stamps_flip_round():
+    from rotate_window import set_period_text
+
+    out = set_period_text(FAKE_P4.replace("_PARITY_PERIOD = 4",
+                                          "_PARITY_PERIOD = 3"), 4)
+    ast.parse(out)
+    assert "_PARITY_PERIOD = 4" in out
+    assert "_PERIOD_FLIPPED_AT = 13" in out
+    # period 5 does not exist
+    with pytest.raises(SystemExit):
+        set_period_text(FAKE_P4, 5)
+    # a fixture without the flip-round literal is still rewritable
+    # (set_period only stamps it when present)
+    out2 = set_period_text(FAKE_REGISTRY, 3)
+    assert "_PERIOD_FLIPPED_AT" not in out2
+
+
+def test_assign_period4_targets_fourth_class():
+    from rotate_window import assign_text
+
+    out = assign_text(FAKE_P4, "q_new")
+    ast.parse(out)
+    fourth = re.search(r"_DEMOTE_FOURTH[^\n]* = frozenset\(\{\n(.*?)^\}\)",
+                       out, re.M | re.S)
+    assert fourth and "q_new" in _names(fourth.group(1))
+    # a name already in FOURTH is refused on re-assign
+    with pytest.raises(SystemExit):
+        assign_text(out, "q_new")
+    # ... and names in the legacy classes stay refused too
+    with pytest.raises(SystemExit):
+        assign_text(FAKE_P4, "e1")
+
+
+def test_bump_period4_cascades_three_prev_literals():
+    from rotate_window import bump_text
+
+    out = bump_text(FAKE_P4, ["o1", "o2", "o3", "t1", "t2", "t3"])
+    ast.parse(out)
+    assert "_ROUND = 14" in out
+    prev = _names(re.search(r"^_PREV_DEMOTED = \[\n(.*?)^\]$", out,
+                            re.M | re.S).group(1))
+    assert sorted(prev) == ["o1", "o2", "o3", "t1", "t2", "t3"]
+    prev2 = _names(re.search(r"^_PREV_DEMOTED_2[^\n]*= \[\n(.*?)^\]$", out,
+                             re.M | re.S).group(1))
+    assert sorted(prev2) == ["e1", "e2", "e3", "t1", "t2", "t3"]
+    prev3 = _names(re.search(r"^_PREV_DEMOTED_3[^\n]*= \[\n(.*?)^\]$", out,
+                             re.M | re.S).group(1))
+    assert sorted(prev3) == ["e1", "e2", "e3", "o1", "o2", "o3"]
+
+
+def test_bump_period3_with_prev3_literal_keeps_history_live():
+    """Under period 3 a _PREV_DEMOTED_3 literal (added r13 ahead of the
+    period-4 flip) must cascade too — that third round of live history
+    is what makes a later flip lossless for the gap derivation."""
+    from rotate_window import bump_text
+
+    src = FAKE_REGISTRY.replace(
+        "_PARITY_PERIOD = 2", "_PARITY_PERIOD = 3").replace(
+        "_PREV_DEMOTED_2: list[str] = []",
+        '_PREV_DEMOTED_2: list[str] = [\n    "q_old",\n]\n'
+        "_PREV_DEMOTED_3: list[str] = []")
+    out = bump_text(src, ["q_odd1"])
+    prev3 = re.search(r"^_PREV_DEMOTED_3[^\n]*= \[\n(.*?)^\]$", out,
+                      re.M | re.S)
+    assert prev3 and _names(prev3.group(1)) == ["q_old"]
+
+
+def test_registry_schedule_under_period4(monkeypatch):
+    """Registry schedule logic at period 4: each pool name checked
+    EXACTLY once per 4-round cycle, class k in the window exactly when
+    round % 4 == k, dupes rejected."""
+    import trendmachine_spark.registry as reg
+
+    pool = reg._rotation_pool()
+    a, b, c, d = pool[0::4], pool[1::4], pool[2::4], pool[3::4]
+    monkeypatch.setattr(reg, "_PARITY_PERIOD", 4)
+    monkeypatch.setattr(reg, "_DEMOTE_ODD", frozenset(a))     # class 0
+    monkeypatch.setattr(reg, "_DEMOTE_EVEN", frozenset(b))    # class 1
+    monkeypatch.setattr(reg, "_DEMOTE_THIRD", frozenset(c))   # class 2
+    monkeypatch.setattr(reg, "_DEMOTE_FOURTH", frozenset(d))  # class 3
+    cycle = [set(reg._demoted_for_round(r)) for r in (12, 13, 14, 15)]
+    assert not set.intersection(*cycle)
+    for n in pool:
+        assert sum(1 for dm in cycle if n not in dm) == 1
+    assert not set(a) & set(reg._demoted_for_round(12))  # 12 % 4 == 0
+    assert not set(b) & set(reg._demoted_for_round(13))
+    assert not set(c) & set(reg._demoted_for_round(14))
+    assert not set(d) & set(reg._demoted_for_round(15))
+    assert set(d) <= set(reg._demoted_for_round(12))
+    monkeypatch.setattr(reg, "_DEMOTE_FOURTH", frozenset(d) | {a[0]})
+    with pytest.raises(AssertionError, match="more than one"):
+        reg._demoted_for_round(12)
+
+
+def _classes4(out: str) -> dict[str, list[str]]:
+    sets = {}
+    for label in ("_DEMOTE_EVEN", "_DEMOTE_ODD", "_DEMOTE_THIRD",
+                  "_DEMOTE_FOURTH"):
+        m = re.search(label + r"(?::[^\n=]+)? = frozenset\((?:\)|\{\n.*?^\}\))",
+                      out, re.M | re.S)
+        sets[label] = _names(m.group(0))
+    return sets
+
+
+def test_rebalance_period4_fills_fourth_class_under_cover():
+    """The flip-round rebalance: names move into the new class 3 (next
+    check r15) only when their gap allows — o (checked r12, gap 3) and
+    t (checked r11, gap 4) may, e (checked r10, gap 5) may NOT. The
+    schedule promise that class-1 names due THIS round stay put is
+    expressed via --exclude, exactly how the real r13 flip ran."""
+    from rotate_window import rebalance_text
+
+    out = rebalance_text(
+        FAKE_P4, targets={0: 2, 1: 3, 2: 2, 3: 2},
+        exclude=frozenset({"e1", "e2", "e3"}))
+    ast.parse(out)
+    sets = _classes4(out)
+    assert sorted(len(v) for v in sets.values()) == [2, 2, 2, 3]
+    assert sets["_DEMOTE_EVEN"] == ["e1", "e2", "e3"]  # promise kept
+    moved = set(sets["_DEMOTE_FOURTH"])
+    assert moved and moved <= {"o1", "o2", "o3", "t1", "t2", "t3"}
+    # an e name can never be forced into class 0 (next check r16,
+    # gap 6 from its r10 last check) even when targets demand it
+    with pytest.raises(SystemExit, match="no legal move"):
+        rebalance_text(FAKE_P4, targets={0: 4, 1: 2, 2: 3, 3: 0},
+                       exclude=frozenset({"o1", "o2", "o3"}))

@@ -26,8 +26,9 @@ Commands (all edit trendmachine_spark/registry.py in place):
   python tools/rotate_window.py assign NAME
       A NEW oracled query needs a frozen demotion class: add it to
       whichever ACTIVE class set (_DEMOTE_EVEN/_DEMOTE_ODD, plus
-      _DEMOTE_THIRD under period 3) is smallest (the balance rule from
-      the registry docstring). Refuses names already assigned.
+      _DEMOTE_THIRD under period >= 3 and _DEMOTE_FOURTH under
+      period 4) is smallest (the balance rule from the registry
+      docstring). Refuses names already assigned.
       Remember new queries are normally ALSO pinned for their first
       round (`pin` is a separate, explicit step).
 
@@ -49,16 +50,21 @@ Commands (all edit trendmachine_spark/registry.py in place):
       changed query overflows the window mid-round.
 
   python tools/rotate_window.py set-period N
-      Switch the rotation cycle length (2 or 3). Period 3 raises the
-      oracled-pool capacity from 100 to 150 under the driver's
-      50-entry window: every query is driver-checked once per three
-      rounds instead of two, new names `assign` into _DEMOTE_THIRD
-      until the three windows balance, and each `bump` cascades
-      _PREV_DEMOTED_2 <- _PREV_DEMOTED <- _DEMOTED so the
-      "no name demoted a full cycle" invariant stays checkable from
-      literals. Flip at a round start, BEFORE pinning: the transition
-      itself can leave a name unchecked for up to period+1 rounds
-      (documented at _PARITY_PERIOD in registry.py).
+      Switch the rotation cycle length (2, 3 or 4). Each extra class
+      raises the oracled-pool capacity by 50 under the driver's
+      50-entry window (period 3 -> 150, period 4 -> 200): every query
+      is driver-checked once per N rounds, new names `assign` into the
+      newest class (_DEMOTE_THIRD / _DEMOTE_FOURTH) until the windows
+      balance, and each `bump` cascades the history chain deepest
+      first (_PREV_DEMOTED_3 <- _PREV_DEMOTED_2 <- _PREV_DEMOTED <-
+      _DEMOTED) so the "no name demoted a full cycle" invariant stays
+      checkable from literals. Flip at a round start, BEFORE pinning:
+      the transition itself can leave a name unchecked for up to
+      period+1 rounds (documented at _PARITY_PERIOD in registry.py).
+      After a flip the old classes are typically over the new balanced
+      size and the cover invariant blocks most moves until their next
+      check — run `rebalance` with explicit targets at the flip, then
+      plain `rebalance` again the FOLLOWING round to finish.
 
 Every command prints the resulting window sizes for this round and the
 next, and exits non-zero (leaving the file untouched) if the rewritten
@@ -80,6 +86,8 @@ _PINNED_RE = re.compile(r"^_WINDOW_PINNED(?::[^\n=]+)? = \[\n.*?^\]$", re.M | re
 _PREV_RE = re.compile(r"^_PREV_DEMOTED(?::[^\n=]+)? = \[\n.*?^\]$", re.M | re.S)
 _PREV2_RE = re.compile(
     r"^_PREV_DEMOTED_2(?::[^\n=]+)? = \[(?:\][^\n]*|\n.*?^\])", re.M | re.S)
+_PREV3_RE = re.compile(
+    r"^_PREV_DEMOTED_3(?::[^\n=]+)? = \[(?:\][^\n]*|\n.*?^\])", re.M | re.S)
 _EMPTY_PINNED_RE = re.compile(r"^_WINDOW_PINNED(?::[^\n=]+)? = \[\][^\n]*", re.M)
 
 
@@ -99,11 +107,15 @@ def _fmt_list(names: list[str], indent: str = "    ") -> str:
 
 def bump_text(src: str, demoted_now: list[str]) -> str:
     """Pure rewrite for the start-of-round bump (see module doc).
-    Under period 3 the previous-round literals CASCADE
-    (_PREV_DEMOTED_2 <- _PREV_DEMOTED <- demoted_now) so the
-    no-name-demoted-a-full-cycle invariant stays checkable; under
-    period 2 _PREV_DEMOTED_2 is left untouched (disjointness of
-    consecutive rounds already covers the cycle)."""
+    Under period >= 3 the previous-round literals CASCADE, deepest
+    first (_PREV_DEMOTED_3 <- _PREV_DEMOTED_2 <- _PREV_DEMOTED <-
+    demoted_now) so the no-name-demoted-a-full-cycle invariant stays
+    checkable from literals; under period 2 the deeper literals are
+    left untouched (disjointness of consecutive rounds already covers
+    the cycle). _PREV_DEMOTED_3 cascades whenever its literal exists —
+    keeping three rounds of history live under period 3 is what makes
+    a later period-4 flip lossless (the flip round's gap derivation
+    needs to know who was checked three rounds ago)."""
     m = _ROUND_RE.search(src)
     if not m:
         raise SystemExit("could not find `_ROUND = N` in registry.py")
@@ -117,6 +129,15 @@ def bump_text(src: str, demoted_now: list[str]) -> str:
         prev_names = re.findall(r'"([^"]+)"', prev_m.group(0))
         if not _PREV2_RE.search(src):
             raise SystemExit("could not find the _PREV_DEMOTED_2 block")
+        prev3_m = _PREV3_RE.search(src)
+        if prev3_m:
+            prev2_names = re.findall(
+                r'"([^"]+)"', _PREV2_RE.search(src).group(0))
+            prev3_new = ("_PREV_DEMOTED_3: list[str] = [\n"
+                         + _fmt_list(sorted(prev2_names)) + "\n]"
+                         if prev2_names else
+                         "_PREV_DEMOTED_3: list[str] = []")
+            src = _PREV3_RE.sub(lambda _: prev3_new, src, count=1)
         prev2_new = ("_PREV_DEMOTED_2: list[str] = [\n"
                      + _fmt_list(sorted(prev_names)) + "\n]")
         src = _PREV2_RE.sub(lambda _: prev2_new, src, count=1)
@@ -158,20 +179,27 @@ def assign_text(src: str, name: str) -> str:
     """Pure rewrite adding ``name`` to the SMALLEST active class set.
 
     Active classes follow _PARITY_PERIOD in the source: period 2 keeps
-    the historical EVEN/ODD pair; period 3 adds _DEMOTE_THIRD (whose
-    empty literal is rewritten into a block on first assignment). The
-    name is refused if ANY class (active or not) already holds it."""
+    the historical EVEN/ODD pair; period 3 adds _DEMOTE_THIRD and
+    period 4 _DEMOTE_FOURTH (whose empty literals are rewritten into
+    blocks on first assignment). The name is refused if ANY class
+    (active or not) already holds it."""
     pm = _PERIOD_RE.search(src)
     period = int(pm.group(1)) if pm else 2
     labels = ["_DEMOTE_EVEN", "_DEMOTE_ODD"]
     if period >= 3:
         labels.append("_DEMOTE_THIRD")
+    if period >= 4:
+        labels.append("_DEMOTE_FOURTH")
+    all_labels = ["_DEMOTE_EVEN", "_DEMOTE_ODD", "_DEMOTE_THIRD",
+                  "_DEMOTE_FOURTH"]
     sets = {}
-    for label in labels + (["_DEMOTE_THIRD"] if period < 3 else []):
+    for label in all_labels:
         m = re.search(label + r"(?::[^\n=]+)? = frozenset\((?:\)|\{\n.*?^\}\))",
                       src, re.M | re.S)
         if not m:
-            raise SystemExit(f"could not find the {label} block")
+            if label in labels:
+                raise SystemExit(f"could not find the {label} block")
+            continue  # inactive class absent from an old fixture: fine
         if f'"{name}"' in m.group(0):
             raise SystemExit(f"{name} already has a class in {label}")
         if label in labels:
@@ -194,6 +222,8 @@ def _class_labels(period: int) -> dict[int, str]:
     labels = {0: "_DEMOTE_ODD", 1: "_DEMOTE_EVEN"}
     if period >= 3:
         labels[2] = "_DEMOTE_THIRD"
+    if period >= 4:
+        labels[3] = "_DEMOTE_FOURTH"
     return labels
 
 
@@ -228,6 +258,11 @@ def rebalance_text(src: str, targets: dict[int, int] | None = None,
     prev = set(re.findall(r'"([^"]+)"', _PREV_RE.search(src).group(0)))
     prev2_m = _PREV2_RE.search(src)
     prev2 = set(re.findall(r'"([^"]+)"', prev2_m.group(0))) if prev2_m else set()
+    prev3_m = _PREV3_RE.search(src)
+    prev3 = set(re.findall(r'"([^"]+)"', prev3_m.group(0))) if prev3_m else set()
+    #: literal history chain, most recent first, truncated to the
+    #: period - 1 levels the cycle invariant keeps meaningful
+    prev_chain = [prev, prev2, prev3][: period - 1]
     pool = sum(len(s) for s in sets.values())
     if targets is None:
         base, extra = divmod(pool, len(sets))
@@ -243,10 +278,9 @@ def rebalance_text(src: str, targets: dict[int, int] | None = None,
         raise SystemExit(f"--exclude names not in any class: {sorted(unknown)}")
 
     def last_checked(name: str) -> int:
-        if name not in prev:
-            return rnd - 1
-        if name not in prev2:
-            return rnd - 2
+        for back, demoted_then in enumerate(prev_chain, start=1):
+            if name not in demoted_then:
+                return rnd - back
         return rnd - period  # full-cycle invariant bounds it here
 
     def next_checked(cls: int) -> int:
@@ -295,12 +329,21 @@ def rebalance_text(src: str, targets: dict[int, int] | None = None,
 
 
 def set_period_text(src: str, period: int) -> str:
-    """Pure rewrite of the _PARITY_PERIOD literal (2 or 3)."""
-    if period not in (2, 3):
-        raise SystemExit(f"period must be 2 or 3, got {period}")
+    """Pure rewrite of the _PARITY_PERIOD literal (2, 3 or 4). Also
+    stamps _PERIOD_FLIPPED_AT with the current _ROUND (when that
+    literal exists) so the class-balance guard knows to grant the flip
+    round its one round of grace."""
+    if period not in (2, 3, 4):
+        raise SystemExit(f"period must be 2, 3 or 4, got {period}")
     if not _PERIOD_RE.search(src):
         raise SystemExit("could not find `_PARITY_PERIOD = N` in registry.py")
-    return _PERIOD_RE.sub(f"_PARITY_PERIOD = {period}", src, count=1)
+    out = _PERIOD_RE.sub(f"_PARITY_PERIOD = {period}", src, count=1)
+    rnd_m = _ROUND_RE.search(src)
+    flip_re = re.compile(r"^_PERIOD_FLIPPED_AT = \d+$", re.M)
+    if rnd_m and flip_re.search(out):
+        out = flip_re.sub(
+            f"_PERIOD_FLIPPED_AT = {int(rnd_m.group(1))}", out, count=1)
+    return out
 
 
 def _current_demoted() -> list[str]:
@@ -333,11 +376,13 @@ def _verify() -> None:
     the alternation invariant explicitly and print window sizes."""
     code = (
         "from trendmachine_spark.registry import (_ROUND, _DEMOTED, _PREV_DEMOTED,"
-        " _PREV_DEMOTED_2, _PARITY_PERIOD, _WINDOW_PINNED, QUERIES)\n"
-        "if _PARITY_PERIOD == 2:\n"
-        "    overlap = set(_DEMOTED) & set(_PREV_DEMOTED)\n"
-        "else:  # period 3: illegal only if demoted a FULL cycle\n"
-        "    overlap = set(_DEMOTED) & set(_PREV_DEMOTED) & set(_PREV_DEMOTED_2)\n"
+        " _PREV_DEMOTED_2, _PREV_DEMOTED_3, _PARITY_PERIOD, _WINDOW_PINNED,"
+        " QUERIES)\n"
+        "overlap = set(_DEMOTED) & set(_PREV_DEMOTED)\n"
+        "if _PARITY_PERIOD >= 3:  # illegal only if demoted a FULL cycle\n"
+        "    overlap &= set(_PREV_DEMOTED_2)\n"
+        "if _PARITY_PERIOD >= 4:\n"
+        "    overlap &= set(_PREV_DEMOTED_3)\n"
         "assert not overlap, f'names demoted a full cycle: {sorted(overlap)}'\n"
         "oracled = [n for n, d in QUERIES.items() if d.oracle is not None]\n"
         "win = [n for n in oracled if n not in _DEMOTED]\n"

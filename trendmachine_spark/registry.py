@@ -5542,6 +5542,15 @@ _ROUND = 12
 #: rounds need not be adjacent); flip at a round start, before pins.
 _PARITY_PERIOD = 3
 
+#: the round the period last changed (maintained by `rotate_window.py
+#: set-period`). In the flip round itself the outgoing classes are
+#: necessarily over the new balanced size — the cover invariant (no
+#: name's between-checks gap may exceed the period) blocks most moves
+#: until each class is next checked — so the class-balance guard in
+#: tests/test_rotate_window.py grants exactly that one round of grace
+#: and then forces a finishing `rebalance` at the next bump.
+_PERIOD_FLIPPED_AT = 9
+
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
 _WINDOW_PINNED: list[str] = [
@@ -5627,6 +5636,16 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "sq8_encode_streaming",
 })
 
+#: fourth rotation class — EMPTY (and unused) while _PARITY_PERIOD <= 3.
+#: Under period 4 these names are driver-checked when _ROUND % 4 == 3.
+#: Machinery built r13, BEFORE the pool outgrew period 3's capacity
+#: (the r12 verdict's one-round-of-slack warning): flip via
+#: `rotate_window.py set-period 4` (capacity 200 under the driver's
+#: 50-entry window; the between-checks guarantee relaxes to every
+#: fourth round, with CI still exact-checking every oracled name at
+#: sf0.001 every run).
+_DEMOTE_FOURTH: frozenset = frozenset()
+
 #: demoted list from TWO rounds ago — cascaded at each bump only under
 #: period 3 (period 2's disjointness makes it redundant); feeds the
 #: "no name demoted a full cycle" invariant in tests/test_oracle_parity.
@@ -5654,16 +5673,25 @@ _PREV_DEMOTED_2: list[str] = [
     "training_corpus_clean", "transition_matrix", "urim_projection",
 ]
 
+#: demoted list from THREE rounds ago — cascaded at each bump
+#: (_PREV_DEMOTED_3 <- _PREV_DEMOTED_2, deepest first) whenever the
+#: literal exists; consulted by the full-cycle invariant and by
+#: rotate_window's cover-invariant gap derivation only under period 4.
+_PREV_DEMOTED_3: list[str] = []
+
 
 def _parity_classes() -> dict[int, frozenset]:
     """checked-round class -> frozen name set. A name of class c is
     driver-checked in rounds where round % _PARITY_PERIOD == c and
     demoted otherwise. Period 2 maps the historical sets (_DEMOTE_ODD =
     demoted on odd rounds = checked on even = class 0; _DEMOTE_EVEN =
-    class 1); period 3 adds _DEMOTE_THIRD as class 2."""
+    class 1); period 3 adds _DEMOTE_THIRD as class 2; period 4 adds
+    _DEMOTE_FOURTH as class 3."""
     classes = {0: _DEMOTE_ODD, 1: _DEMOTE_EVEN}
     if _PARITY_PERIOD >= 3:
         classes[2] = _DEMOTE_THIRD
+    if _PARITY_PERIOD >= 4:
+        classes[3] = _DEMOTE_FOURTH
     return classes
 
 
@@ -5706,6 +5734,7 @@ def _demoted_for_round(round_no: int) -> list[str]:
         f"oracled queries with no demotion class: {unassigned} — add each "
         "to _DEMOTE_ODD/_DEMOTE_EVEN"
         + ("/_DEMOTE_THIRD" if _PARITY_PERIOD >= 3 else "")
+        + ("/_DEMOTE_FOURTH" if _PARITY_PERIOD >= 4 else "")
         + " (balance the window sizes)"
     )
     checked = round_no % _PARITY_PERIOD
