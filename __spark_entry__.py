@@ -47,14 +47,17 @@ closure); the O34/O35 recurrences, streaming operators, and the
 seed-dependent MLlib variants are rows-only by design (not
 SQL-expressible; both ANN variants are deterministic and carry full
 oracles). The driver's 50-entry correctness window holds every
-new/changed query (registry._WINDOW_PINNED) plus a ROTATING half of
-the long-stable pool: each name carries a frozen demotion parity
-(registry._DEMOTE_ODD/_DEMOTE_EVEN), so from round 5 on every oracled
-query gets a driver sf0.01 check at least every other round (round 4,
-the static-list->rotation transition, left 14 stragglers covered only
-at sf0.001 by CI for two rounds); demoted names are still exactly
-checked every CI run by tests/test_oracle_parity, which pins the
-rotation invariant.
+new/changed query (registry._WINDOW_PINNED) plus the rotation class
+of the long-stable pool whose turn it is: each name carries a frozen
+demotion class (registry._DEMOTE_ODD/_DEMOTE_EVEN/_DEMOTE_THIRD/
+_DEMOTE_FOURTH; the cycle length is registry._PARITY_PERIOD, grown
+2 -> 3 -> 4 as the pool outgrew 100 then 150 oracled names), so every
+oracled query gets a driver sf0.01 check at least once every 4 rounds
+— and every CI run exact-checks ALL oracled names against DuckDB at
+sf0.001 regardless of rotation position (tests/test_oracle_parity,
+which also pins the rotation invariants), so a value regression can
+never hide behind the cadence; only a scale-DEPENDENT one can wait,
+bounded by the period.
 """
 
 from __future__ import annotations

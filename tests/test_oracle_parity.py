@@ -158,3 +158,32 @@ def test_documented_counts_match_registry():
         assert int(m.group(1)) == n_oracled, (
             f"{mod.__name__} claims {m.group(1)} oracles, registry has {n_oracled}"
         )
+
+
+def test_documented_cadence_matches_parity_period():
+    """The driver-facing rotation-cadence claim must be DERIVED from
+    _PARITY_PERIOD, never hand-maintained: the r12 period-3 rebalance
+    left 'every other round' prose promising a cadence the code no
+    longer kept (r12 verdict 'What's wrong' #2). Both the
+    __spark_entry__ docstring and the registry's rotation comment
+    carry the canonical sentence 'at least once every N rounds' —
+    N must equal the live period in each."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+    from trendmachine_spark.registry import _PARITY_PERIOD
+
+    registry_src = (Path(__file__).resolve().parent.parent
+                    / "trendmachine_spark" / "registry.py").read_text()
+    for label, text in (("__spark_entry__ docstring", entry.__doc__ or ""),
+                        ("registry.py rotation comment", registry_src)):
+        claims = re.findall(r"at least once every (\d+) rounds", text)
+        assert claims, f"{label}: no 'at least once every N rounds' claim"
+        for claim in claims:
+            assert int(claim) == _PARITY_PERIOD, (
+                f"{label} promises a check every {claim} rounds but "
+                f"_PARITY_PERIOD is {_PARITY_PERIOD} — the prose drifted"
+            )
+    # stale period-era phrasing must be gone from the driver-facing doc
+    assert "every other round" not in (entry.__doc__ or "")

@@ -74,8 +74,11 @@ def test_assign_targets_smallest_class_and_rejects_dupes():
     out = assign_text(SRC, "brand_new_query")
     ast.parse(out)
     period = int(re.search(r"^_PARITY_PERIOD = (\d+)$", SRC, re.M).group(1))
-    labels = ["_DEMOTE_EVEN", "_DEMOTE_ODD"] + (
-        ["_DEMOTE_THIRD"] if period >= 3 else [])
+    labels = ["_DEMOTE_EVEN", "_DEMOTE_ODD"]
+    if period >= 3:
+        labels.append("_DEMOTE_THIRD")
+    if period >= 4:
+        labels.append("_DEMOTE_FOURTH")
     sizes = {}
     for label in labels:
         m = re.search(label + r"(?::[^\n=]+)? = frozenset\((?:\)|\{\n.*?^\}\))",

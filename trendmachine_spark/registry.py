@@ -5499,48 +5499,50 @@ def q_training_corpus_clean(spark, sf_dir):
 # at sf0.01), then (b) a ROTATING half of the long-stable oracled pool.
 #
 # Rotation mechanism (round 5 on): every oracled name carries an
-# EXPLICIT frozen parity in _DEMOTE_ODD / _DEMOTE_EVEN — it is demoted
-# in rounds of that parity and driver-checked in the other. Because the
-# assignment is per-name and frozen, registering new queries can never
-# shift anyone else's schedule (the failure mode of the round-4
-# index-parity rotation, where a pool insertion shifted alphabetical
-# indices). Consecutive rounds' demoted sets are disjoint by
-# construction, so from round 5 on every oracled query gets a driver
-# sf0.01 check at least every other round — a scale-dependent
-# regression can hide for at most one round. (Round 4 itself was the
-# static-list→rotation transition: 14 double-demoted stragglers went
-# two rounds covered only at sf0.001 by CI; they are all EVEN-parity
-# now, i.e. in the round-5 window.) Demoted names are still
-# exactly-checked every CI run at sf0.001 by
-# tests/test_oracle_parity.py, which also pins the rotation invariants.
+# EXPLICIT frozen demotion CLASS in _DEMOTE_ODD / _DEMOTE_EVEN /
+# _DEMOTE_THIRD / _DEMOTE_FOURTH — it is driver-checked in rounds
+# where _ROUND % _PARITY_PERIOD == its class and demoted otherwise.
+# Because the assignment is per-name and frozen, registering new
+# queries can never shift anyone else's schedule (the failure mode of
+# the round-4 index-parity rotation, where a pool insertion shifted
+# alphabetical indices). Any _PARITY_PERIOD consecutive rounds'
+# windows cover the whole pool, so every oracled query gets a driver
+# sf0.01 check at least once every 4 rounds (the literal here must
+# equal _PARITY_PERIOD — tests/test_oracle_parity.py derives and
+# enforces it). Demoted names are still exactly-checked EVERY CI run
+# at sf0.001 by tests/test_oracle_parity.py, which also pins the
+# rotation invariants — so only a scale-DEPENDENT regression can wait
+# for its class's turn; a value regression cannot hide at all.
 # Rows-only/streaming entries sit behind everything (their driver check
 # is a rows>=0 smoke regardless of position).
 #
-# Round bookkeeping: bump _ROUND once per driver round, refresh
-# _WINDOW_PINNED to the queries added/changed that round (and give any
-# NEW query a class via `rotate_window.py assign`, balancing window
-# sizes), and refresh _PREV_DEMOTED to the literal value _DEMOTED had
-# last round. The pool hit the period-2 capacity (100 oracled = 50+50)
-# in round 8; growth past it flips the cycle to three rounds with
-# `rotate_window.py set-period 3` (capacity 150 via _DEMOTE_THIRD —
-# machinery built r9, invariants in tests/test_rotate_window.py; the
-# every-other-round guarantee relaxes to every-third-round).
+# Round bookkeeping: bump _ROUND once per driver round (cascades the
+# _PREV_DEMOTED history chain), refresh _WINDOW_PINNED to the queries
+# added/changed that round (and give any NEW query a class via
+# `rotate_window.py assign`, balancing window sizes). Capacity grows
+# by adding classes: period 2 (100 oracled = 50+50) outgrown in round
+# 8 -> period 3 (150) from round 9 -> period 4 (200) from round 13,
+# each flipped with `rotate_window.py set-period N` at a round start
+# followed by a cover-invariant-checked `rebalance` (machinery +
+# invariants in tests/test_rotate_window.py).
 # ---------------------------------------------------------------------------
 
-_ROUND = 12
+_ROUND = 13
 
-#: rotation cycle length. 2 = the historical every-other-round
-#: guarantee (capacity 100 oracled under the driver's 50-entry window);
-#: 3 = three-round rotation (capacity 150) for when the pool outgrows
-#: 100 — flip via `rotate_window.py set-period 3`, which also starts
-#: cascading _PREV_DEMOTED_2 at each bump. Class semantics under
-#: period 3: _DEMOTE_ODD names are checked when _ROUND % 3 == 0,
-#: _DEMOTE_EVEN when == 1, _DEMOTE_THIRD when == 2 (the historical
-#: set names stop describing round parity — they are class labels).
+#: rotation cycle length: a name of class c is driver-checked when
+#: _ROUND % _PARITY_PERIOD == c. 2 = the historical every-other-round
+#: guarantee (capacity 100 oracled under the driver's 50-entry
+#: window); 3 adds _DEMOTE_THIRD (150, from r9); 4 adds
+#: _DEMOTE_FOURTH (200, from r13) — flip via `rotate_window.py
+#: set-period N`, which stamps _PERIOD_FLIPPED_AT; each bump cascades
+#: the _PREV_DEMOTED history chain deepest-first. The historical set
+#: names stop describing round parity — they are class labels
+#: (_DEMOTE_ODD is class 0, _DEMOTE_EVEN class 1, then THIRD/FOURTH).
 #: Transition note: switching periods can leave a name unchecked for
 #: up to period+1 rounds across the flip (its old and new checked
-#: rounds need not be adjacent); flip at a round start, before pins.
-_PARITY_PERIOD = 3
+#: rounds need not be adjacent); flip at a round start, before pins,
+#: then `rebalance` (the flip round gets a one-round balance grace).
+_PARITY_PERIOD = 4
 
 #: the round the period last changed (maintained by `rotate_window.py
 #: set-period`). In the flip round itself the outgoing classes are
@@ -5549,19 +5551,11 @@ _PARITY_PERIOD = 3
 #: until each class is next checked — so the class-balance guard in
 #: tests/test_rotate_window.py grants exactly that one round of grace
 #: and then forces a finishing `rebalance` at the next bump.
-_PERIOD_FLIPPED_AT = 9
+_PERIOD_FLIPPED_AT = 13
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = [
-    "dedup_video_near",  # r12: max_frame_freq guard on the frame-containment join
-    "similarity_ivfpq_residual_topk",  # new r12: residual-encoding IVFPQ
-    "dedup_semantic",  # r12: adaptive sqrt-rule n_cells
-    "dedup_semantic_keepers",  # r12: adaptive sqrt-rule n_cells
-    "similarity_sq8_topk",  # new r12: SQ8 scalar-quantization ANN
-    "similarity_ivfsq8_topk",  # new r12: IVF+SQ8 ANN
-    "sq8_encode_streaming",  # new r12: oracled streaming SQ8 encode
-]
+_WINDOW_PINNED: list[str] = []  # round 13: nothing changed yet — `rotate_window.py pin NAME` as queries change
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
@@ -5576,17 +5570,16 @@ _WINDOW_PINNED: list[str] = [
 #: invariants. _WINDOW_PINNED overrides the class for the round a
 #: query changes (pinned names never demote).
 _DEMOTE_EVEN = frozenset({
-    # class 1 — driver-checked in rounds where _ROUND % 3 == 1;
-    # membership last rebalanced r12 by rotate_window.py rebalance
+    # class 1 — driver-checked in rounds where _ROUND % 4 == 1;
+    # membership last rebalanced r13 by rotate_window.py rebalance
     "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges",
     "dedup_image_phash", "dedup_image_phash_near", "dedup_minhash_lsh",
     "dedup_simhash", "event_attribution", "lm_familiarity",
     "multimodal_audio_features", "multimodal_decode_jpeg",
     "multimodal_decode_real", "multimodal_frame_sample",
     "multimodal_image_hash", "multimodal_resize", "multimodal_resize_real",
-    "packed_text", "pq_encode_streaming", "pricing_summary",
-    "quality_score_trained", "redact_pii", "redact_pii_planted",
-    "session_stats", "similarity_pq_rerank", "similarity_sq8_topk",
+    "packed_text", "pricing_summary", "quality_score_trained",
+    "redact_pii", "redact_pii_planted", "session_stats",
     "split_leakage_report", "status_month_cube",
     "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
     "text_lang_id", "text_profile", "text_repetition_stats",
@@ -5595,17 +5588,13 @@ _DEMOTE_EVEN = frozenset({
     "transition_matrix_filled", "vocab_coverage",
 })
 _DEMOTE_ODD = frozenset({
-    # class 0 — driver-checked in rounds where _ROUND % 3 == 0;
-    # membership last rebalanced r12 by rotate_window.py rebalance
-    "dedup_audio_fingerprint", "dedup_exact_norm", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_simhash_near_dup", "dup_span_histogram",
-    "dup_span_profile", "event_asof_join", "event_props_stats",
-    "event_retention", "event_sessionization", "gap_fill_backward",
-    "gap_fill_forward", "headline_metrics", "lsh_bucket_health",
-    "monthly_rollup", "multimodal_metadata", "multimodal_video_decode",
-    "pack_sequences", "periodic_samples", "quality_score",
-    "salted_term_counts", "shipping_priority", "similarity_ann_lsh",
-    "similarity_ivf_topk", "similarity_ivfpq_index",
+    # class 0 — driver-checked in rounds where _ROUND % 4 == 0;
+    # membership last rebalanced r13 by rotate_window.py rebalance
+    "gap_fill_backward", "gap_fill_forward", "headline_metrics",
+    "lsh_bucket_health", "monthly_rollup", "multimodal_metadata",
+    "multimodal_video_decode", "pack_sequences", "periodic_samples",
+    "quality_score", "salted_term_counts", "shipping_priority",
+    "similarity_ann_lsh", "similarity_ivf_topk", "similarity_ivfpq_index",
     "similarity_ivfsq8_topk", "similarity_pq_topk", "similarity_topk",
     "specimen_breakdown", "status_totals", "substring_dedup",
     "substring_dup_report", "text_fingerprints", "text_pii_stats",
@@ -5617,23 +5606,19 @@ _DEMOTE_ODD = frozenset({
 #: third rotation class — EMPTY (and unused) while _PARITY_PERIOD == 2.
 #: Under period 3 these names are driver-checked when _ROUND % 3 == 2.
 _DEMOTE_THIRD: frozenset = frozenset({
-    # class 2 — driver-checked in rounds where _ROUND % 3 == 2;
-    # membership last rebalanced r12 by rotate_window.py rebalance
-    "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
-    "chunk_documents", "content_value_counts", "corpus_card",
+    # class 2 — driver-checked in rounds where _ROUND % 4 == 2;
+    # membership last rebalanced r13 by rotate_window.py rebalance
     "corpus_decontaminate", "corpus_mix_temperature",
     "corpus_sample_stratified", "corpus_stats", "daily_chaos",
     "daily_moving_avg", "daily_rollup", "date_spine", "dedup_clusters",
     "dedup_clusters_ensemble", "dedup_containment",
     "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
     "dedup_exact", "dedup_incremental", "dedup_multi_signal",
-    "dedup_segments", "dedup_semantic_keepers", "dedup_video_frames",
-    "dedup_video_near", "embedding_outliers", "event_funnel",
-    "event_range_join", "event_session_windows", "first_last_capture",
-    "gap_fill_closest", "gap_fill_identical", "minhash_accuracy",
-    "multimodal_decode_png", "pq_distortion", "region_revenue",
-    "similarity_ivfpq_residual_topk", "similarity_ivfpq_topk",
-    "sq8_encode_streaming",
+    "dedup_segments", "dedup_video_frames", "embedding_outliers",
+    "event_funnel", "event_range_join", "event_session_windows",
+    "first_last_capture", "gap_fill_closest", "gap_fill_identical",
+    "minhash_accuracy", "multimodal_decode_png", "pq_distortion",
+    "region_revenue", "similarity_ivfpq_topk",
 })
 
 #: fourth rotation class — EMPTY (and unused) while _PARITY_PERIOD <= 3.
@@ -5644,12 +5629,57 @@ _DEMOTE_THIRD: frozenset = frozenset({
 #: 50-entry window; the between-checks guarantee relaxes to every
 #: fourth round, with CI still exact-checking every oracled name at
 #: sf0.001 every run).
-_DEMOTE_FOURTH: frozenset = frozenset()
+_DEMOTE_FOURTH: frozenset = frozenset({
+    # class 3 — driver-checked in rounds where _ROUND % 4 == 3;
+    # membership last rebalanced r13 by rotate_window.py rebalance
+    "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
+    "chunk_documents", "content_value_counts", "corpus_card",
+    "dedup_audio_fingerprint", "dedup_exact_norm", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_semantic_keepers", "dedup_simhash_near_dup",
+    "dedup_video_near", "dup_span_histogram", "dup_span_profile",
+    "event_asof_join", "event_props_stats", "event_retention",
+    "event_sessionization", "pq_encode_streaming",
+    "similarity_ivfpq_residual_topk", "similarity_pq_rerank",
+    "similarity_sq8_topk", "sq8_encode_streaming",
+})
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
 #: period 3 (period 2's disjointness makes it redundant); feeds the
 #: "no name demoted a full cycle" invariant in tests/test_oracle_parity.
 _PREV_DEMOTED_2: list[str] = [
+    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges",
+    "dedup_audio_fingerprint", "dedup_image_phash",
+    "dedup_image_phash_near", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash", "dedup_simhash_near_dup",
+    "dup_span_histogram", "dup_span_profile", "event_asof_join",
+    "event_attribution", "event_props_stats", "event_retention",
+    "event_sessionization", "gap_fill_backward", "gap_fill_forward",
+    "headline_metrics", "lm_familiarity", "lsh_bucket_health",
+    "monthly_rollup", "multimodal_audio_features",
+    "multimodal_decode_jpeg", "multimodal_decode_real",
+    "multimodal_frame_sample", "multimodal_image_hash",
+    "multimodal_metadata", "multimodal_resize", "multimodal_resize_real",
+    "pack_sequences", "packed_text", "periodic_samples", "pricing_summary",
+    "quality_score", "quality_score_trained", "redact_pii",
+    "redact_pii_planted", "salted_term_counts", "session_stats",
+    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
+    "similarity_topk", "specimen_breakdown", "split_leakage_report",
+    "status_month_cube", "status_totals", "substring_dedup",
+    "substring_dup_report", "substring_dup_report_fine",
+    "suffix_group_stats", "summary_stats", "text_fingerprints",
+    "text_lang_id", "text_pii_stats", "text_profile", "text_quality_flags",
+    "text_repetition_stats", "text_term_stats", "top_quality_docs",
+    "top_revenue_customers", "training_corpus", "training_corpus_clean",
+    "training_corpus_safe", "training_corpus_segmented", "training_shards",
+    "training_splits", "transition_matrix", "transition_matrix_filled",
+    "urim_projection", "vocab_coverage",
+]
+
+#: demoted list from THREE rounds ago — cascaded at each bump
+#: (_PREV_DEMOTED_3 <- _PREV_DEMOTED_2, deepest first) whenever the
+#: literal exists; consulted by the full-cycle invariant and by
+#: rotate_window's cover-invariant gap derivation only under period 4.
+_PREV_DEMOTED_3: list[str] = [
     "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
     "chunk_documents", "content_value_counts", "corpus_card",
     "corpus_decontaminate", "corpus_mix_temperature",
@@ -5672,12 +5702,6 @@ _PREV_DEMOTED_2: list[str] = [
     "text_quality_flags", "text_term_stats", "top_revenue_customers",
     "training_corpus_clean", "transition_matrix", "urim_projection",
 ]
-
-#: demoted list from THREE rounds ago — cascaded at each bump
-#: (_PREV_DEMOTED_3 <- _PREV_DEMOTED_2, deepest first) whenever the
-#: literal exists; consulted by the full-cycle invariant and by
-#: rotate_window's cover-invariant gap derivation only under period 4.
-_PREV_DEMOTED_3: list[str] = []
 
 
 def _parity_classes() -> dict[int, frozenset]:
@@ -5750,32 +5774,34 @@ def _demoted_for_round(round_no: int) -> list[str]:
 #: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
 #: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges",
-    "dedup_audio_fingerprint", "dedup_image_phash",
-    "dedup_image_phash_near", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_simhash", "dedup_simhash_near_dup",
-    "dup_span_histogram", "dup_span_profile", "event_asof_join",
-    "event_attribution", "event_props_stats", "event_retention",
-    "event_sessionization", "gap_fill_backward", "gap_fill_forward",
-    "headline_metrics", "lm_familiarity", "lsh_bucket_health",
-    "monthly_rollup", "multimodal_audio_features",
-    "multimodal_decode_jpeg", "multimodal_decode_real",
-    "multimodal_frame_sample", "multimodal_image_hash",
-    "multimodal_metadata", "multimodal_resize", "multimodal_resize_real",
-    "pack_sequences", "packed_text", "periodic_samples", "pricing_summary",
-    "quality_score", "quality_score_trained", "redact_pii",
-    "redact_pii_planted", "salted_term_counts", "session_stats",
-    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
-    "similarity_topk", "specimen_breakdown", "split_leakage_report",
-    "status_month_cube", "status_totals", "substring_dedup",
-    "substring_dup_report", "substring_dup_report_fine",
-    "suffix_group_stats", "summary_stats", "text_fingerprints",
-    "text_lang_id", "text_pii_stats", "text_profile", "text_quality_flags",
-    "text_repetition_stats", "text_term_stats", "top_quality_docs",
-    "top_revenue_customers", "training_corpus", "training_corpus_clean",
-    "training_corpus_safe", "training_corpus_segmented", "training_shards",
-    "training_splits", "transition_matrix", "transition_matrix_filled",
-    "urim_projection", "vocab_coverage",
+    "bpe_encode", "bpe_pair_stats", "bpe_segmented_vocab",
+    "bpe_train_merges", "capture_normalize", "chaos_ffill", "chaos_melt",
+    "chunk_documents", "content_value_counts", "corpus_card",
+    "corpus_decontaminate", "corpus_mix_temperature",
+    "corpus_sample_stratified", "corpus_stats", "daily_chaos",
+    "daily_moving_avg", "daily_rollup", "date_spine", "dedup_clusters",
+    "dedup_clusters_ensemble", "dedup_containment",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
+    "dedup_exact", "dedup_image_phash", "dedup_image_phash_near",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_multi_signal",
+    "dedup_segments", "dedup_simhash", "dedup_video_frames",
+    "embedding_outliers", "event_attribution", "event_funnel",
+    "event_range_join", "event_session_windows", "first_last_capture",
+    "gap_fill_closest", "gap_fill_identical", "lm_familiarity",
+    "minhash_accuracy", "multimodal_audio_features",
+    "multimodal_decode_jpeg", "multimodal_decode_png",
+    "multimodal_decode_real", "multimodal_frame_sample",
+    "multimodal_image_hash", "multimodal_resize", "multimodal_resize_real",
+    "packed_text", "pq_distortion", "pq_encode_streaming",
+    "pricing_summary", "quality_score_trained", "redact_pii",
+    "redact_pii_planted", "region_revenue", "session_stats",
+    "similarity_ivfpq_topk", "similarity_pq_rerank",
+    "split_leakage_report", "status_month_cube",
+    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
+    "text_lang_id", "text_profile", "text_repetition_stats",
+    "top_quality_docs", "training_corpus", "training_corpus_safe",
+    "training_corpus_segmented", "training_shards", "training_splits",
+    "transition_matrix_filled", "vocab_coverage",
 ]
 
 _DEMOTED = sorted(
