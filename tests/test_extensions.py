@@ -1693,3 +1693,30 @@ def test_multimodal_jpeg_resize_spark_path(spark, docs):
         v = 2 * (((xs[None, :] // 8) * 5 + (ys[:, None] // 8) * 11 + did) % 128)
         wgt = 1 + (np.arange(8)[None, :] + 2 * np.arange(6)[:, None]) % 5
         assert got == int((wgt * v).sum()), did
+
+
+def test_semantic_oracle_pin_guard_self_invalidates():
+    """r12 ADVICE: the registered dedup_semantic/keepers oracles pin
+    n_cells=16 while the Spark builders apply the sqrt rule to the
+    actual corpus — on any corpus outside the pinned count's validity
+    band the oracle must ERROR loudly (cell_pin_guard), never silently
+    compute a different partition. Pure DuckDB, no Spark."""
+    import duckdb
+    import pytest
+
+    from trendmachine_spark.registry import QUERIES, _semantic_cell_bounds
+
+    # band edges derived from the real rule: 16 cells holds to 512
+    # vectors, 32 starts at 513 (sf0.1's 2000 sits in the 32 band)
+    assert _semantic_cell_bounds(16) == (1, 512)
+    assert _semantic_cell_bounds(32)[0] == 513
+
+    for name in ("dedup_semantic", "dedup_semantic_keepers"):
+        sql = QUERIES[name].oracle
+        assert "cell_pin_guard" in sql
+        con = duckdb.connect()
+        con.sql("CREATE VIEW embeddings AS SELECT * FROM "
+                "'/root/testdata/sf0.1/embeddings.parquet'")
+        with pytest.raises(duckdb.Error, match="pinned n_cells=16"):
+            con.sql(sql).df()
+        con.close()

@@ -546,3 +546,34 @@ def test_ivfsq8_partition_invariant_and_empty(spark, emb):
     empty = spark.createDataFrame(
         [], "vec_id long, embedding array<float>, label int")
     assert ivfsq8_topk(empty).count() == 0
+
+
+def test_probe_truncation_by_value_with_id_gaps(spark, tmp_path):
+    """r12 ADVICE: the probe-path truncation must filter ids BY VALUE,
+    not position. With gaps among vec_ids below the resolve bound
+    (here ids 0,2,4,... resolved at bound 10), positional [:5] would
+    answer queries {0,2,4,6,8} while the collect path's vid < 5
+    filter answers {0,2,4} — the results must instead be identical."""
+    from trendmachine_spark.extensions.similarity import (
+        _truncate_probe,
+        load_probe_matrix,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    gapped = emb.filter("vec_id % 2 = 0").limit(64)
+    path = str(tmp_path / "gapped.parquet")
+    gapped.coalesce(1).write.parquet(path)
+    gdf = spark.read.parquet(path)
+
+    probe = load_probe_matrix(path, 10)
+    qids, Q, qn = _truncate_probe(probe, 5)
+    assert qids.tolist() == [0, 2, 4]  # by value, not first-5-by-sort
+
+    with_probe = pq_topk(gdf, n_queries=5, k=3, probe=probe,
+                         seed_probe=load_probe_matrix(path, 16))
+    collect_path = pq_topk(gdf, n_queries=5, k=3,
+                           seed_probe=load_probe_matrix(path, 16))
+    a = sorted(map(tuple, with_probe.collect()))
+    b = sorted(map(tuple, collect_path.collect()))
+    assert a == b
+    assert {r[0] for r in a} == {0, 2, 4}

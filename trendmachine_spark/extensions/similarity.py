@@ -63,6 +63,26 @@ def _dot(a, b):
     )
 
 
+def _truncate_probe(probe, n_queries: int):
+    """Clamp a pre-resolved probe triple to ids < ``n_queries`` BY
+    VALUE (r12 ADVICE): a probe resolved at a larger id bound must not
+    silently answer extra queries, and the former positional
+    ``[:n_queries]`` slice assumed vec_ids contiguous from 0 — with
+    gaps among ids below the bound, position and value diverge and the
+    probe path would answer a different query set (first n by sort)
+    than the collect path's ``vid < n_queries`` filter. Returns
+    ``(qids, Q, qn)`` with ``qn = sqrt(norm2)``, all value-filtered."""
+    import numpy as np
+
+    qids, Q, n2 = probe
+    qids = np.asarray(qids, dtype=np.int64)
+    keep = qids < n_queries
+    qids = qids[keep]
+    Q = np.asarray(Q, dtype=np.int64)[keep]
+    qn = np.sqrt(np.asarray(n2, dtype=np.float64)[keep])
+    return qids, Q, qn
+
+
 def load_probe_matrix(parquet_path: str, n_queries: int,
                       vec_col: str = "embedding", id_col: str = "vec_id"):
     """Driver-side probe set for :func:`brute_force_topk`: read the
@@ -1115,12 +1135,7 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     if cb is None:
         return spark.createDataFrame([], empty_schema)
     if probe is not None:
-        # same [:n_queries] truncation as ivfpq_topk: a probe resolved
-        # at a larger id bound must not silently answer extra queries
-        qids, Q, n2 = probe
-        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
-        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
-        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        qids, Q, qn = _truncate_probe(probe, n_queries)
         if not len(qids):
             return spark.createDataFrame([], empty_schema)
     else:
@@ -1266,10 +1281,7 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     if S is None:
         return spark.createDataFrame([], empty_schema)
     if probe is not None:
-        qids, Q, n2 = probe
-        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
-        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
-        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        qids, Q, qn = _truncate_probe(probe, n_queries)
         if not len(qids):
             return spark.createDataFrame([], empty_schema)
     else:
@@ -1393,10 +1405,7 @@ def ivfsq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         return spark.createDataFrame([], empty_schema)
     cells, Cm, cnm = cent
     if probe is not None:
-        qids, Q, n2 = probe
-        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
-        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
-        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        qids, Q, qn = _truncate_probe(probe, n_queries)
         if not len(qids):
             return spark.createDataFrame([], empty_schema)
     else:
@@ -1718,10 +1727,7 @@ def ivfpq_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         return spark.createDataFrame([], empty_schema)
     cells, Cm, cnm = cent
     if probe is not None:
-        qids, Q, n2 = probe
-        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
-        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
-        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        qids, Q, qn = _truncate_probe(probe, n_queries)
         if not len(qids):
             return spark.createDataFrame([], empty_schema)
     else:
@@ -1863,10 +1869,7 @@ def ivfpq_residual_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     if cb is None:
         return spark.createDataFrame([], empty_schema)
     if probe is not None:
-        qids, Q, n2 = probe
-        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
-        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
-        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        qids, Q, qn = _truncate_probe(probe, n_queries)
         if not len(qids):
             return spark.createDataFrame([], empty_schema)
     else:
@@ -1964,11 +1967,7 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     cand = pq_topk(emb, n_queries, k * expand, n_sub, n_codes, refine,
                    vec_col, id_col, probe=probe, seed_probe=seed_probe)
     if probe is not None:
-        # [:n_queries] for consistency with pq_topk/ivfpq_topk
-        qids, Q, n2 = probe
-        qids = np.asarray(qids, dtype=np.int64)[:n_queries]
-        Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
-        qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+        qids, Q, qn = _truncate_probe(probe, n_queries)
         if not len(qids):
             return spark.createDataFrame([], empty_schema)
     else:
@@ -2070,10 +2069,7 @@ def ivfpq_topk_from_index(spark, index_path: str, trained,
         "query_id long, neighbor_id long, rank int, adc_cosine double")
     if probe is None:
         raise ValueError("probe required: the index holds no raw vectors")
-    qids, Q, n2 = probe
-    qids = np.asarray(qids, dtype=np.int64)[:n_queries]
-    Q = np.asarray(Q, dtype=np.int64)[:len(qids)]
-    qn = np.sqrt(np.asarray(n2, dtype=np.float64))[:len(qids)]
+    qids, Q, qn = _truncate_probe(probe, n_queries)
     if not len(qids):
         return spark.createDataFrame([], empty_schema)
     nq = len(qids)

@@ -3583,12 +3583,13 @@ def q_similarity_ivfpq_residual_topk(spark, sf_dir):
                                seed_probe=load_probe_matrix(path, 16))
 
 
-#: at-rest IVFPQ index memo per (applicationId, sf_dir): the index
+#: at-rest IVFPQ index memo per corpus content identity: the index
 #: write is a build step (a nightly indexing job in production), not
 #: part of the query — cache it so repeated builds in one session
 #: query the same on-disk layout. /tmp is the sandbox-honest object
-#: store; content is deterministic, so a stale-dir collision across
-#: processes is value-neutral (mode=overwrite on write).
+#: store; the on-disk path carries a per-process nonce so concurrent
+#: processes can never overwrite an index another is mid-read on
+#: (r12 ADVICE — the in-process memo alone bounds dirs per process).
 _PQ_INDEX_CACHE: dict = {}
 
 
@@ -3610,12 +3611,16 @@ def q_similarity_ivfpq_index(spark, sf_dir):
         load_probe_matrix,
     )
 
-    # key on the CONTENT identity of the corpus (path + file stat),
-    # not applicationId: every new Spark application would otherwise
-    # leave a fresh orphan index dir in /tmp (round-12 advisory). The
-    # index is deterministic in the corpus, so reusing the path across
-    # sessions is value-neutral (mode=overwrite on write) and the
-    # number of on-disk index dirs is bounded by distinct corpora.
+    # key the IN-PROCESS memo on the CONTENT identity of the corpus
+    # (path + file stat), not applicationId: every new Spark
+    # application would otherwise leave a fresh orphan index dir in
+    # /tmp (round-12 advisory). The ON-DISK path additionally carries
+    # a per-process nonce (r12 ADVICE follow-up): a deterministic
+    # shared path let two concurrent processes benching the same
+    # corpus overwrite the index mid-read, and size+mtime is not true
+    # content identity (same-second rewrites alias) — the pid scopes
+    # writes to this process while the memo still bounds dirs to one
+    # per (process, corpus).
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(emb_path)
@@ -3625,7 +3630,7 @@ def q_similarity_ivfpq_index(spark, sf_dir):
     key = content_id
     if key not in _PQ_INDEX_CACHE:
         h = hashlib.md5(repr(key).encode()).hexdigest()[:10]
-        path = f"/tmp/trendmachine_pq_index_{h}"
+        path = f"/tmp/trendmachine_pq_index_{h}_pid{os.getpid()}"
         seeds = load_probe_matrix(
             os.path.join(sf_dir, "embeddings.parquet"), 16)
         trained = ivfpq_index_write(
@@ -4083,16 +4088,61 @@ def _semantic_dedup_oracle(n_cells: int = 16, min_cosine: float = 0.3) -> str:
             "SELECT id_a, id_b, cell, cosine FROM sem_pairs")
 
 
+def _semantic_cell_bounds(n_cells: int) -> tuple[int, int]:
+    """[lo, hi] corpus sizes for which ``semantic_cells_for(n)`` ==
+    ``n_cells`` (the rule is monotone in n; binary-searched against
+    the actual function so rounding-mode subtleties can't bite)."""
+    from trendmachine_spark.extensions.similarity import semantic_cells_for
+
+    cap = 1 << 40  # top clamp (4096 cells) never decays above this
+
+    def _last_below(limit_cells: int) -> int:
+        # max n with rule(n) < limit_cells, 0 if none
+        lo, hi = 0, cap
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if semantic_cells_for(mid) < limit_cells:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    lo = _last_below(n_cells) + 1
+    hi = _last_below(n_cells + 1) if n_cells < 4096 else cap
+    assert semantic_cells_for(lo) == n_cells <= semantic_cells_for(hi)
+    return lo, hi
+
+
 def _semantic_cte(n_cells: int = 16, min_cosine: float = 0.3) -> str:
     """The semantic-pair CTE chain shared by dedup_semantic and
     dedup_semantic_keepers (mirrors the refined ivf_assign + within-
-    cell cosine). Composes the IVF chain WITH materialization hints:
+    cell cosine).
+
+    The chain embeds a SELF-INVALIDATING pin guard (r12 ADVICE): the
+    registered oracle strings pin ``n_cells`` at registration time
+    while the Spark builders apply the sqrt rule to the ACTUAL corpus
+    — correct wherever the oracle is actually run (both driver SFs
+    hold 500 vectors -> the 16-cell floor), but a comparison against
+    any corpus outside the pinned count's validity band (sf0.1's 2000
+    vectors -> 32 cells) would silently diverge. The guard makes that
+    loud: ``cell_pin_guard`` errors via DuckDB ``error()`` unless the
+    corpus row count sits inside the [lo, hi] band where
+    ``semantic_cells_for`` returns exactly the pinned value, and
+    sem_pairs references it so it always evaluates. Value-neutral on
+    valid corpora (the predicate folds to TRUE).
+
+    Composes the IVF chain WITH materialization hints:
     sem_pairs self-joins `assigned` (and keepers re-reads sem_pairs
     from both edge directions), and DuckDB's CTE inlining re-expands
     the whole Lloyd chain per reference — measured 373 s vs 25.9 s at
     x10 (hint-free vs hinted, r12). Value-neutral: parity re-verified
     hash-exact at both SFs."""
+    lo, hi = _semantic_cell_bounds(n_cells)
     return f"""{_ivf_refined_ctes(n_cells, materialize=True)},
+    cell_pin_guard AS (
+      SELECT CASE WHEN (SELECT count(*) FROM embeddings) BETWEEN {lo} AND {hi}
+             THEN 0 ELSE error('pinned n_cells={n_cells} oracle is invalid for this corpus: semantic_cells_for(count) differs - regenerate the oracle at _semantic_cells(sf_dir)') END AS ok
+    ),
     sem_pairs AS (
       SELECT id_a, id_b, cell, cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
@@ -4100,16 +4150,19 @@ def _semantic_cte(n_cells: int = 16, min_cosine: float = 0.3) -> str:
                                             i -> a.q[i] * b.q[i])) AS DOUBLE)
                  / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
         FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      ) WHERE cosine >= {min_cosine}
+      ) WHERE cosine >= {min_cosine} AND (SELECT ok FROM cell_pin_guard) = 0
     )"""
 
 
 def _semantic_cells(sf_dir: str) -> int:
     """``semantic_cells_for`` applied to the embeddings parquet's FILE
     METADATA row count — no Spark job (the load_probe_matrix stance).
-    Both driver-correctness SFs (50 and 500 vectors) land on the
-    16-cell floor by the rule's construction, so the pinned
-    n_cells=16 oracle strings stay exact there; scaled corpora get
+    Both driver-correctness SFs (sf0.001 and sf0.01: 500 and 500
+    vectors) land on the 16-cell floor by the rule's construction, so
+    the pinned n_cells=16 oracle strings stay exact there — and the
+    oracle's embedded cell_pin_guard (see _semantic_cte) errors
+    loudly, rather than silently diverging, on any corpus outside
+    that band (sf0.1's 2000 vectors -> 32 cells). Scaled corpora get
     the sqrt rule, and their DuckDB twins are re-generated at the
     SAME cell count by tools/corpus_ops_scaled.py (the oracle
     builders are parameterized)."""
@@ -5555,7 +5608,17 @@ _PERIOD_FLIPPED_AT = 13
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = []  # round 13: nothing changed yet — `rotate_window.py pin NAME` as queries change
+_WINDOW_PINNED: list[str] = [
+    "dedup_semantic",  # r13: oracle gains self-invalidating cell_pin_guard
+    "dedup_semantic_keepers",  # r13: oracle gains self-invalidating cell_pin_guard
+    "similarity_pq_topk",  # r13: probe truncation by value (_truncate_probe)
+    "similarity_sq8_topk",  # r13: probe truncation by value (_truncate_probe)
+    "similarity_ivfsq8_topk",  # r13: probe truncation by value (_truncate_probe)
+    "similarity_ivfpq_topk",  # r13: probe truncation by value (_truncate_probe)
+    "similarity_ivfpq_residual_topk",  # r13: probe truncation by value (_truncate_probe)
+    "similarity_pq_rerank",  # r13: probe truncation by value (_truncate_probe)
+    "similarity_ivfpq_index",  # r13: probe truncation by value + per-process index-dir nonce
+]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
