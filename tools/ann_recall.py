@@ -263,6 +263,42 @@ def main() -> None:
                 emb, N_QUERIES, K, n_cells=16, n_probe=np_).collect(),
             exact_sets)
 
+    # EQUAL-BYTE-BUDGET quantizer matrix (r12 verdict #4): the r12
+    # headline contrast (PQ 0.54 vs SQ8 0.95 recall@10 at x20) mixed
+    # code budget with method — the default PQ rows carry 8 codes x
+    # 4 bits = 4 B/vector while SQ8 spends dim = 64 B. Hold
+    # bytes/vector fixed and the method question separates:
+    #   4 B:  pq n_sub=8,K=16 (the default, repeated here for the row)
+    #   8 B:  pq n_sub=8,K=256 | ivfpq/ivfpq_residual n_sub=8,K=256
+    #   16 B: pq n_sub=16,K=256
+    #   64 B: pq n_sub=64,K=256 (per-dim learned scalar codebook) |
+    #         sq8 (per-dim linear int8 — the fixed-scale twin)
+    # K=256 stays exact-integer-trainable (same Lloyd machinery, seeds
+    # = lowest 256 ids); bytes = n_sub * ceil(log2 K) / 8.
+    import math
+
+    ebb = {}
+
+    def _code_bytes(n_sub, n_codes):
+        return n_sub * max(1, math.ceil(math.log2(n_codes))) / 8
+
+    for n_sub, n_codes in ((8, 16), (8, 256), (16, 256), (64, 256)):
+        ebb[f"pq,n_sub={n_sub},K={n_codes}"] = {
+            "bytes_per_vector": _code_bytes(n_sub, n_codes),
+            "recall": _recall(
+                pq_topk(emb, N_QUERIES, K, n_sub=n_sub,
+                        n_codes=n_codes).collect(), exact_sets),
+        }
+    ebb["sq8"] = {"bytes_per_vector": 64.0, "recall": pq["sq8"]}
+    for label, fn in (("ivfpq", ivfpq_topk),
+                      ("ivfpq_residual", ivfpq_residual_topk)):
+        ebb[f"{label},n_sub=8,K=256,n_probe=4"] = {
+            "bytes_per_vector": _code_bytes(8, 256),
+            "recall": _recall(
+                fn(emb, N_QUERIES, K, n_cells=16, n_probe=4,
+                   n_sub=8, n_codes=256).collect(), exact_sets),
+        }
+
     # Recall CEILING evidence (round 5): the scaled corpus replicates
     # each base vector, so a query has exactly |family|-1 true
     # neighbors; the k-th exact "neighbor" beyond that is isotropic
@@ -306,6 +342,7 @@ def main() -> None:
         "srp_lsh": srp,
         "ivf": ivf,
         "pq_adc": pq,
+        "equal_byte_budget": ebb,
         "ceiling": {
             "exact_rank_cosine_medians": rank_medians,
             "in_family_k": fam,
