@@ -84,6 +84,11 @@ SHUFFLE_BUDGETS = {
     # zero exchanges (codebooks/queries ride as literals); the only
     # exchange is the per-query top-k window over task-pruned rows
     "similarity_pq_topk": (1, True),
+    # equal-byte-budget PQ at K=256 (r13): same plan skeleton as
+    # similarity_pq_topk — the bigger codebooks are still driver-side
+    # literals, so the code budget must never change the exchange
+    # count
+    "similarity_pq256_topk": (1, True),
     # bounded (subspace, code) partials -> two tiny aggregations; the
     # corpus itself never shuffles
     "pq_distortion": (2, True),

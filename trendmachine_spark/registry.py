@@ -3681,6 +3681,29 @@ def q_similarity_pq_topk(spark, sf_dir):
                    seed_probe=seeds)
 
 
+@register("similarity_pq256_topk", _pq_topk_oracle(n_codes=256))
+def q_similarity_pq256_topk(spark, sf_dir):
+    """PQ/ADC at K=256 codes per subspace (round 13 — the equal-byte-
+    budget point the r12 verdict asked for): same 8 subspaces, 8 bits
+    per code instead of 4, i.e. 8 B of codes per vector (vs the K=16
+    default's 4 B and SQ8's dim = 64 B). The K=16 codebook was doing
+    the limiting in the r12 recall story (PQ 0.54 vs SQ8 0.95 at x20
+    mixed budget with method) — ANN_RECALL.json's equal_byte_budget
+    section now separates the axes, and this query pins the 256-code
+    training + ADC path hash-exact against DuckDB (same exact-integer
+    Lloyd machinery, seeds = lowest 256 ids, 8x compression of an
+    int8-quantized corpus). Operating guidance in SCALE.md."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
+                                                          pq_topk)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return pq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
+                   n_codes=256, probe=load_probe_matrix(path, 10),
+                   seed_probe=load_probe_matrix(path, 256))
+
+
 @register(
     "pq_distortion",
     f"""WITH {_pq_ctes()}
@@ -5618,6 +5641,7 @@ _WINDOW_PINNED: list[str] = [
     "similarity_ivfpq_residual_topk",  # r13: probe truncation by value (_truncate_probe)
     "similarity_pq_rerank",  # r13: probe truncation by value (_truncate_probe)
     "similarity_ivfpq_index",  # r13: probe truncation by value + per-process index-dir nonce
+    "similarity_pq256_topk",  # new r13: equal-byte-budget PQ at K=256
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5704,6 +5728,7 @@ _DEMOTE_FOURTH: frozenset = frozenset({
     "event_sessionization", "pq_encode_streaming",
     "similarity_ivfpq_residual_topk", "similarity_pq_rerank",
     "similarity_sq8_topk", "sq8_encode_streaming",
+    "similarity_pq256_topk",  # assigned by rotate_window.py
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
