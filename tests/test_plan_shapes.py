@@ -101,6 +101,10 @@ SHUFFLE_BUDGETS = {
     # candidate table re-joins the corpus as a BROADCAST (no corpus
     # exchange in the exact stage)
     "similarity_pq_rerank": (2, True),
+    # two-stage over SQ8 candidates (r13): same shared exact stage —
+    # stage-1 SQ8 window + stage-2 rank window, candidate broadcast,
+    # corpus scanned twice and shuffled never
+    "similarity_sq8_rerank": (2, True),
     # residual IVFPQ (r12): identical skeleton to ivfpq_topk — fused
     # zero-shuffle encode, broadcast probe join, LUT+centroid-dot map,
     # ONE rank-window exchange

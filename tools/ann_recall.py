@@ -233,11 +233,23 @@ def main() -> None:
 
     # two-stage: ADC candidates + exact re-rank — the production shape
     # that closes the compressed scan's quantization-error ceiling
-    from trendmachine_spark.extensions.similarity import pq_rerank_topk
+    from pyspark.sql.functions import broadcast  # noqa: F401 (doc anchor)
+    from trendmachine_spark.extensions.similarity import (pq_rerank_topk,
+                                                          sq8_rerank_topk)
 
     for expand in (2, 4):
         pq[f"rerank,expand={expand}"] = _recall(
             pq_rerank_topk(emb, N_QUERIES, K, expand=expand).collect(),
+            exact_sets)
+
+    # two-stage over SQ8 (r13): stage-1 recall is ~0.95 where PQ-ADC
+    # reads ~0.54 at x20, so the expand needed for exact recall should
+    # be structurally smaller — measured at expand 1 and 2 (expand=1
+    # IS plain sq8 re-ordered exactly: any gain over the sq8 row is
+    # pure ordering repair within the same candidate set)
+    for expand in (1, 2):
+        pq[f"sq8_rerank,expand={expand}"] = _recall(
+            sq8_rerank_topk(emb, N_QUERIES, K, expand=expand).collect(),
             exact_sets)
 
     # IVF+PQ: both reductions composed — cell pruning (recall axis =

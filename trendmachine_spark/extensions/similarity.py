@@ -1958,14 +1958,25 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     rank window moves candidate rows only. The raw corpus is read, not
     shuffled: at 100 TB the exact stage touches the scan once and
     moves kilobytes."""
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    cand = pq_topk(emb, n_queries, k * expand, n_sub, n_codes, refine,
+                   vec_col, id_col, probe=probe, seed_probe=seed_probe)
+    return _exact_rerank(qv, cand, n_queries, k, probe=probe)
+
+
+def _exact_rerank(qv: DataFrame, cand: DataFrame, n_queries: int,
+                  k: int, probe=None) -> DataFrame:
+    """Shared exact second stage for every two-stage ANN path (r13 —
+    factored out of :func:`pq_rerank_topk` so SQ8 candidates get the
+    same closing stage): BROADCAST the tiny candidate table against
+    the quantized corpus, re-score with the exact int64 dot / IEEE
+    norm chain, rank (cosine DESC, neighbor_id). Candidate rows only
+    cross the final window exchange; the corpus never shuffles."""
     import numpy as np
 
-    qv = quantize_embeddings(emb, vec_col, id_col)
     spark = qv.sparkSession
     empty_schema = (
         "query_id long, neighbor_id long, rank int, cosine double")
-    cand = pq_topk(emb, n_queries, k * expand, n_sub, n_codes, refine,
-                   vec_col, id_col, probe=probe, seed_probe=seed_probe)
     if probe is not None:
         qids, Q, qn = _truncate_probe(probe, n_queries)
         if not len(qids):
@@ -2016,6 +2027,29 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def sq8_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                    expand: int = 4, vec_col: str = "embedding",
+                    id_col: str = "vec_id", probe=None) -> DataFrame:
+    """Two-stage ANN over SQ8 candidates (round 13): the int8
+    scalar-quantized scan proposes ``k * expand`` candidates per
+    query, then :func:`_exact_rerank` restores exact ordering among
+    them — completing the quantizer x serving matrix (PQ got its
+    re-rank in r11; SQ8's higher per-candidate precision means the
+    expand needed to reach exact-recall is smaller, which is the
+    point of spending dim bytes — measured in ANN_RECALL.json).
+
+    Output: query_id, neighbor_id, rank, cosine (exact).
+
+    SCALE: stage 1 is :func:`sq8_topk`'s plan (one fused zero-shuffle
+    encode+score scan, one k·expand-bounded window exchange); stage 2
+    is the shared broadcast-join re-score — the corpus is scanned
+    twice and shuffled never."""
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    cand = sq8_topk(emb, n_queries, k * expand, vec_col, id_col,
+                    probe=probe)
+    return _exact_rerank(qv, cand, n_queries, k, probe=probe)
 
 
 def ivfpq_index_write(emb: DataFrame, path: str,

@@ -3403,16 +3403,13 @@ def _ivfpq_residual_topk_oracle(n_queries: int = 10, k: int = 5,
     ) WHERE rank <= {k}"""
 
 
-def _sq8_topk_oracle(n_queries: int = 10, k: int = 5) -> str:
-    """Exact mirror of similarity.sq8_topk — per-dimension int8 scalar
-    quantization: s_d = max(1, ceil(amax_d / 127)) (exact ints),
-    code = clamp(trunc(q_d / s_d), ±127) (DuckDB // truncates toward
-    zero; the Spark side mirrors with sign·(|v|//s)), reconstruction
-    code*s is exact int64, scoring/normalization the usual exact-int
-    dot + one IEEE division. recon is MATERIALIZED: it feeds the norm
-    and the scoring join, and the per-dimension unnest underneath is
-    the expensive subtree inlining would duplicate."""
-    return f"""WITH qv AS (
+def _sq8_ctes(n_queries: int = 10) -> str:
+    """The SQ8 trained-structure CTE chain (quantize -> per-dim scales
+    -> int8 encode/reconstruct -> exact-int scoring) shared by
+    _sq8_topk_oracle and _sq8_rerank_oracle. recon is MATERIALIZED: it
+    feeds the norm and the scoring join, and the per-dimension unnest
+    underneath is the expensive subtree inlining would duplicate."""
+    return f"""qv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
       FROM embeddings
@@ -3449,11 +3446,50 @@ def _sq8_topk_oracle(n_queries: int = 10, k: int = 5) -> str:
                   i -> qu.q[i] * c.r[i])) AS DOUBLE)
                / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(c.rn2 AS DOUBLE))) AS sq_cosine
       FROM queries qu JOIN rn c ON qu.query_id <> c.vec_id
-    )
+    )"""
+
+
+def _sq8_topk_oracle(n_queries: int = 10, k: int = 5) -> str:
+    """Exact mirror of similarity.sq8_topk — per-dimension int8 scalar
+    quantization: s_d = max(1, ceil(amax_d / 127)) (exact ints),
+    code = clamp(trunc(q_d / s_d), ±127) (DuckDB // truncates toward
+    zero; the Spark side mirrors with sign·(|v|//s)), reconstruction
+    code*s is exact int64, scoring/normalization the usual exact-int
+    dot + one IEEE division."""
+    return f"""WITH {_sq8_ctes(n_queries)}
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sq_cosine FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sq_cosine DESC, neighbor_id) AS rank
       FROM sq_scored
+    ) WHERE rank <= {k}"""
+
+
+def _sq8_rerank_oracle(n_queries: int = 10, k: int = 5,
+                       expand: int = 4) -> str:
+    """Exact mirror of similarity.sq8_rerank_topk — SQ8 candidate
+    generation at k*expand, then EXACT quantized-cosine re-rank of the
+    candidates (the _pq_rerank_oracle exact stage over the SQ8
+    chain). Final ranking (cosine DESC, neighbor_id)."""
+    return f"""WITH {_sq8_ctes(n_queries)},
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sq_cosine DESC, neighbor_id) AS _rk
+        FROM sq_scored
+      ) WHERE _rk <= {k * expand}
+    ),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(qu.q)),
+                  i -> qu.q[i] * nb.q[i])) AS DOUBLE)
+               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
+      FROM cand c JOIN queries qu ON c.query_id = qu.query_id
+           JOIN nv nb ON c.neighbor_id = nb.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM exact
     ) WHERE rank <= {k}"""
 
 
@@ -3473,6 +3509,27 @@ def q_similarity_sq8_topk(spark, sf_dir):
     path = os.path.join(sf_dir, "embeddings.parquet")
     return sq8_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
                     probe=load_probe_matrix(path, 10))
+
+
+@register("similarity_sq8_rerank", _sq8_rerank_oracle())
+def q_similarity_sq8_rerank(spark, sf_dir):
+    """Two-stage ANN over SQ8 candidates (round 13): int8 scan
+    proposes k*expand, shared exact re-rank restores exact ordering —
+    completes the quantizer x serving matrix (PQ/ADC got its re-rank
+    in r11). SQ8's higher per-candidate precision is the operating
+    argument: ANN_RECALL shows its stage-1 recall at 0.95 where
+    PQ-ADC reads 0.54 at x20, so the expand needed for exact recall
+    is structurally smaller. Same broadcast-candidate plan as
+    similarity_pq_rerank: the corpus is scanned twice, shuffled
+    never."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
+                                                          sq8_rerank_topk)
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return sq8_rerank_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
+                           expand=4, probe=load_probe_matrix(path, 10))
 
 
 def _ivfsq8_topk_oracle(n_queries: int = 10, k: int = 5,
@@ -5642,6 +5699,7 @@ _WINDOW_PINNED: list[str] = [
     "similarity_pq_rerank",  # r13: probe truncation by value (_truncate_probe)
     "similarity_ivfpq_index",  # r13: probe truncation by value + per-process index-dir nonce
     "similarity_pq256_topk",  # new r13: equal-byte-budget PQ at K=256
+    "similarity_sq8_rerank",  # new r13: two-stage exact rerank over SQ8 candidates
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5729,6 +5787,7 @@ _DEMOTE_FOURTH: frozenset = frozenset({
     "similarity_ivfpq_residual_topk", "similarity_pq_rerank",
     "similarity_sq8_topk", "sq8_encode_streaming",
     "similarity_pq256_topk",  # assigned by rotate_window.py
+    "similarity_sq8_rerank",  # assigned by rotate_window.py
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
