@@ -577,3 +577,69 @@ def test_probe_truncation_by_value_with_id_gaps(spark, tmp_path):
     b = sorted(map(tuple, collect_path.collect()))
     assert a == b
     assert {r[0] for r in a} == {0, 2, 4}
+
+
+def test_sq8_rerank_full_expand_equals_brute_force(emb):
+    """r13: with k*expand >= corpus size every vector is a candidate,
+    so the shared exact re-rank over SQ8 candidates must reproduce
+    brute-force exactly (values included) — same contract as the PQ
+    two-stage."""
+    from trendmachine_spark.extensions.similarity import (
+        brute_force_topk,
+        sq8_rerank_topk,
+    )
+
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+         for r in sq8_rerank_topk(emb, n_queries=5, k=3, expand=200).collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+         for r in brute_force_topk(emb, n_queries=5, k=3).collect()}
+    assert a == b
+
+
+def test_sq8_rerank_candidates_come_from_sq8_stage(emb):
+    """Every re-ranked neighbor must be one of the SQ8 stage's
+    k*expand candidates for that query (the exact stage re-orders,
+    never re-opens, the candidate set)."""
+    from trendmachine_spark.extensions.similarity import (
+        sq8_rerank_topk,
+        sq8_topk,
+    )
+
+    k, expand = 3, 2
+    cand = {}
+    for r in sq8_topk(emb, n_queries=5, k=k * expand).collect():
+        cand.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in sq8_rerank_topk(emb, n_queries=5, k=k, expand=expand).collect():
+        assert r["neighbor_id"] in cand[r["query_id"]]
+
+
+def test_sq8_rerank_partition_invariant(emb):
+    from trendmachine_spark.extensions.similarity import sq8_rerank_topk
+
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in sq8_rerank_topk(emb, n_queries=5, k=3).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in sq8_rerank_topk(emb.repartition(13), n_queries=5,
+                                  k=3).collect()}
+    assert a and a == b
+
+
+def test_pq256_codebooks_use_256_seed_rows(spark):
+    """similarity_pq256_topk trains on the lowest 256 ids; on a corpus
+    with >= 256 vectors the codebook's second axis must be 256 and the
+    encode's code range must use it (codes above 15 must appear —
+    the K=16 default could never emit them)."""
+    import numpy as np
+
+    from trendmachine_spark.extensions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = quantize_embeddings(emb)
+    cb = pq_codebooks(qv, n_codes=256)
+    assert cb.shape[1] == 256
+    codes = np.stack([r["codes"] for r in pq_encode(qv, cb).collect()])
+    assert codes.max() > 15 and codes.max() <= 255
