@@ -14,7 +14,7 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-for mult in (10, 20):
+for mult in (10, 20, 40):
     detail_path = os.path.join(ROOT, f"BENCH_DETAIL_sf0.1x{mult}.json")
     if not os.path.exists(detail_path):
         print(f"skip x{mult}: {detail_path} missing", file=sys.stderr)
