@@ -152,6 +152,11 @@ SHUFFLE_BUDGETS = {
     # matrix, brute_force_topk idiom); the pair stage is ONE cell
     # shuffle into a blocked per-cell gram matmul (applyInPandas)
     "dedup_semantic": (1, True),
+    # semantic pairs (1 exchange) + the two split joins as BROADCASTS
+    # of the tiny pair side against the zero-shuffle md5 split
+    # projection (one broadcast-exchange each); never sort-merge — a
+    # shuffle join here would move the documents scan on pair keys
+    "split_semantic_leakage": (3, True),
     # two map-combined hash aggs: corpus -> word counts, distinct
     # words -> pair counts; no joins, no windows
     "bpe_pair_stats": (2, True),

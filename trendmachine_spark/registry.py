@@ -4366,6 +4366,61 @@ def q_dedup_semantic_keepers(spark, sf_dir):
 
 
 @register(
+    "split_semantic_leakage",
+    f"""WITH {_semantic_cte(16, 0.3)},
+    assigned_split AS (
+      SELECT doc_id,
+             CASE WHEN u < 0.05 THEN 'valid'
+                  WHEN u < 0.1 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM (SELECT doc_id,
+            ('0x' || substr(md5('split3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              / 1152921504606846976.0 AS u FROM documents)
+    )
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+           p.cosine
+    FROM sem_pairs p
+    JOIN assigned_split sa ON p.id_a = sa.doc_id
+    JOIN assigned_split sb ON p.id_b = sb.doc_id
+    WHERE sa.split <> sb.split""",
+)
+def q_split_semantic_leakage(spark, sf_dir):
+    """SEMANTIC split contamination (round 13): near-duplicate
+    embedding pairs (the SemDeDup cells + within-cell cosine >= 0.3
+    pipeline, sqrt cell rule) that STRADDLE a train/valid/test
+    boundary — the embedding-space complement to
+    `split_leakage_report`'s opening-8-gram check. An n-gram check
+    misses paraphrases and near-copies with different openings; a
+    semantic pair crossing into eval is exactly the contamination an
+    LLM eval audit must surface (vec_id == doc_id by the corpus
+    construction; embeddings cover a prefix of the document ids, so
+    coverage follows the embedding table).
+
+    SCALE: the pair table rides the semantic_dedup plan (cells bound
+    the quadratic); the split column is a zero-shuffle md5 projection
+    of the documents scan, joined twice to the tiny pair table — AQE
+    broadcasts the pair side at any realistic near-dup density, and
+    the cross-split filter drops the (overwhelming) same-split mass
+    before anything aggregates."""
+    from trendmachine_spark.extensions.sampling import split_assign
+    from trendmachine_spark.extensions.similarity import semantic_dedup
+
+    pairs = semantic_dedup(_embeddings(spark, sf_dir),
+                           n_cells=_semantic_cells(sf_dir), min_cosine=0.3)
+    sp = split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
+    out = (
+        pairs
+        .join(sp.withColumnRenamed("doc_id", "id_a")
+                .withColumnRenamed("split", "split_a"), "id_a")
+        .join(sp.withColumnRenamed("doc_id", "id_b")
+                .withColumnRenamed("split", "split_b"), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "cosine")
+    )
+    return out
+
+
+@register(
     "dedup_multi_signal",
     # ensemble candidate generation: union of the three oracled pair
     # generators, each embedded verbatim as a subquery (same SQL the
@@ -5700,6 +5755,7 @@ _WINDOW_PINNED: list[str] = [
     "similarity_ivfpq_index",  # r13: probe truncation by value + per-process index-dir nonce
     "similarity_pq256_topk",  # new r13: equal-byte-budget PQ at K=256
     "similarity_sq8_rerank",  # new r13: two-stage exact rerank over SQ8 candidates
+    "split_semantic_leakage",  # new r13: semantic split-contamination pairs
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5788,6 +5844,7 @@ _DEMOTE_FOURTH: frozenset = frozenset({
     "similarity_sq8_topk", "sq8_encode_streaming",
     "similarity_pq256_topk",  # assigned by rotate_window.py
     "similarity_sq8_rerank",  # assigned by rotate_window.py
+    "split_semantic_leakage",  # assigned by rotate_window.py
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
