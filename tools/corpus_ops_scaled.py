@@ -136,6 +136,7 @@ def _scaled_oracles(sf_dir: str) -> dict:
         _semantic_cells,
         _semantic_dedup_oracle,
         _semantic_keepers_oracle,
+        _split_semantic_leakage_oracle,
     )
 
     cells = _semantic_cells(sf_dir)
@@ -144,6 +145,8 @@ def _scaled_oracles(sf_dir: str) -> dict:
         out["dedup_semantic"] = _semantic_dedup_oracle(cells)
     if "dedup_semantic_keepers" in out:
         out["dedup_semantic_keepers"] = _semantic_keepers_oracle(cells)
+    if "split_semantic_leakage" in out:
+        out["split_semantic_leakage"] = _split_semantic_leakage_oracle(cells)
     return out
 
 

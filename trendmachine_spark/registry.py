@@ -4365,9 +4365,14 @@ def q_dedup_semantic_keepers(spark, sf_dir):
                             n_cells=_semantic_cells(sf_dir), min_cosine=0.3)
 
 
-@register(
-    "split_semantic_leakage",
-    f"""WITH {_semantic_cte(16, 0.3)},
+def _split_semantic_leakage_oracle(n_cells: int = 16,
+                                   min_cosine: float = 0.3) -> str:
+    """Semantic pairs (the shared pinned-cell CTE chain, guard
+    included) x the split3 md5 assignment, keeping only pairs that
+    straddle a split boundary. Parameterized so
+    tools/corpus_ops_scaled.py can re-generate the engine twin at the
+    adaptive cell count (same contract as the dedup_semantic pair)."""
+    return f"""WITH {_semantic_cte(n_cells, min_cosine)},
     assigned_split AS (
       SELECT doc_id,
              CASE WHEN u < 0.05 THEN 'valid'
@@ -4382,8 +4387,10 @@ def q_dedup_semantic_keepers(spark, sf_dir):
     FROM sem_pairs p
     JOIN assigned_split sa ON p.id_a = sa.doc_id
     JOIN assigned_split sb ON p.id_b = sb.doc_id
-    WHERE sa.split <> sb.split""",
-)
+    WHERE sa.split <> sb.split"""
+
+
+@register("split_semantic_leakage", _split_semantic_leakage_oracle())
 def q_split_semantic_leakage(spark, sf_dir):
     """SEMANTIC split contamination (round 13): near-duplicate
     embedding pairs (the SemDeDup cells + within-cell cosine >= 0.3
