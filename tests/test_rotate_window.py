@@ -530,3 +530,23 @@ def test_rebalance_period4_fills_fourth_class_under_cover():
     with pytest.raises(SystemExit, match="no legal move"):
         rebalance_text(FAKE_P4, targets={0: 4, 1: 2, 2: 3, 3: 0},
                        exclude=frozenset({"o1", "o2", "o3"}))
+
+
+def test_status_report_reads_schedule_health():
+    """`status` is read-only schedule telemetry from the same literals
+    CI pins: sizes, window occupancy, the over-44 escalation flag."""
+    from rotate_window import status_report
+
+    out = status_report(FAKE_P4)
+    assert "round 13, period 4, pool 9" in out
+    assert "this round checks class 1: window 3/50" in out
+    assert "next checked r15" in out  # class 3
+    # real registry: never crashes, carries the wall line
+    out2 = status_report(SRC if "_PARITY_PERIOD" in SRC else FAKE_P4)
+    assert "capacity wall" in out2
+    # a class pushed past 44 gets the loud escalation flag
+    fat = FAKE_P4.replace(
+        '_DEMOTE_ODD = frozenset({\n    "o1", "o2", "o3",\n})',
+        "_DEMOTE_ODD = frozenset({\n"
+        + "".join(f'    "o{i}",\n' for i in range(1, 47)) + "})")
+    assert "OVER 44" in status_report(fat)

@@ -49,6 +49,12 @@ Commands (all edit trendmachine_spark/registry.py in place):
       is a checked class at exactly 50 leaving zero pin slots, so any
       changed query overflows the window mid-round.
 
+  python tools/rotate_window.py status
+      Read-only schedule-health report: class sizes vs the balanced
+      optimum and the 44-name pin-headroom bound, window occupancy,
+      last-checked histogram, capacity wall. Run it at every round
+      start — the period-3 wall was visible here a round early.
+
   python tools/rotate_window.py set-period N
       Switch the rotation cycle length (2, 3 or 4). Each extra class
       raises the oracled-pool capacity by 50 under the driver's
@@ -346,6 +352,75 @@ def set_period_text(src: str, period: int) -> str:
     return out
 
 
+def status_report(src: str) -> str:
+    """Schedule-health report from the same literals CI pins: per-class
+    sizes vs the balanced optimum and the 44-name pin-headroom bound,
+    this round's window occupancy, literal-derived last-checked
+    histogram, and the capacity wall (rounds of ~10-oracled-queries/
+    round growth before a class hits 44). The r12 near-miss motivates
+    this: the period-3 wall was visible in these numbers a round
+    before the import-time assert would have fired — one command
+    makes it a habit instead of a forensic."""
+    import math
+
+    pm = _PERIOD_RE.search(src)
+    period = int(pm.group(1)) if pm else 2
+    rnd = int(_ROUND_RE.search(src).group(1))
+    labels = _class_labels(period)
+    sets = {c: sorted(re.findall(r'"([^"]+)"',
+                                 _class_block(src, lab).group(0)))
+            for c, lab in labels.items()}
+    pinned_m = _PINNED_RE.search(src) or _EMPTY_PINNED_RE.search(src)
+    pinned = re.findall(r'"([^"]+)"', pinned_m.group(0)) if pinned_m else []
+    prev = set(re.findall(r'"([^"]+)"', _PREV_RE.search(src).group(0)))
+    prev2_m = _PREV2_RE.search(src)
+    prev2 = set(re.findall(r'"([^"]+)"', prev2_m.group(0))) if prev2_m else set()
+    prev3_m = _PREV3_RE.search(src)
+    prev3 = set(re.findall(r'"([^"]+)"', prev3_m.group(0))) if prev3_m else set()
+    chain = [prev, prev2, prev3][: period - 1]
+
+    def last_checked(n: str) -> int:
+        for back, dem in enumerate(chain, start=1):
+            if n not in dem:
+                return rnd - back
+        return rnd - period
+
+    pool = sum(len(s) for s in sets.values())
+    optimal = math.ceil(pool / period) if period else 0
+    checked_class = rnd % period
+    window = len(sets.get(checked_class, [])) + len(pinned)
+    lines = [
+        f"round {rnd}, period {period}, pool {pool} classed names, "
+        f"optimal class size {optimal}",
+        f"this round checks class {checked_class}: window "
+        f"{window}/50 ({len(pinned)} pinned, "
+        f"{max(0, 50 - window)} pin slots left)",
+    ]
+    for c in sorted(sets):
+        names = sets[c]
+        nxt = rnd + ((c - rnd) % period)
+        flags = []
+        if len(names) > optimal:
+            flags.append(f"over balanced {optimal}")
+        if len(names) > 44:
+            flags.append("OVER 44: <6 pin slots — escalate the period")
+        lines.append(
+            f"  class {c} ({labels[c]}): {len(names)} names, next "
+            f"checked r{nxt}" + (f"  [{'; '.join(flags)}]" if flags else ""))
+    hist: dict[int, int] = {}
+    for s in sets.values():
+        for n in s:
+            hist[last_checked(n)] = hist.get(last_checked(n), 0) + 1
+    lines.append("  literal-derived last-checked: " + ", ".join(
+        f"r{r}: {c}" for r, c in sorted(hist.items())))
+    headroom = min(44 - len(s) for s in sets.values())
+    lines.append(
+        f"  capacity wall: smallest class headroom to 44 is {headroom} "
+        f"names (~{headroom * period} pool growth across a cycle at "
+        "balanced assignment)")
+    return "\n".join(lines)
+
+
 def _current_demoted() -> list[str]:
     out = subprocess.run(
         [sys.executable, "-c",
@@ -399,11 +474,15 @@ def _verify() -> None:
 
 def main() -> None:
     if len(sys.argv) < 2 or sys.argv[1] not in ("bump", "pin", "assign",
-                                                "set-period", "rebalance"):
+                                                "set-period", "rebalance",
+                                                "status"):
         raise SystemExit(__doc__)
     cmd = sys.argv[1]
     with open(REGISTRY) as f:
         original = f.read()
+    if cmd == "status":
+        print(status_report(original))
+        return
     if cmd == "bump":
         new = bump_text(original, _current_demoted())
     elif cmd == "set-period":
