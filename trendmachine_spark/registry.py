@@ -5722,7 +5722,7 @@ def q_training_corpus_clean(spark, sf_dir):
 # invariants in tests/test_rotate_window.py).
 # ---------------------------------------------------------------------------
 
-_ROUND = 13
+_ROUND = 14
 
 #: rotation cycle length: a name of class c is driver-checked when
 #: _ROUND % _PARITY_PERIOD == c. 2 = the historical every-other-round
@@ -5750,20 +5750,7 @@ _PERIOD_FLIPPED_AT = 13
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = [
-    "dedup_semantic",  # r13: oracle gains self-invalidating cell_pin_guard
-    "dedup_semantic_keepers",  # r13: oracle gains self-invalidating cell_pin_guard
-    "similarity_pq_topk",  # r13: probe truncation by value (_truncate_probe)
-    "similarity_sq8_topk",  # r13: probe truncation by value (_truncate_probe)
-    "similarity_ivfsq8_topk",  # r13: probe truncation by value (_truncate_probe)
-    "similarity_ivfpq_topk",  # r13: probe truncation by value (_truncate_probe)
-    "similarity_ivfpq_residual_topk",  # r13: probe truncation by value (_truncate_probe)
-    "similarity_pq_rerank",  # r13: probe truncation by value (_truncate_probe)
-    "similarity_ivfpq_index",  # r13: probe truncation by value + per-process index-dir nonce
-    "similarity_pq256_topk",  # new r13: equal-byte-budget PQ at K=256
-    "similarity_sq8_rerank",  # new r13: two-stage exact rerank over SQ8 candidates
-    "split_semantic_leakage",  # new r13: semantic split-contamination pairs
-]
+_WINDOW_PINNED: list[str] = []  # round 14: nothing changed yet — `rotate_window.py pin NAME` as queries change
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
@@ -5779,35 +5766,33 @@ _WINDOW_PINNED: list[str] = [
 #: query changes (pinned names never demote).
 _DEMOTE_EVEN = frozenset({
     # class 1 — driver-checked in rounds where _ROUND % 4 == 1;
-    # membership last rebalanced r13 by rotate_window.py rebalance
-    "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges",
-    "dedup_image_phash", "dedup_image_phash_near", "dedup_minhash_lsh",
-    "dedup_simhash", "event_attribution", "lm_familiarity",
-    "multimodal_audio_features", "multimodal_decode_jpeg",
-    "multimodal_decode_real", "multimodal_frame_sample",
-    "multimodal_image_hash", "multimodal_resize", "multimodal_resize_real",
-    "packed_text", "pricing_summary", "quality_score_trained",
-    "redact_pii", "redact_pii_planted", "session_stats",
-    "split_leakage_report", "status_month_cube",
-    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
-    "text_lang_id", "text_profile", "text_repetition_stats",
-    "top_quality_docs", "training_corpus", "training_corpus_safe",
-    "training_corpus_segmented", "training_shards", "training_splits",
-    "transition_matrix_filled", "vocab_coverage",
+    # membership last rebalanced r14 by rotate_window.py rebalance
+    "event_attribution", "lm_familiarity", "multimodal_audio_features",
+    "multimodal_decode_jpeg", "multimodal_decode_real",
+    "multimodal_frame_sample", "multimodal_image_hash",
+    "multimodal_resize", "multimodal_resize_real", "packed_text",
+    "pricing_summary", "quality_score_trained", "redact_pii",
+    "redact_pii_planted", "session_stats", "split_leakage_report",
+    "status_month_cube", "substring_dup_report_fine", "suffix_group_stats",
+    "summary_stats", "text_lang_id", "text_profile",
+    "text_repetition_stats", "top_quality_docs", "training_corpus",
+    "training_corpus_safe", "training_corpus_segmented", "training_shards",
+    "training_splits", "transition_matrix_filled", "vocab_coverage",
 })
 _DEMOTE_ODD = frozenset({
     # class 0 — driver-checked in rounds where _ROUND % 4 == 0;
-    # membership last rebalanced r13 by rotate_window.py rebalance
-    "gap_fill_backward", "gap_fill_forward", "headline_metrics",
-    "lsh_bucket_health", "monthly_rollup", "multimodal_metadata",
-    "multimodal_video_decode", "pack_sequences", "periodic_samples",
-    "quality_score", "salted_term_counts", "shipping_priority",
-    "similarity_ann_lsh", "similarity_ivf_topk", "similarity_ivfpq_index",
-    "similarity_ivfsq8_topk", "similarity_pq_topk", "similarity_topk",
-    "specimen_breakdown", "status_totals", "substring_dedup",
-    "substring_dup_report", "text_fingerprints", "text_pii_stats",
-    "text_quality_flags", "text_term_stats", "top_revenue_customers",
-    "training_corpus_clean", "transition_matrix", "urim_projection",
+    # membership last rebalanced r14 by rotate_window.py rebalance
+    "bpe_encode", "gap_fill_backward", "gap_fill_forward",
+    "headline_metrics", "lsh_bucket_health", "monthly_rollup",
+    "multimodal_metadata", "multimodal_video_decode", "pack_sequences",
+    "periodic_samples", "quality_score", "salted_term_counts",
+    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
+    "similarity_ivfpq_index", "similarity_ivfsq8_topk",
+    "similarity_pq_topk", "similarity_topk", "specimen_breakdown",
+    "status_totals", "substring_dedup", "substring_dup_report",
+    "text_fingerprints", "text_pii_stats", "text_quality_flags",
+    "text_term_stats", "top_revenue_customers", "training_corpus_clean",
+    "transition_matrix", "urim_projection",
 })
 
 
@@ -5815,11 +5800,11 @@ _DEMOTE_ODD = frozenset({
 #: Under period 3 these names are driver-checked when _ROUND % 3 == 2.
 _DEMOTE_THIRD: frozenset = frozenset({
     # class 2 — driver-checked in rounds where _ROUND % 4 == 2;
-    # membership last rebalanced r13 by rotate_window.py rebalance
-    "corpus_decontaminate", "corpus_mix_temperature",
-    "corpus_sample_stratified", "corpus_stats", "daily_chaos",
-    "daily_moving_avg", "daily_rollup", "date_spine", "dedup_clusters",
-    "dedup_clusters_ensemble", "dedup_containment",
+    # membership last rebalanced r14 by rotate_window.py rebalance
+    "bpe_segmented_vocab", "bpe_train_merges", "corpus_decontaminate",
+    "corpus_mix_temperature", "corpus_sample_stratified", "corpus_stats",
+    "daily_chaos", "daily_moving_avg", "daily_rollup", "date_spine",
+    "dedup_clusters", "dedup_clusters_ensemble", "dedup_containment",
     "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
     "dedup_exact", "dedup_incremental", "dedup_multi_signal",
     "dedup_segments", "dedup_video_frames", "embedding_outliers",
@@ -5839,25 +5824,59 @@ _DEMOTE_THIRD: frozenset = frozenset({
 #: sf0.001 every run).
 _DEMOTE_FOURTH: frozenset = frozenset({
     # class 3 — driver-checked in rounds where _ROUND % 4 == 3;
-    # membership last rebalanced r13 by rotate_window.py rebalance
+    # membership last rebalanced r14 by rotate_window.py rebalance
     "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
     "chunk_documents", "content_value_counts", "corpus_card",
-    "dedup_audio_fingerprint", "dedup_exact_norm", "dedup_ngram_jaccard",
-    "dedup_semantic", "dedup_semantic_keepers", "dedup_simhash_near_dup",
-    "dedup_video_near", "dup_span_histogram", "dup_span_profile",
-    "event_asof_join", "event_props_stats", "event_retention",
-    "event_sessionization", "pq_encode_streaming",
-    "similarity_ivfpq_residual_topk", "similarity_pq_rerank",
-    "similarity_sq8_topk", "sq8_encode_streaming",
-    "similarity_pq256_topk",  # assigned by rotate_window.py
-    "similarity_sq8_rerank",  # assigned by rotate_window.py
-    "split_semantic_leakage",  # assigned by rotate_window.py
+    "dedup_audio_fingerprint", "dedup_exact_norm", "dedup_image_phash",
+    "dedup_image_phash_near", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_semantic_keepers", "dedup_simhash",
+    "dedup_simhash_near_dup", "dedup_video_near", "dup_span_histogram",
+    "dup_span_profile", "event_asof_join", "event_props_stats",
+    "event_retention", "event_sessionization", "pq_encode_streaming",
+    "similarity_ivfpq_residual_topk", "similarity_pq256_topk",
+    "similarity_pq_rerank", "similarity_sq8_rerank", "similarity_sq8_topk",
+    "split_semantic_leakage", "sq8_encode_streaming",
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under
 #: period 3 (period 2's disjointness makes it redundant); feeds the
 #: "no name demoted a full cycle" invariant in tests/test_oracle_parity.
 _PREV_DEMOTED_2: list[str] = [
+    "bpe_encode", "bpe_pair_stats", "bpe_segmented_vocab",
+    "bpe_train_merges", "capture_normalize", "chaos_ffill", "chaos_melt",
+    "chunk_documents", "content_value_counts", "corpus_card",
+    "corpus_decontaminate", "corpus_mix_temperature",
+    "corpus_sample_stratified", "corpus_stats", "daily_chaos",
+    "daily_moving_avg", "daily_rollup", "date_spine", "dedup_clusters",
+    "dedup_clusters_ensemble", "dedup_containment",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
+    "dedup_exact", "dedup_image_phash", "dedup_image_phash_near",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_multi_signal",
+    "dedup_segments", "dedup_simhash", "dedup_video_frames",
+    "embedding_outliers", "event_attribution", "event_funnel",
+    "event_range_join", "event_session_windows", "first_last_capture",
+    "gap_fill_closest", "gap_fill_identical", "lm_familiarity",
+    "minhash_accuracy", "multimodal_audio_features",
+    "multimodal_decode_jpeg", "multimodal_decode_png",
+    "multimodal_decode_real", "multimodal_frame_sample",
+    "multimodal_image_hash", "multimodal_resize", "multimodal_resize_real",
+    "packed_text", "pq_distortion", "pq_encode_streaming",
+    "pricing_summary", "quality_score_trained", "redact_pii",
+    "redact_pii_planted", "region_revenue", "session_stats",
+    "similarity_ivfpq_topk", "similarity_pq_rerank",
+    "split_leakage_report", "status_month_cube",
+    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
+    "text_lang_id", "text_profile", "text_repetition_stats",
+    "top_quality_docs", "training_corpus", "training_corpus_safe",
+    "training_corpus_segmented", "training_shards", "training_splits",
+    "transition_matrix_filled", "vocab_coverage",
+]
+
+#: demoted list from THREE rounds ago — cascaded at each bump
+#: (_PREV_DEMOTED_3 <- _PREV_DEMOTED_2, deepest first) whenever the
+#: literal exists; consulted by the full-cycle invariant and by
+#: rotate_window's cover-invariant gap derivation only under period 4.
+_PREV_DEMOTED_3: list[str] = [
     "bpe_encode", "bpe_segmented_vocab", "bpe_train_merges",
     "dedup_audio_fingerprint", "dedup_image_phash",
     "dedup_image_phash_near", "dedup_minhash_lsh", "dedup_ngram_jaccard",
@@ -5884,34 +5903,6 @@ _PREV_DEMOTED_2: list[str] = [
     "training_corpus_safe", "training_corpus_segmented", "training_shards",
     "training_splits", "transition_matrix", "transition_matrix_filled",
     "urim_projection", "vocab_coverage",
-]
-
-#: demoted list from THREE rounds ago — cascaded at each bump
-#: (_PREV_DEMOTED_3 <- _PREV_DEMOTED_2, deepest first) whenever the
-#: literal exists; consulted by the full-cycle invariant and by
-#: rotate_window's cover-invariant gap derivation only under period 4.
-_PREV_DEMOTED_3: list[str] = [
-    "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
-    "chunk_documents", "content_value_counts", "corpus_card",
-    "corpus_decontaminate", "corpus_mix_temperature",
-    "corpus_sample_stratified", "daily_chaos", "daily_moving_avg",
-    "daily_rollup", "date_spine", "dedup_clusters",
-    "dedup_clusters_ensemble", "dedup_embedding_cosine",
-    "dedup_embedding_cosine_bucketed", "dedup_exact", "dedup_incremental",
-    "dedup_multi_signal", "dedup_segments", "dedup_semantic",
-    "dedup_semantic_keepers", "dup_span_histogram", "dup_span_profile",
-    "embedding_outliers", "event_asof_join", "event_funnel",
-    "event_props_stats", "event_range_join", "event_retention",
-    "event_session_windows", "event_sessionization", "first_last_capture",
-    "gap_fill_backward", "gap_fill_closest", "gap_fill_forward",
-    "gap_fill_identical", "headline_metrics", "lsh_bucket_health",
-    "minhash_accuracy", "monthly_rollup", "multimodal_decode_png",
-    "multimodal_metadata", "pack_sequences", "periodic_samples",
-    "region_revenue", "salted_term_counts", "shipping_priority",
-    "similarity_ann_lsh", "similarity_ivf_topk", "similarity_topk",
-    "specimen_breakdown", "status_totals", "substring_dedup",
-    "text_quality_flags", "text_term_stats", "top_revenue_customers",
-    "training_corpus_clean", "transition_matrix", "urim_projection",
 ]
 
 
@@ -5985,34 +5976,32 @@ def _demoted_for_round(round_no: int) -> list[str]:
 #: tests/test_oracle_parity.py requires _DEMOTED ∩ _PREV_DEMOTED = ∅
 #: from round 5 on, catching any future edit that breaks alternation.
 _PREV_DEMOTED = [
-    "bpe_encode", "bpe_pair_stats", "bpe_segmented_vocab",
-    "bpe_train_merges", "capture_normalize", "chaos_ffill", "chaos_melt",
+    "bpe_pair_stats", "capture_normalize", "chaos_ffill", "chaos_melt",
     "chunk_documents", "content_value_counts", "corpus_card",
     "corpus_decontaminate", "corpus_mix_temperature",
     "corpus_sample_stratified", "corpus_stats", "daily_chaos",
-    "daily_moving_avg", "daily_rollup", "date_spine", "dedup_clusters",
-    "dedup_clusters_ensemble", "dedup_containment",
-    "dedup_embedding_cosine", "dedup_embedding_cosine_bucketed",
-    "dedup_exact", "dedup_image_phash", "dedup_image_phash_near",
-    "dedup_incremental", "dedup_minhash_lsh", "dedup_multi_signal",
-    "dedup_segments", "dedup_simhash", "dedup_video_frames",
-    "embedding_outliers", "event_attribution", "event_funnel",
-    "event_range_join", "event_session_windows", "first_last_capture",
-    "gap_fill_closest", "gap_fill_identical", "lm_familiarity",
-    "minhash_accuracy", "multimodal_audio_features",
-    "multimodal_decode_jpeg", "multimodal_decode_png",
-    "multimodal_decode_real", "multimodal_frame_sample",
-    "multimodal_image_hash", "multimodal_resize", "multimodal_resize_real",
-    "packed_text", "pq_distortion", "pq_encode_streaming",
-    "pricing_summary", "quality_score_trained", "redact_pii",
-    "redact_pii_planted", "region_revenue", "session_stats",
-    "similarity_ivfpq_topk", "similarity_pq_rerank",
-    "split_leakage_report", "status_month_cube",
-    "substring_dup_report_fine", "suffix_group_stats", "summary_stats",
-    "text_lang_id", "text_profile", "text_repetition_stats",
-    "top_quality_docs", "training_corpus", "training_corpus_safe",
-    "training_corpus_segmented", "training_shards", "training_splits",
-    "transition_matrix_filled", "vocab_coverage",
+    "daily_moving_avg", "daily_rollup", "date_spine",
+    "dedup_audio_fingerprint", "dedup_clusters", "dedup_clusters_ensemble",
+    "dedup_containment", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed", "dedup_exact", "dedup_exact_norm",
+    "dedup_incremental", "dedup_multi_signal", "dedup_ngram_jaccard",
+    "dedup_segments", "dedup_simhash_near_dup", "dedup_video_frames",
+    "dedup_video_near", "dup_span_histogram", "dup_span_profile",
+    "embedding_outliers", "event_asof_join", "event_funnel",
+    "event_props_stats", "event_range_join", "event_retention",
+    "event_session_windows", "event_sessionization", "first_last_capture",
+    "gap_fill_backward", "gap_fill_closest", "gap_fill_forward",
+    "gap_fill_identical", "headline_metrics", "lsh_bucket_health",
+    "minhash_accuracy", "monthly_rollup", "multimodal_decode_png",
+    "multimodal_metadata", "multimodal_video_decode", "pack_sequences",
+    "periodic_samples", "pq_distortion", "pq_encode_streaming",
+    "quality_score", "region_revenue", "salted_term_counts",
+    "shipping_priority", "similarity_ann_lsh", "similarity_ivf_topk",
+    "similarity_topk", "specimen_breakdown", "sq8_encode_streaming",
+    "status_totals", "substring_dedup", "substring_dup_report",
+    "text_fingerprints", "text_pii_stats", "text_quality_flags",
+    "text_term_stats", "top_revenue_customers", "training_corpus_clean",
+    "transition_matrix", "urim_projection",
 ]
 
 _DEMOTED = sorted(
