@@ -1720,3 +1720,22 @@ def test_semantic_oracle_pin_guard_self_invalidates():
         with pytest.raises(duckdb.Error, match="pinned n_cells=16"):
             con.sql(sql).df()
         con.close()
+
+    # r13 ADVICE: the guard must fire even when the out-of-band corpus
+    # yields ZERO candidate pairs above the cosine threshold — a
+    # row-level WHERE predicate never evaluates on an empty join and
+    # would return empty silently; the UNION ALL guard branch executes
+    # unconditionally. The empty corpus (count=0, below the band's
+    # lo=1) is the extreme zero-pair case.
+    for name in ("dedup_semantic", "dedup_semantic_keepers",
+                 "split_semantic_leakage"):
+        con = duckdb.connect()
+        con.sql("CREATE VIEW embeddings AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+                "WHERE vec_id < 0")
+        if name == "split_semantic_leakage":
+            con.sql("CREATE VIEW documents AS SELECT * FROM "
+                    "'/root/testdata/sf0.001/documents.parquet'")
+        with pytest.raises(duckdb.Error, match="pinned n_cells=16"):
+            con.sql(QUERIES[name].oracle).df()
+        con.close()

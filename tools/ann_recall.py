@@ -301,7 +301,12 @@ def main() -> None:
                 pq_topk(emb, N_QUERIES, K, n_sub=n_sub,
                         n_codes=n_codes).collect(), exact_sets),
         }
-    ebb["sq8"] = {"bytes_per_vector": 64.0, "recall": pq["sq8"]}
+    # sq8 spends exactly one byte per dimension — derive from a probe
+    # row, not a literal (r13 ADVICE: a hardcoded 64.0 would silently
+    # misreport bytes if the corpus dim ever changed while the pq rows
+    # stayed self-consistent via _code_bytes)
+    emb_dim = len(emb.select("embedding").head()[0])
+    ebb["sq8"] = {"bytes_per_vector": float(emb_dim), "recall": pq["sq8"]}
     for label, fn in (("ivfpq", ivfpq_topk),
                       ("ivfpq_residual", ivfpq_residual_topk)):
         ebb[f"{label},n_sub=8,K=256,n_probe=4"] = {

@@ -3692,6 +3692,17 @@ def q_similarity_ivfpq_index(spark, sf_dir):
             os.path.join(sf_dir, "embeddings.parquet"), 16)
         trained = ivfpq_index_write(
             _embeddings(spark, sf_dir), path, seed_probe=seeds)
+        # the pid nonce scopes writes to this process (no concurrent
+        # cross-process overwrite), but it also means no other process
+        # will ever reuse this dir — without cleanup every process
+        # restart leaves a fresh orphan in /tmp, unbounded (r13
+        # ADVICE). atexit removal bounds disk to live processes; a
+        # crash can still orphan one dir, which the next same-corpus
+        # run neither reads nor grows.
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         _PQ_INDEX_CACHE[key] = (path, trained)
     path, trained = _PQ_INDEX_CACHE[key]
     if trained is None:
@@ -4189,7 +4200,14 @@ def _semantic_cell_bounds(n_cells: int) -> tuple[int, int]:
 
     lo = _last_below(n_cells) + 1
     hi = _last_below(n_cells + 1) if n_cells < 4096 else cap
-    assert semantic_cells_for(lo) == n_cells <= semantic_cells_for(hi)
+    # explicit raise, not assert (r13 ADVICE): the [lo, hi] band is what
+    # the oracle's cell_pin_guard trusts — under ``python -O`` an assert
+    # is stripped and a semantic_cells_for drift would silently hand the
+    # guard a wrong band, so the check must survive optimized runs.
+    if not (semantic_cells_for(lo) == n_cells <= semantic_cells_for(hi)):
+        raise RuntimeError(
+            f"semantic cell-bound derivation is inconsistent with "
+            f"semantic_cells_for: n_cells={n_cells} lo={lo} hi={hi}")
     return lo, hi
 
 
@@ -4207,9 +4225,16 @@ def _semantic_cte(n_cells: int = 16, min_cosine: float = 0.3) -> str:
     vectors -> 32 cells) would silently diverge. The guard makes that
     loud: ``cell_pin_guard`` errors via DuckDB ``error()`` unless the
     corpus row count sits inside the [lo, hi] band where
-    ``semantic_cells_for`` returns exactly the pinned value, and
-    sem_pairs references it so it always evaluates. Value-neutral on
-    valid corpora (the predicate folds to TRUE).
+    ``semantic_cells_for`` returns exactly the pinned value. The guard
+    rides sem_pairs as a UNION ALL branch (``... FROM cell_pin_guard
+    WHERE ok <> 0``), not a row-level WHERE predicate (r13 ADVICE): a
+    predicate only evaluates per candidate row, so an out-of-band
+    corpus whose cell join happened to yield zero pairs above the
+    cosine threshold would silently return empty instead of erroring —
+    a UNION ALL child is executed regardless of the sibling's row
+    count, so ``ok`` (and hence ``error()``) always evaluates.
+    Value-neutral on valid corpora: ok=0 filters the branch's single
+    row out before it can surface.
 
     Composes the IVF chain WITH materialization hints:
     sem_pairs self-joins `assigned` (and keepers re-reads sem_pairs
@@ -4230,7 +4255,11 @@ def _semantic_cte(n_cells: int = 16, min_cosine: float = 0.3) -> str:
                                             i -> a.q[i] * b.q[i])) AS DOUBLE)
                  / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
         FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      ) WHERE cosine >= {min_cosine} AND (SELECT ok FROM cell_pin_guard) = 0
+      ) WHERE cosine >= {min_cosine}
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS DOUBLE)
+      FROM cell_pin_guard WHERE ok <> 0
     )"""
 
 
@@ -5750,7 +5779,12 @@ _PERIOD_FLIPPED_AT = 13
 
 #: new or implementation-changed this round -> must see the driver's
 #: sf0.01 oracle now, so they never enter the rotation pool this round
-_WINDOW_PINNED: list[str] = []  # round 14: nothing changed yet — `rotate_window.py pin NAME` as queries change
+_WINDOW_PINNED: list[str] = [
+    "dedup_semantic",  # r14: pin-guard moved to always-evaluated UNION ALL branch
+    "dedup_semantic_keepers",  # r14: pin-guard UNION ALL branch
+    "split_semantic_leakage",  # r14: pin-guard UNION ALL branch
+    "training_corpus_segmented",  # r14: pin-guard UNION ALL branch (composed _semantic_cte)
+]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
 #: oracled query, multimodal_decode_jpeg, outgrew the 50+50 period-2
