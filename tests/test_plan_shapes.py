@@ -101,6 +101,12 @@ SHUFFLE_BUDGETS = {
     # candidate table re-joins the corpus as a BROADCAST (no corpus
     # exchange in the exact stage)
     "similarity_pq_rerank": (2, True),
+    # density-adaptive two-stage (r14): the plateau-band window
+    # partitions by query_id exactly like stage-1's rank window, so it
+    # REUSES that exchange — same budget as the fixed-expand form
+    # (stage-1 window + stage-2 rank window), candidate broadcast,
+    # corpus never shuffles
+    "similarity_pq_rerank_auto": (2, True),
     # two-stage over SQ8 candidates (r13): same shared exact stage —
     # stage-1 SQ8 window + stage-2 rank window, candidate broadcast,
     # corpus scanned twice and shuffled never

@@ -243,6 +243,116 @@ def test_pq_rerank_partition_invariant(emb):
     assert a == b
 
 
+def test_pq_rerank_auto_defaults_pinned(emb):
+    """r14 verdict #3: the density-adaptive serving defaults are API
+    contract — min_expand=4 (the tuned fixed-expand floor the rule may
+    only widen), max_expand=PQ_RERANK_MAX_EXPAND=8 (the stage-1 cap
+    that bounds the broadcast side at n_queries*k*8 rows)."""
+    import inspect
+
+    from trendmachine_spark.extensions.similarity import (
+        PQ_RERANK_MAX_EXPAND,
+        pq_rerank_auto_topk,
+        pq_topk,
+    )
+
+    assert PQ_RERANK_MAX_EXPAND == 8
+    sig = inspect.signature(pq_rerank_auto_topk)
+    assert sig.parameters["min_expand"].default == 4
+    assert sig.parameters["max_expand"].default == PQ_RERANK_MAX_EXPAND
+    # candidates can only come from the capped stage-1 set
+    cand = {(r["query_id"], r["neighbor_id"])
+            for r in pq_topk(emb, n_queries=5, k=3 * 8).collect()}
+    out = pq_rerank_auto_topk(emb, n_queries=5, k=3).collect()
+    assert out
+    for r in out:
+        assert (r["query_id"], r["neighbor_id"]) in cand
+
+
+@pytest.fixture(scope="module")
+def plateau_emb(spark):
+    """64 near-copies of one vector — the x40 replica regime in
+    miniature: true separations are tiny, so the ADC scan's top ranks
+    are a near-tie plateau. Aperiodic integer perturbations (101 is
+    coprime to everything in sight) give 64 DISTINCT patterns that 16
+    codewords per subspace cannot memorize, so ADC has genuine
+    quantization error here (the 7-periodic variant collapses to 7
+    patterns and ADC becomes exact — too easy)."""
+    base = np.arange(1, 65, dtype=np.float64)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(64):
+        pert = np.array([(((i * i * 31 + j * 17 + i * j * 13) % 101) - 50)
+                         * 2e-4 for j in range(64)])
+        rows.append((i, [float(x) for x in (base + pert)], 0))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def _recall_sets(rows_):
+    import collections
+
+    s = collections.defaultdict(set)
+    for r in rows_:
+        s[r["query_id"]].add(r["neighbor_id"])
+    return s
+
+
+def test_pq_rerank_auto_widen_only_dominates_floor(plateau_emb):
+    """The rule's safety contract: the measured plateau band may only
+    WIDEN the candidate set beyond the min_expand floor, so auto
+    recall can never fall below the fixed-expand default's — pinned on
+    the worst-case corpus where the pure-band variant measured 0.70 vs
+    the floor's 0.85 (ADC error dwarfs even the observed top-k
+    spread)."""
+    from trendmachine_spark.extensions.similarity import (
+        brute_force_topk,
+        pq_rerank_auto_topk,
+        pq_rerank_topk,
+    )
+
+    bf = _recall_sets(brute_force_topk(plateau_emb, 4, 5).collect())
+
+    def recall(rows_):
+        s = _recall_sets(rows_)
+        return sum(len(s[q] & bf[q]) for q in bf) / (5 * len(bf))
+
+    r_auto = recall(pq_rerank_auto_topk(plateau_emb, 4, 5).collect())
+    r_floor = recall(pq_rerank_topk(plateau_emb, 4, 5, expand=4).collect())
+    assert r_auto >= r_floor
+
+
+def test_pq_rerank_auto_band_widens_on_exact_tie_mass(spark):
+    """The rule's reason to exist: when the retrieved set is one
+    exact-tie plateau (64 identical vectors — s1 == sk, the band
+    degenerates to 'everything at the plateau score'), the rule must
+    select candidates BEYOND the min_expand floor so the whole tie
+    mass reaches the exact stage — verified by applying the pinned
+    rule to the stage-1 scores directly."""
+    import collections
+
+    from trendmachine_spark.extensions.similarity import pq_topk
+
+    base = np.arange(1, 65, dtype=np.float64)
+    base /= np.linalg.norm(base)
+    vec = [float(x) for x in base]
+    emb_ties = spark.createDataFrame(
+        [(i, vec, 0) for i in range(64)],
+        "vec_id long, embedding array<float>, label int")
+    k = 5
+    byq = collections.defaultdict(list)
+    for r in sorted(pq_topk(emb_ties, 4, k * 8).collect(),
+                    key=lambda r: (r["query_id"], r["rank"])):
+        byq[r["query_id"]].append(r["adc_cosine"])
+    assert byq
+    for scores in byq.values():
+        s1, sk = scores[0], scores[min(k, len(scores)) - 1]
+        thr = sk - (s1 - sk)
+        kept = sum(1 for i, s in enumerate(scores)
+                   if s >= thr or i < k * 4)
+        assert kept > k * 4  # the tie mass (40 retrieved) > floor (20)
+
+
 # ---------------------------- numpy-kernel properties (no Spark jobs)
 
 from hypothesis import given, settings

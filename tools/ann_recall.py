@@ -242,6 +242,21 @@ def main() -> None:
             pq_rerank_topk(emb, N_QUERIES, K, expand=expand).collect(),
             exact_sets)
 
+    # density-ADAPTIVE rerank (r14 verdict #3): the widen-only plateau
+    # rule at its pinned defaults (min_expand=4, max_expand=8). The
+    # rule's contract is recall >= the fixed min_expand floor at EVERY
+    # density — asserted here so a regression fails the artifact run
+    # loudly instead of shipping a quietly weaker row.
+    from trendmachine_spark.extensions.similarity import pq_rerank_auto_topk
+
+    pq["rerank,expand=auto"] = _recall(
+        pq_rerank_auto_topk(emb, N_QUERIES, K).collect(), exact_sets)
+    if pq["rerank,expand=auto"] < pq["rerank,expand=4"]:
+        raise RuntimeError(
+            f"density-adaptive rerank recall {pq['rerank,expand=auto']} "
+            f"fell below its min_expand floor {pq['rerank,expand=4']} — "
+            "the widen-only contract is broken")
+
     # two-stage over SQ8 (r13): stage-1 recall is ~0.95 where PQ-ADC
     # reads ~0.54 at x20, so the expand needed for exact recall should
     # be structurally smaller — measured at expand 1 and 2 (expand=1

@@ -3241,6 +3241,52 @@ def _pq_rerank_oracle(n_queries: int = 10, k: int = 5, expand: int = 4,
     ) WHERE rank <= {k}"""
 
 
+def _pq_rerank_auto_oracle(n_queries: int = 10, k: int = 5,
+                           min_expand: int = 4, max_expand: int = 8,
+                           n_sub: int = 8, n_codes: int = 16,
+                           ds: int = 8) -> str:
+    """Exact mirror of similarity.pq_rerank_auto_topk — the
+    density-adaptive WIDEN-ONLY rule: ADC candidates capped at
+    k*max_expand per query; a candidate reaches the exact re-rank if
+    it sits in the tuned floor (rank <= k*min_expand) OR scores at
+    least ``sk - (s1 - sk)`` (s1/sk = ADC scores at ranks 1 and k).
+    Expression order (``sk - (s1 - sk)``) is pinned identical on both
+    engines so the IEEE doubles agree bit-for-bit. Final ranking
+    (cosine DESC, neighbor_id), as the fixed-expand oracle."""
+    return f"""WITH {_pq_ctes(n_sub, n_codes, ds)},
+    {_pq_adc_ctes(n_queries, ds)},
+    cand_cap AS (
+      SELECT query_id, neighbor_id, adc_cosine, _rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_cosine DESC, neighbor_id) AS _rk
+        FROM scored
+      ) WHERE _rk <= {k * max_expand}
+    ),
+    qstats AS (
+      SELECT query_id, max(adc_cosine) AS s1,
+             min(adc_cosine) FILTER (WHERE _rk <= {k}) AS sk
+      FROM cand_cap GROUP BY query_id
+    ),
+    cand AS (
+      SELECT c.query_id, c.neighbor_id
+      FROM cand_cap c JOIN qstats s USING (query_id)
+      WHERE c.adc_cosine >= s.sk - (s.s1 - s.sk) OR c._rk <= {k * min_expand}
+    ),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(qu.q)),
+                  i -> qu.q[i] * nb.q[i])) AS DOUBLE)
+               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
+      FROM cand c JOIN queries qu ON c.query_id = qu.query_id
+           JOIN nv nb ON c.neighbor_id = nb.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= {k}"""
+
+
 def _ivfpq_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
                        n_probe: int = 2, n_sub: int = 8, n_codes: int = 16,
                        ds: int = 8) -> str:
@@ -3727,6 +3773,30 @@ def q_similarity_pq_rerank(spark, sf_dir):
     path = os.path.join(sf_dir, "embeddings.parquet")
     return pq_rerank_topk(
         _embeddings(spark, sf_dir), n_queries=10, k=5, expand=4,
+        probe=load_probe_matrix(path, 10),
+        seed_probe=load_probe_matrix(path, 16))
+
+
+@register("similarity_pq_rerank_auto", _pq_rerank_auto_oracle())
+def q_similarity_pq_rerank_auto(spark, sf_dir):
+    """DENSITY-ADAPTIVE two-stage ANN (round 14, verdict #3): the
+    candidate budget is measured per query from the ADC near-tie
+    plateau (keep everything within one observed top-k spread below
+    the rank-k score, never fewer than the k*min_expand floor, capped
+    at k*max_expand) instead of a fixed expand — the x40 finding
+    (fixed expand=2 recall 0.525 while x10 reads 1.0) made density a
+    serving-time variable, so the API measures it instead of assuming
+    it."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (
+        load_probe_matrix,
+        pq_rerank_auto_topk,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return pq_rerank_auto_topk(
+        _embeddings(spark, sf_dir), n_queries=10, k=5,
         probe=load_probe_matrix(path, 10),
         seed_probe=load_probe_matrix(path, 16))
 
@@ -5784,6 +5854,7 @@ _WINDOW_PINNED: list[str] = [
     "dedup_semantic_keepers",  # r14: pin-guard UNION ALL branch
     "split_semantic_leakage",  # r14: pin-guard UNION ALL branch
     "training_corpus_segmented",  # r14: pin-guard UNION ALL branch (composed _semantic_cte)
+    "similarity_pq_rerank_auto",  # r14 new query: density-adaptive rerank
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5812,6 +5883,7 @@ _DEMOTE_EVEN = frozenset({
     "text_repetition_stats", "top_quality_docs", "training_corpus",
     "training_corpus_safe", "training_corpus_segmented", "training_shards",
     "training_splits", "transition_matrix_filled", "vocab_coverage",
+    "similarity_pq_rerank_auto",  # assigned by rotate_window.py
 })
 _DEMOTE_ODD = frozenset({
     # class 0 — driver-checked in rounds where _ROUND % 4 == 0;
