@@ -111,6 +111,9 @@ SHUFFLE_BUDGETS = {
     # stage-1 SQ8 window + stage-2 rank window, candidate broadcast,
     # corpus scanned twice and shuffled never
     "similarity_sq8_rerank": (2, True),
+    # density-adaptive SQ8 two-stage (r14): band window rides stage-1's
+    # query_id partitioning — same budget as the fixed form
+    "similarity_sq8_rerank_auto": (2, True),
     # residual IVFPQ (r12): identical skeleton to ivfpq_topk — fused
     # zero-shuffle encode, broadcast probe join, LUT+centroid-dot map,
     # ONE rank-window exchange

@@ -267,6 +267,18 @@ def main() -> None:
             sq8_rerank_topk(emb, N_QUERIES, K, expand=expand).collect(),
             exact_sets)
 
+    # density-adaptive SQ8 two-stage (r14): widen-only over the
+    # min_expand=2 floor — same floor contract as the PQ auto row
+    from trendmachine_spark.extensions.similarity import sq8_rerank_auto_topk
+
+    pq["sq8_rerank,expand=auto"] = _recall(
+        sq8_rerank_auto_topk(emb, N_QUERIES, K).collect(), exact_sets)
+    if pq["sq8_rerank,expand=auto"] < pq["sq8_rerank,expand=2"]:
+        raise RuntimeError(
+            f"density-adaptive sq8 rerank recall "
+            f"{pq['sq8_rerank,expand=auto']} fell below its min_expand "
+            f"floor {pq['sq8_rerank,expand=2']} — widen-only contract broken")
+
     # IVF+PQ: both reductions composed — cell pruning (recall axis =
     # n_probe, as plain IVF) x compressed scoring (the ADC ceiling)
     from trendmachine_spark.extensions.similarity import ivfpq_topk

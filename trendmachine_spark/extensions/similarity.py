@@ -2122,6 +2122,46 @@ def pq_rerank_auto_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     return _exact_rerank(qv, cand, n_queries, k, probe=probe)
 
 
+def sq8_rerank_auto_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                         min_expand: int = 2,
+                         max_expand: int = PQ_RERANK_MAX_EXPAND,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         probe=None) -> DataFrame:
+    """Density-adaptive two-stage ANN over SQ8 candidates (round 14):
+    :func:`pq_rerank_auto_topk`'s widen-only plateau rule applied to
+    the int8 scalar-quantized stage 1 — completing the quantizer x
+    serving matrix on the adaptive axis. SQ8's per-candidate precision
+    is ~8x PQ's, so its tuned floor is smaller (min_expand=2 — the
+    config ANN_RECALL measured at recall 1.0 across x10/x20/x40) and
+    the plateau band exists to catch the density regime BEYOND those
+    measurements rather than to repair a known collapse.
+
+    Output: query_id, neighbor_id, rank, cosine (exact).
+
+    SCALE: stage 1 is :func:`sq8_topk`'s fused zero-shuffle
+    encode+score scan with its k-bounded rank exchange; the band
+    window rides the same query_id partitioning; stage 2 is the shared
+    broadcast-join exact re-rank. Corpus scanned twice, shuffled
+    never."""
+    from pyspark.sql import Window
+
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    stage1 = sq8_topk(emb, n_queries, k * max_expand, vec_col, id_col,
+                      probe=probe)
+    wq = Window.partitionBy("query_id")
+    s1 = F.max("sq_cosine").over(wq)
+    sk = F.min(F.when(F.col("rank") <= k, F.col("sq_cosine"))).over(wq)
+    cand = (
+        stage1
+        # expression order pinned to the oracle: thr = sk - (s1 - sk)
+        .withColumn("_thr", sk - (s1 - sk))
+        .filter((F.col("sq_cosine") >= F.col("_thr"))
+                | (F.col("rank") <= k * min_expand))
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(qv, cand, n_queries, k, probe=probe)
+
+
 def ivfpq_index_write(emb: DataFrame, path: str,
                       n_cells: int = 16, n_sub: int = PQ_SUBSPACES,
                       n_codes: int = PQ_CODES, refine: int = 1,

@@ -13,5772 +13,241 @@ covered by FIXTURES.md goldens instead.
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass
-from typing import Callable, Optional
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from trendmachine_spark import oracle_sql as osql
-from trendmachine_spark.functions.scalars import urim, ymd, ymd_sql
-from trendmachine_spark.operators.fill import gap_fill
-from trendmachine_spark.operators.normalize import normalize_captures
-from trendmachine_spark.operators.rollup import daily_rollup
-from trendmachine_spark.operators.samples import periodic_samples
-from trendmachine_spark.operators.spine import densify, resolve_as_of
-from trendmachine_spark.operators.transitions import transition_matrix
-from trendmachine_spark.pipeline import daily_series
-from trendmachine_spark.sources.captures import events_as_captures
-
-
-@dataclass
-class QueryDef:
-    builder: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]
-
-
-QUERIES: dict[str, QueryDef] = {}
-
-
-def register(name: str, oracle: Optional[str]):
-    def deco(fn):
-        QUERIES[name] = QueryDef(fn, oracle)
-        return fn
-    return deco
-
-
-# Shared-plan cache: the Spark analog of the reference's load_cdx/
-# load_data memoization layers (main.py:129, :186) — the daily rollup
-# and dense spine are reused across every downstream query in a session
-# instead of being recomputed per query.
-_CACHE: dict = {}
-
-
-def _shared(spark, sf_dir: str, key: str, build):
-    # keyed on applicationId, not id(spark): CPython can reuse an object
-    # id after a session is stopped, which would hand back persisted
-    # DataFrames bound to a dead SparkContext
-    k = (spark.sparkContext.applicationId, sf_dir, key)
-    if k not in _CACHE:
-        df = build()
-        df.persist()
-        _CACHE[k] = df
-    return _CACHE[k]
-
-
-#: lazy source-DataFrame memo — catalog registration, NOT result
-#: caching: load_table pays a file listing + parquet schema read
-#: (~0.1-0.3 s) every call, which a real engine does once per session
-#: in its catalog. The cached object is an unexecuted plan; nothing is
-#: persisted, every execution still scans the parquet.
-_TABLE_CACHE: dict = {}
-
-
-def _table(spark, sf_dir: str, name: str) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, name)
-    if k not in _TABLE_CACHE:
-        _TABLE_CACHE[k] = load_table(spark, sf_dir, name)
-    return _TABLE_CACHE[k]
-
-
-def clear_cache() -> None:
-    _TABLE_CACHE.clear()
-    for df in _CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _CACHE.clear()
-
-
-def _daily(spark, sf_dir) -> DataFrame:
-    return _shared(
-        spark, sf_dir, "daily",
-        lambda: daily_rollup(normalize_captures(events_as_captures(spark, sf_dir))),
-    )
-
-
-def _docs(spark, sf_dir) -> DataFrame:
-    """documents table through the shared cache — every dedup/text/
-    multimodal query reads it, the analog of the reference caching its
-    loaded corpus once per session."""
-    return _shared(
-        spark, sf_dir, "docs", lambda: _table(spark, sf_dir, "documents")
-    )
-
-
-def _embeddings(spark, sf_dir) -> DataFrame:
-    return _shared(
-        spark, sf_dir, "emb", lambda: _table(spark, sf_dir, "embeddings")
-    )
-
-
-# ---------------------------------------------------------------- O3/O7-O10
-
-@register(
-    "capture_normalize",
-    f"WITH {osql.NORM} SELECT url, seq, ts, day, cls, digest8 FROM norm",
-)
-def q_capture_normalize(spark, sf_dir):
-    n = normalize_captures(events_as_captures(spark, sf_dir))
-    return n.select(
-        "url", "seq", "ts", F.col("day_str").alias("day"), "cls",
-        F.col("digest").alias("digest8"),
-    )
-
-
-# ------------------------------------------------------------- O17/O19/O20/O22
-
-@register(
-    "daily_rollup",
-    f"""WITH {osql.DAILY}
-    SELECT url, day, c2xx, c3xx, c4xx, c5xx, all_cnt,
-           specimen, datetime, digest, content
-    FROM daily2""",
-)
-def q_daily_rollup(spark, sf_dir):
-    d = _daily(spark, sf_dir)
-    return d.select(
-        "url", F.col("day_str").alias("day"),
-        F.col("_2xx").alias("c2xx"), F.col("_3xx").alias("c3xx"),
-        F.col("_4xx").alias("c4xx"), F.col("_5xx").alias("c5xx"),
-        F.col("all").alias("all_cnt"),
-        "specimen", "datetime", "digest", "content",
-    )
-
-
-@register(
-    "daily_moving_avg",
-    # 7-day trailing mean of the All count per url over observed days —
-    # the dashboard trend-smoothing companion to the daily pivot. Exact:
-    # sum and count are integers, one IEEE division.
-    f"""WITH {osql.DAILY}
-    SELECT url, day, all_cnt,
-           CAST(sum(all_cnt) OVER w AS BIGINT) AS sum7,
-           CAST(sum(all_cnt) OVER w AS DOUBLE) / count(*) OVER w AS ma7
-    FROM daily2
-    WINDOW w AS (PARTITION BY url ORDER BY day
-                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
-)
-def q_daily_moving_avg(spark, sf_dir):
-    """7-day trailing moving average per url (rows frame over observed
-    days; reuses the shared rollup's url partitioning — zero extra
-    exchanges beyond the rollup)."""
-    d = _daily(spark, sf_dir)
-    w = Window.partitionBy("url").orderBy("day_str").rowsBetween(-6, 0)
-    return d.select(
-        "url",
-        F.col("day_str").alias("day"),
-        F.col("all").alias("all_cnt"),
-        F.sum("all").over(w).alias("sum7"),
-        (F.sum("all").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("ma7"),
-    )
-
-
-@register(
-    "status_month_cube",
-    # totals-with-margins: counts by (class, month) with all CUBE
-    # margins; sentinel '(all)' marks rolled-up dimensions so the
-    # output needs no engine-specific grouping-id bit conventions
-    f"""WITH {osql.NORM}
-    SELECT coalesce(cls, '(all)') AS cls,
-           coalesce(month, '(all)') AS month,
-           CAST(count(*) AS BIGINT) AS n
-    FROM (SELECT cls, substr(day, 1, 7) AS month FROM norm)
-    GROUP BY CUBE (cls, month)""",
-)
-def q_status_month_cube(spark, sf_dir):
-    """OLAP cube over (status class, month): every margin in one pass
-    (Spark plans a single Expand + hash agg — one exchange)."""
-    n = normalize_captures(events_as_captures(spark, sf_dir))
-    base = n.select("cls", F.substring(F.col("day_str"), 1, 7).alias("month"))
-    return (
-        base.cube("cls", "month")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.coalesce(F.col("cls"), F.lit("(all)")).alias("cls"),
-            F.coalesce(F.col("month"), F.lit("(all)")).alias("month"),
-            "n",
-        )
-    )
-
-
-# ----------------------------------------------------------------------- O21
-
-@register(
-    "daily_chaos",
-    f"WITH {osql.DAILY} SELECT url, day, chaos, chaosn FROM daily",
-)
-def q_daily_chaos(spark, sf_dir):
-    d = _daily(spark, sf_dir)
-    return d.select("url", F.col("day_str").alias("day"), "chaos", "chaosn")
-
-
-# ----------------------------------------------------------------------- O29
-
-@register(
-    "periodic_samples",
-    f"""WITH {osql.CLASSED}
-    SELECT url, Period, Samples FROM (
-      SELECT url,
-             CAST(count(DISTINCT substr(ts, 1, 14)) AS BIGINT) AS "Second",
-             CAST(count(DISTINCT substr(ts, 1, 12)) AS BIGINT) AS "Minute",
-             CAST(count(DISTINCT substr(ts, 1, 10)) AS BIGINT) AS "Hour",
-             CAST(count(DISTINCT substr(ts, 1, 8)) AS BIGINT) AS "Day",
-             CAST(count(DISTINCT substr(ts, 1, 6)) AS BIGINT) AS "Month",
-             CAST(count(DISTINCT substr(ts, 1, 4)) AS BIGINT) AS "Year"
-      FROM classed GROUP BY url
-    ) UNPIVOT (Samples FOR Period IN ("Second", "Minute", "Hour", "Day", "Month", "Year"))""",
-)
-def q_periodic_samples(spark, sf_dir):
-    caps = events_as_captures(spark, sf_dir)
-    return periodic_samples(caps).select("url", "Period", "Samples")
-
-
-# ----------------------------------------------------------------------- O31
-
-def _dense(spark, sf_dir, fill: int = 0, policy: str = "closest") -> DataFrame:
-    def build():
-        daily = _daily(spark, sf_dir)
-        filled = gap_fill(daily, fill, policy) if fill != 0 else None
-        return densify(daily, filled, resolve_as_of(daily, None))
-
-    return _shared(spark, sf_dir, f"dense:{fill}:{policy}", build)
-
-
-@register(
-    "date_spine",
-    f"""WITH {osql.SPINE}
-    SELECT s.url, s.day,
-           CAST(CASE WHEN d.day IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed
-    FROM spine s LEFT JOIN daily d ON s.url = d.url AND s.day = d.day""",
-)
-def q_date_spine(spark, sf_dir):
-    dense = _dense(spark, sf_dir)
-    # every observed day carries its first capture's ts, even when all
-    # class counts are 0 (revisit-only days) — '~' means spine-generated
-    return dense.select(
-        "url",
-        F.col("day_str").alias("day"),
-        (F.col("datetime") != "~").cast("long").alias("is_observed"),
-    )
-
-
-# ----------------------------------------------------------------------- O32
-
-def _mk_gap_fill(policy: str):
-    if policy == "identical":
-        spec = "specimen"
-        extra = " WHERE specimen = next_specimen"
-    elif policy == "forward":
-        spec, extra = "specimen", ""
-    elif policy == "backward":
-        spec, extra = "next_specimen", ""
-    else:  # closest
-        spec = "CASE WHEN i < gap / 2.0 THEN specimen ELSE next_specimen END"
-        extra = ""
-    oracle = f"""WITH {osql.gap_pairs_sql(-1)}
-    SELECT url, fill_day AS day, {spec} AS specimen FROM interior{extra}"""
-
-    @register(f"gap_fill_{policy}", oracle)
-    def q(spark, sf_dir, policy=policy):
-        daily = _daily(spark, sf_dir)
-        out = gap_fill(daily, -1, policy)
-        return out.select("url", F.date_format("day", "yyyy-MM-dd").alias("day"), "specimen")
-
-    return q
-
-
-for _p in ("identical", "closest", "forward", "backward"):
-    _mk_gap_fill(_p)
-
-
-# ----------------------------------------------------------------------- O33
-
-@register(
-    "chaos_ffill",
-    f"""WITH {osql.SPINE},
-    dense AS (
-      SELECT s.url, s.day, d.chaos, d.chaosn
-      FROM spine s LEFT JOIN daily d ON s.url = d.url AND s.day = d.day
-    )
-    SELECT url, day,
-           coalesce(last_value(chaos IGNORE NULLS) OVER w, 0.0) AS chaos,
-           coalesce(last_value(chaosn IGNORE NULLS) OVER w, 0.0) AS chaosn
-    FROM dense
-    WINDOW w AS (PARTITION BY url ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
-)
-def q_chaos_ffill(spark, sf_dir):
-    dense = _dense(spark, sf_dir)
-    return dense.select("url", F.col("day_str").alias("day"), "chaos", "chaosn")
-
-
-# ------------------------------------------------------------------- O12/O28
-
-@register(
-    "transition_matrix",
-    f"""WITH {osql.DAILY},
-    valid AS (
-      SELECT url, day, specimen,
-             lag(specimen) OVER (PARTITION BY url ORDER BY day) AS prev
-      FROM daily2 WHERE specimen IN ('2xx', '3xx', '4xx', '5xx')
-    ),
-    cnt AS (
-      SELECT url, prev AS source, specimen AS target,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM valid WHERE prev IS NOT NULL GROUP BY url, prev, specimen
-    ),
-    classes AS (SELECT unnest(['2xx', '3xx', '4xx', '5xx']) AS c),
-    cells AS (
-      SELECT DISTINCT d.url, s.c AS source, t.c AS target
-      FROM daily2 d, classes s, classes t
-    )
-    SELECT cells.url, cells.source, cells.target, coalesce(cnt.cnt, 0) AS cnt
-    FROM cells LEFT JOIN cnt
-      ON cells.url = cnt.url AND cells.source = cnt.source AND cells.target = cnt.target""",
-)
-def q_transition_matrix(spark, sf_dir):
-    daily = _daily(spark, sf_dir)
-    out = transition_matrix(daily, dense_cells=True)
-    return out.select(
-        "url", F.col("Source").alias("source"), F.col("Target").alias("target"),
-        F.col("Count").alias("cnt"),
-    )
-
-
-@register(
-    "transition_matrix_filled",
-    # O28 over the FILLED dense series: with fill != 0 the reference's
-    # res list (main.py:238-245) carries valid specimens on filled days,
-    # so they participate in transitions. fill=-1, policy='closest'.
-    f"""WITH {osql.gap_pairs_sql(-1)},
-    fills AS (
-      SELECT url, fill_day AS day,
-             CASE WHEN i < gap / 2.0 THEN specimen ELSE next_specimen END AS specimen
-      FROM interior
-    ),
-    bounds AS (SELECT url, min(day) AS first_day FROM daily GROUP BY url),
-    maxd AS (SELECT max(day) AS last_day FROM daily),
-    spine AS (
-      SELECT url, strftime(d, '%Y-%m-%d') AS day
-      FROM bounds, maxd,
-           unnest(generate_series(CAST(first_day AS DATE), CAST(last_day AS DATE),
-                                  INTERVAL 1 DAY)) AS t(d)
-    ),
-    dense AS (
-      SELECT s.url, s.day, coalesce(d.specimen, f.specimen, '~') AS specimen
-      FROM spine s
-      LEFT JOIN daily2 d ON s.url = d.url AND s.day = d.day
-      LEFT JOIN fills f ON s.url = f.url AND s.day = f.day
-    ),
-    valid AS (
-      SELECT url, day, specimen,
-             lag(specimen) OVER (PARTITION BY url ORDER BY day) AS prev
-      FROM dense WHERE specimen IN ('2xx', '3xx', '4xx', '5xx')
-    ),
-    cnt AS (
-      SELECT url, prev AS source, specimen AS target,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM valid WHERE prev IS NOT NULL GROUP BY url, prev, specimen
-    ),
-    classes AS (SELECT unnest(['2xx', '3xx', '4xx', '5xx']) AS c),
-    cells AS (
-      SELECT DISTINCT d.url, s.c AS source, t.c AS target
-      FROM daily2 d, classes s, classes t
-    )
-    SELECT cells.url, cells.source, cells.target, coalesce(cnt.cnt, 0) AS cnt
-    FROM cells LEFT JOIN cnt
-      ON cells.url = cnt.url AND cells.source = cnt.source AND cells.target = cnt.target""",
-)
-def q_transition_matrix_filled(spark, sf_dir):
-    dense = _dense(spark, sf_dir, fill=-1, policy="closest")
-    out = transition_matrix(dense, dense_cells=True)
-    return out.select(
-        "url", F.col("Source").alias("source"), F.col("Target").alias("target"),
-        F.col("Count").alias("cnt"),
-    )
-
-
-# ----------------------------------------------------------------------- O23
-
-@register(
-    "monthly_rollup",
-    f"""WITH {osql.DAILY}
-    SELECT url, concat(substr(day, 1, 8), '15') AS month,
-           CAST(SUM(c2xx) AS BIGINT) AS c2xx, CAST(SUM(c3xx) AS BIGINT) AS c3xx,
-           CAST(SUM(c4xx) AS BIGINT) AS c4xx, CAST(SUM(c5xx) AS BIGINT) AS c5xx,
-           CAST(SUM(all_cnt) AS BIGINT) AS all_cnt
-    FROM daily WHERE all_cnt <> 0 GROUP BY url, month""",
-)
-def q_monthly_rollup(spark, sf_dir):
-    d = _daily(spark, sf_dir).filter(F.col("all") != 0)
-    return d.groupBy(
-        "url", F.concat(F.substring("day_str", 1, 8), F.lit("15")).alias("month")
-    ).agg(
-        F.sum("_2xx").alias("c2xx"), F.sum("_3xx").alias("c3xx"),
-        F.sum("_4xx").alias("c4xx"), F.sum("_5xx").alias("c5xx"),
-        F.sum("all").alias("all_cnt"),
-    )
-
-
-# ----------------------------------------------------------------------- O25
-
-@register(
-    "status_totals",
-    f"""WITH {osql.DAILY},
-    wide AS (
-      SELECT url,
-             CAST(SUM(c2xx) AS BIGINT) AS "2xx", CAST(SUM(c3xx) AS BIGINT) AS "3xx",
-             CAST(SUM(c4xx) AS BIGINT) AS "4xx", CAST(SUM(c5xx) AS BIGINT) AS "5xx",
-             CAST(SUM(all_cnt) AS BIGINT) AS "All"
-      FROM daily WHERE all_cnt <> 0 GROUP BY url
-    )
-    SELECT url, status, total
-    FROM wide UNPIVOT (total FOR status IN ("2xx", "3xx", "4xx", "5xx", "All"))""",
-)
-def q_status_totals(spark, sf_dir):
-    d = _daily(spark, sf_dir).filter(F.col("all") != 0)
-    wide = d.groupBy("url").agg(
-        F.sum("_2xx").alias("2xx"), F.sum("_3xx").alias("3xx"),
-        F.sum("_4xx").alias("4xx"), F.sum("_5xx").alias("5xx"),
-        F.sum("all").alias("All"),
-    )
-    return wide.selectExpr(
-        "url",
-        "stack(5, '2xx', `2xx`, '3xx', `3xx`, '4xx', `4xx`, '5xx', `5xx`, 'All', `All`) as (status, total)",
-    )
-
-
-# ----------------------------------------------------------------------- O24
-
-def _summary_sql() -> str:
-    pieces = []
-    for c, col in [("2xx", "c2xx"), ("3xx", "c3xx"), ("4xx", "c4xx"),
-                   ("5xx", "c5xx"), ("All", "all_cnt")]:
-        pieces.append(f"""
-    SELECT url, '{c}' AS status,
-           CAST(count(v) AS BIGINT) AS cnt,
-           CAST(SUM(v) AS DOUBLE) / count(v) AS mean,
-           CASE WHEN count(v) > 1
-                THEN sqrt((CAST(SUM(v * v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * SUM(v) / count(v)) / (count(v) - 1))
-                ELSE 0.0 END AS std,
-           CAST(min(v) AS BIGINT) AS minv,
-           quantile_cont(v, 0.25) AS q1,
-           quantile_cont(v, 0.5) AS median,
-           quantile_cont(v, 0.75) AS q3,
-           CAST(max(v) AS BIGINT) AS maxv
-    FROM (SELECT url, {col} AS v FROM daily WHERE all_cnt <> 0 AND {col} <> 0)
-    GROUP BY url""")
-    return f"WITH {osql.DAILY} " + " UNION ALL ".join(pieces)
-
-
-@register("summary_stats", _summary_sql())
-def q_summary_stats(spark, sf_dir):
-    d = _daily(spark, sf_dir).filter(F.col("all") != 0)
-    pieces = []
-    for c, col in [("2xx", "_2xx"), ("3xx", "_3xx"), ("4xx", "_4xx"),
-                   ("5xx", "_5xx"), ("All", "all")]:
-        v = d.filter(F.col(col) != 0).select("url", F.col(col).alias("v"))
-        n = F.count("v")
-        s = F.sum("v")
-        ss = F.sum(F.col("v") * F.col("v"))
-        pieces.append(
-            v.groupBy("url").agg(
-                n.alias("cnt"),
-                (s.cast("double") / n).alias("mean"),
-                F.when(
-                    n > 1,
-                    F.sqrt((ss.cast("double") - s.cast("double") * s / n) / (n - 1)),
-                ).otherwise(0.0).alias("std"),
-                F.min("v").cast("long").alias("minv"),
-                F.expr("percentile(v, 0.25)").alias("q1"),
-                F.expr("percentile(v, 0.5)").alias("median"),
-                F.expr("percentile(v, 0.75)").alias("q3"),
-                F.max("v").cast("long").alias("maxv"),
-            ).withColumn("status", F.lit(c))
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.select("url", "status", "cnt", "mean", "std", "minv", "q1", "median", "q3", "maxv")
-
-
-# ----------------------------------------------------------------------- O26
-
-@register(
-    "content_value_counts",
-    f"""WITH {osql.SPINE},
-    dense AS (
-      SELECT s.url, s.day, coalesce(d.content, 'Unknown') AS content
-      FROM spine s LEFT JOIN daily2 d ON s.url = d.url AND s.day = d.day
-    )
-    SELECT url, content, CAST(count(*) AS BIGINT) AS cnt
-    FROM dense GROUP BY url, content""",
-)
-def q_content_value_counts(spark, sf_dir):
-    dense = _dense(spark, sf_dir)
-    return dense.groupBy("url", "content").agg(F.count(F.lit(1)).alias("cnt"))
-
-
-# ----------------------------------------------------------------------- O27
-
-@register(
-    "specimen_breakdown",
-    f"""WITH {osql.gap_pairs_sql(-1)},
-    fills AS (SELECT url, fill_day AS day, specimen FROM interior),
-    bounds AS (SELECT url, min(day) AS first_day FROM daily GROUP BY url),
-    maxd AS (SELECT max(day) AS last_day FROM daily),
-    spine AS (
-      SELECT url, strftime(d, '%Y-%m-%d') AS day
-      FROM bounds, maxd,
-           unnest(generate_series(CAST(first_day AS DATE), CAST(last_day AS DATE),
-                                  INTERVAL 1 DAY)) AS t(d)
-    ),
-    dense AS (
-      SELECT s.url, s.day,
-             coalesce(d.specimen, f.specimen, '~') AS specimen,
-             coalesce(d.all_cnt, 0) AS all_cnt
-      FROM spine s
-      LEFT JOIN daily2 d ON s.url = d.url AND s.day = d.day
-      LEFT JOIN fills f ON s.url = f.url AND s.day = f.day
-    ),
-    wide AS (
-      SELECT url,
-             CAST(SUM(CASE WHEN all_cnt <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS "Active",
-             CAST(SUM(CASE WHEN specimen <> '~' AND all_cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS "Filled",
-             CAST(SUM(CASE WHEN specimen = '~' AND all_cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS "Missing"
-      FROM dense GROUP BY url
-    )
-    SELECT url, specimen_src, days
-    FROM wide UNPIVOT (days FOR specimen_src IN ("Active", "Filled", "Missing"))""",
-)
-def q_specimen_breakdown(spark, sf_dir):
-    dense = _dense(spark, sf_dir, fill=-1, policy="forward")
-    wide = dense.groupBy("url").agg(
-        F.sum((F.col("all") != 0).cast("long")).alias("Active"),
-        F.sum(F.col("filled").cast("long")).alias("Filled"),
-        F.sum(((F.col("specimen") == "~") & (F.col("all") == 0)).cast("long")).alias("Missing"),
-    )
-    return wide.selectExpr(
-        "url",
-        "stack(3, 'Active', Active, 'Filled', Filled, 'Missing', Missing) as (specimen_src, days)",
-    )
-
-
-# ----------------------------------------------------------------------- O41
-
-@register(
-    "first_last_capture",
-    f"""WITH {osql.DAILY}
-    SELECT url, min(day) AS first_day, arg_min(datetime, day) AS first_datetime,
-           max(day) AS last_day, arg_max(datetime, day) AS last_datetime
-    FROM daily WHERE all_cnt <> 0 GROUP BY url""",
-)
-def q_first_last_capture(spark, sf_dir):
-    d = _daily(spark, sf_dir).filter(F.col("all") != 0)
-    return d.groupBy("url").agg(
-        F.min("day_str").alias("first_day"),
-        F.min_by("datetime", "day_str").alias("first_datetime"),
-        F.max("day_str").alias("last_day"),
-        F.max_by("datetime", "day_str").alias("last_datetime"),
-    )
-
-
-# ----------------------------------------------------------------------- O14
-
-@register(
-    "urim_projection",
-    f"""WITH {osql.DAILY}
-    SELECT url, day,
-           CASE WHEN datetime <> '~'
-                THEN concat('https://web.archive.org/web', '/', datetime, '/', url)
-                ELSE '#' END AS urim
-    FROM daily""",
-)
-def q_urim_projection(spark, sf_dir):
-    d = _daily(spark, sf_dir)
-    return d.select(
-        "url", F.col("day_str").alias("day"),
-        urim(F.col("datetime"), F.col("url")).alias("urim"),
-    )
-
-
-# ------------------------------------------------------------------- O15/O30
-
-@register(
-    "headline_metrics",
-    f"""WITH {osql.SPINE},
-    dense AS (
-      SELECT s.url, s.day, coalesce(d.all_cnt, 0) AS all_cnt,
-             coalesce(d.c2xx, 0) AS c2xx,
-             coalesce(d.content, 'Unknown') AS content
-      FROM spine s LEFT JOIN daily2 d ON s.url = d.url AND s.day = d.day
-    ),
-    agg AS (
-      SELECT url,
-             CAST(SUM(all_cnt) AS BIGINT) AS captures,
-             CAST(SUM(c2xx) AS BIGINT) AS ok_captures,
-             CAST(count(*) AS BIGINT) AS span_days,
-             max(CASE WHEN all_cnt <> 0 THEN day END) AS last_observed_day,
-             max(day) AS spine_end,
-             CAST(SUM(CASE WHEN all_cnt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS gap_days,
-             CAST(SUM(CASE WHEN content = 'Changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed_days,
-             CAST(SUM(CASE WHEN all_cnt <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS active_days
-      FROM dense GROUP BY url
-    )
-    SELECT url, captures, span_days, last_observed_day, gap_days, changed_days, active_days,
-           CAST(ok_captures AS DOUBLE) / captures AS ok_ratio,
-           {ymd_sql('span_days')} AS span_human,
-           CAST(datediff('day', CAST(last_observed_day AS DATE), CAST(spine_end AS DATE)) AS BIGINT) AS inactive_days
-    FROM agg""",
-)
-def q_headline_metrics(spark, sf_dir):
-    dense = _dense(spark, sf_dir)
-    agg = dense.groupBy("url").agg(
-        F.sum("all").alias("captures"),
-        F.sum("_2xx").alias("_ok"),
-        F.count(F.lit(1)).alias("span_days"),
-        F.max(F.when(F.col("all") != 0, F.col("day_str"))).alias("last_observed_day"),
-        F.max("day_str").alias("_spine_end"),
-        F.sum((F.col("all") == 0).cast("long")).alias("gap_days"),
-        F.sum((F.col("content") == "Changed").cast("long")).alias("changed_days"),
-        F.sum((F.col("all") != 0).cast("long")).alias("active_days"),
-    )
-    return agg.select(
-        "url", "captures", "span_days", "last_observed_day", "gap_days",
-        "changed_days", "active_days",
-        (F.col("_ok").cast("double") / F.col("captures")).alias("ok_ratio"),
-        ymd(F.col("span_days")).alias("span_human"),
-        F.datediff(
-            F.to_date("_spine_end"), F.to_date("last_observed_day")
-        ).cast("long").alias("inactive_days"),
-    )
-
-
-# ===================================================================
-# Extension operators (SURVEY.md §2.6): dedup / similarity / text /
-# multimodal over documents + embeddings, and relational/TPC-H-style
-# queries over the star schema.
-# ===================================================================
-
-from trendmachine_spark.extensions.dedup import (  # noqa: E402
-    MAX_LSH_BUCKET, MAX_SHINGLE_FREQ, exact_dedup, minhash_near_dup,
-    ngram_jaccard, simhash,
-)
-from trendmachine_spark.extensions.multimodal import media_metadata  # noqa: E402
-from trendmachine_spark.extensions.similarity import ann_topk, brute_force_topk  # noqa: E402
-from trendmachine_spark.extensions.text import (  # noqa: E402
-    fingerprints, lang_id, quality_flags, text_profile,
-)
-from trendmachine_spark.sources.tables import load_table  # noqa: E402
-
-#: word-shingle CTE shared by the dedup oracles (mirrors dedup.shingles)
-_SHINGLES_SQL = """
-words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-  FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
-)"""
-
-
-@register(
-    "dedup_exact",
-    """SELECT md5(text) AS content_md5,
-              CAST(min(doc_id) AS BIGINT) AS keeper_id,
-              CAST(count(*) AS BIGINT) AS n_copies
-       FROM documents GROUP BY md5(text)""",
-)
-def q_dedup_exact(spark, sf_dir):
-    return exact_dedup(_docs(spark, sf_dir))
-
-
-@register(
-    "dedup_exact_norm",
-    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_md5,
-              CAST(min(doc_id) AS BIGINT) AS keeper_id,
-              CAST(count(*) AS BIGINT) AS n_copies,
-              CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_forms
-       FROM documents
-       GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))""",
-)
-def q_dedup_exact_norm(spark, sf_dir):
-    """Normalization-insensitive exact dedup (round 11): the "fuzzy
-    exact" pass between byte-exact and near-dup — families key on the
-    canonicalized text's md5, counting collapsed byte-exact variants."""
-    from trendmachine_spark.extensions.dedup import exact_norm_dedup
-
-    return exact_norm_dedup(_docs(spark, sf_dir))
-
-
-def _minhash_ctes() -> str:
-    """CTE chain ending in ``cand`` = the LSH candidate pairs (bucket
-    cap mirrored from dedup.minhash_near_dup: all-pairs for buckets up
-    to MAX_LSH_BUCKET, md5-SHARDED chains above it — intra-shard
-    consecutive ids plus one link per adjacent non-empty shard, the
-    round-6 default over-cap path of _sharded_chain_pairs)."""
-    from trendmachine_spark.extensions.dedup import (
-        BANDS, HASH_MASKS, MAX_LSH_BUCKET, ROWS_PER_BAND,
-    )
-
-    sig_cols = ", ".join(
-        f"min(xor(h, {m})) AS mh{j}" for j, m in enumerate(HASH_MASKS)
-    )
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
-            b=b,
-            cols=", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
-        )
-        for b in range(BANDS)
-    )
-    return f"""{_SHINGLES_SQL},
-    hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
-    ),
-    sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
-    bands AS MATERIALIZED ({band_rows}),
-    bsizes AS (
-      SELECT band, bucket, count(*) AS bn FROM bands GROUP BY band, bucket
-    ),
-    bshard AS MATERIALIZED (
-      -- adaptive per-bucket shard count, integer-exact: mirrors
-      -- _sharded_chain_pairs' (_bn - 1) DIV cap + 1 (shards="auto")
-      SELECT b.doc_id, b.band, b.bucket, s.bn,
-             ('0x' || substr(md5('shard:' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
-               % ((s.bn - 1) // {MAX_LSH_BUCKET} + 1) AS shard
-      FROM bands b JOIN bsizes s ON b.band = s.band AND b.bucket = s.bucket
-    ),
-    chain_intra AS (
-      SELECT lag(doc_id) OVER (PARTITION BY band, bucket, shard ORDER BY doc_id) AS id_a,
-             doc_id AS id_b
-      FROM bshard WHERE bn > {MAX_LSH_BUCKET}
-    ),
-    chain_bounds AS (
-      SELECT band, bucket, shard, min(doc_id) AS mn, max(doc_id) AS mx
-      FROM bshard WHERE bn > {MAX_LSH_BUCKET}
-      GROUP BY band, bucket, shard
-    ),
-    chain_cross AS (
-      SELECT least(pmx, mn) AS id_a, greatest(pmx, mn) AS id_b FROM (
-        SELECT mn, lag(mx) OVER (PARTITION BY band, bucket ORDER BY shard) AS pmx
-        FROM chain_bounds
-      ) WHERE pmx IS NOT NULL
-    ),
-    cand AS (
-      SELECT DISTINCT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bshard a JOIN bshard b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        WHERE a.bn <= {MAX_LSH_BUCKET}
-        UNION ALL
-        SELECT id_a, id_b FROM chain_intra WHERE id_a IS NOT NULL
-        UNION ALL
-        SELECT id_a, id_b FROM chain_cross
-      )
-    )"""
-
-
-@register("dedup_minhash_lsh", f"WITH {_minhash_ctes()} SELECT id_a, id_b FROM cand")
-def q_dedup_minhash_lsh(spark, sf_dir):
-    return minhash_near_dup(_docs(spark, sf_dir))
-
-
-@register(
-    "lsh_bucket_health",
-    f"""WITH {_minhash_ctes()},
-    sizes AS (SELECT band, bucket, count(*) AS n FROM bands GROUP BY band, bucket)
-    SELECT CAST(band AS BIGINT) AS band,
-           CAST(count(*) AS BIGINT) AS n_buckets,
-           CAST(max(n) AS BIGINT) AS max_bucket_size,
-           CAST(sum(CASE WHEN n > {MAX_LSH_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
-           CAST(sum(CASE WHEN n > {MAX_LSH_BUCKET} THEN n ELSE 0 END) AS BIGINT) AS docs_in_over_cap
-    FROM sizes GROUP BY band""",
-)
-def q_lsh_bucket_health(spark, sf_dir):
-    """'No silent caps' metric (round-4 ADVICE): whether and how much
-    minhash_near_dup's bucket-size cap actually fired — n_over_cap = 0
-    certifies candidate recall equals the uncapped run's."""
-    from trendmachine_spark.extensions.dedup import lsh_bucket_stats
-
-    return lsh_bucket_stats(_docs(spark, sf_dir))
-
-
-@register(
-    "minhash_accuracy",
-    # est = matching signature components / n; exact jaccard UNGUARDED
-    # (no freq cap) so the accuracy report measures the estimator, not
-    # the skew guard; LEFT JOIN + 0.0 for bucket-collision pairs that
-    # share no shingle
-    f"""WITH {_minhash_ctes()},
-    est AS (
-      SELECT c.id_a, c.id_b,
-             ({' + '.join(f'CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END' for j in range(16))})
-               / 16.0 AS est_jaccard
-      FROM cand c JOIN sig a ON c.id_a = a.doc_id JOIN sig b ON c.id_b = b.doc_id
-    ),
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
-    exact AS (
-      SELECT id_a, id_b, CAST(ni AS DOUBLE) / (na.n + nb.n - ni) AS jaccard
-      FROM inter JOIN sizes na ON inter.id_a = na.doc_id
-                 JOIN sizes nb ON inter.id_b = nb.doc_id
-    )
-    SELECT est.id_a, est.id_b, est.est_jaccard,
-           COALESCE(exact.jaccard, 0.0) AS jaccard,
-           abs(est.est_jaccard - COALESCE(exact.jaccard, 0.0)) AS abs_err
-    FROM est LEFT JOIN exact ON est.id_a = exact.id_a AND est.id_b = exact.id_b""",
-)
-def q_minhash_accuracy(spark, sf_dir):
-    """Estimated-vs-exact jaccard for every LSH candidate pair."""
-    from trendmachine_spark.extensions.dedup import minhash_accuracy
-
-    return minhash_accuracy(_docs(spark, sf_dir))
-
-
-def _side_minhash_ctes(p: str, src: str) -> str:
-    """Shingle/signature/band CTE chain for one side of the incremental
-    dedup, prefixed ``p`` (e.g. 'd'/'b'), reading from CTE ``src``."""
-    from trendmachine_spark.extensions.dedup import BANDS, HASH_MASKS, ROWS_PER_BAND
-
-    sig_cols = ", ".join(
-        f"min(xor(h, {m})) AS mh{j}" for j, m in enumerate(HASH_MASKS)
-    )
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM {p}sig".format(
-            b=b, p=p,
-            cols=", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
-        )
-        for b in range(BANDS)
-    )
-    return f"""{p}words AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
-    {p}sh AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-      FROM {p}words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
-    ),
-    {p}hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM {p}sh
-    ),
-    {p}sig AS (SELECT doc_id, {sig_cols} FROM {p}hashed GROUP BY doc_id),
-    {p}bands AS ({band_rows})"""
-
-
-#: deterministic 20% ingest-batch split for the incremental-dedup query
-_INCR_U = ("('0x' || substr(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
-           " / 1152921504606846976.0")
-
-
-@register(
-    "dedup_incremental",
-    f"""WITH delta AS (SELECT doc_id, text FROM documents WHERE {_INCR_U} < 0.2),
-    base AS (SELECT doc_id, text FROM documents WHERE {_INCR_U} >= 0.2),
-    {_side_minhash_ctes('d', 'delta')},
-    {_side_minhash_ctes('b', 'base')},
-    dh AS (SELECT doc_id, md5(text) AS h FROM delta),
-    bh AS (SELECT DISTINCT md5(text) AS h FROM base),
-    keeper AS (SELECT h, min(doc_id) AS k FROM dh GROUP BY h),
-    cand AS (
-      SELECT DISTINCT b.doc_id AS base_id, d.doc_id AS delta_id
-      FROM bbands b JOIN dbands d ON b.band = d.band AND b.bucket = d.bucket
-    ),
-    dn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dsh GROUP BY doc_id),
-    bn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM bsh GROUP BY doc_id),
-    inter AS (
-      SELECT c.delta_id, c.base_id, CAST(count(*) AS BIGINT) AS ni
-      FROM cand c
-      JOIN dsh ON dsh.doc_id = c.delta_id
-      JOIN bsh ON bsh.doc_id = c.base_id AND bsh.shingle = dsh.shingle
-      GROUP BY c.delta_id, c.base_id
-    ),
-    near AS (
-      SELECT DISTINCT i.delta_id
-      FROM inter i
-      JOIN dn ON dn.doc_id = i.delta_id
-      JOIN bn ON bn.doc_id = i.base_id
-      WHERE CAST(ni AS DOUBLE) / (dn.n + bn.n - ni) >= 0.8
-    )
-    SELECT dh.doc_id,
-           CAST(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup_base,
-           CAST(CASE WHEN keeper.k < dh.doc_id THEN 1 ELSE 0 END AS BIGINT) AS exact_dup_delta,
-           CAST(CASE WHEN near.delta_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS near_dup_base,
-           CAST(CASE WHEN bh.h IS NULL AND keeper.k >= dh.doc_id
-                      AND near.delta_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
-    FROM dh
-    LEFT JOIN bh ON dh.h = bh.h
-    JOIN keeper ON dh.h = keeper.h
-    LEFT JOIN near ON dh.doc_id = near.delta_id""",
-)
-def q_dedup_incremental(spark, sf_dir):
-    """New-batch-vs-corpus dedup: a deterministic 20% hash slice plays
-    the arriving batch, the remaining 80% the existing corpus."""
-    from trendmachine_spark.extensions.dedup import incremental_dedup
-    from trendmachine_spark.extensions.sampling import hash_uniform
-
-    docs = _docs(spark, sf_dir)
-    u = hash_uniform(F.col("doc_id"), "incr")
-    return incremental_dedup(docs.filter(u >= 0.2), docs.filter(u < 0.2))
-
-
-@register(
-    "dedup_clusters",
-    # candidates (LSH) -> exact-Jaccard verify -> connected components
-    # via recursive transitive closure (min reachable id per node)
-    f"""WITH RECURSIVE {_minhash_ctes()},
-    lists AS (
-      SELECT doc_id, list(shingle) AS ls, CAST(count(*) AS BIGINT) AS n
-      FROM sh GROUP BY doc_id
-    ),
-    verified AS (
-      SELECT id_a, id_b
-      FROM cand
-      JOIN lists la ON cand.id_a = la.doc_id
-      JOIN lists lb ON cand.id_b = lb.doc_id
-      WHERE CAST(len(list_intersect(la.ls, lb.ls)) AS DOUBLE)
-            / (la.n + lb.n - len(list_intersect(la.ls, lb.ls))) >= 0.8
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM verified
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM verified
-    ),
-    reach(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-    ),
-    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
-    SELECT CAST(node AS BIGINT) AS doc_id,
-           CAST(cluster_id AS BIGINT) AS cluster_id,
-           CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-    FROM comp""",
-)
-def q_dedup_clusters(spark, sf_dir):
-    from trendmachine_spark.extensions.clusters import dedup_clusters
-
-    return dedup_clusters(_docs(spark, sf_dir), min_jaccard=0.8)
-
-
-@register(
-    "training_corpus",
-    # the composed training-data pipeline: exact dedup (md5 keeper) ->
-    # near-dup cluster non-keepers removed -> quality gate -> lang id +
-    # token counts. CTEs reuse the oracled building blocks verbatim.
-    f"""WITH RECURSIVE {_minhash_ctes()},
-    lists AS (
-      SELECT doc_id, list(shingle) AS ls, CAST(count(*) AS BIGINT) AS n
-      FROM sh GROUP BY doc_id
-    ),
-    verified AS (
-      SELECT id_a, id_b
-      FROM cand
-      JOIN lists la ON cand.id_a = la.doc_id
-      JOIN lists lb ON cand.id_b = lb.doc_id
-      WHERE CAST(len(list_intersect(la.ls, lb.ls)) AS DOUBLE)
-            / (la.n + lb.n - len(list_intersect(la.ls, lb.ls))) >= 0.8
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM verified
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM verified
-    ),
-    reach(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-    ),
-    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
-    exact AS (
-      SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS _kid
-      FROM documents
-    ),
-    kept AS (
-      SELECT doc_id, text FROM exact
-      WHERE doc_id = _kid
-        AND doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
-    ),
-    w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM kept),
-    p AS (
-      SELECT doc_id, text, len(words) AS n_words,
-             CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dr,
-             CAST(len(list_filter(words, x -> x IN ('the','and','of'))) AS INT) AS s_en,
-             CAST(len(list_filter(words, x -> x IN ('el','la','los'))) AS INT) AS s_es,
-             CAST(len(list_filter(words, x -> x IN ('der','und','das'))) AS INT) AS s_de,
-             CAST(len(list_filter(words, x -> x IN ('le','les','des'))) AS INT) AS s_fr
-      FROM w
-    )
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(n_words AS BIGINT) AS n_words,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
-           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-                WHEN (CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
-                    + CASE WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
-                    + CASE WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
-                    + CASE WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END) > 1 THEN 'und'
-                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-                ELSE 'fr' END AS lang_pred
-    FROM p WHERE n_words >= 20 AND dr >= 0.2""",
-)
-def q_training_corpus(spark, sf_dir):
-    """End-to-end training-data pipeline over the documents corpus —
-    every stage is an already-oracled operator, composed: exact dedup
-    keeps min doc_id per content md5; near-dup cluster NON-keepers
-    (LSH -> exact-Jaccard 0.8 -> connected components) are dropped;
-    the quality gate (length + diversity) filters; language ID and
-    token counts annotate the surviving corpus.
-
-    Scale: exact keeper = one md5 window; the near-dup drop list is a
-    left-anti hash join against the (tiny) clustered-doc set; quality +
-    lang + tokens are narrow expressions. Nothing here adds a shuffle
-    beyond the component operators' own budgets."""
-    from trendmachine_spark.extensions.clusters import dedup_clusters
-    from trendmachine_spark.extensions.text import lang_id, text_profile
-
-    docs = _docs(spark, sf_dir)
-    exact_keep = (
-        docs.withColumn(
-            "_kid", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-        )
-        .filter(F.col("doc_id") == F.col("_kid"))
-        .select("doc_id", "text")
-    )
-    drop = (
-        dedup_clusters(docs, min_jaccard=0.8)
-        .filter(F.col("is_keeper") == 0)
-        .select("doc_id")
-    )
-    kept = exact_keep.join(drop, "doc_id", "left_anti")
-    prof = text_profile(kept).select("doc_id", "n_words", "n_tokens", "distinct_ratio")
-    lang = lang_id(kept).select("doc_id", "lang_pred")
-    return (
-        prof.filter((F.col("n_words") >= 20) & (F.col("distinct_ratio") >= 0.2))
-        .join(lang, "doc_id")
-        .select("doc_id", "n_words", "n_tokens", "lang_pred")
-    )
-
-
-@register(
-    "dedup_ngram_jaccard",
-    # the freq CTE mirrors the engine's default max_shingle_freq guard;
-    # sizes stay FULL-set so the jaccard of surviving pairs is exact
-    f"""WITH {_SHINGLES_SQL},
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-    freq AS (SELECT shingle FROM sh GROUP BY shingle
-             HAVING count(*) <= {MAX_SHINGLE_FREQ}),
-    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
-      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b, n_common,
-           CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
-    FROM inter
-    JOIN sizes na ON inter.id_a = na.doc_id
-    JOIN sizes nb ON inter.id_b = nb.doc_id""",
-)
-def q_dedup_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard(_docs(spark, sf_dir))
-
-
-@register(
-    "dedup_containment",
-    # same inverted-index CTEs as dedup_ngram_jaccard; containment is
-    # n_common over each side's FULL set size (exact integer ratios)
-    f"""WITH {_SHINGLES_SQL},
-    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-    freq AS (SELECT shingle FROM sh GROUP BY shingle
-             HAVING count(*) <= {MAX_SHINGLE_FREQ}),
-    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
-      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT * FROM (
-      SELECT id_a, id_b, n_common,
-             CAST(n_common AS DOUBLE) / na.n AS containment_a,
-             CAST(n_common AS DOUBLE) / nb.n AS containment_b,
-             CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
-      FROM inter
-      JOIN sizes na ON inter.id_a = na.doc_id
-      JOIN sizes nb ON inter.id_b = nb.doc_id
-    ) WHERE greatest(containment_a, containment_b) >= 0.5""",
-)
-def q_dedup_containment(spark, sf_dir):
-    """Subset-duplication pairs: either direction >= 50% contained."""
-    from trendmachine_spark.extensions.dedup import ngram_containment
-
-    return ngram_containment(_docs(spark, sf_dir), min_containment=0.5)
-
-
-@register(
-    "dedup_simhash",
-    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-    hashed AS (SELECT doc_id, md5(w) AS h FROM words),
-    pos AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS p FROM hashed),
-    bits AS (
-      SELECT doc_id, p,
-             ((CAST(strpos('0123456789abcdef', substr(h, (p // 4) + 1, 1)) AS INT) - 1)
-              // CAST(pow(2, 3 - p % 4) AS INT)) % 2 AS bit
-      FROM pos
-    ),
-    votes AS (
-      SELECT doc_id, p, SUM(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, p
-    )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id""",
-)
-def q_dedup_simhash(spark, sf_dir):
-    return simhash(_docs(spark, sf_dir))
-
-
-@register(
-    "dedup_simhash_near_dup",
-    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-    hashed AS (SELECT doc_id, md5(w) AS h FROM words),
-    pos AS (SELECT doc_id, h, unnest(generate_series(0, 31)) AS p FROM hashed),
-    bits AS (
-      SELECT doc_id, p,
-             ((CAST(strpos('0123456789abcdef', substr(h, (p // 4) + 1, 1)) AS INT) - 1)
-              // CAST(pow(2, 3 - p % 4) AS INT)) % 2 AS bit
-      FROM pos
-    ),
-    votes AS (
-      SELECT doc_id, p, SUM(bit * 2 - 1) AS vote FROM bits GROUP BY doc_id, p
-    ),
-    fp AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      FROM votes GROUP BY doc_id
-    ),
-    bandsx AS (
-      SELECT doc_id, simhash, b, (simhash >> CAST(b * 8 AS BIGINT)) & 255 AS bv
-      FROM fp, unnest(generate_series(0, 3)) t(b)
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                      a.simhash AS sa, b.simhash AS sb
-      FROM bandsx a JOIN bandsx b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
-)
-def q_dedup_simhash_near_dup(spark, sf_dir):
-    """Banded hamming LSH over simhash — EXACT for hamming<=3 with 4
-    bands (pigeonhole); same bucketed equi-join shape as minhash LSH."""
-    from trendmachine_spark.extensions.dedup import simhash_near_dup
-
-    return simhash_near_dup(_docs(spark, sf_dir))
-
-
-@register(
-    "similarity_topk",
-    """WITH qv AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    nv AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
-      FROM qv
-    ),
-    scored AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-                                          i -> a.q[i] * b.q[i])) AS DOUBLE)
-               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
-      FROM nv a, nv b
-      WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
-    )
-    SELECT query_id, neighbor_id, rank, cosine FROM (
-      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-      FROM scored
-    ) WHERE rank <= 5""",
-)
-def q_similarity_topk(spark, sf_dir):
-    # probe set resolved driver-side from parquet (no Spark job at
-    # construction — round 7; bit-identical quantization, see
-    # load_probe_matrix + its parity test)
-    import os
-
-    from trendmachine_spark.extensions.similarity import load_probe_matrix
-
-    probe = load_probe_matrix(os.path.join(sf_dir, "embeddings.parquet"), 10)
-    return brute_force_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
-                            probe=probe)
-
-
-def _ann_lsh_oracle(n_queries: int = 10, k: int = 5, n_planes: int = 8,
-                    n_flip: int = 0) -> str:
-    """Exact mirror of similarity.ann_topk: approximate w.r.t. true
-    neighbors (bucket-restricted recall) but fully DETERMINISTIC —
-    md5-derived buckets, exact integer cosine, (cosine DESC,
-    neighbor_id) tie-break — so the value hash is checkable. With
-    ``n_flip`` > 0 it also mirrors the multi-probe set: each query
-    probes its own bucket plus the ``n_flip`` single-bit flips of its
-    lowest-|projection| planes, tie-broken (abs(proj) ASC, plane ASC)
-    exactly like srp_probe_buckets."""
-    bits = []
-    for p in range(n_planes):
-        sign = (
-            f"((('0x' || substr(md5(concat('{p}', ':', CAST(i - 1 AS VARCHAR))), 32, 1))::INT % 2) * 2 - 1)"
-        )
-        bits.append(
-            "CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(q)), "
-            f"i -> q[i] * {sign})) AS BIGINT) > 0 THEN '1' ELSE '0' END"
-        )
-    bucket = "concat(" + ", ".join(bits) + ")"
-    # sign expression with the plane as a COLUMN (for the long-form
-    # projection CTE) — same md5 bit as the per-plane literals above
-    sign_p = ("((('0x' || substr(md5(concat(CAST(t.p AS VARCHAR), ':', "
-              "CAST(i - 1 AS VARCHAR))), 32, 1))::INT % 2) * 2 - 1)")
-    if n_flip > 0:
-        probes = f"""
-    projs AS (
-      SELECT vec_id, t.p AS p,
-             CAST(list_sum(list_transform(generate_series(1, len(q)),
-                                          i -> q[i] * {sign_p})) AS BIGINT) AS proj
-      FROM qv, unnest(generate_series(0, {n_planes - 1})) t(p)
-      WHERE vec_id < {n_queries}
-    ),
-    flips AS (
-      SELECT vec_id, p FROM (
-        SELECT vec_id, p,
-               row_number() OVER (PARTITION BY vec_id ORDER BY abs(proj), p) AS rk
-        FROM projs
-      ) WHERE rk <= {n_flip}
-    ),
-    probes AS (
-      SELECT vec_id, bucket FROM nv WHERE vec_id < {n_queries}
-      UNION ALL
-      SELECT f.vec_id,
-             concat(substr(b.bucket, 1, f.p),
-                    CASE WHEN substr(b.bucket, f.p + 1, 1) = '1'
-                         THEN '0' ELSE '1' END,
-                    substr(b.bucket, f.p + 2)) AS bucket
-      FROM flips f JOIN nv b ON b.vec_id = f.vec_id
-    ),"""
-        scored_from = f"""FROM probes pb
-      JOIN nv qs ON qs.vec_id = pb.vec_id
-      JOIN nv n ON n.bucket = pb.bucket AND n.vec_id != pb.vec_id"""
-    else:
-        probes = ""
-        scored_from = f"""FROM nv qs JOIN nv n ON qs.bucket = n.bucket AND qs.vec_id != n.vec_id
-      WHERE qs.vec_id < {n_queries}"""
-    return f"""WITH qv AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    nv AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2,
-             {bucket} AS bucket
-      FROM qv
-    ),{probes}
-    scored AS (
-      SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1, len(qs.q)),
-                                          i -> qs.q[i] * n.q[i])) AS DOUBLE)
-               / (sqrt(CAST(qs.norm2 AS DOUBLE)) * sqrt(CAST(n.norm2 AS DOUBLE))) AS cosine
-      {scored_from}
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= {k}"""
-
-
-@register("similarity_ann_lsh", _ann_lsh_oracle(n_flip=2))
-def q_similarity_ann_lsh(spark, sf_dir):
-    """Multi-probe SRP ANN top-k (round 5: each query also probes the
-    2 lowest-margin single-bit-flip buckets) — approximate recall by
-    design, but deterministic end to end, so it carries a full
-    value-hash oracle including the probe-set CTE. Recall note
-    (ANN_RECALL.json): on the ×10 corpus recall@10 is ceilinged at
-    ~0.90 by the DATA, not the index — replica families have exactly 9
-    true neighbors (rank-9 cosine = 1.0) and the 10th-ranked
-    "neighbor" is isotropic noise at cosine ≈ 0.41, which any LSH is
-    designed to exclude; recall@9 is 1.0 even single-probe. Multi-probe
-    still widens boundary coverage where boundaries matter (+0.3pp at
-    2.8x candidates here, more on corpora with graded similarity)."""
-    return ann_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_flip=2)
-
-
-_TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-
-
-@register(
-    "text_profile",
-    f"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
-    SELECT doc_id,
-           CAST(len(words) AS BIGINT) AS n_words,
-           CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
-           CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words) AS avg_word_len,
-           CAST(len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-             / len(words) AS stopword_ratio,
-           CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
-    FROM w""",
-)
-def q_text_profile(spark, sf_dir):
-    return text_profile(_docs(spark, sf_dir))
-
-
-@register(
-    "text_quality_flags",
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    p AS (
-      SELECT doc_id, len(words) AS n_words,
-             CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
-      FROM w
-    )
-    SELECT doc_id,
-           CAST(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END AS BIGINT) AS passes_length,
-           CAST(CASE WHEN distinct_ratio >= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS passes_diversity,
-           CAST(CASE WHEN n_words >= 20 AND distinct_ratio >= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS keep
-    FROM p""",
-)
-def q_text_quality_flags(spark, sf_dir):
-    return quality_flags(_docs(spark, sf_dir))
-
-
-@register(
-    "text_lang_id",
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    s AS (
-      SELECT doc_id,
-             CAST(len(list_filter(words, x -> x IN ('the','and','of'))) AS INT) AS s_en,
-             CAST(len(list_filter(words, x -> x IN ('el','la','los'))) AS INT) AS s_es,
-             CAST(len(list_filter(words, x -> x IN ('der','und','das'))) AS INT) AS s_de,
-             CAST(len(list_filter(words, x -> x IN ('le','les','des'))) AS INT) AS s_fr
-      FROM w
-    )
-    SELECT doc_id, s_en, s_es, s_de, s_fr,
-           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-                WHEN (CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
-                    + CASE WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
-                    + CASE WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END
-                    + CASE WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 1 ELSE 0 END) > 1 THEN 'und'
-                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-                ELSE 'fr' END AS lang_pred
-    FROM s""",
-)
-def q_text_lang_id(spark, sf_dir):
-    return lang_id(_docs(spark, sf_dir))
-
-
-@register(
-    "text_fingerprints",
-    """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
-    g AS (
-      SELECT doc_id, text,
-             list_transform(generate_series(1, greatest(len(words) - 4, 0)),
-                            i -> md5(array_to_string(words[i:i+4], ' '))) AS grams
-      FROM w
-    )
-    SELECT doc_id,
-           md5(text) AS content_md5,
-           md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS normalized_md5,
-           list_min(grams) AS min_shingle_md5,
-           list_max(grams) AS max_shingle_md5
-    FROM g""",
-)
-def q_text_fingerprints(spark, sf_dir):
-    return fingerprints(_docs(spark, sf_dir))
-
-
-@register(
-    "multimodal_metadata",
-    """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              md5(text) AS content_md5,
-              CAST(octet_length(encode(text)) % 1920 AS INT) AS fake_width,
-              CAST(octet_length(encode(text)) % 1080 AS INT) AS fake_height,
-              CAST(3 AS INT) AS fake_channels
-       FROM documents""",
-)
-def q_multimodal_metadata(spark, sf_dir):
-    return media_metadata(_docs(spark, sf_dir))
-
-
-@register(
-    "training_corpus_safe",
-    r"""WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-    prof AS (
-      SELECT doc_id, text, w, len(w) AS n_words,
-             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr
-      FROM words
-    ),
-    g5 AS (
-      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
-      FROM words, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
-    ),
-    c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
-    d5 AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup5
-      FROM c5 GROUP BY doc_id
-    ),
-    tr8 AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s
-      FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
-      WHERE doc_id % 20 <> 0
-    ),
-    ev8 AS (
-      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS s
-      FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
-      WHERE doc_id % 20 = 0
-    ),
-    contaminated AS (SELECT DISTINCT tr8.doc_id FROM tr8 JOIN ev8 USING (s))
-    SELECT p.doc_id,
-           CAST(p.n_words AS BIGINT) AS n_words,
-           d5.dup5 AS dup_5gram_frac
-    FROM prof p
-    JOIN d5 ON p.doc_id = d5.doc_id
-    WHERE p.doc_id % 20 <> 0
-      AND p.n_words >= 20 AND p.dr >= 0.2
-      AND d5.dup5 < 0.3
-      AND len(regexp_extract_all(p.text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
-      AND len(regexp_extract_all(p.text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) = 0
-      AND len(regexp_extract_all(p.text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) = 0
-      AND len(regexp_extract_all(p.text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) = 0
-      AND p.doc_id NOT IN (SELECT doc_id FROM contaminated)
-      AND ('0x' || substr(md5('safe:' || CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT
-          / 1152921504606846976.0 < 0.5""",
-)
-def q_training_corpus_safe(spark, sf_dir):
-    """The modern data-prep funnel composed from the oracled building
-    blocks: quality gate (length+diversity) -> repetition cap
-    (dup-5gram < 0.3) -> PII-free -> eval-decontaminated (8-gram,
-    19:1 demo split) -> deterministic 50% hash sample.
-
-    Scale: profile/PII/sample are narrow projections on the scan;
-    repetition adds its two gram aggregations; the contamination drop
-    is a left-anti hash join against the (tiny) flagged set. Filters
-    compose as predicates — Catalyst pushes the cheap ones below the
-    joins."""
-    from trendmachine_spark.extensions.dedup import decontaminate
-    from trendmachine_spark.extensions.sampling import hash_uniform
-    from trendmachine_spark.extensions.text import (
-        pii_stats, repetition_stats, text_profile,
-    )
-
-    docs = _docs(spark, sf_dir)
-    train = docs.filter(F.col("doc_id") % 20 != 0)
-    evals = docs.filter(F.col("doc_id") % 20 == 0)
-    prof = text_profile(train).select("doc_id", "n_words", "distinct_ratio")
-    rep = repetition_stats(train).select("doc_id", "dup_5gram_frac")
-    pii = pii_stats(train).select("doc_id", "has_pii")
-    flagged = decontaminate(train, evals, k=8).select("doc_id")
-    return (
-        train.select("doc_id")
-        .join(prof, "doc_id")
-        .join(rep, "doc_id")
-        .join(pii, "doc_id")
-        .join(flagged, "doc_id", "left_anti")
-        .filter(
-            (F.col("n_words") >= 20)
-            & (F.col("distinct_ratio") >= 0.2)
-            & (F.col("dup_5gram_frac") < 0.3)
-            & (F.col("has_pii") == 0)
-            & (hash_uniform(F.col("doc_id"), "safe") < 0.5)
-        )
-        .select("doc_id", "n_words", "dup_5gram_frac")
-    )
-
-
-@register(
-    "text_pii_stats",
-    r"""SELECT doc_id,
-              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-              CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
-              CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-              CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn_like,
-              CAST((len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
-                 OR len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) > 0
-                 OR len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) > 0
-                 OR len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) > 0) AS BIGINT) AS has_pii
-       FROM documents""",
-)
-def q_text_pii_stats(spark, sf_dir):
-    """PII pattern counts (email / ipv4 / phone / ssn-like) — RE2-safe
-    regexes count identically in Spark and DuckDB."""
-    from trendmachine_spark.extensions.text import pii_stats
-
-    return pii_stats(_docs(spark, sf_dir))
-
-
-@register(
-    "text_repetition_stats",
-    """WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-    bg AS (
-      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
-      FROM words, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
-    ),
-    bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
-    topb AS (
-      SELECT doc_id, g, c FROM (
-        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
-        FROM bc
-      ) WHERE rk = 1
-    ),
-    g5 AS (
-      SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
-      FROM words, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
-    ),
-    c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
-    d5 AS (
-      SELECT doc_id,
-             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
-             SUM(c) AS tot
-      FROM c5 GROUP BY doc_id
-    ),
-    chars AS (SELECT doc_id, length(text) AS nc FROM documents)
-    SELECT chars.doc_id,
-           topb.g AS top_bigram,
-           CAST(topb.c AS BIGINT) AS top_bigram_count,
-           CAST(topb.c * length(topb.g) AS DOUBLE) / nc AS top_bigram_char_frac,
-           CAST(dup_occ AS DOUBLE) / tot AS dup_5gram_frac
-    FROM chars
-    JOIN topb ON chars.doc_id = topb.doc_id
-    JOIN d5 ON chars.doc_id = d5.doc_id""",
-)
-def q_text_repetition_stats(spark, sf_dir):
-    """Gopher-style repetition metrics (top-bigram coverage, duplicate
-    5-gram fraction) — the boilerplate/spam filter axis."""
-    from trendmachine_spark.extensions.text import repetition_stats
-
-    return repetition_stats(_docs(spark, sf_dir))
-
-
-@register(
-    "corpus_decontaminate",
-    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    tr AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s
-      FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
-      WHERE doc_id % 20 <> 0
-    ),
-    ev AS (
-      SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS s
-      FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
-      WHERE doc_id % 20 = 0
-    )
-    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
-    FROM tr JOIN ev USING (s) GROUP BY tr.doc_id""",
-)
-def q_corpus_decontaminate(spark, sf_dir):
-    """Eval decontamination demo split: every 20th doc plays the eval
-    benchmark, the rest are the training corpus; flags train docs
-    sharing an 8-gram with eval (broadcast eval shingle set)."""
-    from trendmachine_spark.extensions.dedup import decontaminate
-
-    docs = _docs(spark, sf_dir)
-    return decontaminate(
-        docs.filter(F.col("doc_id") % 20 != 0),
-        docs.filter(F.col("doc_id") % 20 == 0),
-        k=8,
-    )
-
-
-@register(
-    "corpus_sample_stratified",
-    """SELECT doc_id, lang, source
-       FROM documents
-       WHERE ('0x' || substr(md5('tm:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-             / 1152921504606846976.0
-             < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END""",
-)
-def q_corpus_sample_stratified(spark, sf_dir):
-    """Deterministic per-language hash sampling (keep 50% en / 20%
-    rest) — membership is a pure function of (salt, doc_id), so the
-    sample is reproducible across runs, engines, and partitionings."""
-    from trendmachine_spark.extensions.sampling import stratified_sample
-
-    return stratified_sample(
-        _docs(spark, sf_dir), strata_col="lang", rates={"en": 0.5},
-        default_rate=0.2,
-    ).select("doc_id", "lang", "source")
-
-
-@register(
-    "training_splits",
-    """WITH assigned AS (
-      SELECT source,
-             CASE WHEN u < 0.05 THEN 'valid'
-                  WHEN u < 0.1 THEN 'test'
-                  ELSE 'train' END AS split,
-             chars
-      FROM (SELECT source, length(text) AS chars,
-            ('0x' || substr(md5('split3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-              / 1152921504606846976.0 AS u FROM documents))
-    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(chars) AS BIGINT) AS total_chars
-    FROM assigned GROUP BY source, split""",
-)
-def q_training_splits(spark, sf_dir):
-    """Deterministic train/valid/test assignment (sampling.split_assign:
-    one hash uniform, two thresholds — disjoint, exhaustive,
-    partition-independent) rolled up per (source, split). The split
-    column is a narrow codegen projection; the report is one
-    map-combined aggregate."""
-    from trendmachine_spark.extensions.sampling import split_assign
-
-    docs = _docs(spark, sf_dir)
-    return (
-        split_assign(docs)
-        .groupBy("source", "split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.length("text")).cast("long").alias("total_chars"),
-        )
-    )
-
-
-@register(
-    "split_leakage_report",
-    """WITH assigned AS (
-      SELECT CASE WHEN u < 0.05 THEN 'valid'
-                  WHEN u < 0.1 THEN 'test'
-                  ELSE 'train' END AS split,
-             md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS m
-      FROM (SELECT doc_id, text,
-            ('0x' || substr(md5('split3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-              / 1152921504606846976.0 AS u FROM documents)),
-    fam AS (
-      SELECT split,
-             count(*) OVER (PARTITION BY m) AS fam_n,
-             count(DISTINCT split) OVER (PARTITION BY m) AS fam_splits
-      FROM assigned)
-    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN fam_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-           CAST(sum(CASE WHEN fam_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_docs
-    FROM fam GROUP BY split""",
-)
-def q_split_leakage_report(spark, sf_dir):
-    """Train/eval contamination measurement for a naive id-hash split
-    (sampling.split_leakage): documents whose opening-8-gram family
-    straddles splits are leaked eval content. Spark mirrors DuckDB's
-    count(DISTINCT) window with size(collect_set) — one fingerprint
-    exchange, then a 3-row aggregate."""
-    from trendmachine_spark.extensions.sampling import split_leakage
-
-    return split_leakage(_docs(spark, sf_dir))
-
-
-@register(
-    "multimodal_resize",
-    """SELECT doc_id,
-              CAST(64 AS INT) AS out_width,
-              CAST(64 AS INT) AS out_height,
-              CAST(length(text) AS BIGINT) AS n_chars_in,
-              CAST(least(length(text), 4096) AS BIGINT) AS n_chars_out,
-              md5(substr(text, 1, 4096)) AS resized_md5
-       FROM documents""",
-)
-def q_multimodal_resize(spark, sf_dir):
-    """Deterministic fake resize (PIL slot) over binary assets —
-    char-truncate + md5, engine-portable (see resize_assets)."""
-    from trendmachine_spark.extensions.multimodal import resize_assets, to_binary_assets
-
-    return resize_assets(to_binary_assets(_docs(spark, sf_dir)))
-
-
-@register(
-    "multimodal_frame_sample",
-    """WITH f AS (
-      SELECT doc_id, text, length(text) // 32 AS n_frames FROM documents
-    ),
-    g AS (
-      SELECT doc_id, text,
-             unnest(range(0, CAST(least(n_frames, 32) AS BIGINT))) AS i
-      FROM f
-    )
-    SELECT doc_id,
-           CAST(i AS INT) AS frame_idx,
-           CAST(i // 4 AS INT) AS sample_ord,
-           md5(substr(text, CAST(i*32 + 1 AS BIGINT), 32)) AS frame_md5
-    FROM g WHERE i % 4 = 0""",
-)
-def q_multimodal_frame_sample(spark, sf_dir):
-    """Deterministic fake frame sampling (ffmpeg slot): every 4th
-    32-char frame, at most 8 samples per asset (cap = 4*8 = 32 frames,
-    mirrored in the oracle as ``least(n_frames, 32)``)."""
-    from trendmachine_spark.extensions.multimodal import frame_sample, to_binary_assets
-
-    return frame_sample(to_binary_assets(_docs(spark, sf_dir)))
-
-
-# ------------------------------------------------------- relational / TPC-H
-
-@register(
-    "pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
-                       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-              CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
-              CAST(count(*) AS BIGINT) AS count_order
-       FROM lineitem
-       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
-       GROUP BY l_returnflag, l_linestatus""",
-)
-def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape (reference has no relational layer; extension).
-
-    SCALE: all per-row arithmetic and the first-level sums run in LONG
-    (exact cents / basis points), not decimal — Spark decimal products
-    grow past precision 18, leaving the primitive-long codegen fast
-    path for per-row BigDecimal allocation, which measured 2x slower
-    on the x10 dataset (1.65 s vs 0.80 s). The cents are produced by
-    the same decimal(_,2) cast the oracle uses (then *100 -> long,
-    exact). Exactness at ANY scale: the long partials aggregate per
-    (group, input partition) — bounded by partition row count, no
-    overflow for any realistic partition — and a second tiny
-    aggregation (|groups| x |partitions| rows) totals them in
-    decimal(38), so the full sum never wraps even at sf100k where a
-    flat long would. Decimals thus touch ~200 rows instead of 6M
-    (measured cost within noise of the flat-long shape at both
-    scales). Every output double is bit-identical to the all-decimal
-    formulation (sums of the same exact integers). The ship-date
-    filter compares the raw timestamp column (pushable to the parquet
-    scan) instead of wrapping it in to_date(), which blocked pushdown.
-    """
-    li = _table(spark, sf_dir, "lineitem")
-    qc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
-    pc = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
-    dc = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
-    as_d = lambda c, scale: (c / scale).cast("double")  # noqa: E731
-    partials = (
-        li.filter(
-            # cast the literal to the column's own type (timestamp_ntz in
-            # the current testdata, timestamp under the legacy nanos
-            # layout) — session tz is pinned UTC so both agree
-            F.col("l_shipdate") < F.lit("1998-09-03").cast(li.schema["l_shipdate"].dataType)
-        )
-        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_part"))
-        .agg(
-            F.sum(qc).alias("_q"),
-            F.sum(pc).alias("_p"),
-            F.sum(pc * (100 - dc)).alias("_dp"),
-            F.sum(dc).alias("_d"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-    )
-    return (
-        partials.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(F.col("_q").cast("decimal(38,0)")).alias("_q"),
-            F.sum(F.col("_p").cast("decimal(38,0)")).alias("_p"),
-            F.sum(F.col("_dp").cast("decimal(38,0)")).alias("_dp"),
-            F.sum(F.col("_d").cast("decimal(38,0)")).alias("_d"),
-            F.sum("_n").alias("count_order"),
-        )
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            as_d(F.col("_q"), 100).alias("sum_qty"),
-            as_d(F.col("_p"), 100).alias("sum_base_price"),
-            as_d(F.col("_dp"), 10000).alias("sum_disc_price"),
-            (as_d(F.col("_q"), 100) / F.col("count_order")).alias("avg_qty"),
-            (as_d(F.col("_d"), 100) / F.col("count_order")).alias("avg_disc"),
-            "count_order",
-        )
-    )
-
-
-@register(
-    "shipping_priority",
-    """SELECT l.l_orderkey,
-              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
-                       * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-              strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
-              o.o_orderpriority
-       FROM customer c
-       JOIN orders o ON c.c_custkey = o.o_custkey
-       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-       WHERE c.c_mktsegment = 'BUILDING'
-         AND o.o_orderdate < TIMESTAMP '1995-03-15'
-         AND l.l_shipdate > TIMESTAMP '1995-03-15'
-       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-       ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey LIMIT 10""",
-)
-def q_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: unshipped high-revenue orders for one segment.
-
-    SCALE: the segment customer list is a BROADCAST build side (a
-    filtered dimension); both fact filters compare raw timestamp
-    columns so they push to the parquet scans; revenue cents sum in
-    LONG per order — exact without decimals because a TPC-H order has
-    a bounded line count (sum <= ~1e10 cents-basis-points, 8 orders of
-    magnitude under long overflow) — and the final top-10 is a
-    distributed TakeOrderedAndProject, never a global sort.
-    """
-    c = _table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    ).select("c_custkey")
-    o = _table(spark, sf_dir, "orders")
-    o = o.filter(
-        F.col("o_orderdate")
-        < F.lit("1995-03-15").cast(o.schema["o_orderdate"].dataType)
-    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-    li = _table(spark, sf_dir, "lineitem")
-    li = li.filter(
-        F.col("l_shipdate")
-        > F.lit("1995-03-15").cast(li.schema["l_shipdate"].dataType)
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
-    pc = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
-    dc = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
-    return (
-        li.join(
-            F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
-            li["l_orderkey"] == o["o_orderkey"],
-        )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(pc * (100 - dc)) / F.lit(10000)).cast("double").alias("revenue"))
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            "o_orderpriority",
-        )
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
-
-
-@register(
-    "event_session_windows",
-    # Spark's native session_window semantics: a session extends while
-    # the next event starts STRICTLY before last+gap (end-exclusive),
-    # i.e. a gap of exactly 30 min starts a new session -> the lag
-    # condition is >=, not > (event_sessionization's legacy rule)
-    """WITH e AS (
-      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
-    ),
-    flagged AS (
-      SELECT user_id, us,
-             CASE WHEN us - lag(us) OVER w >= 1800000000 OR lag(us) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-    ),
-    sid AS (
-      SELECT user_id, us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-      FROM flagged
-    )
-    SELECT user_id,
-           min(us) AS start_us,
-           max(us) + 1800000000 AS end_us,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM sid GROUP BY user_id, sid""",
-)
-def q_event_session_windows(spark, sf_dir):
-    """Native ``session_window`` sessionization (the Structured
-    Streaming session operator, here batch-oracled against the
-    lag/cumsum construction): one user-keyed session-merge aggregation;
-    the identical expression runs on a readStream source with a
-    watermark for the streaming case."""
-    e = _table(spark, sf_dir, "events")
-    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
-    return (
-        e.groupBy("user_id", sw)
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_micros(F.col("session_window.start")).alias("start_us"),
-            F.unix_micros(F.col("session_window.end")).alias("end_us"),
-            "n_events",
-        )
-    )
-
-
-@register(
-    "top_revenue_customers",
-    """WITH rev AS (
-      SELECT o.o_custkey,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
-                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
-             CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      GROUP BY o.o_custkey
-    )
-    SELECT c.c_custkey, c.c_name, n.n_name, r.revenue, r.n_orders, rk.rank
-    FROM (
-      SELECT *, CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS INT) AS rank
-      FROM rev
-    ) rk
-    JOIN rev r ON rk.o_custkey = r.o_custkey
-    JOIN customer c ON r.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE rk.rank <= 20""",
-)
-def q_top_revenue_customers(spark, sf_dir):
-    li = _table(spark, sf_dir, "lineitem")
-    orders = _table(spark, sf_dir, "orders")
-    customer = _table(spark, sf_dir, "customer")
-    nation = _table(spark, sf_dir, "nation")
-    # pre-aggregate lineitem to (orderkey, order revenue) BEFORE the join:
-    # the join input shrinks ~4x (one row per order, not per line item)
-    # and n_orders becomes a plain count — no countDistinct expand.
-    # Revenue accumulates in LONG basis points (price_cents * (100 -
-    # disc_cents), exact), converting to decimal->double once per
-    # CUSTOMER — same primitive-codegen win as pricing_summary (2.33 s
-    # -> 1.57 s on x10, value-identical to the decimal formulation).
-    pc = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
-    dc = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sum(pc * (100 - dc)).alias("order_rev_bp")
-    )
-    rev = (
-        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(
-            (F.sum("order_rev_bp").cast("decimal(38,4)") / 10000)
-            .cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-    # distributed top-k (TakeOrderedAndProject), NOT a global no-partition
-    # window: every executor ships only its local top 20, the driver-side
-    # sort touches 20 rows per partition instead of every customer. The
-    # row_number window then runs on the 20 survivors only.
-    top = rev.orderBy(F.col("revenue").desc(), F.col("o_custkey")).limit(20)
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
-    top = top.withColumn("rank", F.row_number().over(w))
-    return (
-        top.join(F.broadcast(customer), top.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .select("c_custkey", "c_name", "n_name", "revenue", "n_orders", "rank")
-    )
-
-
-@register(
-    "region_revenue",
-    """SELECT r.r_name, n.n_name,
-              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
-              CAST(count(*) AS BIGINT) AS n_orders
-       FROM orders o
-       JOIN customer c ON o.o_custkey = c.c_custkey
-       JOIN nation n ON c.c_nationkey = n.n_nationkey
-       JOIN region r ON n.n_regionkey = r.r_regionkey
-       GROUP BY r.r_name, n.n_name""",
-)
-def q_region_revenue(spark, sf_dir):
-    orders = _table(spark, sf_dir, "orders")
-    customer = _table(spark, sf_dir, "customer")
-    nation = _table(spark, sf_dir, "nation")
-    region = _table(spark, sf_dir, "region")
-    return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-
-
-@register(
-    "event_sessionization",
-    """WITH e AS (
-      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
-      FROM events
-    ),
-    flagged AS (
-      SELECT user_id, ep,
-             CASE WHEN ep - lag(ep) OVER w > 1800 OR lag(ep) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
-    )
-    SELECT user_id,
-           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(*) AS DOUBLE) / SUM(new_session) AS events_per_session
-    FROM flagged GROUP BY user_id""",
-)
-def q_event_sessionization(spark, sf_dir):
-    e = _table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
-    )
-    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
-    flagged = e.withColumn(
-        "new_session",
-        F.when(
-            (F.col("ep") - F.lag("ep").over(w) > 1800) | F.lag("ep").over(w).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    return flagged.groupBy("user_id").agg(
-        F.sum("new_session").alias("n_sessions"),
-        F.count(F.lit(1)).alias("n_events"),
-        (F.count(F.lit(1)).cast("double") / F.sum("new_session")).alias("events_per_session"),
-    )
-
-
-@register(
-    "event_asof_join",
-    """WITH e AS (
-      SELECT event_id, user_id, event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) AS ep
-      FROM events
-    ),
-    l AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'error'),
-    r AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'click'),
-    u AS (
-      SELECT user_id, ep, 1 AS side, CAST(0 AS BIGINT) AS ord,
-             event_id AS l_id, NULL AS r_id, NULL AS r_ep
-      FROM l
-      UNION ALL
-      SELECT user_id, ep, 0, event_id, NULL, event_id, ep FROM r
-    ),
-    m AS (
-      SELECT user_id, ep, side, l_id,
-             last_value(r_id IGNORE NULLS) OVER w AS click_id,
-             last_value(r_ep IGNORE NULLS) OVER w AS click_ep
-      FROM u
-      WINDOW w AS (PARTITION BY user_id ORDER BY ep, side, ord
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT l_id AS event_id, user_id, ep,
-           CAST(click_id AS BIGINT) AS click_id,
-           CAST(click_ep AS BIGINT) AS click_ep,
-           CAST(ep - click_ep AS BIGINT) AS lag_sec
-    FROM m WHERE side = 1""",
-)
-def q_event_asof_join(spark, sf_dir):
-    """As-of join: each 'error' event matched to the latest at-or-before
-    'click' by the same user (union+window — one key shuffle, no range
-    predicate; see operators/asof.py). Generalizes the reference's
-    nearest-observed-day gap fill (main.py:192-199) to two tables."""
-    from trendmachine_spark.operators.asof import asof_join
-
-    e = _table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
-    )
-    errors = e.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ep"
-    )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ep"
-    )
-    out = asof_join(
-        errors, clicks, on="user_id", ts="ep",
-        right_order="event_id", payload=["event_id"], prefix="click_",
-    )
-    return out.select(
-        "event_id", "user_id", "ep",
-        F.col("click_event_id").alias("click_id"),
-        F.col("click_ep").cast("long").alias("click_ep"),
-        (F.col("ep") - F.col("click_ep")).cast("long").alias("lag_sec"),
-    )
-
-
-@register(
-    "event_range_join",
-    """WITH e AS (
-      SELECT event_id, user_id, event_type,
-             CAST(floor(epoch(ts)) AS BIGINT) AS ep
-      FROM events
-    ),
-    l AS (SELECT event_id, user_id, ep FROM e WHERE event_type = 'error'),
-    r AS (SELECT ep FROM e WHERE event_type = 'click')
-    SELECT l.event_id, l.user_id, l.ep,
-           CAST(count(r.ep) AS BIGINT) AS n_prior_clicks
-    FROM l LEFT JOIN r ON r.ep >= l.ep - 60 AND r.ep < l.ep
-    GROUP BY l.event_id, l.user_id, l.ep""",
-)
-def q_event_range_join(spark, sf_dir):
-    """Keyless range join: clicks by ANY user in the 60 s before each
-    error. Time-binned equi-join (operators/asof.range_count_join) —
-    the naive theta-join is a BroadcastNestedLoopJoin at scale."""
-    from trendmachine_spark.operators.asof import range_count_join
-
-    e = _table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ep")
-    )
-    errors = e.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ep"
-    )
-    clicks = e.filter(F.col("event_type") == "click").select("ep")
-    return range_count_join(
-        errors, clicks, ts="ep", lo=60, hi=0, count_col="n_prior_clicks"
-    )
-
-
-@register(
-    "session_stats",
-    """WITH e AS (
-      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
-    ),
-    flagged AS (
-      SELECT user_id, ep,
-             CASE WHEN ep - lag(ep) OVER w > 1800 OR lag(ep) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
-    ),
-    sid AS (
-      SELECT user_id, ep,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ep
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-      FROM flagged
-    ),
-    sessions AS (
-      SELECT user_id, sid,
-             max(ep) - min(ep) AS duration_sec,
-             CAST(count(*) AS BIGINT) AS n_events
-      FROM sid GROUP BY user_id, sid
-    )
-    SELECT CAST(duration_sec // 600 AS BIGINT) AS bucket,
-           CAST((duration_sec // 600) * 600 AS BIGINT) AS lo_sec,
-           CAST(count(*) AS BIGINT) AS n_sessions,
-           CAST(sum(n_events) AS BIGINT) AS total_events,
-           CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_events
-    FROM sessions GROUP BY bucket, lo_sec""",
-)
-def q_session_stats(spark, sf_dir):
-    """Session-duration histogram (10-minute buckets): the global
-    duration distribution without a global sort — bucketing by integer
-    division is exact and aggregates map-side, where exact global
-    quantiles would need a single-partition rank over every session.
-    Shape: ONE user exchange (gap-flag window, running session-id
-    window, and the (user, sid) groupBy all share it — subset
-    clustering) + the map-combined bucket aggregation."""
-    e = _table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
-    )
-    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    flagged = e.withColumn(
-        "new_session",
-        F.when(
-            (F.col("ep") - F.lag("ep").over(w) > 1800)
-            | F.lag("ep").over(w).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    sessions = (
-        flagged.withColumn("sid", F.sum("new_session").over(run))
-        .groupBy("user_id", "sid")
-        .agg(
-            (F.max("ep") - F.min("ep")).alias("duration_sec"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
-    bucket = F.expr("duration_sec div 600")
-    return (
-        sessions.groupBy(
-            bucket.alias("bucket"), (bucket * 600).alias("lo_sec")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-            F.sum("n_events").alias("total_events"),
-            (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("mean_events"),
-        )
-    )
-
-
-@register(
-    "event_props_stats",
-    """WITH p AS (
-      SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS INT) AS k,
-             value
-      FROM events
-    )
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(k) AS BIGINT) AS sum_k,
-           min(k) AS min_k,
-           max(k) AS max_k,
-           CAST(sum(k) AS DOUBLE) / count(*) AS avg_k,
-           CAST(count(CASE WHEN value > 50 THEN 1 END) AS BIGINT) AS n_high_value
-    FROM p GROUP BY event_type""",
-)
-def q_event_props_stats(spark, sf_dir):
-    """Semi-structured extraction: typed ``from_json`` over the JSON
-    props column, aggregated per event type. The parse is a pure
-    projection (JacksonParser inside codegen, no UDF); the only
-    exchange is the map-combined per-type aggregation, and column
-    pruning still reaches the scan (props + value + event_type only).
-    """
-    e = _table(spark, sf_dir, "events")
-    parsed = e.select(
-        "event_type",
-        F.from_json("props", "k int").getField("k").alias("k"),
-        "value",
-    )
-    return parsed.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("k").alias("sum_k"),
-        F.min("k").alias("min_k"),
-        F.max("k").alias("max_k"),
-        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
-        F.count(F.when(F.col("value") > 50, 1)).alias("n_high_value"),
-    )
-
-
-@register(
-    "event_funnel",
-    """WITH e AS (
-      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events
-    ),
-    s1 AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN us END) AS t_view
-      FROM e GROUP BY user_id
-    ),
-    s2 AS (
-      SELECT e.user_id, s1.t_view,
-             min(CASE WHEN event_type = 'click' AND s1.t_view IS NOT NULL
-                       AND us > s1.t_view THEN us END) AS t_click
-      FROM e JOIN s1 USING (user_id) GROUP BY e.user_id, s1.t_view
-    ),
-    s3 AS (
-      SELECT e.user_id, s2.t_view, s2.t_click,
-             min(CASE WHEN event_type = 'purchase' AND s2.t_click IS NOT NULL
-                       AND us > s2.t_click THEN us END) AS t_purchase
-      FROM e JOIN s2 USING (user_id) GROUP BY e.user_id, s2.t_view, s2.t_click
-    )
-    SELECT user_id, t_view, t_click, t_purchase,
-           CAST(CASE WHEN t_view IS NULL THEN 0 ELSE 1 END
-              + CASE WHEN t_click IS NULL THEN 0 ELSE 1 END
-              + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS BIGINT)
-             AS steps_reached
-    FROM s3""",
-)
-def q_event_funnel(spark, sf_dir):
-    """Ordered view->click->purchase funnel per user (strictly-after
-    step chaining at microsecond precision)."""
-    from trendmachine_spark.operators.funnel import event_funnel
-
-    return event_funnel(_table(spark, sf_dir, "events"))
-
-
-@register(
-    "event_retention",
-    """WITH a AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-    ),
-    c AS (SELECT user_id, min(d) AS cohort_day FROM a GROUP BY user_id)
-    SELECT c.cohort_day, CAST(a.d - c.cohort_day AS BIGINT) AS day_offset,
-           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
-    FROM a JOIN c USING (user_id)
-    GROUP BY c.cohort_day, day_offset""",
-)
-def q_event_retention(spark, sf_dir):
-    """First-activity cohorts x day-offset distinct-user retention."""
-    from trendmachine_spark.operators.funnel import event_retention
-
-    return event_retention(_table(spark, sf_dir, "events"))
-
-
-@register(
-    "event_attribution",
-    """WITH e AS (
-      SELECT user_id, event_type, event_id, value,
-             CAST(epoch_us(ts) AS BIGINT) AS us
-      FROM events),
-    t AS (
-      SELECT event_type, value,
-             last_value(CASE WHEN event_type <> 'purchase'
-                             THEN event_type END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY us, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS touch
-      FROM e)
-    SELECT coalesce(touch, 'direct') AS touch_type,
-           CAST(count(*) AS BIGINT) AS n_conversions,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-             AS value_cents
-    FROM t WHERE event_type = 'purchase' GROUP BY touch_type""",
-)
-def q_event_attribution(spark, sf_dir):
-    """Last-touch conversion attribution (funnel.event_attribution):
-    one user exchange, a rows-frame running last-non-conversion window
-    (event_id tie-break), integer-cents value sums."""
-    from trendmachine_spark.operators.funnel import event_attribution
-
-    return event_attribution(_table(spark, sf_dir, "events"))
-
-
-# ------------------------------------------- non-SQL-expressible (goldens)
-
-@register("resilience_daily_series", None)  # O34/O35 recurrences: rows-only
-def q_resilience_daily_series(spark, sf_dir):
-    from trendmachine_spark.operators.recurrence import score_daily_series
-    from trendmachine_spark.pipeline import report_projection
-
-    dense = _dense(spark, sf_dir, fill=2, policy="closest")
-    return report_projection(score_daily_series(dense))
-
-
-# ----------------------------------------------------------------------- O37
-
-@register(
-    "chaos_melt",
-    f"""WITH {osql.SPINE},
-    dense AS (
-      SELECT s.url, s.day, d.chaos, d.chaosn
-      FROM spine s LEFT JOIN daily d ON s.url = d.url AND s.day = d.day
-    ),
-    filled AS (
-      SELECT url, day,
-             coalesce(last_value(chaos IGNORE NULLS) OVER w, 0.0) AS chaos,
-             coalesce(last_value(chaosn IGNORE NULLS) OVER w, 0.0) AS chaosn
-      FROM dense
-      WINDOW w AS (PARTITION BY url ORDER BY day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT url, day, win, chaos FROM (
-      SELECT url, day, chaos, chaosn FROM filled
-    ) UNPIVOT (chaos FOR win IN (chaos AS 'All', chaosn AS 'Last1000'))""",
-)
-def q_chaos_melt(spark, sf_dir):
-    dense = _dense(spark, sf_dir)
-    return dense.selectExpr(
-        "url", "day_str as day",
-        "stack(2, 'All', chaos, 'Last1000', chaosn) as (win, chaos)",
-    )
-
-
-# ----------------------------------------------------------------------- O36
-
-@register("sigmoid_preview", None)  # exp() differs in last ulp across libms
-def q_sigmoid_preview(spark, sf_dir):
-    from trendmachine_spark.operators.sigmoid_preview import sigmoid_shapes_all
-
-    return sigmoid_shapes_all(spark)
-
-
-@register(
-    "dedup_embedding_cosine",
-    """WITH qv AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    nv AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
-      FROM qv
-    )
-    SELECT id_a, id_b, cosine FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-                                          i -> a.q[i] * b.q[i])) AS DOUBLE)
-               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
-      FROM nv a, nv b WHERE a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.3""",
-)
-def q_dedup_embedding_cosine(spark, sf_dir):
-    from trendmachine_spark.extensions.similarity import embedding_near_dup
-
-    return embedding_near_dup(_embeddings(spark, sf_dir), min_cosine=0.3)
-
-
-def _srp_neardup_oracle(n_planes: int = 8, min_cosine: float = 0.3) -> str:
-    """SRP-bucketed near-dup oracle — mirrors similarity.srp_buckets'
-    md5-derived ±1 hyperplanes exactly (bit 0 of md5('plane:dim'))."""
-    bits = []
-    for p in range(n_planes):
-        sign = (
-            f"((('0x' || substr(md5(concat('{p}', ':', CAST(i - 1 AS VARCHAR))), 32, 1))::INT % 2) * 2 - 1)"
-        )
-        bits.append(
-            "CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(q)), "
-            f"i -> q[i] * {sign})) AS BIGINT) > 0 THEN '1' ELSE '0' END"
-        )
-    bucket = "concat(" + ", ".join(bits) + ")"
-    return f"""WITH qv AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    nv AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2,
-             {bucket} AS bucket
-      FROM qv
-    )
-    SELECT id_a, id_b, cosine FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-                                          i -> a.q[i] * b.q[i])) AS DOUBLE)
-               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
-      FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ) WHERE cosine >= {min_cosine}"""
-
-
-@register("dedup_embedding_cosine_bucketed", _srp_neardup_oracle())
-def q_dedup_embedding_cosine_bucketed(spark, sf_dir):
-    """The production embedding near-dup: SRP-bucket equi-join + exact
-    cosine predicate — subset of dedup_embedding_cosine by design."""
-    from trendmachine_spark.extensions.similarity import embedding_near_dup_bucketed
-
-    return embedding_near_dup_bucketed(
-        _embeddings(spark, sf_dir), min_cosine=0.3
-    )
-
-
-@register(
-    "embedding_outliers",
-    # centroid = per-dim SUM (exact bigint; cosine is scale-invariant,
-    # so the un-normalized centroid gives the same value as the mean
-    # while keeping every aggregation integer/associative)
-    """WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-                            x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    e AS (
-      SELECT vec_id, label, i AS pos, q[i] AS v
-      FROM q, unnest(generate_series(1, len(q))) AS t(i)
-    ),
-    cent AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY label, pos),
-    cn AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS c2 FROM cent GROUP BY label),
-    dots AS (
-      SELECT e.vec_id, e.label,
-             CAST(sum(e.v * c.s) AS BIGINT) AS dot,
-             CAST(sum(e.v * e.v) AS BIGINT) AS n2
-      FROM e JOIN cent c ON e.label = c.label AND e.pos = c.pos
-      GROUP BY e.vec_id, e.label
-    )
-    SELECT d.vec_id, d.label,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE)))
-             AS cos_centroid,
-           CAST(CASE WHEN CAST(dot AS DOUBLE)
-                          / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))) < 0.0
-                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
-    FROM dots d JOIN cn ON d.label = cn.label""",
-)
-def q_embedding_outliers(spark, sf_dir):
-    """Per-vector cosine to its label centroid (mislabel/outlier scan)."""
-    from trendmachine_spark.extensions.similarity import embedding_outliers
-
-    return embedding_outliers(_embeddings(spark, sf_dir))
-
-
-@register(
-    "text_term_stats",
-    """WITH words AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ),
-    tf AS (
-      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n_term
-      FROM words GROUP BY doc_id, term
-    ),
-    doc_len AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_doc FROM words GROUP BY doc_id
-    ),
-    df AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term)
-    SELECT tf.doc_id, tf.term, tf.n_term, df.doc_freq,
-           CAST(tf.n_term AS DOUBLE) / doc_len.n_doc AS tf
-    FROM tf JOIN doc_len ON tf.doc_id = doc_len.doc_id
-    JOIN df ON tf.term = df.term""",
-)
-def q_text_term_stats(spark, sf_dir):
-    from trendmachine_spark.extensions.text import term_stats
-
-    return term_stats(_docs(spark, sf_dir))
-
-
-#: shared quality-model CTE chain (mirrors extensions.text.quality_score
-#: term by term, same left-associative float order)
-_QUALITY_SQL = """w AS (
-      SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents
-    ),
-    p AS (
-      SELECT doc_id, source,
-             len(words) AS n_words,
-             CAST(length(text) - len(words) + 1 AS DOUBLE) / len(words) AS awl,
-             CAST(len(list_filter(words,
-                  x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-               / len(words) AS sw,
-             CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dr
-      FROM w
-    ),
-    s AS (
-      SELECT doc_id, source,
-             -1.0 + 2.0 * (CAST(n_words AS DOUBLE) / (n_words + 100))
-                  + 1.5 * dr + 1.0 * sw + -0.1 * greatest(awl - 4.0, 0.0) AS quality
-      FROM p
-    )"""
-
-
-@register(
-    "quality_score",
-    f"""WITH {_QUALITY_SQL}
-    SELECT doc_id, quality,
-           CAST(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep_quality
-    FROM s""",
-)
-def q_quality_score(spark, sf_dir):
-    """Linear quality-model scores (deterministic fasttext-slot stand-in)."""
-    from trendmachine_spark.extensions.text import quality_score
-
-    return quality_score(_docs(spark, sf_dir))
-
-
-@register(
-    "top_quality_docs",
-    f"""WITH {_QUALITY_SQL}
-    SELECT doc_id, source, quality, rank FROM (
-      SELECT doc_id, source, quality,
-             CAST(row_number() OVER (PARTITION BY source
-                                     ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
-      FROM s
-    ) WHERE rank <= 5""",
-)
-def q_top_quality_docs(spark, sf_dir):
-    """Best 5 documents per source by model quality (WindowGroupLimit
-    distributed per-group top-k)."""
-    from trendmachine_spark.extensions.text import quality_score
-    from trendmachine_spark.operators.topk import top_per_group
-
-    scored = quality_score(_docs(spark, sf_dir), keep_cols=("source",))
-    return top_per_group(
-        scored.select("doc_id", "source", "quality"),
-        ["source"],
-        [F.col("quality").desc(), F.col("doc_id")],
-        k=5,
-    )
-
-
-@register(
-    "corpus_card",
-    f"""WITH {_QUALITY_SQL},
-    base AS (
-      SELECT d.source AS grp, d.doc_id,
-             length(d.text) AS chars,
-             len(string_split(d.text, ' ')) AS toks,
-             md5(d.text) AS h,
-             CASE WHEN s.quality >= 0.5 THEN 1 ELSE 0 END AS kq
-      FROM documents d JOIN s ON d.doc_id = s.doc_id
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY chars, doc_id) AS rn,
-             count(*) OVER (PARTITION BY grp) AS n
-      FROM base
-    ),
-    agg AS (
-      SELECT grp,
-             CAST(count(*) AS DOUBLE) AS n_docs,
-             CAST(sum(toks) AS DOUBLE) AS total_tokens,
-             CAST(sum(chars) AS DOUBLE) / count(*) AS mean_chars,
-             CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN chars END) AS DOUBLE) AS p50_chars,
-             CAST(max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN chars END) AS DOUBLE) AS p90_chars,
-             1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*) AS exact_dup_rate,
-             CAST(sum(kq) AS DOUBLE) / count(*) AS quality_rate
-      FROM ranked GROUP BY grp
-    )
-    SELECT grp AS source, 'n_docs' AS metric, n_docs AS value FROM agg
-    UNION ALL SELECT grp, 'total_tokens', total_tokens FROM agg
-    UNION ALL SELECT grp, 'mean_chars', mean_chars FROM agg
-    UNION ALL SELECT grp, 'p50_chars', p50_chars FROM agg
-    UNION ALL SELECT grp, 'p90_chars', p90_chars FROM agg
-    UNION ALL SELECT grp, 'exact_dup_rate', exact_dup_rate FROM agg
-    UNION ALL SELECT grp, 'quality_rate', quality_rate FROM agg""",
-)
-def q_corpus_card(spark, sf_dir):
-    """Release-style per-source corpus card, long-form."""
-    from trendmachine_spark.extensions.text import corpus_card
-
-    return corpus_card(_docs(spark, sf_dir))
-
-
-@register(
-    "bpe_pair_stats",
-    """WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS word FROM documents
-    ),
-    wc AS (
-      SELECT word, CAST(count(*) AS BIGINT) AS wc FROM words
-      WHERE len(word) > 0 GROUP BY word
-    ),
-    pairs AS (
-      SELECT substr(word, i, 1) AS left_sym,
-             CASE WHEN i < len(word) THEN substr(word, i + 1, 1)
-                  ELSE '</w>' END AS right_sym,
-             wc
-      FROM wc, unnest(generate_series(1, len(word))) AS t(i)
-    )
-    SELECT left_sym, right_sym, CAST(sum(wc) AS BIGINT) AS pair_count
-    FROM pairs GROUP BY left_sym, right_sym""",
-)
-def q_bpe_pair_stats(spark, sf_dir):
-    """BPE tokenizer-training pair counts (iteration-0 merge statistics)."""
-    from trendmachine_spark.extensions.text import bpe_pair_stats
-
-    return bpe_pair_stats(_docs(spark, sf_dir))
-
-
-def _redact_pii_sql(source: str) -> str:
-    """The redaction SELECT over ``source`` — mirrors text.redact_pii
-    (fixed pattern order, original-text counting, explicit 'g' flag so
-    DuckDB replaces all matches). Shared by the corpus query and the
-    planted-fixture twin."""
-    return rf"""SELECT doc_id,
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(
-                    regexp_replace(text,
-                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-                    '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}', '<IP>', 'g'),
-                  '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
-                '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '<SSN>', 'g') AS text_redacted,
-              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
-                 + len(regexp_extract_all(text, '[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}'))
-                 + len(regexp_extract_all(text, '[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}'))
-                 + len(regexp_extract_all(text, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) AS BIGINT)
-                AS n_redactions
-       FROM {source}"""
-
-
-@register(
-    "redact_pii",
-    _redact_pii_sql("documents"),
-)
-def q_redact_pii(spark, sf_dir):
-    """Destructive PII redaction (typed placeholders, fixed pattern
-    order, span counts taken pre-replacement) — the transform twin of
-    text_pii_stats."""
-    from trendmachine_spark.extensions.text import redact_pii
-
-    return redact_pii(_docs(spark, sf_dir))
-
-
-@register(
-    "redact_pii_planted",
-    f"""WITH planted AS (
-      SELECT doc_id,
-             'contact user' || CAST(doc_id AS VARCHAR) ||
-             '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com ' ||
-             text ||
-             ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
-             '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
-             ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
-             '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-             CASE WHEN doc_id % 3 = 0
-                  THEN ' ssn 123-45-' ||
-                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                  ELSE '' END ||
-             CASE WHEN doc_id % 5 = 0
-                  THEN ' fwd a@1.2.3.4.com' ELSE '' END AS text
-      FROM documents
-    )
-    {_redact_pii_sql("planted")}""",
-)
-def q_redact_pii_planted(spark, sf_dir):
-    """Redaction on the deterministically PII-planted corpus twin
-    (round 8): the synthetic corpus holds no PII spans, so redact_pii's
-    oracle exercised zero replacements — this query drives every
-    pattern's replace path (plus the email/IP overlap pathology) on
-    driver-checked data. text.plant_pii documents the closed-form
-    expected counts."""
-    from trendmachine_spark.extensions.text import plant_pii, redact_pii
-
-    return redact_pii(plant_pii(_docs(spark, sf_dir)))
-
-
-@register(
-    "training_shards",
-    """WITH sharded AS (
-      SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
-             doc_id, len(text) AS chars, len(string_split(text, ' ')) AS toks
-      FROM documents
-    )
-    SELECT shard,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(toks) AS BIGINT) AS total_tokens,
-           CAST(sum(chars) AS BIGINT) AS total_chars,
-           min(doc_id) AS min_doc_id,
-           max(doc_id) AS max_doc_id
-    FROM sharded GROUP BY shard""",
-)
-def q_training_shards(spark, sf_dir):
-    """Deterministic md5-mod output-shard manifest (count/token/char
-    totals + id range per shard) — the balance audit before a
-    partitionBy export."""
-    from trendmachine_spark.extensions.packing import training_shards
-
-    return training_shards(_docs(spark, sf_dir), n_shards=16)
-
-
-@register(
-    "lm_familiarity",
-    """WITH u AS (
-      SELECT doc_id, text,
-             ('0x' || substr(md5('lmfam:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-               / 1152921504606846976.0 AS u
-      FROM documents
-    ),
-    tw AS (SELECT string_split(text, ' ') AS w FROM u WHERE u >= 0.25),
-    tb AS (
-      SELECT array_to_string(w[i:i+1], ' ') AS g
-      FROM tw, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
-    ),
-    cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY g),
-    ctx AS (
-      SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS ctx
-      FROM cnt GROUP BY w1
-    ),
-    vsz AS (
-      SELECT CAST(count(DISTINCT split_part(g, ' ', 2)) AS BIGINT) AS v
-      FROM cnt
-    ),
-    hw AS (SELECT doc_id, string_split(text, ' ') AS w FROM u WHERE u < 0.25),
-    hb AS (
-      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
-      FROM hw, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
-    )
-    SELECT hb.doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum(COALESCE(len(bin(c)) - 1, 0)) AS BIGINT) AS familiarity_bits,
-           CAST(sum(COALESCE(len(bin(c)) - 1, 0)) AS DOUBLE) / count(*) AS avg_bits,
-           CAST(sum((len(bin(COALESCE(ctx.ctx, 0) + vsz.v)) - 1)
-                    - (len(bin(COALESCE(c, 0) + 1)) - 1)) AS BIGINT)
-             AS surprisal_bits,
-           CAST(sum((len(bin(COALESCE(ctx.ctx, 0) + vsz.v)) - 1)
-                    - (len(bin(COALESCE(c, 0) + 1)) - 1)) AS DOUBLE) / count(*)
-             AS avg_surprisal
-    FROM hb
-    LEFT JOIN cnt ON hb.g = cnt.g
-    LEFT JOIN ctx ON split_part(hb.g, ' ', 1) = ctx.w1
-    CROSS JOIN vsz
-    GROUP BY hb.doc_id""",
-)
-def q_lm_familiarity(spark, sf_dir):
-    """Held-out bigram-LM familiarity (the CCNet perplexity-filter
-    slot): floor(log2(train count)) bits per bigram via the exact
-    binary-string-length identity, averaged per held-out doc; round 8
-    adds true add-one surprisal at floor-log2 resolution — unseen
-    bigrams now cost strictly more than count-1 bigrams (the r7
-    verdict's smoothing-realism gap), still exact-integer."""
-    from trendmachine_spark.extensions.text import lm_familiarity
-
-    return lm_familiarity(_docs(spark, sf_dir))
-
-
-def _bpe_train_ctes(merges: int) -> str:
-    """CTE chain words -> wc -> v0 -> (p{s} pair counts, t{s} argmax
-    merge, v{s} rewritten vocab) per step — mirrors text._bpe_loop
-    exactly: the TWO-space symbol separator makes plain replace over
-    the single-space-wrapped string reproduce Sennrich's zero-width
-    boundary regex (each match consumes one space of each boundary and
-    the replacement restores it, so back-to-back occurrences merge in
-    one left-to-right pass; RE2 has no lookbehind, both engines'
-    replace share L-to-R non-overlapping semantics)."""
-    parts = ["""words AS (
-      SELECT unnest(string_split(text, ' ')) AS word FROM documents
-    ),
-    wc AS (
-      SELECT word, CAST(count(*) AS BIGINT) AS wc FROM words
-      WHERE len(word) > 0 GROUP BY word
-    ),
-    v0 AS (
-      SELECT word, wc,
-             array_to_string(list_transform(generate_series(1, len(word)),
-                                            i -> word[i]), '  ')
-               || '  </w>' AS syms
-      FROM wc
-    )"""]
-    for s in range(1, merges + 1):
-        p = s - 1
-        parts.append(f"""p{s} AS (
-      SELECT l[j] AS left_sym, l[j + 1] AS right_sym,
-             CAST(sum(wc) AS BIGINT) AS pair_count
-      FROM (SELECT string_split(syms, '  ') AS l, wc FROM v{p}),
-           unnest(generate_series(1, len(l) - 1)) AS t(j)
-      GROUP BY left_sym, right_sym
-    ),
-    t{s} AS (
-      SELECT * FROM p{s}
-      ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
-    ),
-    v{s} AS (
-      SELECT word, wc,
-             trim(replace(' ' || syms || ' ',
-                          ' ' || t.left_sym || '  ' || t.right_sym || ' ',
-                          ' ' || t.left_sym || t.right_sym || ' ')) AS syms
-      FROM v{p}, t{s} t
-    )""")
-    return ",\n    ".join(parts)
-
-
-def _bpe_merges_oracle(merges: int) -> str:
-    unions = "\n    UNION ALL ".join(
-        f"SELECT CAST({s} AS BIGINT) AS step, left_sym, right_sym, "
-        f"pair_count, left_sym || right_sym AS merged FROM t{s}"
-        for s in range(1, merges + 1))
-    return f"WITH {_bpe_train_ctes(merges)}\n    {unions}"
-
-
-def _bpe_vocab_oracle(merges: int, top_k: int) -> str:
-    return f"""WITH {_bpe_train_ctes(merges)}
-    SELECT word, wc, replace(syms, '  ', ' ') AS segments,
-           CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_tokens
-    FROM v{merges} ORDER BY wc DESC, word LIMIT {top_k}"""
-
-
-@register("bpe_train_merges", _bpe_merges_oracle(8))
-def q_bpe_train_merges(spark, sf_dir):
-    """BPE tokenizer training: 8 greedy merge iterations (the loop
-    whose iteration-0 statistic bpe_pair_stats reports), exact integer
-    counts, deterministic (count DESC, pair) tie-break."""
-    from trendmachine_spark.extensions.text import bpe_train_merges
-
-    return bpe_train_merges(_docs(spark, sf_dir), merges=8)
-
-
-@register("bpe_segmented_vocab", _bpe_vocab_oracle(8, 50))
-def q_bpe_segmented_vocab(spark, sf_dir):
-    """The trained 8-merge tokenizer applied to its own top-50 vocab:
-    per-word segmentation + token count."""
-    from trendmachine_spark.extensions.text import bpe_segmented_vocab
-
-    return bpe_segmented_vocab(_docs(spark, sf_dir), merges=8, top_k=50)
-
-
-def _bpe_encode_oracle(merges: int) -> str:
-    return f"""WITH {_bpe_train_ctes(merges)},
-    doc_words AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS word
-      FROM documents
-    ),
-    seg AS (
-      SELECT word,
-             CAST(len(string_split(syms, '  ')) AS BIGINT) AS word_tokens
-      FROM v{merges}
-    )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(word_tokens) AS BIGINT) AS n_tokens
-    FROM doc_words JOIN seg USING (word)
-    WHERE len(word) > 0
-    GROUP BY doc_id"""
-
-
-@register("bpe_encode", _bpe_encode_oracle(8))
-def q_bpe_encode(spark, sf_dir):
-    """The trained 8-merge tokenizer applied to the CORPUS: per-doc
-    word and BPE-token counts — the sequence-length/tokens-per-epoch
-    accounting step every training pipeline runs after learning
-    merges."""
-    from trendmachine_spark.extensions.text import bpe_encode_docs
-
-    return bpe_encode_docs(_docs(spark, sf_dir), merges=8)
-
-
-@register(
-    "vocab_coverage",
-    """WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS term FROM documents
-    ),
-    wc AS (
-      SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM words
-      WHERE len(term) > 0 GROUP BY term
-    ),
-    total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM wc),
-    top AS (SELECT term, cnt FROM wc ORDER BY cnt DESC, term LIMIT 1000)
-    SELECT term, cnt,
-           CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank,
-           CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
-                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-             / total.total AS cum_coverage
-    FROM top, total""",
-)
-def q_vocab_coverage(spark, sf_dir):
-    """Top-1000 vocabulary with cumulative corpus token coverage."""
-    from trendmachine_spark.extensions.text import vocab_coverage
-
-    return vocab_coverage(_docs(spark, sf_dir), top_k=1000)
-
-
-@register(
-    "salted_term_counts",
-    """WITH words AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    )
-    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY term""",
-)
-def q_salted_term_counts(spark, sf_dir):
-    # two-stage salted aggregation == plain groupBy count, exactly
-    from trendmachine_spark.operators.skew import salted_count
-
-    docs = _docs(spark, sf_dir)
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
-    return salted_count(words, ["term"], n_salts=16)
-
-
-@register("multi_param_scoring", None)  # recurrence sweep: rows-only
-def q_multi_param_scoring(spark, sf_dir):
-    from trendmachine_spark.operators.recurrence import score_daily_series_multi
-    from trendmachine_spark.params import DEFAULT_SIGPARAMS, SigmoidParam
-
-    dense = _dense(spark, sf_dir, fill=2, policy="closest")
-    fast_decay = dict(DEFAULT_SIGPARAMS)
-    fast_decay["~"] = SigmoidParam(5, 5.0, -0.8)
-    return score_daily_series_multi(
-        dense, {"default": DEFAULT_SIGPARAMS, "fast_decay": fast_decay}
-    )
-
-
-# ------------------------------------------- MLlib production variants
-
-@register("dedup_minhash_ml", None)  # MLlib estimator: seed-dependent
-def q_dedup_minhash_ml(spark, sf_dir):
-    from trendmachine_spark.extensions.ml import minhash_near_dup_ml
-
-    return minhash_near_dup_ml(_docs(spark, sf_dir), threshold=0.8)
-
-
-@register("tfidf_ml", None)  # vector column: not SQL-comparable
-def q_tfidf_ml(spark, sf_dir):
-    from trendmachine_spark.extensions.ml import tfidf_ml
-
-    out = tfidf_ml(_docs(spark, sf_dir))
-    # project the vector to stable scalars so the rows-only check is meaningful
-    from pyspark.ml.functions import vector_to_array
-
-    arr = vector_to_array(F.col("tfidf"))
-    return out.select(
-        "doc_id",
-        F.size(F.filter(arr, lambda x: x > 0)).alias("n_nonzero"),
-    )
-
-
-def _ivf_refined_ctes(n_cells: int, materialize: bool = False) -> str:
-    """CTE chain qv -> nv -> seed cents -> one exact Lloyd iteration ->
-    cents2/aff/assigned — mirrors similarity.ivf_centroids(refine=1):
-    members assigned by (aff DESC, cell) argmax against the seed
-    centroids; the refined component is floor(sum/count) (int64 sums
-    exact, one IEEE division on exactly-representable operands, floor
-    deterministic); a cell with no members keeps its seed vector.
-
-    ``materialize``: add AS MATERIALIZED to the multi-referenced
-    nv/cents2/assigned CTEs. OFF by default — DuckDB's own CTE
-    heuristics beat forced materialization on the plain IVF/IVFPQ
-    chains (measured 2-10x slower with blanket hints at x20) — and ON
-    only for composers whose downstream chains re-reference these CTEs
-    multiplicatively (the residual-PQ oracle, where inlining
-    re-expanded the training chain into 83+ CPU-minutes at x10)."""
-    m = " MATERIALIZED" if materialize else ""
-    return f"""qv AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    nv AS{m} (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
-      FROM qv
-    ),
-    cents AS (
-      SELECT vec_id AS cell, q AS cvec, norm2 AS cn FROM nv WHERE vec_id < {n_cells}
-    ),
-    aff1 AS (
-      SELECT v.vec_id, v.q, v.norm2, c.cell,
-             CAST(list_sum(list_transform(generate_series(1, len(v.q)),
-                                          i -> v.q[i] * c.cvec[i])) AS DOUBLE)
-               / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
-      FROM nv v, cents c
-    ),
-    assigned1 AS (
-      SELECT vec_id, q, norm2, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY _aff DESC, cell) AS _rk
-        FROM aff1
-      ) WHERE _rk = 1
-    ),
-    csums AS (
-      SELECT cell, i AS pos,
-             CAST(sum(q[i]) AS BIGINT) AS s, count(*) AS cnt
-      FROM assigned1, unnest(generate_series(1, len(q))) AS t(i)
-      GROUP BY cell, i
-    ),
-    refined AS (
-      SELECT cell,
-             list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
-      FROM csums GROUP BY cell
-    ),
-    cents2 AS{m} (
-      SELECT c.cell,
-             COALESCE(r.cvec, c.cvec) AS cvec,
-             CAST(list_sum(list_transform(COALESCE(r.cvec, c.cvec), v -> v * v)) AS BIGINT) AS cn
-      FROM cents c LEFT JOIN refined r ON c.cell = r.cell
-    ),
-    aff AS (
-      SELECT v.vec_id, v.q, v.norm2, c.cell,
-             CAST(list_sum(list_transform(generate_series(1, len(v.q)),
-                                          i -> v.q[i] * c.cvec[i])) AS DOUBLE)
-               / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
-      FROM nv v, cents2 c
-    ),
-    assigned AS{m} (
-      SELECT vec_id, q, norm2, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY _aff DESC, cell) AS _rk
-        FROM aff
-      ) WHERE _rk = 1
-    )"""
-
-
-def _ivf_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
-                     n_probe: int = 2) -> str:
-    """Exact mirror of similarity.ivf_topk — approximate recall by
-    design (probes n_probe best cells) but fully deterministic:
-    Lloyd-refined deterministic centroids, (aff DESC, cell) probe
-    ranking, exact integer cosine, (cosine DESC, neighbor_id) final
-    tie-break."""
-    return f"""WITH {_ivf_refined_ctes(n_cells)},
-    probes AS (
-      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY _aff DESC, cell) AS _rk
-        FROM aff WHERE vec_id < {n_queries}
-      ) WHERE _rk <= {n_probe}
-    ),
-    scored AS (
-      SELECT p.query_id, a.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1, len(p.q)),
-                                          i -> p.q[i] * a.q[i])) AS DOUBLE)
-               / (sqrt(CAST(p.qn AS DOUBLE)) * sqrt(CAST(a.norm2 AS DOUBLE))) AS cosine
-      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id != a.vec_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= {k}"""
-
-
-@register("similarity_ivf_topk", _ivf_topk_oracle())
-def q_similarity_ivf_topk(spark, sf_dir):
-    """IVF ANN top-k — approximate recall (n_probe cells) but
-    deterministic end to end; oracle upgraded from rows-only round 3."""
-    from trendmachine_spark.extensions.similarity import ivf_topk
-
-    return ivf_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_probe=2)
-
-
-def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
-             include_base: bool = True) -> str:
-    """CTE chain qv -> nv -> subs -> seed codebooks -> one exact Lloyd
-    iteration -> cb/codes — mirrors similarity.pq_codebooks(refine=1)
-    + pq_encode: seeds are the subvectors of the ``n_codes`` lowest
-    ids densely renumbered (code j = j-th lowest seed id), assignment
-    is argmin exact-int squared L2 with ties to the lowest code, the
-    refined component is floor(sum/count) (int64 sums exact, one IEEE
-    division on exactly-representable operands, floor deterministic),
-    and a code with no members keeps its seed subvector. ``codes``
-    carries the final per-(vector, subspace) code with its codeword
-    squared-norm ``cn2`` and assignment distance ``dist``.
-
-    ``include_base=False`` drops the shared qv/nv prologue so the
-    chain can compose with another chain (the IVFPQ oracle) that
-    already defines the identical qv/nv; internal names are
-    pq_-prefixed where they would collide (csums/refined exist in
-    the IVF chain too)."""
-    base = f"""qv AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    nv AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
-      FROM qv
-    ),
-    """
-    return (base if include_base else "") + f"""subs AS (
-      SELECT vec_id, m,
-             list_transform(generate_series(1, {ds}), i -> q[m * {ds} + i]) AS sub
-      FROM nv, unnest(generate_series(0, {n_sub - 1})) AS t(m)
-    ),
-    seeds AS (
-      SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
-             sub AS cvec
-      FROM subs WHERE vec_id < {n_codes}
-    ),
-    d1 AS (
-      SELECT s.vec_id, s.m, c.code,
-             CAST(list_sum(list_transform(generate_series(1, {ds}),
-                  i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
-      FROM subs s JOIN seeds c ON s.m = c.m
-    ),
-    a1 AS (
-      SELECT vec_id, m, code FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                     ORDER BY dist, code) AS _rk
-        FROM d1
-      ) WHERE _rk = 1
-    ),
-    pq_csums AS (
-      SELECT a.m, a.code, i AS pos,
-             CAST(sum(s.sub[i]) AS BIGINT) AS ssum, count(*) AS cnt
-      FROM a1 a JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m,
-           unnest(generate_series(1, {ds})) AS t(i)
-      GROUP BY a.m, a.code, i
-    ),
-    pq_refined AS (
-      SELECT m, code,
-             list(CAST(floor(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
-      FROM pq_csums GROUP BY m, code
-    ),
-    cb AS (
-      SELECT s.m, s.code, COALESCE(r.cvec, s.cvec) AS cvec,
-             CAST(list_sum(list_transform(COALESCE(r.cvec, s.cvec), v -> v * v)) AS BIGINT) AS cn2
-      FROM seeds s LEFT JOIN pq_refined r ON s.m = r.m AND s.code = r.code
-    ),
-    d2 AS (
-      SELECT s.vec_id, s.m, c.code, c.cn2,
-             CAST(list_sum(list_transform(generate_series(1, {ds}),
-                  i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
-      FROM subs s JOIN cb c ON s.m = c.m
-    ),
-    codes AS (
-      SELECT vec_id, m, code, cn2, dist FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                     ORDER BY dist, code) AS _rk
-        FROM d2
-      ) WHERE _rk = 1
-    )"""
-
-
-def _pq_adc_ctes(n_queries: int = 10, ds: int = 8) -> str:
-    """recon/queries/adc/scored — the full-corpus ADC scoring chain on
-    top of :func:`_pq_ctes` (cb/codes): the query's EXACT subvectors
-    against each candidate's assigned codewords, normalized by exact
-    query norm x reconstruction norm; self excluded."""
-    return f"""recon AS (
-      SELECT vec_id, CAST(sum(cn2) AS BIGINT) AS rnorm2 FROM codes GROUP BY vec_id
-    ),
-    queries AS (
-      SELECT vec_id AS query_id, q, norm2 FROM nv WHERE vec_id < {n_queries}
-    ),
-    adc AS (
-      SELECT qu.query_id, c.vec_id AS neighbor_id,
-             CAST(sum(list_sum(list_transform(generate_series(1, {ds}),
-                  i -> qu.q[c.m * {ds} + i] * b.cvec[i]))) AS BIGINT) AS adot
-      FROM queries qu JOIN codes c ON qu.query_id <> c.vec_id
-           JOIN cb b ON c.m = b.m AND c.code = b.code
-      GROUP BY qu.query_id, c.vec_id
-    ),
-    scored AS (
-      SELECT a.query_id, a.neighbor_id,
-             CAST(a.adot AS DOUBLE)
-               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(r.rnorm2 AS DOUBLE))) AS adc_cosine
-      FROM adc a JOIN queries qu ON a.query_id = qu.query_id
-           JOIN recon r ON a.neighbor_id = r.vec_id
-    )"""
-
-
-def _pq_topk_oracle(n_queries: int = 10, k: int = 5, n_sub: int = 8,
-                    n_codes: int = 16, ds: int = 8) -> str:
-    """Exact mirror of similarity.pq_topk — ADC scoring in the
-    compressed domain, ranking (adc_cosine DESC, neighbor_id)."""
-    return f"""WITH {_pq_ctes(n_sub, n_codes, ds)},
-    {_pq_adc_ctes(n_queries, ds)}
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY adc_cosine DESC, neighbor_id) AS rank
-      FROM scored
-    ) WHERE rank <= {k}"""
-
-
-def _pq_rerank_oracle(n_queries: int = 10, k: int = 5, expand: int = 4,
-                      n_sub: int = 8, n_codes: int = 16,
-                      ds: int = 8) -> str:
-    """Exact mirror of similarity.pq_rerank_topk — ADC candidate
-    generation at k*expand, then EXACT quantized-cosine re-rank of the
-    candidates (the production two-stage ANN: the compressed scan
-    cannot resolve score gaps below its quantization error, so the
-    final ordering re-fetches raw vectors for the tiny candidate
-    set). Final ranking (cosine DESC, neighbor_id)."""
-    return f"""WITH {_pq_ctes(n_sub, n_codes, ds)},
-    {_pq_adc_ctes(n_queries, ds)},
-    cand AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY adc_cosine DESC, neighbor_id) AS _rk
-        FROM scored
-      ) WHERE _rk <= {k * expand}
-    ),
-    exact AS (
-      SELECT c.query_id, c.neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1, len(qu.q)),
-                  i -> qu.q[i] * nb.q[i])) AS DOUBLE)
-               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
-      FROM cand c JOIN queries qu ON c.query_id = qu.query_id
-           JOIN nv nb ON c.neighbor_id = nb.vec_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM exact
-    ) WHERE rank <= {k}"""
-
-
-def _pq_rerank_auto_oracle(n_queries: int = 10, k: int = 5,
-                           min_expand: int = 4, max_expand: int = 8,
-                           n_sub: int = 8, n_codes: int = 16,
-                           ds: int = 8) -> str:
-    """Exact mirror of similarity.pq_rerank_auto_topk — the
-    density-adaptive WIDEN-ONLY rule: ADC candidates capped at
-    k*max_expand per query; a candidate reaches the exact re-rank if
-    it sits in the tuned floor (rank <= k*min_expand) OR scores at
-    least ``sk - (s1 - sk)`` (s1/sk = ADC scores at ranks 1 and k).
-    Expression order (``sk - (s1 - sk)``) is pinned identical on both
-    engines so the IEEE doubles agree bit-for-bit. Final ranking
-    (cosine DESC, neighbor_id), as the fixed-expand oracle."""
-    return f"""WITH {_pq_ctes(n_sub, n_codes, ds)},
-    {_pq_adc_ctes(n_queries, ds)},
-    cand_cap AS (
-      SELECT query_id, neighbor_id, adc_cosine, _rk FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY adc_cosine DESC, neighbor_id) AS _rk
-        FROM scored
-      ) WHERE _rk <= {k * max_expand}
-    ),
-    qstats AS (
-      SELECT query_id, max(adc_cosine) AS s1,
-             min(adc_cosine) FILTER (WHERE _rk <= {k}) AS sk
-      FROM cand_cap GROUP BY query_id
-    ),
-    cand AS (
-      SELECT c.query_id, c.neighbor_id
-      FROM cand_cap c JOIN qstats s USING (query_id)
-      WHERE c.adc_cosine >= s.sk - (s.s1 - s.sk) OR c._rk <= {k * min_expand}
-    ),
-    exact AS (
-      SELECT c.query_id, c.neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1, len(qu.q)),
-                  i -> qu.q[i] * nb.q[i])) AS DOUBLE)
-               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
-      FROM cand c JOIN queries qu ON c.query_id = qu.query_id
-           JOIN nv nb ON c.neighbor_id = nb.vec_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM exact
-    ) WHERE rank <= {k}"""
-
-
-def _ivfpq_topk_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
-                       n_probe: int = 2, n_sub: int = 8, n_codes: int = 16,
-                       ds: int = 8) -> str:
-    """Exact mirror of similarity.ivfpq_topk — IVF probe selection from
-    the Lloyd-refined centroid affinities (aff DESC, cell), candidates
-    restricted to probed cells, ADC scoring in the compressed domain
-    (query exact subvectors x assigned codewords), rank
-    (adc_cosine DESC, neighbor_id). Composes the two trained-structure
-    chains: the IVF CTEs contribute cents2/aff/assigned, the PQ CTEs
-    (base dropped — qv/nv are shared) contribute cb/codes."""
-    return f"""WITH {_ivf_refined_ctes(n_cells)},
-    {_pq_ctes(n_sub, n_codes, ds, include_base=False)},
-    probes AS (
-      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY _aff DESC, cell) AS _rk
-        FROM aff WHERE vec_id < {n_queries}
-      ) WHERE _rk <= {n_probe}
-    ),
-    cand AS (
-      SELECT p.query_id, p.q, p.qn, a.vec_id AS neighbor_id
-      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
-    ),
-    adc AS (
-      SELECT c.query_id, c.neighbor_id, max(c.qn) AS qn,
-             CAST(sum(list_sum(list_transform(generate_series(1, {ds}),
-                  i -> c.q[kk.m * {ds} + i] * b.cvec[i]))) AS BIGINT) AS adot
-      FROM cand c JOIN codes kk ON c.neighbor_id = kk.vec_id
-           JOIN cb b ON kk.m = b.m AND kk.code = b.code
-      GROUP BY c.query_id, c.neighbor_id
-    ),
-    recon AS (
-      SELECT vec_id, CAST(sum(cn2) AS BIGINT) AS rnorm2 FROM codes GROUP BY vec_id
-    ),
-    ivfpq_scored AS (
-      SELECT a.query_id, a.neighbor_id,
-             CAST(a.adot AS DOUBLE)
-               / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(r.rnorm2 AS DOUBLE))) AS adc_cosine
-      FROM adc a JOIN recon r ON a.neighbor_id = r.vec_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY adc_cosine DESC, neighbor_id) AS rank
-      FROM ivfpq_scored
-    ) WHERE rank <= {k}"""
-
-
-def _ivfpq_residual_topk_oracle(n_queries: int = 10, k: int = 5,
-                                n_cells: int = 16, n_probe: int = 2,
-                                n_sub: int = 8, n_codes: int = 16,
-                                ds: int = 8) -> str:
-    """Exact mirror of similarity.ivfpq_residual_topk — the FAISS-
-    default residual encoding: PQ codebooks trained on r = v − c(v)
-    (centroids are exact floor-of-mean integers, so residuals are
-    int64-exact), ADC = exact query·centroid dot + residual LUT sum,
-    normalized by the exact reconstruction norm ‖c + r̂‖² =
-    ‖c‖² + 2·dot(c, r̂) + ‖r̂‖². All r-prefixed CTEs are the _pq_ctes
-    chain re-sourced from residual subvectors; cand carries the
-    per-(query, candidate-cell) centroid dot."""
-    return f"""WITH {_ivf_refined_ctes(n_cells, materialize=True)},
-    rsubs AS MATERIALIZED (
-      SELECT a.vec_id, a.cell, m,
-             list_transform(generate_series(1, {ds}),
-                            i -> a.q[m * {ds} + i] - c.cvec[m * {ds} + i]) AS sub
-      FROM assigned a JOIN cents2 c ON a.cell = c.cell,
-           unnest(generate_series(0, {n_sub - 1})) AS t(m)
-    ),
-    rseeds AS (
-      SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
-             sub AS cvec
-      FROM rsubs WHERE vec_id < {n_codes}
-    ),
-    rd1 AS (
-      SELECT s.vec_id, s.m, c.code,
-             CAST(list_sum(list_transform(generate_series(1, {ds}),
-                  i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
-      FROM rsubs s JOIN rseeds c ON s.m = c.m
-    ),
-    ra1 AS (
-      SELECT vec_id, m, code FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                     ORDER BY dist, code) AS _rk
-        FROM rd1
-      ) WHERE _rk = 1
-    ),
-    r_csums AS (
-      SELECT a.m, a.code, i AS pos,
-             CAST(sum(s.sub[i]) AS BIGINT) AS ssum, count(*) AS cnt
-      FROM ra1 a JOIN rsubs s ON a.vec_id = s.vec_id AND a.m = s.m,
-           unnest(generate_series(1, {ds})) AS t(i)
-      GROUP BY a.m, a.code, i
-    ),
-    r_refined AS (
-      SELECT m, code,
-             list(CAST(floor(CAST(ssum AS DOUBLE) / cnt) AS BIGINT) ORDER BY pos) AS cvec
-      FROM r_csums GROUP BY m, code
-    ),
-    rcb AS MATERIALIZED (
-      SELECT s.m, s.code, COALESCE(r.cvec, s.cvec) AS cvec,
-             CAST(list_sum(list_transform(COALESCE(r.cvec, s.cvec), v -> v * v)) AS BIGINT) AS cn2
-      FROM rseeds s LEFT JOIN r_refined r ON s.m = r.m AND s.code = r.code
-    ),
-    rd2 AS (
-      SELECT s.vec_id, s.m, c.code, c.cn2, c.cvec,
-             CAST(list_sum(list_transform(generate_series(1, {ds}),
-                  i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
-      FROM rsubs s JOIN rcb c ON s.m = c.m
-    ),
-    rcodes AS MATERIALIZED (
-      SELECT vec_id, m, code, cn2 FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id, m
-                                     ORDER BY dist, code) AS _rk
-        FROM rd2
-      ) WHERE _rk = 1
-    ),
-    rrecon AS (
-      SELECT kk.vec_id,
-             CAST(any_value(c.cn)
-                  + 2 * sum(list_sum(list_transform(generate_series(1, {ds}),
-                            i -> c.cvec[kk.m * {ds} + i] * b.cvec[i])))
-                  + sum(b.cn2) AS BIGINT) AS rnorm2
-      FROM rcodes kk
-           JOIN assigned a ON kk.vec_id = a.vec_id
-           JOIN cents2 c ON a.cell = c.cell
-           JOIN rcb b ON kk.m = b.m AND kk.code = b.code
-      GROUP BY kk.vec_id
-    ),
-    probes AS (
-      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY _aff DESC, cell) AS _rk
-        FROM aff WHERE vec_id < {n_queries}
-      ) WHERE _rk <= {n_probe}
-    ),
-    cand AS (
-      SELECT p.query_id, p.q, p.qn, a.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1, len(p.q)),
-                  i -> p.q[i] * c.cvec[i])) AS BIGINT) AS qc
-      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
-           JOIN cents2 c ON a.cell = c.cell
-    ),
-    radc AS (
-      SELECT cd.query_id, cd.neighbor_id, max(cd.qn) AS qn, max(cd.qc) AS qc,
-             CAST(sum(list_sum(list_transform(generate_series(1, {ds}),
-                  i -> cd.q[kk.m * {ds} + i] * b.cvec[i]))) AS BIGINT) AS radot
-      FROM cand cd JOIN rcodes kk ON cd.neighbor_id = kk.vec_id
-           JOIN rcb b ON kk.m = b.m AND kk.code = b.code
-      GROUP BY cd.query_id, cd.neighbor_id
-    ),
-    res_scored AS (
-      SELECT a.query_id, a.neighbor_id,
-             CAST(a.qc + a.radot AS DOUBLE)
-               / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(r.rnorm2 AS DOUBLE))) AS adc_cosine
-      FROM radc a JOIN rrecon r ON a.neighbor_id = r.vec_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY adc_cosine DESC, neighbor_id) AS rank
-      FROM res_scored
-    ) WHERE rank <= {k}"""
-
-
-def _sq8_ctes(n_queries: int = 10) -> str:
-    """The SQ8 trained-structure CTE chain (quantize -> per-dim scales
-    -> int8 encode/reconstruct -> exact-int scoring) shared by
-    _sq8_topk_oracle and _sq8_rerank_oracle. recon is MATERIALIZED: it
-    feeds the norm and the scoring join, and the per-dimension unnest
-    underneath is the expensive subtree inlining would duplicate."""
-    return f"""qv AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    nv AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS norm2
-      FROM qv
-    ),
-    amax AS (
-      SELECT i, max(abs(q[i])) AS a
-      FROM nv, unnest(generate_series(1, len(q))) AS t(i)
-      GROUP BY i
-    ),
-    sc AS (SELECT i, greatest(1, (a + 126) // 127) AS s FROM amax),
-    recon AS MATERIALIZED (
-      SELECT vec_id,
-             list(greatest(-127, least(127, q[t.i] // s)) * s ORDER BY t.i) AS r
-      FROM nv, unnest(generate_series(1, len(q))) AS t(i), sc
-      WHERE sc.i = t.i
-      GROUP BY vec_id
-    ),
-    rn AS (
-      SELECT vec_id, r,
-             CAST(list_sum(list_transform(r, v -> v * v)) AS BIGINT) AS rn2
-      FROM recon
-    ),
-    queries AS (
-      SELECT vec_id AS query_id, q, norm2 FROM nv WHERE vec_id < {n_queries}
-    ),
-    sq_scored AS (
-      SELECT qu.query_id, c.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1, len(qu.q)),
-                  i -> qu.q[i] * c.r[i])) AS DOUBLE)
-               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(c.rn2 AS DOUBLE))) AS sq_cosine
-      FROM queries qu JOIN rn c ON qu.query_id <> c.vec_id
-    )"""
-
-
-def _sq8_topk_oracle(n_queries: int = 10, k: int = 5) -> str:
-    """Exact mirror of similarity.sq8_topk — per-dimension int8 scalar
-    quantization: s_d = max(1, ceil(amax_d / 127)) (exact ints),
-    code = clamp(trunc(q_d / s_d), ±127) (DuckDB // truncates toward
-    zero; the Spark side mirrors with sign·(|v|//s)), reconstruction
-    code*s is exact int64, scoring/normalization the usual exact-int
-    dot + one IEEE division."""
-    return f"""WITH {_sq8_ctes(n_queries)}
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sq_cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY sq_cosine DESC, neighbor_id) AS rank
-      FROM sq_scored
-    ) WHERE rank <= {k}"""
-
-
-def _sq8_rerank_oracle(n_queries: int = 10, k: int = 5,
-                       expand: int = 4) -> str:
-    """Exact mirror of similarity.sq8_rerank_topk — SQ8 candidate
-    generation at k*expand, then EXACT quantized-cosine re-rank of the
-    candidates (the _pq_rerank_oracle exact stage over the SQ8
-    chain). Final ranking (cosine DESC, neighbor_id)."""
-    return f"""WITH {_sq8_ctes(n_queries)},
-    cand AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sq_cosine DESC, neighbor_id) AS _rk
-        FROM sq_scored
-      ) WHERE _rk <= {k * expand}
-    ),
-    exact AS (
-      SELECT c.query_id, c.neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1, len(qu.q)),
-                  i -> qu.q[i] * nb.q[i])) AS DOUBLE)
-               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
-      FROM cand c JOIN queries qu ON c.query_id = qu.query_id
-           JOIN nv nb ON c.neighbor_id = nb.vec_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM exact
-    ) WHERE rank <= {k}"""
-
-
-@register("similarity_sq8_topk", _sq8_topk_oracle())
-def q_similarity_sq8_topk(spark, sf_dir):
-    """SQ8 scalar-quantization ANN (round 12): dim int8 codes per
-    vector — the 8x memory collapse at much higher precision than
-    PQ's 64x, the middle point of the FAISS index family
-    (IndexScalarQuantizer). Exact-integer train/encode/score chain,
-    value-hash-exact across engines; recall vs PQ measured in
-    ANN_RECALL."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
-                                                          sq8_topk)
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    return sq8_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
-                    probe=load_probe_matrix(path, 10))
-
-
-@register("similarity_sq8_rerank", _sq8_rerank_oracle())
-def q_similarity_sq8_rerank(spark, sf_dir):
-    """Two-stage ANN over SQ8 candidates (round 13): int8 scan
-    proposes k*expand, shared exact re-rank restores exact ordering —
-    completes the quantizer x serving matrix (PQ/ADC got its re-rank
-    in r11). SQ8's higher per-candidate precision is the operating
-    argument: ANN_RECALL shows its stage-1 recall at 0.95 where
-    PQ-ADC reads 0.54 at x20, so the expand needed for exact recall
-    is structurally smaller. Same broadcast-candidate plan as
-    similarity_pq_rerank: the corpus is scanned twice, shuffled
-    never."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
-                                                          sq8_rerank_topk)
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    return sq8_rerank_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
-                           expand=4, probe=load_probe_matrix(path, 10))
-
-
-def _ivfsq8_topk_oracle(n_queries: int = 10, k: int = 5,
-                        n_cells: int = 16, n_probe: int = 2) -> str:
-    """Exact mirror of similarity.ivfsq8_topk — IVF probe selection
-    (Lloyd-refined centroid affinities, aff DESC/cell), candidates
-    restricted to probed cells, scored against the exact-integer SQ8
-    reconstruction (the _sq8_topk_oracle quantizer: per-dim scales
-    s = max(1, ceil(amax/127)), trunc-toward-zero codes, clamp ±127)."""
-    return f"""WITH {_ivf_refined_ctes(n_cells)},
-    amax AS (
-      SELECT i, max(abs(q[i])) AS a
-      FROM nv, unnest(generate_series(1, len(q))) AS t(i)
-      GROUP BY i
-    ),
-    sc AS (SELECT i, greatest(1, (a + 126) // 127) AS s FROM amax),
-    recon AS MATERIALIZED (
-      SELECT vec_id,
-             list(greatest(-127, least(127, q[t.i] // s)) * s ORDER BY t.i) AS r
-      FROM nv, unnest(generate_series(1, len(q))) AS t(i), sc
-      WHERE sc.i = t.i
-      GROUP BY vec_id
-    ),
-    rn AS (
-      SELECT vec_id, r,
-             CAST(list_sum(list_transform(r, v -> v * v)) AS BIGINT) AS rn2
-      FROM recon
-    ),
-    probes AS (
-      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY _aff DESC, cell) AS _rk
-        FROM aff WHERE vec_id < {n_queries}
-      ) WHERE _rk <= {n_probe}
-    ),
-    cand AS (
-      SELECT p.query_id, p.q, p.qn, a.vec_id AS neighbor_id
-      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
-    ),
-    sq_scored AS (
-      SELECT cd.query_id, cd.neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1, len(cd.q)),
-                  i -> cd.q[i] * c.r[i])) AS DOUBLE)
-               / (sqrt(CAST(cd.qn AS DOUBLE)) * sqrt(CAST(c.rn2 AS DOUBLE))) AS sq_cosine
-      FROM cand cd JOIN rn c ON cd.neighbor_id = c.vec_id
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sq_cosine FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY sq_cosine DESC, neighbor_id) AS rank
-      FROM sq_scored
-    ) WHERE rank <= {k}"""
-
-
-@register("similarity_ivfsq8_topk", _ivfsq8_topk_oracle())
-def q_similarity_ivfsq8_topk(spark, sf_dir):
-    """IVF+SQ8 ANN (round 12): the FAISS IVFxx,SQ8 family — n_probe/
-    n_cells of the corpus scanned at 1/8th the bytes with near-exact
-    per-candidate precision (ANN_RECALL: sq8 0.95 recall@10 at x20 vs
-    PQ's 0.54), completing the partitioner x quantizer matrix."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (ivfsq8_topk,
-                                                          load_probe_matrix)
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    return ivfsq8_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
-                       n_cells=16, n_probe=2,
-                       probe=load_probe_matrix(path, 10))
-
-
-@register("similarity_ivfpq_topk", _ivfpq_topk_oracle())
-def q_similarity_ivfpq_topk(spark, sf_dir):
-    """IVF+PQ ANN top-k (round 11): the production 100 TB shape —
-    probe n_probe/n_cells of the corpus, scan it as 8 codes + one
-    bigint per vector, ADC-score in the compressed domain."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (ivfpq_topk,
-                                                          load_probe_matrix)
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    return ivfpq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
-                      n_cells=16, n_probe=2,
-                      probe=load_probe_matrix(path, 10),
-                      seed_probe=load_probe_matrix(path, 16))
-
-
-@register("similarity_ivfpq_residual_topk", _ivfpq_residual_topk_oracle())
-def q_similarity_ivfpq_residual_topk(spark, sf_dir):
-    """IVF+PQ with RESIDUAL encoding (round 12): the FAISS default —
-    PQ codes quantize v − centroid(cell(v)) instead of the raw vector
-    (residuals concentrate the quantizer's dynamic range; ANN_RECALL
-    carries the raw-vs-residual recall delta at equal code budget).
-    Centroids are exact floor-of-mean integers, so residual training
-    stays bit-exact cross-engine — closing the divergence the r11
-    ivfpq_topk docstring declared."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (
-        ivfpq_residual_topk,
-        load_probe_matrix,
-    )
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    return ivfpq_residual_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
-                               n_cells=16, n_probe=2,
-                               probe=load_probe_matrix(path, 10),
-                               seed_probe=load_probe_matrix(path, 16))
-
-
-#: at-rest IVFPQ index memo per corpus content identity: the index
-#: write is a build step (a nightly indexing job in production), not
-#: part of the query — cache it so repeated builds in one session
-#: query the same on-disk layout. /tmp is the sandbox-honest object
-#: store; the on-disk path carries a per-process nonce so concurrent
-#: processes can never overwrite an index another is mid-read on
-#: (r12 ADVICE — the in-process memo alone bounds dirs per process).
-_PQ_INDEX_CACHE: dict = {}
-
-
-@register("similarity_ivfpq_index", _ivfpq_topk_oracle())
-def q_similarity_ivfpq_index(spark, sf_dir):
-    """IVF+PQ served from the AT-REST index (round 11): cells are
-    parquet partitions, so the query's n_probe cells prune every
-    other directory at the file level (PartitionFilters — asserted in
-    tests/test_plan_shapes.py). Same trained structures, scoring, and
-    tie-breaks as similarity_ivfpq_topk, hence the same oracle; what
-    changes is WHERE candidate bytes come from — a pruned file scan
-    instead of a full-corpus encode, the 100 TB serving path."""
-    import hashlib
-    import os
-
-    from trendmachine_spark.extensions.similarity import (
-        ivfpq_index_write,
-        ivfpq_topk_from_index,
-        load_probe_matrix,
-    )
-
-    # key the IN-PROCESS memo on the CONTENT identity of the corpus
-    # (path + file stat), not applicationId: every new Spark
-    # application would otherwise leave a fresh orphan index dir in
-    # /tmp (round-12 advisory). The ON-DISK path additionally carries
-    # a per-process nonce (r12 ADVICE follow-up): a deterministic
-    # shared path let two concurrent processes benching the same
-    # corpus overwrite the index mid-read, and size+mtime is not true
-    # content identity (same-second rewrites alias) — the pid scopes
-    # writes to this process while the memo still bounds dirs to one
-    # per (process, corpus).
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(emb_path)
-        content_id = (emb_path, st.st_size, st.st_mtime_ns)
-    except OSError:
-        content_id = (emb_path, -1, -1)
-    key = content_id
-    if key not in _PQ_INDEX_CACHE:
-        h = hashlib.md5(repr(key).encode()).hexdigest()[:10]
-        path = f"/tmp/trendmachine_pq_index_{h}_pid{os.getpid()}"
-        seeds = load_probe_matrix(
-            os.path.join(sf_dir, "embeddings.parquet"), 16)
-        trained = ivfpq_index_write(
-            _embeddings(spark, sf_dir), path, seed_probe=seeds)
-        # the pid nonce scopes writes to this process (no concurrent
-        # cross-process overwrite), but it also means no other process
-        # will ever reuse this dir — without cleanup every process
-        # restart leaves a fresh orphan in /tmp, unbounded (r13
-        # ADVICE). atexit removal bounds disk to live processes; a
-        # crash can still orphan one dir, which the next same-corpus
-        # run neither reads nor grows.
-        import atexit
-        import shutil
-
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        _PQ_INDEX_CACHE[key] = (path, trained)
-    path, trained = _PQ_INDEX_CACHE[key]
-    if trained is None:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, rank int, adc_cosine double")
-    probe = load_probe_matrix(
-        os.path.join(sf_dir, "embeddings.parquet"), 10)
-    return ivfpq_topk_from_index(
-        spark, path, trained, n_queries=10, k=5, n_probe=2, probe=probe)
-
-
-@register("similarity_pq_rerank", _pq_rerank_oracle())
-def q_similarity_pq_rerank(spark, sf_dir):
-    """Two-stage ANN (round 11): PQ/ADC candidate generation at
-    k*expand, exact quantized-cosine re-rank of the tiny candidate
-    set — the production remedy for ADC's quantization-error ceiling."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
-                                                          pq_rerank_topk)
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    return pq_rerank_topk(
-        _embeddings(spark, sf_dir), n_queries=10, k=5, expand=4,
-        probe=load_probe_matrix(path, 10),
-        seed_probe=load_probe_matrix(path, 16))
-
-
-@register("similarity_pq_rerank_auto", _pq_rerank_auto_oracle())
-def q_similarity_pq_rerank_auto(spark, sf_dir):
-    """DENSITY-ADAPTIVE two-stage ANN (round 14, verdict #3): the
-    candidate budget is measured per query from the ADC near-tie
-    plateau (keep everything within one observed top-k spread below
-    the rank-k score, never fewer than the k*min_expand floor, capped
-    at k*max_expand) instead of a fixed expand — the x40 finding
-    (fixed expand=2 recall 0.525 while x10 reads 1.0) made density a
-    serving-time variable, so the API measures it instead of assuming
-    it."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (
-        load_probe_matrix,
-        pq_rerank_auto_topk,
-    )
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    return pq_rerank_auto_topk(
-        _embeddings(spark, sf_dir), n_queries=10, k=5,
-        probe=load_probe_matrix(path, 10),
-        seed_probe=load_probe_matrix(path, 16))
-
-
-@register("similarity_pq_topk", _pq_topk_oracle())
-def q_similarity_pq_topk(spark, sf_dir):
-    """PQ/ADC ANN top-k (round 11): the corpus is scanned as 8 codes +
-    one bigint per vector (64x memory collapse — the representation a
-    100 TB in-memory ANN index stores); approximate by construction,
-    deterministic end to end (exact-int codebook training + ADC)."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
-                                                          pq_topk)
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    probe = load_probe_matrix(path, 10)
-    seeds = load_probe_matrix(path, 16)
-    return pq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, probe=probe,
-                   seed_probe=seeds)
-
-
-@register("similarity_pq256_topk", _pq_topk_oracle(n_codes=256))
-def q_similarity_pq256_topk(spark, sf_dir):
-    """PQ/ADC at K=256 codes per subspace (round 13 — the equal-byte-
-    budget point the r12 verdict asked for): same 8 subspaces, 8 bits
-    per code instead of 4, i.e. 8 B of codes per vector (vs the K=16
-    default's 4 B and SQ8's dim = 64 B). The K=16 codebook was doing
-    the limiting in the r12 recall story (PQ 0.54 vs SQ8 0.95 at x20
-    mixed budget with method) — ANN_RECALL.json's equal_byte_budget
-    section now separates the axes, and this query pins the 256-code
-    training + ADC path hash-exact against DuckDB (same exact-integer
-    Lloyd machinery, seeds = lowest 256 ids, 8x compression of an
-    int8-quantized corpus). Operating guidance in SCALE.md."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
-                                                          pq_topk)
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    return pq_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
-                   n_codes=256, probe=load_probe_matrix(path, 10),
-                   seed_probe=load_probe_matrix(path, 256))
-
-
-@register(
-    "pq_distortion",
-    f"""WITH {_pq_ctes()}
-    SELECT CAST(m AS INT) AS subspace,
-           CAST(sum(dist) AS BIGINT) AS total_sq_err,
-           CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(count(DISTINCT code) AS BIGINT) AS codes_used
-    FROM codes GROUP BY m""",
-)
-def q_pq_distortion(spark, sf_dir):
-    """Per-subspace PQ quantization-error report (round 11) — the
-    index health check: exact total squared L2 error, vector count,
-    live code count per subspace."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
-                                                          pq_distortion)
-
-    seeds = load_probe_matrix(os.path.join(sf_dir, "embeddings.parquet"), 16)
-    return pq_distortion(_embeddings(spark, sf_dir), seed_probe=seeds)
-
-
-@register(
-    "pq_encode_streaming",
-    f"""WITH {_pq_ctes()}
-    SELECT vec_id, CAST(m AS INT) AS subspace, CAST(code AS INT) AS code
-    FROM codes""",
-)
-def q_pq_encode_streaming(spark, sf_dir):
-    """Streaming PQ encode (round 11) — the production train-offline /
-    encode-online pattern: codebooks are trained on the BATCH corpus
-    (a nightly job), then a readStream of new vectors encodes against
-    the FROZEN books in a stateless mapInPandas (append-safe, no
-    state store). Unlike the other streaming twins, the output is
-    fully deterministic — encoding has no arrival-order dependence —
-    so this streaming query carries a full value-hash DuckDB oracle
-    (the repo's first oracled streaming entry)."""
-    import os
-
-    from trendmachine_spark.extensions.similarity import (load_probe_matrix,
-                                                          pq_codebooks,
-                                                          pq_encode,
-                                                          quantize_embeddings)
-
-    emb = _embeddings(spark, sf_dir)
-    seeds = load_probe_matrix(
-        os.path.join(sf_dir, "embeddings.parquet"), 16)
-    cb = pq_codebooks(quantize_embeddings(emb), seed_probe=seeds)
-    if cb is None:
-        return spark.createDataFrame(
-            [], "vec_id long, subspace int, code int")
-    stream = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>")
-        .option("pathGlobFilter", "embeddings*.parquet")
-        .parquet(sf_dir)
-    )
-    enc = pq_encode(quantize_embeddings(stream), cb)
-    out = enc.select(
-        F.col("vid").alias("vec_id"),
-        F.posexplode("codes").alias("subspace", "code"),
-    )
-    # per-source query/table name: a fixed name would fail on the
-    # duplicate active query if two constructions ever overlap in one
-    # session (round-12 advisory — re-entrancy, not a harness need)
-    import hashlib as _hashlib
-
-    qname = ("_pq_encode_stream_q_"
-             + _hashlib.md5(sf_dir.encode()).hexdigest()[:8])
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {qname}")
-
-
-@register(
-    "sq8_encode_streaming",
-    """WITH qv AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
-      FROM embeddings
-    ),
-    amax AS (
-      SELECT i, max(abs(q[i])) AS a
-      FROM qv, unnest(generate_series(1, len(q))) AS t(i)
-      GROUP BY i
-    ),
-    sc AS (SELECT i, greatest(1, (a + 126) // 127) AS s FROM amax)
-    SELECT vec_id, CAST(t.i - 1 AS INT) AS pos,
-           CAST(greatest(-127, least(127, q[t.i] // s)) AS INT) AS code
-    FROM qv, unnest(generate_series(1, len(q))) AS t(i), sc
-    WHERE sc.i = t.i""",
-)
-def q_sq8_encode_streaming(spark, sf_dir):
-    """Streaming SQ8 encode (round 12) — the scalar-quantizer twin of
-    pq_encode_streaming: per-dimension scales train on the BATCH
-    corpus, then a readStream of vectors encodes against the FROZEN
-    scales in one stateless mapInPandas. Deterministic and
-    arrival-order-independent, so this is the second streaming query
-    carrying a full value-hash DuckDB oracle."""
-    import hashlib as _hashlib
-
-    from trendmachine_spark.extensions.similarity import (
-        quantize_embeddings,
-        sq8_encode,
-        sq8_scales,
-    )
-
-    S = sq8_scales(quantize_embeddings(_embeddings(spark, sf_dir)))
-    if S is None:
-        return spark.createDataFrame([], "vec_id long, pos int, code int")
-    stream = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>")
-        .option("pathGlobFilter", "embeddings*.parquet")
-        .parquet(sf_dir)
-    )
-    enc = sq8_encode(quantize_embeddings(stream), S)
-    out = enc.select(
-        F.col("vid").alias("vec_id"),
-        F.posexplode("codes").alias("pos", "code"),
-    ).select("vec_id", F.col("pos").cast("int"), F.col("code").cast("int"))
-    qname = ("_sq8_encode_stream_q_"
-             + _hashlib.md5(sf_dir.encode()).hexdigest()[:8])
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql(f"SELECT * FROM {qname}")
-
-
-@register("session_windows_streaming", None)  # native streaming sessions: rows-only
-def q_session_windows_streaming(spark, sf_dir):
-    """Native ``session_window`` on a readStream source (watermarked,
-    append mode): emits sessions closed by the watermark. The
-    batch-subset equivalence test lives in tests/test_streaming.py."""
-    from trendmachine_spark.streaming.funnel_stream import events_raw_stream
-
-    stream = events_raw_stream(spark, sf_dir)
-    # session_window must consume the watermarked column ITSELF — any
-    # wrapping cast severs the watermark association and append mode
-    # is rejected (events_raw_stream already emits a plain timestamp)
-    sw = F.session_window(F.col("event_time"), "30 minutes")
-    agg = (
-        stream.withWatermark("event_time", "1 day")
-        .groupBy("user_id", sw)
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_micros(F.col("session_window.start")).alias("start_us"),
-            F.unix_micros(F.col("session_window.end")).alias("end_us"),
-            "n_events",
-        )
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("_sw_stream_q")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql("SELECT * FROM _sw_stream_q")
-
-
-@register("funnel_streaming", None)  # streaming stateful: rows-only
-def q_funnel_streaming(spark, sf_dir):
-    """Streaming ordered funnel driven to completion over the sf
-    parquet (single micro-batch == batch-equivalent; the cross-batch
-    equivalence test lives in tests/test_streaming.py)."""
-    from trendmachine_spark.streaming.funnel_stream import (
-        events_raw_stream,
-        funnel_stream,
-    )
-
-    q = (
-        funnel_stream(events_raw_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName("_funnel_stream_q")
-        .outputMode("update")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql("SELECT * FROM _funnel_stream_q")
-
-
-@register("resilience_streaming", None)  # streaming stateful: rows-only
-def q_resilience_streaming(spark, sf_dir):
-    """Streaming O34 driven to completion over the sf parquet (the
-    batch-equivalence test lives in tests/test_streaming.py)."""
-    from trendmachine_spark.streaming.capture_stream import (
-        events_capture_stream,
-        resilience_scores_stream,
-    )
-
-    stream = events_capture_stream(spark, sf_dir)
-    q = (
-        resilience_scores_stream(stream)
-        .writeStream.format("memory")
-        .queryName("_res_stream_q")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql("SELECT * FROM _res_stream_q")
-
-
-@register("scored_daily_streaming", None)  # streaming stateful: rows-only
-def q_scored_daily_streaming(spark, sf_dir):
-    """Streaming O34+O35 (resilience + fixity at day close) driven to
-    completion; batch equivalence pinned in tests/test_streaming.py."""
-    from trendmachine_spark.streaming.capture_stream import events_capture_stream
-    from trendmachine_spark.streaming.scored_stream import scored_daily_stream
-
-    stream = events_capture_stream(spark, sf_dir)
-    q = (
-        scored_daily_stream(stream)
-        .writeStream.format("memory")
-        .queryName("_scored_stream_q")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql("SELECT * FROM _scored_stream_q")
-
-
-@register("dedup_streaming", None)  # streaming, keeper partition-arbitrary
-def q_dedup_streaming(spark, sf_dir):
-    """Streaming ingest dedup (watermark-bounded state); digest-set
-    equivalence with batch DISTINCT pinned in tests/test_streaming.py."""
-    from trendmachine_spark.streaming.capture_stream import events_capture_stream
-    from trendmachine_spark.streaming.dedup_stream import dedup_stream
-
-    stream = events_capture_stream(spark, sf_dir)
-    q = (
-        dedup_stream(stream)
-        .writeStream.format("memory")
-        .queryName("_dedup_stream_q")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql("SELECT * FROM _dedup_stream_q")
-
-
-@register("neardup_streaming", None)  # stateful LSH-bucket state: rows-only
-def q_neardup_streaming(spark, sf_dir):
-    """Watermarked stateful streaming NEAR-dup (round-5 closure of the
-    r3 stretch item): applyInPandasWithState keyed by (band, bucket),
-    TTL'd capped member state, flags in incremental_dedup's shape.
-    Cross-trigger equivalence with iterated incremental_dedup (late
-    data included), TTL re-admission, and the state cap are pinned in
-    tests/test_neardup_stream.py; this entry smoke-runs the operator
-    end-to-end on the documents corpus."""
-    from trendmachine_spark.streaming.neardup_stream import (
-        flags_from_rows,
-        near_dup_flags_stream,
-    )
-
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("pathGlobFilter", "documents*.parquet")
-        .parquet(sf_dir)
-        .withColumn("event_time", F.lit("2020-01-01 00:00:00").cast("timestamp"))
-    )
-    q = (
-        near_dup_flags_stream(stream, watermark="1 day")
-        .writeStream.format("memory")
-        .queryName("_neardup_stream_q")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return flags_from_rows(spark.table("_neardup_stream_q"))
-
-
-@register(
-    "corpus_mix_temperature",
-    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-    m AS (SELECT min(n) AS mn FROM c),
-    r AS (SELECT source, sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM c, m)
-    SELECT d.doc_id, d.source, d.lang
-    FROM documents d JOIN r USING (source)
-    WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-          / 1152921504606846976.0 < r.rate""",
-)
-def q_corpus_mix_temperature(spark, sf_dir):
-    """Temperature-balanced (alpha=0.5) source mixing: keep rate
-    sqrt(min_n/n_s) per source — deterministic hash membership, rates
-    via correctly-rounded sqrt so both engines agree bit-for-bit."""
-    from trendmachine_spark.extensions.sampling import temperature_mix
-
-    return temperature_mix(_docs(spark, sf_dir)).select("doc_id", "source", "lang")
-
-
-def _pack_sequences_oracle(budget: int = 2048, n_buckets: int = 64) -> str:
-    """Recursive-CTE mirror of extensions.packing.pack_sequences: the
-    greedy running-budget reset walks each bucket row by row (recursion
-    depth = docs per bucket — fine at oracle scale; the Spark side is
-    the scan that actually scales)."""
-    return f"""WITH RECURSIVE sized AS (
-      SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {n_buckets} AS b
-      FROM documents
-    ),
-    ordered AS (
-      SELECT *, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn FROM sized
-    ),
-    walk(b, rn, doc_id, n_tokens, pack_i, off) AS (
-      SELECT b, rn, doc_id, n_tokens, 0, CAST(0 AS BIGINT) FROM ordered WHERE rn = 1
-      UNION ALL
-      SELECT o.b, o.rn, o.doc_id, o.n_tokens,
-             CASE WHEN w.off + w.n_tokens > 0
-                       AND w.off + w.n_tokens + o.n_tokens > {budget}
-                  THEN w.pack_i + 1 ELSE w.pack_i END,
-             CASE WHEN w.off + w.n_tokens > 0
-                       AND w.off + w.n_tokens + o.n_tokens > {budget}
-                  THEN CAST(0 AS BIGINT) ELSE w.off + w.n_tokens END
-      FROM ordered o JOIN walk w ON o.b = w.b AND o.rn = w.rn + 1
-    )
-    SELECT concat('b', b, 'p', pack_i) AS pack_id, doc_id, n_tokens,
-           off AS offset
-    FROM walk"""
-
-
-@register("pack_sequences", _pack_sequences_oracle())
-def q_pack_sequences(spark, sf_dir):
-    """Greedy sequence packing into 2048-token budgets over hash
-    buckets (extensions/packing.py); invariants pinned in tests, exact
-    assignment value-hash-checked by the recursive-CTE oracle."""
-    from trendmachine_spark.extensions.packing import pack_sequences
-
-    return pack_sequences(_docs(spark, sf_dir))
-
-
-@register(
-    "packed_text",
-    # the recursive packing walk joined back to the corpus: one packed
-    # training sequence per pack, docs concatenated in offset order
-    f"""{_pack_sequences_oracle()[:_pack_sequences_oracle().rindex('SELECT')]}
-    SELECT concat('b', w.b, 'p', w.pack_i) AS pack_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(w.n_tokens) AS BIGINT) AS total_tokens,
-           string_agg(d.text, ' ' ORDER BY w.off) AS text
-    FROM walk w JOIN documents d USING (doc_id)
-    GROUP BY w.b, w.pack_i""",
-)
-def q_packed_text(spark, sf_dir):
-    """Trainer-ready packed sequences (packing.packed_text): assignment
-    joined back to the corpus, concatenated in offset order."""
-    from trendmachine_spark.extensions.packing import packed_text
-
-    return packed_text(_docs(spark, sf_dir))
-
-
-@register(
-    "dedup_segments",
-    """WITH words AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-      FROM documents
-    ),
-    seg AS (
-      SELECT doc_id, CAST(pos // 10 AS INT) AS seg_id,
-             string_agg(w, ' ' ORDER BY pos) AS seg
-      FROM words GROUP BY doc_id, pos // 10
-    ),
-    nseg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_segments FROM seg GROUP BY doc_id),
-    freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
-    SELECT s.doc_id,
-           any_value(n.n_segments) AS n_segments,
-           CAST(count(*) FILTER (WHERE f.df > 2) AS BIGINT) AS n_removed,
-           coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_id)
-                      FILTER (WHERE f.df <= 2), '') AS clean_text
-    FROM seg s JOIN freq f USING (seg) JOIN nseg n USING (doc_id)
-    GROUP BY s.doc_id""",
-)
-def q_dedup_segments(spark, sf_dir):
-    """Sub-document boilerplate removal (CCNet/RefinedWeb line dedup):
-    fixed 10-word segments; segments in > 2 distinct docs are dropped
-    from every doc, residual text reassembled in order."""
-    from trendmachine_spark.extensions.dedup import segment_dedup
-
-    return segment_dedup(_docs(spark, sf_dir), seg_words=10, max_doc_freq=2)
-
-
-def _semantic_dedup_oracle(n_cells: int = 16, min_cosine: float = 0.3) -> str:
-    """Mirrors similarity.ivf_assign (Lloyd-refined deterministic
-    centroids, argmax integer-dot/sqrt(centroid norm), tie -> lowest
-    cell) then exact within-cell quantized cosine."""
-    return (f"WITH {_semantic_cte(n_cells, min_cosine)} "
-            "SELECT id_a, id_b, cell, cosine FROM sem_pairs")
-
-
-def _semantic_cell_bounds(n_cells: int) -> tuple[int, int]:
-    """[lo, hi] corpus sizes for which ``semantic_cells_for(n)`` ==
-    ``n_cells`` (the rule is monotone in n; binary-searched against
-    the actual function so rounding-mode subtleties can't bite)."""
-    from trendmachine_spark.extensions.similarity import semantic_cells_for
-
-    cap = 1 << 40  # top clamp (4096 cells) never decays above this
-
-    def _last_below(limit_cells: int) -> int:
-        # max n with rule(n) < limit_cells, 0 if none
-        lo, hi = 0, cap
-        while lo < hi:
-            mid = (lo + hi + 1) // 2
-            if semantic_cells_for(mid) < limit_cells:
-                lo = mid
-            else:
-                hi = mid - 1
-        return lo
-
-    lo = _last_below(n_cells) + 1
-    hi = _last_below(n_cells + 1) if n_cells < 4096 else cap
-    # explicit raise, not assert (r13 ADVICE): the [lo, hi] band is what
-    # the oracle's cell_pin_guard trusts — under ``python -O`` an assert
-    # is stripped and a semantic_cells_for drift would silently hand the
-    # guard a wrong band, so the check must survive optimized runs.
-    if not (semantic_cells_for(lo) == n_cells <= semantic_cells_for(hi)):
-        raise RuntimeError(
-            f"semantic cell-bound derivation is inconsistent with "
-            f"semantic_cells_for: n_cells={n_cells} lo={lo} hi={hi}")
-    return lo, hi
-
-
-def _semantic_cte(n_cells: int = 16, min_cosine: float = 0.3) -> str:
-    """The semantic-pair CTE chain shared by dedup_semantic and
-    dedup_semantic_keepers (mirrors the refined ivf_assign + within-
-    cell cosine).
-
-    The chain embeds a SELF-INVALIDATING pin guard (r12 ADVICE): the
-    registered oracle strings pin ``n_cells`` at registration time
-    while the Spark builders apply the sqrt rule to the ACTUAL corpus
-    — correct wherever the oracle is actually run (both driver SFs
-    hold 500 vectors -> the 16-cell floor), but a comparison against
-    any corpus outside the pinned count's validity band (sf0.1's 2000
-    vectors -> 32 cells) would silently diverge. The guard makes that
-    loud: ``cell_pin_guard`` errors via DuckDB ``error()`` unless the
-    corpus row count sits inside the [lo, hi] band where
-    ``semantic_cells_for`` returns exactly the pinned value. The guard
-    rides sem_pairs as a UNION ALL branch (``... FROM cell_pin_guard
-    WHERE ok <> 0``), not a row-level WHERE predicate (r13 ADVICE): a
-    predicate only evaluates per candidate row, so an out-of-band
-    corpus whose cell join happened to yield zero pairs above the
-    cosine threshold would silently return empty instead of erroring —
-    a UNION ALL child is executed regardless of the sibling's row
-    count, so ``ok`` (and hence ``error()``) always evaluates.
-    Value-neutral on valid corpora: ok=0 filters the branch's single
-    row out before it can surface.
-
-    Composes the IVF chain WITH materialization hints:
-    sem_pairs self-joins `assigned` (and keepers re-reads sem_pairs
-    from both edge directions), and DuckDB's CTE inlining re-expands
-    the whole Lloyd chain per reference — measured 373 s vs 25.9 s at
-    x10 (hint-free vs hinted, r12). Value-neutral: parity re-verified
-    hash-exact at both SFs."""
-    lo, hi = _semantic_cell_bounds(n_cells)
-    return f"""{_ivf_refined_ctes(n_cells, materialize=True)},
-    cell_pin_guard AS (
-      SELECT CASE WHEN (SELECT count(*) FROM embeddings) BETWEEN {lo} AND {hi}
-             THEN 0 ELSE error('pinned n_cells={n_cells} oracle is invalid for this corpus: semantic_cells_for(count) differs - regenerate the oracle at _semantic_cells(sf_dir)') END AS ok
-    ),
-    sem_pairs AS (
-      SELECT id_a, id_b, cell, cosine FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
-               CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-                                            i -> a.q[i] * b.q[i])) AS DOUBLE)
-                 / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS cosine
-        FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      ) WHERE cosine >= {min_cosine}
-      UNION ALL
-      SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-             CAST(NULL AS DOUBLE)
-      FROM cell_pin_guard WHERE ok <> 0
-    )"""
-
-
-def _semantic_cells(sf_dir: str) -> int:
-    """``semantic_cells_for`` applied to the embeddings parquet's FILE
-    METADATA row count — no Spark job (the load_probe_matrix stance).
-    Both driver-correctness SFs (sf0.001 and sf0.01: 500 and 500
-    vectors) land on the 16-cell floor by the rule's construction, so
-    the pinned n_cells=16 oracle strings stay exact there — and the
-    oracle's embedded cell_pin_guard (see _semantic_cte) errors
-    loudly, rather than silently diverging, on any corpus outside
-    that band (sf0.1's 2000 vectors -> 32 cells). Scaled corpora get
-    the sqrt rule, and their DuckDB twins are re-generated at the
-    SAME cell count by tools/corpus_ops_scaled.py (the oracle
-    builders are parameterized)."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    from trendmachine_spark.extensions.similarity import semantic_cells_for
-
-    try:
-        n = pq.ParquetFile(
-            os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
-    except OSError:
-        return 16
-    return semantic_cells_for(n)
-
-
-@register("dedup_semantic", _semantic_dedup_oracle())
-def q_dedup_semantic(spark, sf_dir):
-    """SemDeDup-style semantic near-dup: deterministic IVF cells +
-    exact within-cell quantized cosine (similarity.semantic_dedup).
-    Round 12: n_cells follows the sqrt operating rule
-    (similarity.semantic_cells_for) — fixed cells bend the within-cell
-    pair stage quadratic at scale (SEMANTIC_CELLS.json names the
-    knee); the rule keeps both driver SFs at the oracle's 16."""
-    from trendmachine_spark.extensions.similarity import semantic_dedup
-
-    return semantic_dedup(_embeddings(spark, sf_dir),
-                          n_cells=_semantic_cells(sf_dir), min_cosine=0.3)
-
-
-@register(
-    "chunk_documents",
-    """WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS ws,
-             len(string_split(text, ' ')) AS n
-      FROM documents
-    ),
-    lens AS (
-      SELECT doc_id, ws, n,
-             CAST(1 + (greatest(n - 32, 0) + 23) // 24 AS INT) AS n_chunks
-      FROM w
-    )
-    SELECT doc_id,
-           CAST(i AS INT) AS chunk_id,
-           CAST(i * 24 AS INT) AS start_pos,
-           CAST(least(32, n - i * 24) AS INT) AS n_tokens,
-           array_to_string(ws[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
-    FROM lens, unnest(generate_series(0, n_chunks - 1)) AS t(i)""",
-)
-def q_chunk_documents(spark, sf_dir):
-    """RAG chunking: 32-word windows, 8-word overlap (stride 24);
-    zero-exchange map stage (text.chunk_documents)."""
-    from trendmachine_spark.extensions.text import chunk_documents
-
-    return chunk_documents(_docs(spark, sf_dir), chunk_words=32, overlap=8)
-
-
-@register(
-    "corpus_stats",
-    """WITH base AS (
-      SELECT source AS grp, doc_id, length(text) AS chars,
-             len(string_split(text, ' ')) AS toks
-      FROM documents
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY chars, doc_id) AS rn,
-             count(*) OVER (PARTITION BY grp) AS n
-      FROM base
-    )
-    SELECT grp AS source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(toks) AS BIGINT) AS total_tokens,
-           CAST(sum(chars) AS DOUBLE) / count(*) AS mean_chars,
-           CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN chars END) AS BIGINT) AS p50_chars,
-           CAST(max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN chars END) AS BIGINT) AS p90_chars
-    FROM ranked GROUP BY grp""",
-)
-def q_corpus_stats(spark, sf_dir):
-    """Per-source corpus report with exact nearest-rank-lower length
-    quantiles (text.corpus_stats) — map-combined (source, chars)
-    histogram, then a tiny distinct-length window picks the ranks."""
-    from trendmachine_spark.extensions.text import corpus_stats
-
-    return corpus_stats(_docs(spark, sf_dir))
-
-
-def _semantic_keepers_oracle(n_cells: int = 16,
-                             min_cosine: float = 0.3) -> str:
-    """semantic pairs -> connected components via recursive transitive
-    closure (min reachable id), keeper = smallest id per component.
-    Parameterized (round 12) so tools/corpus_ops_scaled.py can
-    re-generate the engine twin at the adaptive cell count."""
-    return f"""WITH RECURSIVE {_semantic_cte(n_cells, min_cosine)},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM sem_pairs
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM sem_pairs
-    ),
-    reach(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-    ),
-    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
-    SELECT CAST(node AS BIGINT) AS vec_id,
-           CAST(cluster_id AS BIGINT) AS cluster_id,
-           CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-    FROM comp"""
-
-
-@register("dedup_semantic_keepers", _semantic_keepers_oracle())
-def q_dedup_semantic_keepers(spark, sf_dir):
-    """End-to-end SemDeDup: semantic pairs -> hash-min components ->
-    smallest-id keeper per semantic cluster (clusters.semantic_keepers).
-    Round 12: adaptive n_cells via the sqrt rule, as dedup_semantic."""
-    from trendmachine_spark.extensions.clusters import semantic_keepers
-
-    return semantic_keepers(_embeddings(spark, sf_dir),
-                            n_cells=_semantic_cells(sf_dir), min_cosine=0.3)
-
-
-def _split_semantic_leakage_oracle(n_cells: int = 16,
-                                   min_cosine: float = 0.3) -> str:
-    """Semantic pairs (the shared pinned-cell CTE chain, guard
-    included) x the split3 md5 assignment, keeping only pairs that
-    straddle a split boundary. Parameterized so
-    tools/corpus_ops_scaled.py can re-generate the engine twin at the
-    adaptive cell count (same contract as the dedup_semantic pair)."""
-    return f"""WITH {_semantic_cte(n_cells, min_cosine)},
-    assigned_split AS (
-      SELECT doc_id,
-             CASE WHEN u < 0.05 THEN 'valid'
-                  WHEN u < 0.1 THEN 'test'
-                  ELSE 'train' END AS split
-      FROM (SELECT doc_id,
-            ('0x' || substr(md5('split3:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-              / 1152921504606846976.0 AS u FROM documents)
-    )
-    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
-           p.cosine
-    FROM sem_pairs p
-    JOIN assigned_split sa ON p.id_a = sa.doc_id
-    JOIN assigned_split sb ON p.id_b = sb.doc_id
-    WHERE sa.split <> sb.split"""
-
-
-@register("split_semantic_leakage", _split_semantic_leakage_oracle())
-def q_split_semantic_leakage(spark, sf_dir):
-    """SEMANTIC split contamination (round 13): near-duplicate
-    embedding pairs (the SemDeDup cells + within-cell cosine >= 0.3
-    pipeline, sqrt cell rule) that STRADDLE a train/valid/test
-    boundary — the embedding-space complement to
-    `split_leakage_report`'s opening-8-gram check. An n-gram check
-    misses paraphrases and near-copies with different openings; a
-    semantic pair crossing into eval is exactly the contamination an
-    LLM eval audit must surface (vec_id == doc_id by the corpus
-    construction; embeddings cover a prefix of the document ids, so
-    coverage follows the embedding table).
-
-    SCALE: the pair table rides the semantic_dedup plan (cells bound
-    the quadratic); the split column is a zero-shuffle md5 projection
-    of the documents scan, joined twice to the tiny pair table — AQE
-    broadcasts the pair side at any realistic near-dup density, and
-    the cross-split filter drops the (overwhelming) same-split mass
-    before anything aggregates."""
-    from trendmachine_spark.extensions.sampling import split_assign
-    from trendmachine_spark.extensions.similarity import semantic_dedup
-
-    pairs = semantic_dedup(_embeddings(spark, sf_dir),
-                           n_cells=_semantic_cells(sf_dir), min_cosine=0.3)
-    sp = split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
-    out = (
-        pairs
-        .join(sp.withColumnRenamed("doc_id", "id_a")
-                .withColumnRenamed("split", "split_a"), "id_a")
-        .join(sp.withColumnRenamed("doc_id", "id_b")
-                .withColumnRenamed("split", "split_b"), "id_b")
-        .filter(F.col("split_a") != F.col("split_b"))
-        .select("id_a", "id_b", "split_a", "split_b", "cosine")
-    )
-    return out
-
-
-@register(
-    "dedup_multi_signal",
-    # ensemble candidate generation: union of the three oracled pair
-    # generators, each embedded verbatim as a subquery (same SQL the
-    # driver already value-hash-checks individually)
-    f"""SELECT id_a, id_b, 'minhash' AS method
-    FROM ({QUERIES['dedup_minhash_lsh'].oracle})
-    UNION ALL
-    SELECT id_a, id_b, 'simhash' AS method
-    FROM (SELECT id_a, id_b FROM ({QUERIES['dedup_simhash_near_dup'].oracle}))
-    UNION ALL
-    SELECT id_a, id_b, 'embedding' AS method
-    FROM (SELECT id_a, id_b FROM ({QUERIES['dedup_embedding_cosine_bucketed'].oracle}))""",
-)
-def q_dedup_multi_signal(spark, sf_dir):
-    """Ensemble near-dup candidates: the union every production dedup
-    pipeline feeds into clustering — lexical (MinHash LSH), structural
-    (SimHash banded hamming), and semantic (SRP-bucketed embedding
-    cosine) signals, tagged by method. vec_id aligns with doc_id in
-    the driver corpus (one embedding per document). Each branch keeps
-    its own scale shape (documented per operator); the union is a
-    narrow concatenation — no added exchange."""
-    from trendmachine_spark.extensions.dedup import minhash_near_dup, simhash_near_dup
-    from trendmachine_spark.extensions.similarity import embedding_near_dup_bucketed
-
-    docs = _docs(spark, sf_dir)
-    m = (minhash_near_dup(docs).select("id_a", "id_b")
-         .withColumn("method", F.lit("minhash")))
-    s = (simhash_near_dup(docs).select("id_a", "id_b")
-         .withColumn("method", F.lit("simhash")))
-    e = (embedding_near_dup_bucketed(_embeddings(spark, sf_dir), min_cosine=0.3)
-         .select("id_a", "id_b").withColumn("method", F.lit("embedding")))
-    return m.unionByName(s).unionByName(e)
-
-
-@register(
-    "dedup_clusters_ensemble",
-    # end-to-end ensemble dedup: text candidates (minhash ∪ simhash)
-    # verified by exact jaccard >= 0.5; embedding pairs arrive already
-    # cosine-verified; union -> transitive closure -> smallest-id keeper
-    f"""WITH RECURSIVE {_minhash_ctes()},
-    lists AS (
-      SELECT doc_id, list(shingle) AS ls, CAST(count(*) AS BIGINT) AS n
-      FROM sh GROUP BY doc_id
-    ),
-    text_cand AS (
-      SELECT id_a, id_b FROM cand
-      UNION
-      SELECT id_a, id_b FROM ({QUERIES['dedup_simhash_near_dup'].oracle})
-    ),
-    text_verified AS (
-      SELECT id_a, id_b
-      FROM text_cand
-      JOIN lists la ON text_cand.id_a = la.doc_id
-      JOIN lists lb ON text_cand.id_b = lb.doc_id
-      WHERE CAST(len(list_intersect(la.ls, lb.ls)) AS DOUBLE)
-            / (la.n + lb.n - len(list_intersect(la.ls, lb.ls))) >= 0.5
-    ),
-    allv AS (
-      SELECT id_a, id_b FROM text_verified
-      UNION
-      SELECT id_a, id_b FROM ({QUERIES['dedup_embedding_cosine_bucketed'].oracle})
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM allv
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM allv
-    ),
-    reach(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-    ),
-    comp AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
-    SELECT CAST(node AS BIGINT) AS doc_id,
-           CAST(cluster_id AS BIGINT) AS cluster_id,
-           CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
-    FROM comp""",
-)
-def q_dedup_clusters_ensemble(spark, sf_dir):
-    """End-to-end ensemble dedup clustering over all three signals.
-
-    Text candidates (minhash ∪ simhash banded-hamming) are verified by
-    EXACT jaccard >= 0.5 (ensemble recall motivates the looser bar than
-    single-signal dedup_clusters' 0.8); embedding pairs carry their own
-    exact-cosine verification from the SRP-bucketed generator. The
-    union feeds hash-min connected components; keeper = smallest id.
-    Scale shapes are inherited per stage: bucketed candidate
-    generation, candidate-bounded verification, lineage-truncated
-    label propagation over the verified-pair graph only.
-    """
-    from trendmachine_spark.extensions.clusters import (
-        connected_components,
-        verify_candidates,
-    )
-    from trendmachine_spark.extensions.dedup import minhash_near_dup, simhash_near_dup
-    from trendmachine_spark.extensions.similarity import embedding_near_dup_bucketed
-
-    docs = _docs(spark, sf_dir)
-    text_cands = (
-        minhash_near_dup(docs).select("id_a", "id_b")
-        .unionByName(simhash_near_dup(docs).select("id_a", "id_b"))
-        .distinct()
-    )
-    verified_text = verify_candidates(
-        text_cands, docs, min_jaccard=0.5
-    ).select("id_a", "id_b")
-    emb = embedding_near_dup_bucketed(
-        _embeddings(spark, sf_dir), min_cosine=0.3
-    ).select("id_a", "id_b")
-    edges = verified_text.unionByName(emb).distinct()
-    comps = connected_components(edges)
-    return comps.select(
-        F.col("node").alias("doc_id"),
-        F.col("cluster").alias("cluster_id"),
-        (F.col("node") == F.col("cluster")).cast("long").alias("is_keeper"),
-    )
-
-
-@register(
-    "training_corpus_segmented",
-    # round-3 funnel: boilerplate-segment removal -> drop fully-
-    # boilerplate docs -> drop semantic non-keepers -> residual token
-    # counts. CTEs are the dedup_segments and dedup_semantic_keepers
-    # oracles verbatim, composed.
-    f"""WITH RECURSIVE words AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-      FROM documents
-    ),
-    seg AS (
-      SELECT doc_id, CAST(pos // 10 AS INT) AS seg_id,
-             string_agg(w, ' ' ORDER BY pos) AS seg
-      FROM words GROUP BY doc_id, pos // 10
-    ),
-    freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
-    cleaned AS (
-      SELECT s.doc_id,
-             CAST(count(*) FILTER (WHERE f.df > 2) AS BIGINT) AS n_removed_segments,
-             coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_id)
-                        FILTER (WHERE f.df <= 2), '') AS clean_text
-      FROM seg s JOIN freq f USING (seg)
-      GROUP BY s.doc_id
-    ),
-    {_semantic_cte()},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM sem_pairs
-      UNION ALL
-      SELECT id_b AS src, id_a AS dst FROM sem_pairs
-    ),
-    reach(node, label) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-    ),
-    drops AS (
-      SELECT node AS doc_id FROM (
-        SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
-      ) WHERE node != cluster_id
-    )
-    SELECT c.doc_id,
-           CAST(len(string_split(c.clean_text, ' ')) AS BIGINT) AS n_tokens,
-           c.n_removed_segments
-    FROM cleaned c
-    WHERE c.clean_text != ''
-      AND c.doc_id NOT IN (SELECT doc_id FROM drops)""",
-)
-def q_training_corpus_segmented(spark, sf_dir):
-    """The round-3 funnel composed from the new oracled blocks:
-    sub-document boilerplate removal (segment_dedup) -> drop docs whose
-    every segment was boilerplate -> drop semantic non-keepers
-    (SemDeDup, vec_id aligns with doc_id) -> residual whitespace token
-    counts. Scale: each stage keeps its own audited shape; the keeper
-    drop is a left-anti join against the (small) non-keeper set."""
-    from trendmachine_spark.extensions.clusters import semantic_keepers
-    from trendmachine_spark.extensions.dedup import segment_dedup
-
-    cleaned = segment_dedup(_docs(spark, sf_dir), seg_words=10, max_doc_freq=2)
-    drops = (
-        semantic_keepers(_embeddings(spark, sf_dir), n_cells=16, min_cosine=0.3)
-        .filter(F.col("is_keeper") == 0)
-        .select(F.col("vec_id").alias("doc_id"))
-    )
-    return (
-        cleaned.filter(F.col("clean_text") != "")
-        .join(drops, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.size(F.split(F.col("clean_text"), " ")).cast("long").alias("n_tokens"),
-            F.col("n_removed").alias("n_removed_segments"),
-        )
-    )
-
-
-@register(
-    "multimodal_decode_real",
-    # Closed-form twin of the REAL byte-level decode: the Spark side
-    # encodes actual BMP/WAV files from doc_id, decodes them back with
-    # the pure-Python codecs, and emits position/channel-weighted
-    # checksums of the DECODED values; the oracle computes the same
-    # sums directly from the generator formulas. Any padding, row-order,
-    # channel-order, or chunk-walk bug in the codec shifts value_sum.
-    """WITH ids AS (SELECT doc_id FROM documents),
-    bmp AS (
-      SELECT d.doc_id, 'bmp' AS media,
-             CAST(4 + d.doc_id % 13 AS INT) AS width,
-             CAST(3 + d.doc_id % 7 AS INT) AS height,
-             CAST(3 AS INT) AS channels,
-             CAST(0 AS INT) AS sample_rate,
-             CAST(0 AS BIGINT) AS n_samples,
-             CAST(sum((1 + (x.x + 2 * y.y) % 5) *
-                      (   (x.x * 7  + y.y * 13 + d.doc_id) % 256
-                     + 2*((x.x * 11 + y.y * 3  + d.doc_id) % 256)
-                     + 3*((x.x * 5  + y.y * 17 + d.doc_id) % 256))) AS BIGINT)
-               AS value_sum
-      FROM ids d,
-           generate_series(0, 15) AS x(x),
-           generate_series(0, 8) AS y(y)
-      WHERE d.doc_id % 2 = 0
-        AND x.x < 4 + d.doc_id % 13 AND y.y < 3 + d.doc_id % 7
-      GROUP BY d.doc_id
-    ),
-    wav AS (
-      SELECT d.doc_id, 'wav' AS media,
-             CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
-             CAST(0 AS INT) AS channels,
-             CAST(8000 + (d.doc_id % 4) * 4000 AS INT) AS sample_rate,
-             CAST(50 + d.doc_id % 100 AS BIGINT) AS n_samples,
-             CAST(sum((1 + i.i % 7) *
-                      ((i.i * 31 + d.doc_id) % 65536 - 32768)) AS BIGINT)
-               AS value_sum
-      FROM ids d, generate_series(0, 148) AS i(i)
-      WHERE d.doc_id % 2 = 1 AND i.i < 50 + d.doc_id % 100
-      GROUP BY d.doc_id
-    )
-    SELECT * FROM bmp UNION ALL SELECT * FROM wav""",
-)
-def q_multimodal_decode_real(spark, sf_dir):
-    """REAL in-sandbox media decode (round-4 mandate): deterministic
-    BMP/WAV payloads are ENCODED from doc_id, then DECODED back byte-
-    for-byte by the pure-Python codecs (extensions/codecs.py) inside
-    Arrow-batched mapInPandas — no stub on this path. The oracle
-    recomputes the weighted checksums in closed form, so the value-hash
-    verifies the whole encode->bytes->decode round trip."""
-    from trendmachine_spark.extensions.multimodal import (
-        decode_assets_real,
-        synthetic_media_assets,
-    )
-
-    return decode_assets_real(synthetic_media_assets(_docs(spark, sf_dir)))
-
-
-@register(
-    "multimodal_resize_real",
-    # nearest-neighbor resample: output pixel (X, Y) reads source pixel
-    # (X*w // 8, Y*h // 6) — the oracle evaluates the generator formula
-    # AT THE RESAMPLED coordinates, so a wrong resize mapping (or a
-    # decode bug feeding it) shifts the weighted sum.
-    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
-    SELECT d.doc_id,
-           CAST(8 AS INT) AS out_width, CAST(6 AS INT) AS out_height,
-           CAST(sum((1 + (p.x + 2 * p.y) % 5) *
-                    (   (sx * 7  + sy * 13 + d.doc_id) % 256
-                   + 2*((sx * 11 + sy * 3  + d.doc_id) % 256)
-                   + 3*((sx * 5  + sy * 17 + d.doc_id) % 256))) AS BIGINT)
-             AS value_sum
-    FROM ids d,
-         (SELECT x.x AS x, y.y AS y
-          FROM generate_series(0, 7) AS x(x), generate_series(0, 5) AS y(y)) p,
-         LATERAL (SELECT (p.x * (4 + d.doc_id % 13)) // 8 AS sx,
-                         (p.y * (3 + d.doc_id % 7)) // 6 AS sy) s
-    GROUP BY d.doc_id""",
-)
-def q_multimodal_resize_real(spark, sf_dir):
-    """REAL resize path: BMP assets decoded and nearest-neighbor
-    resampled to 8x6 by the pure-Python codec; the md5 of the resized
-    bytes is unit-tested (not SQL-expressible) and dropped here so the
-    oracle stays closed-form."""
-    from trendmachine_spark.extensions.multimodal import (
-        resize_assets_real,
-        synthetic_media_assets,
-    )
-
-    assets = synthetic_media_assets(_docs(spark, sf_dir)).filter(
-        F.col("media_type") == "image/bmp"
-    )
-    return resize_assets_real(assets, 8, 6).select(
-        "doc_id", "out_width", "out_height", "value_sum"
-    )
-
-
-@register(
-    "multimodal_decode_png",
-    # Closed-form twin of the PNG byte-level round trip (round 7):
-    # the Spark side encodes spec-valid PNGs from doc_id (row r
-    # carries filter r%5, so ALL five filters are exercised), decodes
-    # them back through the zlib/chunk-walk/unfilter path, and emits
-    # the weighted checksum of the DECODED pixels; the oracle computes
-    # the same sums from the generator formulas. Any filter/CRC/
-    # inflate/channel bug shifts value_sum.
-    """WITH ids AS (SELECT doc_id FROM documents),
-    px AS (
-      SELECT d.doc_id, x.x, y.y,
-             (x.x * 7  + y.y * 13 + d.doc_id) % 256 AS r,
-             (x.x * 11 + y.y * 3  + d.doc_id) % 256 AS g,
-             (x.x * 5  + y.y * 17 + d.doc_id) % 256 AS b,
-             (x.x * 3  + y.y * 7  + d.doc_id) % 256 AS a
-      FROM ids d,
-           generate_series(0, 13) AS x(x),
-           generate_series(0, 6) AS y(y)
-      WHERE x.x < 4 + d.doc_id % 11 AND y.y < 3 + d.doc_id % 5
-    )
-    SELECT doc_id, 'png' AS media,
-           CAST(4 + doc_id % 11 AS INT) AS width,
-           CAST(3 + doc_id % 5 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END AS INT)
-             AS channels,
-           CAST(0 AS INT) AS sample_rate,
-           CAST(0 AS BIGINT) AS n_samples,
-           CAST(sum((1 + (x + 2 * y) % 5) *
-                    (r + 2 * g + 3 * b
-                     + CASE WHEN doc_id % 2 = 1 THEN 4 * a ELSE 0 END))
-                AS BIGINT) AS value_sum
-    FROM px GROUP BY doc_id""",
-)
-def q_multimodal_decode_png(spark, sf_dir):
-    """REAL in-sandbox PNG decode (round 7 — extends the round-4 BMP/
-    WAV mandate to the dominant web image format): pure-stdlib zlib
-    inflate + chunk walk with CRC verification + per-spec unfiltering
-    of filter types 0-4, inside Arrow-batched mapInPandas. The decoder
-    also reads external-tool-encoded system PNGs (unit-tested against
-    tests/data/external_ref.png); palette/16-bit/interlaced stay
-    behind documented NotImplementedError."""
-    from trendmachine_spark.extensions.multimodal import (
-        decode_assets_real,
-        synthetic_png_assets,
-    )
-
-    return decode_assets_real(synthetic_png_assets(_docs(spark, sf_dir)))
-
-
-@register(
-    "multimodal_decode_jpeg",
-    # Closed-form twin of the baseline-JPEG byte-level round trip
-    # (round 9, the 101st oracle — the one that flipped the rotation to
-    # period 3): the Spark side encodes spec-valid grayscale baseline
-    # JPEGs from doc_id (every 8x8 block constant at an EVEN value, so
-    # the DC-only spectrum quantizes exactly under the Annex-K q00=16
-    # and the lossy codec reconstructs BIT-EXACTLY — see
-    # synthetic_jpeg_assets), decodes them back through the Huffman/
-    # dequant/IDCT path, and emits the weighted checksum of the DECODED
-    # pixels; the oracle computes the same sums from the block-value
-    # formula v(bx,by) = 2*((bx*5 + by*11 + id) % 128). Any Huffman-
-    # table/bit-stuffing/zigzag/IDCT/placement bug shifts value_sum.
-    """WITH ids AS (SELECT doc_id FROM documents),
-    px AS (
-      SELECT d.doc_id, x.x, y.y,
-             2 * (((x.x // 8) * 5 + (y.y // 8) * 11 + d.doc_id) % 128) AS v
-      FROM ids d,
-           generate_series(0, 31) AS x(x),
-           generate_series(0, 23) AS y(y)
-      WHERE x.x < 8 * (1 + d.doc_id % 4) AND y.y < 8 * (1 + d.doc_id % 3)
-    )
-    SELECT doc_id, 'jpeg' AS media,
-           CAST(8 * (1 + doc_id % 4) AS INT) AS width,
-           CAST(8 * (1 + doc_id % 3) AS INT) AS height,
-           CAST(1 AS INT) AS channels,
-           CAST(0 AS INT) AS sample_rate,
-           CAST(0 AS BIGINT) AS n_samples,
-           CAST(sum((1 + (x + 2 * y) % 5) * v) AS BIGINT) AS value_sum
-    FROM px GROUP BY doc_id""",
-)
-def q_multimodal_decode_jpeg(spark, sf_dir):
-    """REAL in-sandbox baseline-JPEG decode (round 9 — closes the r8
-    verdict's highest-frequency-format gap): marker walk, DQT/DHT
-    load, Huffman entropy decode with byte un-stuffing and RSTn
-    restart handling, dequantize + dezigzag + 8x8 IDCT, sampling-
-    factor MCU walk, inside Arrow-batched mapInPandas. The decoder
-    also reads external libjpeg-encoded baselines with restart markers
-    and 4:2:0 chroma (unit-tested against tests/data/external_ref.jpg);
-    progressive/arithmetic/12-bit stay behind documented
-    NotImplementedError."""
-    from trendmachine_spark.extensions.multimodal import (
-        decode_assets_real,
-        synthetic_jpeg_assets,
-    )
-
-    return decode_assets_real(synthetic_jpeg_assets(_docs(spark, sf_dir)))
-
-
-def _phash_cte() -> str:
-    """Closed-form per-image aHash/dHash CTE chain (round 10), shared by
-    the three perceptual-hash oracles. Mirrors
-    multimodal.image_perceptual_hash over the BMP generator formulas
-    (multimodal._media_synth_one): integer luma
-    (299R + 587G + 114B) // 1000 at the nearest-resampled coordinates
-    (gx * w // 8 etc. — the resize_nearest index rule), aHash bit =
-    gray > floor(mean of the 64 cells), dHash bit = gray[x] < gray[x+1]
-    on the 9x8 grid, row-major bit p packed into 32-bit halves so both
-    engines stay inside BIGINT. Exposes `phash(doc_id, width, height,
-    ahash_hi, ahash_lo, dhash_hi, dhash_lo)`."""
-    gray = """(  299 * ((s.sx * 7  + s.sy * 13 + d.doc_id) % 256)
-          + 587 * ((s.sx * 11 + s.sy * 3  + d.doc_id) % 256)
-          + 114 * ((s.sx * 5  + s.sy * 17 + d.doc_id) % 256)) // 1000"""
-    return f"""ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
-    acells AS (
-      SELECT d.doc_id, gy.g * 8 + gx.g AS p, {gray} AS gray
-      FROM ids d,
-           generate_series(0, 7) AS gx(g), generate_series(0, 7) AS gy(g),
-           LATERAL (SELECT (gx.g * (4 + d.doc_id % 13)) // 8 AS sx,
-                           (gy.g * (3 + d.doc_id % 7)) // 8 AS sy) s
-    ),
-    ameans AS (SELECT doc_id, sum(gray) // 64 AS m FROM acells GROUP BY doc_id),
-    abits AS (
-      SELECT c.doc_id,
-             CAST(sum(CASE WHEN c.gray > am.m AND c.p >= 32
-                           THEN (1::BIGINT << (c.p - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-             CAST(sum(CASE WHEN c.gray > am.m AND c.p < 32
-                           THEN (1::BIGINT << c.p) ELSE 0 END) AS BIGINT) AS ahash_lo
-      FROM acells c JOIN ameans am USING (doc_id) GROUP BY c.doc_id
-    ),
-    dcells AS (
-      SELECT d.doc_id, gx.g AS gx, gy.g AS gy, {gray} AS gray
-      FROM ids d,
-           generate_series(0, 8) AS gx(g), generate_series(0, 7) AS gy(g),
-           LATERAL (SELECT (gx.g * (4 + d.doc_id % 13)) // 9 AS sx,
-                           (gy.g * (3 + d.doc_id % 7)) // 8 AS sy) s
-    ),
-    dbits AS (
-      SELECT l.doc_id,
-             CAST(sum(CASE WHEN l.gray < r.gray AND (l.gy * 8 + l.gx) >= 32
-                           THEN (1::BIGINT << (l.gy * 8 + l.gx - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
-             CAST(sum(CASE WHEN l.gray < r.gray AND (l.gy * 8 + l.gx) < 32
-                           THEN (1::BIGINT << (l.gy * 8 + l.gx)) ELSE 0 END) AS BIGINT) AS dhash_lo
-      FROM dcells l JOIN dcells r ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
-      WHERE l.gx < 8 GROUP BY l.doc_id
-    ),
-    phash AS (
-      SELECT a.doc_id,
-             CAST(4 + a.doc_id % 13 AS INT) AS width,
-             CAST(3 + a.doc_id % 7 AS INT) AS height,
-             a.ahash_hi, a.ahash_lo, db.dhash_hi, db.dhash_lo
-      FROM abits a JOIN dbits db USING (doc_id)
-    )"""
-
-
-def _bmp_assets(spark, sf_dir):
-    """REAL BMP payloads for the perceptual-hash queries (even doc
-    ids of the shared media generator)."""
-    from trendmachine_spark.extensions.multimodal import synthetic_media_assets
-
-    return synthetic_media_assets(_docs(spark, sf_dir)).filter(
-        F.col("media_type") == "image/bmp"
-    )
-
-
-@register(
-    "multimodal_image_hash",
-    # Closed-form twin of the REAL decode->gray->resample->threshold->
-    # pack chain: any codec, luma, resize-index, mean-rounding, or
-    # bit-order mistake shifts a hash half. See _phash_cte.
-    f"WITH {_phash_cte()}\n    SELECT * FROM phash",
-)
-def q_multimodal_image_hash(spark, sf_dir):
-    """Per-image perceptual hashes (aHash + dHash, round 10) over REAL
-    decoded BMP pixels — the image twin of text_fingerprints: a
-    ~30-byte signature per image that downstream dedup joins touch
-    instead of pixels. Integer-exact end to end (nearest resample +
-    integer luma + floor mean), which is what lets the oracle verify
-    the whole chain in closed form. Scale: per-asset Arrow-batched CPU,
-    zero exchanges; the rebalanced id projection (see
-    synthetic_media_assets) keeps codec fan-out at session parallelism."""
-    from trendmachine_spark.extensions.multimodal import image_perceptual_hash
-
-    return image_perceptual_hash(_bmp_assets(spark, sf_dir))
-
-
-@register(
-    "dedup_image_phash",
-    # families keyed on the full 64-bit aHash; linear output (one row
-    # per image), min-id keeper — the image analog of dedup_exact.
-    f"""WITH {_phash_cte()}
-    SELECT doc_id,
-           min(doc_id) OVER w AS family_key,
-           count(*) OVER w AS family_size,
-           CAST(doc_id = min(doc_id) OVER w AS BIGINT) AS is_keeper
-    FROM phash WINDOW w AS (PARTITION BY ahash_hi, ahash_lo)""",
-)
-def q_dedup_image_phash(spark, sf_dir):
-    """Exact perceptual-dup image families (round 10): images sharing a
-    64-bit aHash collapse to one family with a min-id keeper — the
-    image analog of dedup_exact, over REAL decoded pixels (aHash's
-    lossiness IS the dedup key: re-encoded/slightly-requantized copies
-    land in one family). Scale: one hash exchange over the hash table
-    (~30 bytes/image), linear output, never pairs."""
-    from trendmachine_spark.extensions.multimodal import (
-        image_perceptual_hash,
-        phash_families,
-    )
-
-    return phash_families(image_perceptual_hash(_bmp_assets(spark, sf_dir)))
-
-
-@register(
-    "dedup_image_phash_near",
-    # oracle verifies SEMANTICS (all pairs within hamming 2) directly;
-    # the Spark side reaches the same set through the 4x16-bit band
-    # join (pigeonhole-exact for hamming < 4). bit_count(xor()) is the
-    # same builtin pair in both engines.
-    f"""WITH {_phash_cte()}
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
-              + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS BIGINT) AS hamming
-    FROM phash a JOIN phash b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
-        + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 2""",
-)
-def q_dedup_image_phash_near(spark, sf_dir):
-    """Near-duplicate image pairs (round 10): aHash hamming <= 2 via a
-    4x16-bit band join on DISTINCT hashes — by pigeonhole a pair within
-    hamming < 4 agrees on at least one band verbatim, so band equality
-    is a lossless candidate filter, and running it on distinct hashes
-    (the r9 simhash collapse, applied up front: 25k images -> 2,033
-    hashes at x10) keeps hot identical-hash families out of the join.
-    Candidates verified with codegen bit_count(xor()); hamming-0
-    families expand via a member self-join, cross pairs via broadcast
-    member joins. The DuckDB twin states the SEMANTICS as a direct
-    hamming join, so the value hash proves the collapsed banded plan
-    reaches exactly the all-pairs answer."""
-    from trendmachine_spark.extensions.multimodal import (
-        image_perceptual_hash,
-        phash_near_pairs,
-    )
-
-    return phash_near_pairs(image_perceptual_hash(_bmp_assets(spark, sf_dir)), 2)
-
-
-@register(
-    "multimodal_audio_features",
-    # closed-form twin of the RIFF parse + PCM decode + feature pass:
-    # sample values are (i*31 + id) % 65536 - 32768 — any header-walk,
-    # sample-width, or sign bug shifts energy/zero_crossings/peak.
-    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
-    smp AS (
-      SELECT d.doc_id, i.i, (i.i * 31 + d.doc_id) % 65536 - 32768 AS v
-      FROM ids d, generate_series(0, 148) AS i(i)
-      WHERE i.i < 50 + d.doc_id % 100),
-    lagged AS (SELECT doc_id, v,
-                      lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
-               FROM smp)
-    SELECT doc_id,
-      CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
-      CAST(count(*) AS BIGINT) AS n_samples,
-      CAST((count(*) * 1000) // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms,
-      CAST(max(abs(v)) AS BIGINT) AS peak_abs,
-      CAST(count(*) FILTER (WHERE pv IS NOT NULL AND (pv < 0) != (v < 0)) AS BIGINT)
-        AS zero_crossings,
-      CAST(sum(v * v) AS BIGINT) AS energy,
-      CAST(sum(v) AS BIGINT) AS dc_sum
-    FROM lagged GROUP BY doc_id""",
-)
-def q_multimodal_audio_features(spark, sf_dir):
-    """Acoustic summary features (round 10) over REAL decoded PCM:
-    peak amplitude, zero-crossing count, total energy, DC sum, integer
-    duration — the stats an audio-corpus quality filter keys on
-    (silence/clipping/DC-bias detection), integer-exact so the oracle
-    verifies the full RIFF chunk walk + 16-bit sample decode. Completes
-    the audio ANALYSIS layer next to decode (multimodal_decode_real)
-    the way text_profile sits next to capture_normalize. Scale:
-    per-asset Arrow-batched CPU, zero exchanges."""
-    from trendmachine_spark.extensions.multimodal import audio_features
-
-    return audio_features(
-        synthetic_media_assets_audio(spark, sf_dir)
-    )
-
-
-def synthetic_media_assets_audio(spark, sf_dir):
-    """REAL WAV payloads (odd doc ids of the shared media generator)."""
-    from trendmachine_spark.extensions.multimodal import synthetic_media_assets
-
-    return synthetic_media_assets(_docs(spark, sf_dir)).filter(
-        F.col("media_type") == "audio/wav"
-    )
-
-
-@register(
-    "dedup_audio_fingerprint",
-    # closed-form twin of decode + balanced framing (sample i -> frame
-    # i*16 // n) + integer frame energies + delta-sign bit pack; the
-    # family window is the same exact-signature grouping as
-    # dedup_image_phash/dedup_exact.
-    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1),
-    smp AS (SELECT d.doc_id, i.i, (i.i * 31 + d.doc_id) % 65536 - 32768 AS v,
-                   50 + d.doc_id % 100 AS n
-            FROM ids d, generate_series(0, 148) AS i(i)
-            WHERE i.i < 50 + d.doc_id % 100),
-    fe AS (SELECT doc_id, (i * 16) // n AS k, CAST(sum(v * v) AS BIGINT) AS e
-           FROM smp GROUP BY doc_id, (i * 16) // n),
-    bits AS (SELECT a.doc_id,
-                    CAST(sum(CASE WHEN a.e > b.e
-                                  THEN (1::BIGINT << CAST(a.k AS INT))
-                                  ELSE 0 END) AS BIGINT) AS fingerprint
-             FROM fe a JOIN fe b ON a.doc_id = b.doc_id AND b.k = a.k + 1
-             GROUP BY a.doc_id)
-    SELECT doc_id, fingerprint,
-           min(doc_id) OVER w AS family_key,
-           count(*) OVER w AS family_size,
-           CAST(doc_id = min(doc_id) OVER w AS BIGINT) AS is_keeper
-    FROM bits WINDOW w AS (PARTITION BY fingerprint)""",
-)
-def q_dedup_audio_fingerprint(spark, sf_dir):
-    """Audio dedup by acoustic fingerprint (round 10): clips sharing an
-    energy-delta-sign profile (16 balanced frames, bit k =
-    energy[k] > energy[k+1] over REAL decoded PCM) collapse to one
-    family with a min-id keeper — completing the per-modality dedup
-    set (text: dedup_exact/minhash/simhash; image: dedup_image_phash;
-    audio: this). Integer-exact end to end, so the oracle verifies
-    decode + framing + bit pack + grouping in one value hash. Scale:
-    zero-exchange fingerprint pass, one hash exchange for the family
-    window over one BIGINT per clip."""
-    from trendmachine_spark.extensions.multimodal import (
-        audio_fingerprint,
-        family_report,
-    )
-
-    return family_report(
-        audio_fingerprint(synthetic_media_assets_audio(spark, sf_dir)),
-        "fingerprint",
-    )
-
-
-@register(
-    "multimodal_video_decode",
-    # closed-form twin of the MJPEG clip generator (multimodal.py
-    # _video_synth_one / codecs.py encode_mjpeg): content key
-    # c = doc_id % 251 (VIDEO_CONTENT_MOD), 3 + c%6 frames, frame f a
-    # bw x bh grid (bw = 1+(c+f)%4, bh = 1+(c+f)%3) of constant 8x8
-    # blocks at v = 2*((5bx + 11by + c + 17f) % 128) — even DC-only
-    # values reconstruct BIT-EXACTLY through the Huffman/IDCT round
-    # trip (the r9 JPEG-corpus trick), so the container walk, frame
-    # order, and per-frame decode are all checked by exact values:
-    # wsum weights each frame's pixel sum by (1 + f%7).
-    """WITH v AS (SELECT doc_id, doc_id % 251 AS c
-                  FROM documents WHERE doc_id % 3 = 2),
-    fr AS (SELECT doc_id, c, unnest(range(3 + c % 6)) AS f FROM v),
-    d AS (SELECT doc_id, c, f,
-                 1 + (c + f) % 4 AS bw, 1 + (c + f) % 3 AS bh
-          FROM fr),
-    b AS (SELECT doc_id, f, bw, bh,
-                 2 * (((bi % bw) * 5 + (bi // bw) * 11 + c + 17 * f)
-                      % 128) AS bv
-          FROM (SELECT *, unnest(range(bw * bh)) AS bi FROM d)),
-    fs AS (SELECT doc_id, f, any_value(bw * bh) AS nb, sum(bv) AS bsum
-           FROM b GROUP BY doc_id, f)
-    SELECT doc_id,
-           CAST(count(*) AS INT) AS n_frames,
-           CAST(64 * sum(nb) AS BIGINT) AS total_pixels,
-           CAST(64 * sum((1 + f % 7) * bsum) AS BIGINT) AS wsum
-    FROM fs GROUP BY doc_id""",
-)
-def q_multimodal_video_decode(spark, sf_dir):
-    """REAL video decode (round 11 — the mandate that retires video's
-    stub status): synthesize MJPEG clips (length-prefixed baseline-JPEG
-    frame concat — codecs.encode_mjpeg, the sandbox-honest analog of
-    the documented ffmpeg slot), then walk the container and decode
-    every frame through the real Huffman/IDCT path, emitting per-clip
-    frame count, decoded pixel total, and a frame-order-weighted
-    checksum. Completes the modality matrix: image (BMP/PNG/JPEG),
-    audio (WAV), and now video all decode real bytes in-sandbox.
-    Scale: zero exchanges — per-clip Arrow-batched CPU; ~30 bytes of
-    metadata leave the worker per clip."""
-    from trendmachine_spark.extensions.multimodal import (
-        synthetic_video_assets,
-        video_decode_real,
-    )
-
-    return video_decode_real(synthetic_video_assets(_docs(spark, sf_dir)))
-
-
-@register(
-    "dedup_video_frames",
-    # r11: signatures now hash DECODED pixels (r10 hashed 32-char text
-    # slices). Sampled frames (every 2nd, cap 8) of the MJPEG corpus
-    # above; each frame's fingerprint is md5 of the comma-joined
-    # raveled grayscale values — reconstructed here in closed form from
-    # the generator (pi walks the 8bh x 8bw frame row-major:
-    # x = pi % 8bw, y = pi // 8bw, block (x//8, y//8)); signature =
-    # md5 of the ord-ordered fingerprint chain; family window as in
-    # dedup_image_phash. Every clip has >= 3 frames, so every video id
-    # emits exactly one row.
-    """WITH v AS (SELECT doc_id, doc_id % 251 AS c
-                  FROM documents WHERE doc_id % 3 = 2),
-    fr AS (SELECT doc_id, c, unnest(range(3 + c % 6)) AS f FROM v),
-    s AS (SELECT doc_id, c, f, f // 2 AS ord,
-                 1 + (c + f) % 4 AS bw, 1 + (c + f) % 3 AS bh
-          FROM fr WHERE f % 2 = 0 AND f < 16),
-    px AS (SELECT doc_id, ord, pi,
-                  2 * ((((pi % (8 * bw)) // 8) * 5
-                        + ((pi // (8 * bw)) // 8) * 11
-                        + c + 17 * f) % 128) AS pv
-           FROM (SELECT *, unnest(range(64 * bw * bh)) AS pi FROM s)),
-    fm AS (SELECT doc_id, ord,
-                  md5(string_agg(CAST(pv AS VARCHAR), ',' ORDER BY pi))
-                    AS fmd5
-           FROM px GROUP BY doc_id, ord),
-    sig AS (SELECT doc_id,
-                   md5(string_agg(fmd5, '|' ORDER BY ord)) AS video_sig,
-                   CAST(count(*) AS BIGINT) AS n_sampled
-            FROM fm GROUP BY doc_id)
-    SELECT doc_id, video_sig, n_sampled,
-           min(doc_id) OVER w AS family_key,
-           count(*) OVER w AS family_size,
-           CAST(doc_id = min(doc_id) OVER w AS BIGINT) AS is_keeper
-    FROM sig WINDOW w AS (PARTITION BY video_sig)""",
-)
-def q_dedup_video_frames(spark, sf_dir):
-    """Video dedup by sampled-frame signature over REAL decoded pixels
-    (re-pointed in round 11; the r10 version hashed the char-frame
-    stub): the MJPEG container walk skips unsampled frames without
-    entropy-decoding them (length-prefix arithmetic — the scale point
-    of frame sampling: a 2-hour clip costs max_frames decodes), each
-    sampled frame is fingerprinted from its decoded grayscale matrix,
-    and two clips sharing the ordered fingerprint chain are duplicates.
-    Signature = md5 of the ord-ordered chain, computed IN-WORKER
-    (multimodal.video_clip_signature — a clip's frames all live in its
-    own payload, so no grouped agg is needed and frames never
-    materialize as rows; byte-identical to the agg form's
-    '|'-joined-chain md5). Scale: bounded per-clip decode, ONE
-    signature-window exchange over ~50 bytes per video."""
-    from trendmachine_spark.extensions.multimodal import (
-        family_report,
-        synthetic_video_assets,
-        video_clip_signature,
-    )
-
-    return family_report(
-        video_clip_signature(synthetic_video_assets(_docs(spark, sf_dir))),
-        "video_sig",
-    )
-
-
-@register(
-    "dedup_video_near",
-    # same decoded-pixel frame fingerprints as dedup_video_frames (the
-    # fm CTE), relaxed from chain equality to >= 2 SHARED fingerprints
-    # per unordered pair — the frame-containment near-dup form. r12:
-    # the hot/fmg CTEs mirror multimodal.MAX_FRAME_FREQ=50 — candidate
-    # postings drop fingerprints in > 50 distinct clips; cnt (n_a/n_b)
-    # stays over the FULL fm sample sets.
-    """WITH v AS (SELECT doc_id, doc_id % 251 AS c
-                  FROM documents WHERE doc_id % 3 = 2),
-    fr AS (SELECT doc_id, c, unnest(range(3 + c % 6)) AS f FROM v),
-    s AS (SELECT doc_id, c, f, f // 2 AS ord,
-                 1 + (c + f) % 4 AS bw, 1 + (c + f) % 3 AS bh
-          FROM fr WHERE f % 2 = 0 AND f < 16),
-    px AS (SELECT doc_id, ord, pi,
-                  2 * ((((pi % (8 * bw)) // 8) * 5
-                        + ((pi // (8 * bw)) // 8) * 11
-                        + c + 17 * f) % 128) AS pv
-           FROM (SELECT *, unnest(range(64 * bw * bh)) AS pi FROM s)),
-    fm AS MATERIALIZED (
-           SELECT doc_id, ord,
-                  md5(string_agg(CAST(pv AS VARCHAR), ',' ORDER BY pi))
-                    AS fmd5
-           FROM px GROUP BY doc_id, ord),
-    hot AS (SELECT fmd5 FROM fm GROUP BY fmd5
-            HAVING count(DISTINCT doc_id) > 50),
-    fmg AS MATERIALIZED (
-            SELECT * FROM fm
-            WHERE fmd5 NOT IN (SELECT fmd5 FROM hot)),
-    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     CAST(count(*) AS BIGINT) AS n_shared
-              FROM fmg a JOIN fmg b
-                ON a.fmd5 = b.fmd5 AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id
-              HAVING count(*) >= 2),
-    cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-            FROM fm GROUP BY doc_id)
-    SELECT id_a, id_b, n_shared, ca.n AS n_a, cb.n AS n_b
-    FROM pairs
-    JOIN cnt ca ON ca.doc_id = id_a
-    JOIN cnt cb ON cb.doc_id = id_b""",
-)
-def q_dedup_video_near(spark, sf_dir):
-    """Near-duplicate clip pairs by shared decoded-frame fingerprints
-    (round 11): the frame-containment relaxation of
-    ``dedup_video_frames`` — >= 2 identical sampled-frame fingerprints
-    make a pair, catching the re-encode/trim class that exact chain
-    signatures miss. Scale: inverted-index join on the fingerprint
-    with hard bounds on BOTH axes — max_frames postings per clip and
-    (round 12) max_frame_freq=50 clips per fingerprint, so a
-    boilerplate frame can no longer square a hot join key — one
-    fingerprint exchange + one pair agg; pair output is quadratic in
-    family size by definition — keeper pipelines consume the linear
-    dedup_video_frames families."""
-    from trendmachine_spark.extensions.multimodal import (
-        synthetic_video_assets,
-        video_frame_signature,
-        video_near_pairs,
-    )
-
-    return video_near_pairs(
-        video_frame_signature(synthetic_video_assets(_docs(spark, sf_dir)))
-    )
-
-
-@register("video_dedup_streaming", None)  # streaming, keeper arrival-order
-def q_video_dedup_streaming(spark, sf_dir):
-    """Streaming video dedup (round 11 — the streaming twin of
-    dedup_video_frames, completing the streaming matrix for the new
-    modality): clip synthesis + container walk + sampled-frame decode +
-    chain signature are ALL stateless mapInPandas (append-safe on a
-    stream), so `dropDuplicatesWithinWatermark(video_sig)` gives
-    first-arrival keepers with watermark-bounded state — the shape a
-    live ingest pipeline runs. Signature-set equivalence with the
-    batch family report is pinned in tests/test_streaming.py;
-    rows-only here (keeper identity is arrival-order by design)."""
-    from trendmachine_spark.extensions.multimodal import (
-        synthetic_video_assets,
-        video_clip_signature,
-    )
-
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("pathGlobFilter", "documents*.parquet")
-        .parquet(sf_dir)
-    )
-    sigs = video_clip_signature(synthetic_video_assets(stream)).withColumn(
-        "event_time", F.lit("2020-01-01 00:00:00").cast("timestamp")
-    )
-    q = (
-        sigs.withWatermark("event_time", "1 day")
-        .dropDuplicatesWithinWatermark(["video_sig"])
-        .writeStream.format("memory")
-        .queryName("_video_dedup_stream_q")
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.sql("SELECT * FROM _video_dedup_stream_q")
-
-
-@register(
-    "quality_score_trained",
-    # Exact mirror of fit_quality_logit + apply: integer features and
-    # label, hugeint training sums, the SAME symmetric-3x3 cofactor
-    # formulas, cast-then-divide double weights, same score op order.
-    """WITH feats AS (
-      SELECT doc_id,
-             (1000 * len(list_distinct(string_split(text, ' '))))
-               // len(string_split(text, ' ')) AS f1,
-             (1000 * len(string_split(text, ' ')))
-               // (len(string_split(text, ' ')) + 100) AS f2,
-             CASE WHEN len(string_split(text, ' ')) >= 20
-                   AND 5 * len(list_distinct(string_split(text, ' ')))
-                       >= len(string_split(text, ' '))
-                  THEN 1 ELSE 0 END AS y
-      FROM documents
-    ),
-    sums AS (
-      SELECT CAST(count(*) AS HUGEINT) AS m00,
-             CAST(sum(f1) AS HUGEINT) AS m01,
-             CAST(sum(f2) AS HUGEINT) AS m02,
-             CAST(sum(f1 * f1) AS HUGEINT) AS m11,
-             CAST(sum(f1 * f2) AS HUGEINT) AS m12,
-             CAST(sum(f2 * f2) AS HUGEINT) AS m22,
-             CAST(sum(2 * y - 1) AS HUGEINT) AS v0,
-             CAST(sum(f1 * (2 * y - 1)) AS HUGEINT) AS v1,
-             CAST(sum(f2 * (2 * y - 1)) AS HUGEINT) AS v2
-      FROM feats
-    ),
-    cof AS (
-      SELECT *,
-             m11 * m22 - m12 * m12 AS a00,
-             m12 * m02 - m01 * m22 AS a01,
-             m01 * m12 - m11 * m02 AS a02,
-             m00 * m22 - m02 * m02 AS a11,
-             m01 * m02 - m00 * m12 AS a12,
-             m00 * m11 - m01 * m01 AS a22
-      FROM sums
-    ),
-    solve AS (
-      SELECT m00 * a00 + m01 * a01 + m02 * a02 AS det,
-             a00 * v0 + a01 * v1 + a02 * v2 AS n0,
-             a01 * v0 + a11 * v1 + a12 * v2 AS n1,
-             a02 * v0 + a12 * v1 + a22 * v2 AS n2
-      FROM cof
-    ),
-    w AS (
-      SELECT CASE WHEN det = 0 THEN 0.0
-                  ELSE 2.0 * CAST(n0 AS DOUBLE) / CAST(det AS DOUBLE) END AS w0,
-             CASE WHEN det = 0 THEN 0.0
-                  ELSE 2.0 * CAST(n1 AS DOUBLE) / CAST(det AS DOUBLE) END AS w1,
-             CASE WHEN det = 0 THEN 0.0
-                  ELSE 2.0 * CAST(n2 AS DOUBLE) / CAST(det AS DOUBLE) END AS w2
-      FROM solve
-    )
-    SELECT f.doc_id, f.f1, f.f2, CAST(f.y AS BIGINT) AS label_keep,
-           w.w0 + w.w1 * f.f1 + w.w2 * f.f2 AS score_trained,
-           CAST(w.w0 + w.w1 * f.f1 + w.w2 * f.f2 > 0 AS BIGINT)
-             AS predicted_keep
-    FROM feats f, w""",
-)
-def q_quality_score_trained(spark, sf_dir):
-    """TRAINED quality score (round 7 — the fasttext/DSIR slot's
-    train/apply split): one exp-free Fisher-scoring step distills the
-    rule-based quality gate into a smooth logistic margin; training
-    aggregates are exact int64 sums (one scalar-row collect), the 3x3
-    solve is exact big-int Cramer, and the oracle re-runs the whole
-    fit in hugeint — weights, scores, and predictions hash-exact."""
-    from trendmachine_spark.extensions.text import quality_score_trained
-
-    return quality_score_trained(_docs(spark, sf_dir))
-
-
-@register("ingest_dedup_streaming", None)  # streaming foreachBatch: rows-only
-def q_ingest_dedup_streaming(spark, sf_dir):
-    """Streaming near-dup ingest twin driven end-to-end (round 4): the
-    documents table is split into a seed corpus (doc_id%3==0) and two
-    ingest micro-batches (%3==1, %3==2) fed through a file-source
-    stream into the foreachBatch dedup sink — each batch vetted by
-    incremental_dedup against the corpus-so-far, accepted docs growing
-    the store. Returns every per-doc flag row. Vs-batch equivalence is
-    pinned by tests/test_streaming_ingest.py."""
-    import os
-    import shutil
-    import tempfile
-
-    from trendmachine_spark.streaming.ingest_stream import (
-        init_corpus,
-        read_flags,
-        run_ingest_stream,
-    )
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="tm_ingest_stream_")
-    corpus_dir, flags_dir = f"{tmp}/corpus", f"{tmp}/flags"
-    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
-    os.makedirs(src)
-    init_corpus(docs.filter(F.pmod("doc_id", F.lit(3)) == 0), corpus_dir)
-    for i, m in enumerate((1, 2)):
-        bdir = f"{tmp}/b{i}"
-        docs.filter(F.pmod("doc_id", F.lit(3)) == m).coalesce(1).write.mode(
-            "overwrite"
-        ).json(bdir)
-        part = next(f for f in os.listdir(bdir) if f.startswith("part-"))
-        dst = f"{src}/batch{i}.json"
-        shutil.copy(f"{bdir}/{part}", dst)
-        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)  # batch order
-    q = run_ingest_stream(spark, src, "doc_id long, text string",
-                          corpus_dir, flags_dir, ckpt)
-    if not q.awaitTermination(600):  # returns False on timeout, no raise
-        q.stop()
-        raise RuntimeError(
-            "ingest stream did not drain in 600 s — refusing to return "
-            "partial flags as a complete result"
-        )
-    return read_flags(spark, flags_dir)
-
-
-#: shared CTEs for the exact-substring (bounded-window) dedup oracles
-def _window_occ_sql(win: int = 10) -> str:
-    return f"""
-words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-occ AS (
-  SELECT doc_id, i AS pos, array_to_string(w[i:i+{win - 1}], ' ') AS g
-  FROM words, unnest(generate_series(1, greatest(len(w) - {win - 1}, 0))) AS t(i)
-)"""
-
-
-_WINDOW_OCC_SQL = _window_occ_sql(10)
-
-
-def _substring_report_oracle(win: int) -> str:
-    # window freq >= 2 marks win-token spans duplicated anywhere in the
-    # corpus; overlapping/adjacent marked windows merge into islands
-    # via the running-max interval union — mirrored window-for-window
-    return f"""WITH {_window_occ_sql(win)},
-    marked AS (
-      SELECT doc_id, pos FROM (
-        SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS f FROM occ
-      ) WHERE f >= 2
-    ),
-    isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos <= max(pos + {win - 1}) OVER (
-                    PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-                  THEN 0 ELSE 1 END AS nw
-      FROM marked
-    ),
-    isl2 AS (
-      SELECT doc_id, pos,
-             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS iid
-      FROM isl
-    ),
-    islands AS (
-      SELECT doc_id, iid, max(pos) + {win - 1} - min(pos) + 1 AS len
-      FROM isl2 GROUP BY doc_id, iid
-    ),
-    rep AS (
-      SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens,
-             CAST(count(*) AS BIGINT) AS n_islands
-      FROM islands GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-           coalesce(r.dup_tokens, 0) AS dup_tokens,
-           CAST(coalesce(r.dup_tokens, 0) AS DOUBLE)
-             / len(string_split(d.text, ' ')) AS dup_fraction,
-           coalesce(r.n_islands, 0) AS n_islands
-    FROM documents d LEFT JOIN rep r USING (doc_id)"""
-
-
-@register("substring_dup_report", _substring_report_oracle(10))
-def q_substring_dup_report(spark, sf_dir):
-    """Exact-substring duplication report (round 4): the bounded-window
-    form of Lee et al.'s ExactSubstr — every duplicated span >= 10
-    tokens is detected via fixed 10-token windows counted (never
-    paired) on a gram window, then merged into maximal islands per
-    doc. No self-join anywhere, so boilerplate cannot go quadratic."""
-    from trendmachine_spark.extensions.dedup import duplicated_spans
-
-    return duplicated_spans(_docs(spark, sf_dir), win=10)
-
-
-@register("substring_dup_report_fine", _substring_report_oracle(5))
-def q_substring_dup_report_fine(spark, sf_dir):
-    """win=5 fine-grained duplication report (round 6): the natural-
-    text sweep (SUBSTRING_WIN_SWEEP.json 'natural') measured win=5's
-    chance-collision floor at ~0.1% of unique-family tokens (vs 52% at
-    win=3 — THAT is the degenerate setting) while catching 58% of
-    paraphrase-family duplicated mass and every planted quote >= 5
-    tokens, where win=10 sees 1.7% and misses every sub-10 quote. The
-    round-5 'win=5 is degenerate' reading was a replica-corpus
-    artifact: there the marked 95% is genuinely duplicated text. Use
-    this report (not the destructive strip) to AUDIT short-span
-    duplication on natural corpora; same no-self-join shape and
-    auto-salted mark-back join as the win=10 default."""
-    from trendmachine_spark.extensions.dedup import duplicated_spans
-
-    return duplicated_spans(_docs(spark, sf_dir), win=5)
-
-
-def _suffix_match_sql(k: int = 5, bound: int = 32,
-                      max_group: int = 100) -> str:
-    """CTE chain mirroring dedup.suffix_match_lengths expression-for-
-    expression: bounded suffixes grouped by their first k tokens, hot
-    grams (freq > max_group) excluded, per-position match length =
-    greatest(LCP(prev), LCP(next)) over the lexicographic suffix order
-    — identical integers in both engines (the LCP value is independent
-    of tie order among equal suffixes)."""
-    def lcp(a: str, b: str) -> str:
-        return (
-            f"CASE WHEN {b} IS NULL THEN 0 ELSE CAST(coalesce("
-            f"NULLIF(list_position(list_transform("
-            f"generate_series(1, greatest(len({a}), len({b}))), "
-            f"i -> {a}[i] IS NOT DISTINCT FROM {b}[i]), false), 0) - 1, "
-            f"least(len({a}), len({b}))) AS INTEGER) END"
-        )
-
-    return f"""
-words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-socc AS (
-  SELECT doc_id, i AS pos,
-         array_to_string(w[i:i+{k - 1}], ' ') AS g,
-         w[i:i+{bound - 1}] AS sfx
-  FROM words, unnest(generate_series(1, greatest(len(w) - {k - 1}, 0))) AS t(i)
-),
-hot AS (SELECT g FROM socc GROUP BY g HAVING count(*) > {max_group}),
-nb AS (
-  SELECT doc_id, pos, sfx,
-         lag(sfx)  OVER (PARTITION BY g ORDER BY sfx) AS prv,
-         lead(sfx) OVER (PARTITION BY g ORDER BY sfx) AS nxt
-  FROM socc WHERE g NOT IN (SELECT g FROM hot)
-),
-matches AS (
-  SELECT * FROM (
-    SELECT doc_id, pos,
-           greatest({lcp('sfx', 'prv')}, {lcp('sfx', 'nxt')}) AS match_len
-    FROM nb
-  ) WHERE match_len >= {k}
-)"""
-
-
-@register(
-    "dup_span_profile",
-    f"""WITH {_suffix_match_sql(5, 32, 100)},
-    per_doc AS (
-      SELECT doc_id, CAST(max(match_len) AS INTEGER) AS mx,
-             CAST(count(*) AS BIGINT) AS np
-      FROM matches GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(coalesce(p.mx, 0) AS INTEGER) AS max_dup_len,
-           CAST(coalesce(p.np, 0) AS BIGINT) AS n_dup_positions
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
-)
-def q_dup_span_profile(spark, sf_dir):
-    """Bounded suffix-array pass (round 7 — Lee et al. ACL 2022 §4):
-    per-doc EXACT longest-duplicated-span lengths for the 5-9-token
-    memorization tail that fixed windows only cover in aggregate.
-    Closes the round-6 'window-vs-suffix-array' open trade: see
-    dedup.suffix_match_lengths for the SA-adjacency argument and the
-    max_group skew stance."""
-    from trendmachine_spark.extensions.dedup import dup_span_profile
-
-    return dup_span_profile(_docs(spark, sf_dir), min_span=5, bound=32,
-                            max_group=100)
-
-
-@register(
-    "dup_span_histogram",
-    f"""WITH {_suffix_match_sql(5, 32, 100)}
-    SELECT match_len, CAST(count(*) AS BIGINT) AS n_positions
-    FROM matches GROUP BY match_len""",
-)
-def q_dup_span_histogram(spark, sf_dir):
-    """Corpus duplicated-span length distribution in [5, 32] from the
-    bounded suffix-array pass — the one-pass form of the evidence
-    SUBSTRING_WIN_SWEEP.json collected run-by-run (round 7)."""
-    from trendmachine_spark.extensions.dedup import dup_span_histogram
-
-    return dup_span_histogram(_docs(spark, sf_dir), min_span=5, bound=32,
-                              max_group=100)
-
-
-@register(
-    "suffix_group_stats",
-    f"""WITH {_window_occ_sql(5)},
-    sizes AS (SELECT g, count(*) AS f FROM occ GROUP BY g)
-    SELECT CAST(count(*) AS BIGINT) AS n_grams,
-           CAST(sum(CASE WHEN f > 100 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_hot_grams,
-           CAST(sum(f) AS BIGINT) AS positions_total,
-           CAST(sum(CASE WHEN f > 100 THEN f ELSE 0 END) AS BIGINT)
-             AS positions_excluded
-    FROM sizes""",
-)
-def q_suffix_group_stats(spark, sf_dir):
-    """'No silent caps' companion to the suffix-array pass (round 7):
-    whether/how much the max_group skew guard fired."""
-    from trendmachine_spark.extensions.dedup import suffix_group_stats
-
-    return suffix_group_stats(_docs(spark, sf_dir), min_span=5,
-                              max_group=100)
-
-
-@register(
-    "substring_dedup",
-    f"""WITH {_WINDOW_OCC_SQL},
-    removable AS (
-      SELECT doc_id, pos FROM (
-        SELECT doc_id, pos,
-               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
-        FROM occ
-      ) WHERE rk > 1
-    ),
-    covered AS (
-      SELECT DISTINCT doc_id, pos + j AS pos
-      FROM removable, unnest(generate_series(0, 9)) AS t(j)
-    ),
-    toks AS (
-      SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
-      FROM words
-    ),
-    kept AS (
-      SELECT t.doc_id, t.pos, t.tok
-      FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
-      WHERE c.pos IS NULL
-    ),
-    rs AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-             string_agg(tok, ' ' ORDER BY pos) AS clean_text
-      FROM kept GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(len(string_split(d.text, ' ')) - coalesce(rs.n_kept, 0) AS BIGINT)
-             AS n_removed_tokens,
-           coalesce(rs.clean_text, '') AS clean_text
-    FROM documents d LEFT JOIN rs USING (doc_id)""",
-)
-def q_substring_dedup(spark, sf_dir):
-    """Destructive exact-substring dedup (round 4): every non-first
-    occurrence (by (doc_id, pos)) of a duplicated 10-token window
-    loses its covered tokens; the corpus keeps exactly one copy of
-    each duplicated span. Reassembly is array_sort on (pos, token)
-    structs — never collect_list arrival order."""
-    from trendmachine_spark.extensions.dedup import strip_duplicated_spans
-
-    return strip_duplicated_spans(_docs(spark, sf_dir), win=10)
-
-
-@register(
-    "training_corpus_clean",
-    # compose: exact-substring strip -> drop emptied docs -> length
-    # floor on the CLEAN text. CTEs are the substring_dedup oracle
-    # verbatim plus the filter/projection.
-    f"""WITH {_WINDOW_OCC_SQL},
-    removable AS (
-      SELECT doc_id, pos FROM (
-        SELECT doc_id, pos,
-               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk
-        FROM occ
-      ) WHERE rk > 1
-    ),
-    covered AS (
-      SELECT DISTINCT doc_id, pos + j AS pos
-      FROM removable, unnest(generate_series(0, 9)) AS t(j)
-    ),
-    toks AS (
-      SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok
-      FROM words
-    ),
-    kept AS (
-      SELECT t.doc_id, t.pos, t.tok
-      FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
-      WHERE c.pos IS NULL
-    ),
-    rs AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
-      FROM kept GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           rs.n_kept AS n_tokens_clean,
-           CAST(len(string_split(d.text, ' ')) - rs.n_kept AS BIGINT)
-             AS n_removed_tokens
-    FROM documents d JOIN rs USING (doc_id)
-    WHERE rs.n_kept >= 20""",
+import os  # the rotation tail's TM_ROTATION_DEFER escape hatch
+
+# Core surface (QueryDef/register/QUERIES/shared caches) — split
+# out in round 14; every name is re-exported here so existing
+# `from trendmachine_spark.registry import X` call sites and the
+# rotation tooling keep working unchanged.
+from trendmachine_spark.registry_core import (  # noqa: F401
+    QueryDef,
+    QUERIES,
+    register,
+    _CACHE,
+    _shared,
+    _TABLE_CACHE,
+    _table,
+    clear_cache,
+    _daily,
+    _docs,
+    _embeddings,
+)
+
+# Query registration: importing each chunk executes its
+# @register calls; the import ORDER below is the registration
+# order (= queries() order = the driver's 50-entry window input)
+# and must never be reordered. Explicit name lists re-export
+# every chunk-level helper (oracle CTE builders etc.) from this
+# module, underscore names included.
+from trendmachine_spark.registry_queries.captures import (  # noqa: F401
+    q_capture_normalize,
+    q_daily_rollup,
+    q_daily_moving_avg,
+    q_status_month_cube,
+    q_daily_chaos,
+    q_periodic_samples,
+    _dense,
+    q_date_spine,
+    _mk_gap_fill,
+    q_chaos_ffill,
+    q_transition_matrix,
+    q_transition_matrix_filled,
+    q_monthly_rollup,
+    q_status_totals,
+    _summary_sql,
+    q_summary_stats,
+    q_content_value_counts,
+    q_specimen_breakdown,
+    q_first_last_capture,
+    q_urim_projection,
+    q_headline_metrics,
+)
+from trendmachine_spark.registry_queries.dedup_text import (  # noqa: F401
+    MAX_LSH_BUCKET,
+    MAX_SHINGLE_FREQ,
+    exact_dedup,
+    minhash_near_dup,
+    ngram_jaccard,
+    simhash,
+    media_metadata,
+    ann_topk,
+    brute_force_topk,
+    fingerprints,
+    lang_id,
+    quality_flags,
+    text_profile,
+    load_table,
+    _SHINGLES_SQL,
+    q_dedup_exact,
+    q_dedup_exact_norm,
+    _minhash_ctes,
+    q_dedup_minhash_lsh,
+    q_lsh_bucket_health,
+    q_minhash_accuracy,
+    _side_minhash_ctes,
+    _INCR_U,
+    q_dedup_incremental,
+    q_dedup_clusters,
+    q_training_corpus,
+    q_dedup_ngram_jaccard,
+    q_dedup_containment,
+    q_dedup_simhash,
+    q_dedup_simhash_near_dup,
+    q_similarity_topk,
+    _ann_lsh_oracle,
+    q_similarity_ann_lsh,
+    _TOKEN_RE_SQL,
+    q_text_profile,
+    q_text_quality_flags,
+    q_text_lang_id,
+    q_text_fingerprints,
+    q_multimodal_metadata,
+    q_training_corpus_safe,
+    q_text_pii_stats,
+    q_text_repetition_stats,
+    q_corpus_decontaminate,
+    q_corpus_sample_stratified,
+    q_training_splits,
+    q_split_leakage_report,
+    q_multimodal_resize,
+    q_multimodal_frame_sample,
+)
+from trendmachine_spark.registry_queries.relational_events import (  # noqa: F401
+    q_pricing_summary,
+    q_shipping_priority,
+    q_event_session_windows,
+    q_top_revenue_customers,
+    q_region_revenue,
+    q_event_sessionization,
+    q_event_asof_join,
+    q_event_range_join,
+    q_session_stats,
+    q_event_props_stats,
+    q_event_funnel,
+    q_event_retention,
+    q_event_attribution,
+    q_resilience_daily_series,
+    q_chaos_melt,
+    q_sigmoid_preview,
+    q_dedup_embedding_cosine,
+    _srp_neardup_oracle,
+    q_dedup_embedding_cosine_bucketed,
+    q_embedding_outliers,
+    q_text_term_stats,
+    _QUALITY_SQL,
+    q_quality_score,
+    q_top_quality_docs,
+    q_corpus_card,
+    q_bpe_pair_stats,
+    _redact_pii_sql,
+    q_redact_pii,
+    q_redact_pii_planted,
+    q_training_shards,
+    q_lm_familiarity,
+)
+from trendmachine_spark.registry_queries.ml_ann import (  # noqa: F401
+    _bpe_train_ctes,
+    _bpe_merges_oracle,
+    _bpe_vocab_oracle,
+    q_bpe_train_merges,
+    q_bpe_segmented_vocab,
+    _bpe_encode_oracle,
+    q_bpe_encode,
+    q_vocab_coverage,
+    q_salted_term_counts,
+    q_multi_param_scoring,
+    q_dedup_minhash_ml,
+    q_tfidf_ml,
+    _ivf_refined_ctes,
+    _ivf_topk_oracle,
+    q_similarity_ivf_topk,
+    _pq_ctes,
+    _pq_adc_ctes,
+    _pq_topk_oracle,
+    _pq_rerank_oracle,
+    _pq_rerank_auto_oracle,
+    _ivfpq_topk_oracle,
+    _ivfpq_residual_topk_oracle,
+    _sq8_ctes,
+    _sq8_topk_oracle,
+    _sq8_rerank_oracle,
+    q_similarity_sq8_topk,
+    q_similarity_sq8_rerank,
+    _sq8_rerank_auto_oracle,
+    q_similarity_sq8_rerank_auto,
+    _ivfsq8_topk_oracle,
+    q_similarity_ivfsq8_topk,
+    q_similarity_ivfpq_topk,
+    q_similarity_ivfpq_residual_topk,
+    _PQ_INDEX_CACHE,
+    q_similarity_ivfpq_index,
+    q_similarity_pq_rerank,
+    q_similarity_pq_rerank_auto,
+    q_similarity_pq_topk,
+    q_similarity_pq256_topk,
+    q_pq_distortion,
+    q_pq_encode_streaming,
+    q_sq8_encode_streaming,
+    q_session_windows_streaming,
+    q_funnel_streaming,
+    q_resilience_streaming,
+    q_scored_daily_streaming,
+    q_dedup_streaming,
+    q_neardup_streaming,
+    q_corpus_mix_temperature,
+)
+from trendmachine_spark.registry_queries.sampling_semantic import (  # noqa: F401
+    _pack_sequences_oracle,
+    q_pack_sequences,
+    q_packed_text,
+    q_dedup_segments,
+    _semantic_dedup_oracle,
+    _semantic_cell_bounds,
+    _semantic_cte,
+    _semantic_cells,
+    q_dedup_semantic,
+    q_chunk_documents,
+    q_corpus_stats,
+    _semantic_keepers_oracle,
+    q_dedup_semantic_keepers,
+    _split_semantic_leakage_oracle,
+    q_split_semantic_leakage,
+    q_dedup_multi_signal,
+    q_dedup_clusters_ensemble,
+    q_training_corpus_segmented,
+    q_multimodal_decode_real,
+    q_multimodal_resize_real,
+    q_multimodal_decode_png,
+    q_multimodal_decode_jpeg,
+)
+from trendmachine_spark.registry_queries.multimodal_substring import (  # noqa: F401
+    _phash_cte,
+    _bmp_assets,
+    q_multimodal_image_hash,
+    q_dedup_image_phash,
+    q_dedup_image_phash_near,
+    q_multimodal_audio_features,
+    synthetic_media_assets_audio,
+    q_dedup_audio_fingerprint,
+    q_multimodal_video_decode,
+    q_dedup_video_frames,
+    q_dedup_video_near,
+    q_video_dedup_streaming,
+    q_quality_score_trained,
+    q_ingest_dedup_streaming,
+    _window_occ_sql,
+    _WINDOW_OCC_SQL,
+    _substring_report_oracle,
+    q_substring_dup_report,
+    q_substring_dup_report_fine,
+    _suffix_match_sql,
+    q_dup_span_profile,
+    q_dup_span_histogram,
+    q_suffix_group_stats,
+    q_substring_dedup,
+    q_training_corpus_clean,
 )
-def q_training_corpus_clean(spark, sf_dir):
-    """Corpus funnel capstone on the round-4 substring dedup: strip
-    every non-first duplicated-span occurrence, drop documents the
-    strip emptied below a 20-token floor, report residual token
-    counts. The length gate runs on the CLEAN text — a doc made of
-    boilerplate passes raw length filters but fails here, which is the
-    point of span-level dedup in a training-data funnel."""
-    from trendmachine_spark.extensions.dedup import strip_duplicated_spans
 
-    cleaned = strip_duplicated_spans(_docs(spark, sf_dir), win=10)
-    kept = F.col("n_tokens") - F.col("n_removed_tokens")
-    return (
-        cleaned.filter(kept >= 20)
-        .select(
-            "doc_id",
-            kept.cast("long").alias("n_tokens_clean"),
-            "n_removed_tokens",
-        )
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -5855,6 +324,7 @@ _WINDOW_PINNED: list[str] = [
     "split_semantic_leakage",  # r14: pin-guard UNION ALL branch
     "training_corpus_segmented",  # r14: pin-guard UNION ALL branch (composed _semantic_cte)
     "similarity_pq_rerank_auto",  # r14 new query: density-adaptive rerank
+    "similarity_sq8_rerank_auto",  # r14 new query: density-adaptive SQ8 rerank
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -5899,6 +369,7 @@ _DEMOTE_ODD = frozenset({
     "text_fingerprints", "text_pii_stats", "text_quality_flags",
     "text_term_stats", "top_revenue_customers", "training_corpus_clean",
     "transition_matrix", "urim_projection",
+    "similarity_sq8_rerank_auto",  # assigned by rotate_window.py
 })
 
 
