@@ -277,8 +277,13 @@ def main() -> None:
     if "--merge" in sys.argv and os.path.exists(path):
         with open(path) as fh:
             prior = json.load(fh)
-        tag = "_".join(sorted(set(
-            q.split("_")[0] for q in X10_QUERIES))) if "--x10-queries" in sys.argv else "extra"
+        if "--tag" in sys.argv:
+            tag = sys.argv[sys.argv.index("--tag") + 1]
+        elif "--x10-queries" in sys.argv:
+            tag = "_".join(sorted(set(
+                q.split("_")[0] for q in X10_QUERIES)))
+        else:
+            tag = "extra"
         prior["legs"].update({f"{k}__{tag}": v for k, v in legs.items()})
         prior["summary"].update({f"{k}__{tag}": v for k, v in summary.items()})
         out = prior
