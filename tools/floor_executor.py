@@ -125,7 +125,14 @@ def _run_leg(mode: str, scale: str) -> None:
     if mode == "cluster":
         builder = (builder
                    .config("spark.executor.memory", "3g")
-                   .config("spark.driver.memory", "8g"))
+                   .config("spark.driver.memory", "8g")
+                   # local-cluster executors are SEPARATE JVMs whose
+                   # python workers don't inherit the driver's
+                   # sys.path; shipping the package (what a real
+                   # deployment does via pip/--py-files) is one env
+                   # var here. local mode needs nothing — workers fork
+                   # from the driver.
+                   .config("spark.executorEnv.PYTHONPATH", REPO))
     else:
         builder = builder.config("spark.driver.memory", "48g")
     for key, val in scaled_confs.items():
