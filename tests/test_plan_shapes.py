@@ -114,6 +114,10 @@ SHUFFLE_BUDGETS = {
     # density-adaptive SQ8 two-stage (r14): band window rides stage-1's
     # query_id partitioning — same budget as the fixed form
     "similarity_sq8_rerank_auto": (2, True),
+    # density-adaptive IVF+PQ two-stage (r14): cell-pruned compressed
+    # stage-1 (broadcast probe join + rank window) + band + exact rank
+    # window — the FAISS-standard serving stack, still two exchanges
+    "similarity_ivfpq_rerank_auto": (2, True),
     # residual IVFPQ (r12): identical skeleton to ivfpq_topk — fused
     # zero-shuffle encode, broadcast probe join, LUT+centroid-dot map,
     # ONE rank-window exchange

@@ -353,6 +353,32 @@ def test_pq_rerank_auto_band_widens_on_exact_tie_mass(spark):
         assert kept > k * 4  # the tie mass (40 retrieved) > floor (20)
 
 
+def test_ivfpq_rerank_auto_defaults_and_candidates(emb):
+    """r14: the IVFPQ auto serving defaults are API contract —
+    min_expand=4 (PQ's floor: same quantizer precision, same density
+    exposure), max_expand=8 — and candidates can only come from the
+    capped, cell-pruned stage-1 set."""
+    import inspect
+
+    from trendmachine_spark.extensions.similarity import (
+        PQ_RERANK_MAX_EXPAND,
+        ivfpq_rerank_auto_topk,
+        ivfpq_topk,
+    )
+
+    sig = inspect.signature(ivfpq_rerank_auto_topk)
+    assert sig.parameters["min_expand"].default == 4
+    assert sig.parameters["max_expand"].default == PQ_RERANK_MAX_EXPAND
+    cand = {(r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(emb, n_queries=5, k=3 * 8,
+                                n_cells=16, n_probe=2).collect()}
+    out = ivfpq_rerank_auto_topk(emb, n_queries=5, k=3,
+                                 n_cells=16, n_probe=2).collect()
+    assert out
+    for r in out:
+        assert (r["query_id"], r["neighbor_id"]) in cand
+
+
 # ---------------------------- numpy-kernel properties (no Spark jobs)
 
 from hypothesis import given, settings

@@ -288,6 +288,23 @@ def main() -> None:
             ivfpq_topk(emb, N_QUERIES, K, n_cells=16, n_probe=np_).collect(),
             exact_sets)
 
+    # density-adaptive IVF+PQ two-stage (r14): exact re-rank of a
+    # SUPERSET of stage-1's top-k can never evict a true top-k member
+    # stage 1 surfaced, so recall(auto) >= recall(plain ivfpq at the
+    # same n_probe) is a hard guarantee — asserted per run.
+    from trendmachine_spark.extensions.similarity import ivfpq_rerank_auto_topk
+
+    pq["ivfpq_rerank,expand=auto,n_probe=2"] = _recall(
+        ivfpq_rerank_auto_topk(emb, N_QUERIES, K, n_cells=16,
+                               n_probe=2).collect(), exact_sets)
+    if pq["ivfpq_rerank,expand=auto,n_probe=2"] < pq["ivfpq,n_probe=2"]:
+        raise RuntimeError(
+            f"ivfpq auto rerank recall "
+            f"{pq['ivfpq_rerank,expand=auto,n_probe=2']} fell below its "
+            f"stage-1 floor {pq['ivfpq,n_probe=2']} — the superset-rerank "
+            "guarantee is broken")
+
+
     # RESIDUAL encoding (round 12): same cells, same code budget
     # (8 subspaces x 16 codes), but the fine quantizer codes
     # v − centroid(cell(v)) — the FAISS default. Residuals concentrate

@@ -2059,6 +2059,30 @@ def sq8_rerank_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
 PQ_RERANK_MAX_EXPAND = 8
 
 
+def _band_candidates(stage1: DataFrame, score_col: str, k: int,
+                     min_expand: int) -> DataFrame:
+    """The widen-only plateau rule shared by every density-adaptive
+    two-stage path: given stage-1 rows (query_id, neighbor_id, rank,
+    <score_col>) already capped at k*max_expand, keep a candidate if
+    it sits in the tuned floor (rank <= k*min_expand) OR scores at
+    least ``sk - (s1 - sk)`` (s1/sk = scores at ranks 1 and k; the
+    expression order is pinned to the oracles so IEEE doubles agree
+    bit-for-bit). The window partitions by query_id exactly like
+    stage-1's rank window, so it reuses that exchange."""
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id")
+    s1 = F.max(score_col).over(wq)
+    sk = F.min(F.when(F.col("rank") <= k, F.col(score_col))).over(wq)
+    return (
+        stage1
+        .withColumn("_thr", sk - (s1 - sk))
+        .filter((F.col(score_col) >= F.col("_thr"))
+                | (F.col("rank") <= k * min_expand))
+        .select("query_id", "neighbor_id")
+    )
+
+
 def pq_rerank_auto_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                         min_expand: int = 4,
                         max_expand: int = PQ_RERANK_MAX_EXPAND,
@@ -2102,23 +2126,11 @@ def pq_rerank_auto_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     one tiny window over the <= n_queries*k*max_expand candidate rows
     to compute the plateau band (no extra job, no driver collect, no
     corpus shuffle), then the shared broadcast-join exact stage."""
-    from pyspark.sql import Window
-
     qv = quantize_embeddings(emb, vec_col, id_col)
     stage1 = pq_topk(emb, n_queries, k * max_expand, n_sub, n_codes,
                      refine, vec_col, id_col, probe=probe,
                      seed_probe=seed_probe)
-    wq = Window.partitionBy("query_id")
-    s1 = F.max("adc_cosine").over(wq)
-    sk = F.min(F.when(F.col("rank") <= k, F.col("adc_cosine"))).over(wq)
-    cand = (
-        stage1
-        # expression order pinned to the oracle: thr = sk - (s1 - sk)
-        .withColumn("_thr", sk - (s1 - sk))
-        .filter((F.col("adc_cosine") >= F.col("_thr"))
-                | (F.col("rank") <= k * min_expand))
-        .select("query_id", "neighbor_id")
-    )
+    cand = _band_candidates(stage1, "adc_cosine", k, min_expand)
     return _exact_rerank(qv, cand, n_queries, k, probe=probe)
 
 
@@ -2143,22 +2155,46 @@ def sq8_rerank_auto_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     window rides the same query_id partitioning; stage 2 is the shared
     broadcast-join exact re-rank. Corpus scanned twice, shuffled
     never."""
-    from pyspark.sql import Window
-
     qv = quantize_embeddings(emb, vec_col, id_col)
     stage1 = sq8_topk(emb, n_queries, k * max_expand, vec_col, id_col,
                       probe=probe)
-    wq = Window.partitionBy("query_id")
-    s1 = F.max("sq_cosine").over(wq)
-    sk = F.min(F.when(F.col("rank") <= k, F.col("sq_cosine"))).over(wq)
-    cand = (
-        stage1
-        # expression order pinned to the oracle: thr = sk - (s1 - sk)
-        .withColumn("_thr", sk - (s1 - sk))
-        .filter((F.col("sq_cosine") >= F.col("_thr"))
-                | (F.col("rank") <= k * min_expand))
-        .select("query_id", "neighbor_id")
-    )
+    cand = _band_candidates(stage1, "sq_cosine", k, min_expand)
+    return _exact_rerank(qv, cand, n_queries, k, probe=probe)
+
+
+def ivfpq_rerank_auto_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                           min_expand: int = 4,
+                           max_expand: int = PQ_RERANK_MAX_EXPAND,
+                           n_cells: int = 16, n_probe: int = 2,
+                           n_sub: int = PQ_SUBSPACES,
+                           n_codes: int = PQ_CODES, refine: int = 1,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id", probe=None,
+                           seed_probe=None) -> DataFrame:
+    """Density-adaptive two-stage ANN over IVF+PQ candidates (round
+    14): the FAISS-standard serving stack — cell pruning (n_probe of
+    n_cells directories touched) -> compressed ADC scan -> exact
+    re-rank — with the widen-only plateau rule choosing the exact
+    stage's budget. IVFPQ shares PQ's quantizer precision, so it
+    shares PQ's floor (min_expand=4) and its density exposure (the
+    n_sub=8 recall collapse at x40); cell pruning only REMOVES
+    candidates, so the re-rank recall guarantee (>= stage-1 top-k
+    recall, since exact scoring can never evict a true top-k member
+    that stage 1 surfaced) is inherited unchanged.
+
+    Output: query_id, neighbor_id, rank, cosine (exact).
+
+    SCALE: stage 1 is :func:`ivfpq_topk`'s plan — the probe table
+    broadcasts onto the fused encode scan (no corpus exchange), one
+    k-bounded rank window; the band window rides the same query_id
+    partitioning; stage 2 is the shared broadcast-join re-rank. At
+    100 TB the serve path reads n_probe/n_cells of the index plus one
+    raw-corpus scan for the exact stage, and shuffles neither."""
+    qv = quantize_embeddings(emb, vec_col, id_col)
+    stage1 = ivfpq_topk(emb, n_queries, k * max_expand, n_cells, n_probe,
+                        n_sub, n_codes, refine, vec_col, id_col,
+                        probe=probe, seed_probe=seed_probe)
+    cand = _band_candidates(stage1, "adc_cosine", k, min_expand)
     return _exact_rerank(qv, cand, n_queries, k, probe=probe)
 
 

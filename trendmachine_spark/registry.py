@@ -179,6 +179,8 @@ from trendmachine_spark.registry_queries.ml_ann import (  # noqa: F401
     q_similarity_ivfsq8_topk,
     q_similarity_ivfpq_topk,
     q_similarity_ivfpq_residual_topk,
+    _ivfpq_rerank_auto_oracle,
+    q_similarity_ivfpq_rerank_auto,
     _PQ_INDEX_CACHE,
     q_similarity_ivfpq_index,
     q_similarity_pq_rerank,
@@ -325,6 +327,7 @@ _WINDOW_PINNED: list[str] = [
     "training_corpus_segmented",  # r14: pin-guard UNION ALL branch (composed _semantic_cte)
     "similarity_pq_rerank_auto",  # r14 new query: density-adaptive rerank
     "similarity_sq8_rerank_auto",  # r14 new query: density-adaptive SQ8 rerank
+    "similarity_ivfpq_rerank_auto",  # r14 new query: density-adaptive IVFPQ rerank
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -354,6 +357,7 @@ _DEMOTE_EVEN = frozenset({
     "training_corpus_safe", "training_corpus_segmented", "training_shards",
     "training_splits", "transition_matrix_filled", "vocab_coverage",
     "similarity_pq_rerank_auto",  # assigned by rotate_window.py
+    "similarity_ivfpq_rerank_auto",  # assigned by rotate_window.py
 })
 _DEMOTE_ODD = frozenset({
     # class 0 — driver-checked in rounds where _ROUND % 4 == 0;

@@ -991,6 +991,104 @@ def q_similarity_ivfpq_residual_topk(spark, sf_dir):
                                seed_probe=load_probe_matrix(path, 16))
 
 
+def _ivfpq_rerank_auto_oracle(n_queries: int = 10, k: int = 5,
+                              min_expand: int = 4, max_expand: int = 8,
+                              n_cells: int = 16, n_probe: int = 2,
+                              n_sub: int = 8, n_codes: int = 16,
+                              ds: int = 8) -> str:
+    """Exact mirror of similarity.ivfpq_rerank_auto_topk — the IVFPQ
+    probe-and-scan chain (_ivfpq_topk_oracle verbatim through
+    ivfpq_scored), stage-1 candidates capped at k*max_expand, then the
+    widen-only band rule (floor rank <= k*min_expand OR score >=
+    ``sk - (s1 - sk)``, expression order pinned) feeding the shared
+    exact re-rank. Final ranking (cosine DESC, neighbor_id)."""
+    return f"""WITH {_ivf_refined_ctes(n_cells)},
+    {_pq_ctes(n_sub, n_codes, ds, include_base=False)},
+    probes AS (
+      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _aff DESC, cell) AS _rk
+        FROM aff WHERE vec_id < {n_queries}
+      ) WHERE _rk <= {n_probe}
+    ),
+    cand0 AS (
+      SELECT p.query_id, p.q, p.qn, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, max(c.qn) AS qn,
+             CAST(sum(list_sum(list_transform(generate_series(1, {ds}),
+                  i -> c.q[kk.m * {ds} + i] * b.cvec[i]))) AS BIGINT) AS adot
+      FROM cand0 c JOIN codes kk ON c.neighbor_id = kk.vec_id
+           JOIN cb b ON kk.m = b.m AND kk.code = b.code
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    recon AS (
+      SELECT vec_id, CAST(sum(cn2) AS BIGINT) AS rnorm2 FROM codes GROUP BY vec_id
+    ),
+    ivfpq_scored AS (
+      SELECT a.query_id, a.neighbor_id,
+             CAST(a.adot AS DOUBLE)
+               / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(r.rnorm2 AS DOUBLE))) AS adc_cosine
+      FROM adc a JOIN recon r ON a.neighbor_id = r.vec_id
+    ),
+    cand_cap AS (
+      SELECT query_id, neighbor_id, adc_cosine, _rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_cosine DESC, neighbor_id) AS _rk
+        FROM ivfpq_scored
+      ) WHERE _rk <= {k * max_expand}
+    ),
+    qstats AS (
+      SELECT query_id, max(adc_cosine) AS s1,
+             min(adc_cosine) FILTER (WHERE _rk <= {k}) AS sk
+      FROM cand_cap GROUP BY query_id
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, q, norm2 FROM nv WHERE vec_id < {n_queries}
+    ),
+    band AS (
+      SELECT c.query_id, c.neighbor_id
+      FROM cand_cap c JOIN qstats s USING (query_id)
+      WHERE c.adc_cosine >= s.sk - (s.s1 - s.sk) OR c._rk <= {k * min_expand}
+    ),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, len(qu.q)),
+                  i -> qu.q[i] * nb.q[i])) AS DOUBLE)
+               / (sqrt(CAST(qu.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
+      FROM band c JOIN queries qu ON c.query_id = qu.query_id
+           JOIN nv nb ON c.neighbor_id = nb.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_ivfpq_rerank_auto", _ivfpq_rerank_auto_oracle())
+def q_similarity_ivfpq_rerank_auto(spark, sf_dir):
+    """Density-adaptive two-stage ANN over IVF+PQ candidates (round
+    14): cell pruning -> compressed ADC scan -> widen-only adaptive
+    exact re-rank — the FAISS-standard serving stack with the r14
+    band rule choosing the exact budget. Shares PQ's floor
+    (min_expand=4) and density exposure; cell pruning only removes
+    candidates, so the re-rank recall guarantee is inherited."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (
+        ivfpq_rerank_auto_topk,
+        load_probe_matrix,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return ivfpq_rerank_auto_topk(
+        _embeddings(spark, sf_dir), n_queries=10, k=5, n_cells=16,
+        n_probe=2, probe=load_probe_matrix(path, 10),
+        seed_probe=load_probe_matrix(path, 16))
+
+
 #: at-rest IVFPQ index memo per corpus content identity: the index
 #: write is a build step (a nightly indexing job in production), not
 #: part of the query — cache it so repeated builds in one session
