@@ -132,6 +132,11 @@ SHUFFLE_BUDGETS = {
     # LUT scoring map; the one exchange is the rank window (partition
     # pruning asserted separately below)
     "similarity_ivfpq_index": (1, True),
+    # incremental append (r14): the SERVE plan is the at-rest reader
+    # verbatim — pruned file scan over base+appended files, broadcast
+    # probe join, LUT map, ONE rank-window exchange (the build+append
+    # ran at construction time, memoized per process)
+    "similarity_ivfpq_append": (1, True),
     # canonicalization rides the scan; the count(DISTINCT raw_md5)
     # plans as Spark's two-phase distinct aggregate — exchange on
     # (norm_md5, raw_md5) then on norm_md5, both moving 32-char

@@ -379,6 +379,82 @@ def test_ivfpq_rerank_auto_defaults_and_candidates(emb):
         assert (r["query_id"], r["neighbor_id"]) in cand
 
 
+# ---------------------------- incremental index append (round 14)
+
+
+def test_ivfpq_append_equals_built_whole(spark, emb, tmp_path):
+    """The append guarantee, Spark-side: base-trained structures +
+    appended delta serve bit-identically to an index built WHOLE with
+    the same frozen structures, and the combined index holds every
+    vector exactly once (append added files, never rewrote base)."""
+    from trendmachine_spark.extensions.similarity import (
+        _ivfpq_encode_fn,
+        ivfpq_index_append,
+        ivfpq_index_write,
+        ivfpq_topk_from_index,
+        load_probe_matrix,
+    )
+
+    n = emb.count()
+    base_n = n * 4 // 5
+    seeds = load_probe_matrix(f"{SF}/embeddings.parquet", 16)
+    pa = str(tmp_path / "appended")
+    trained = ivfpq_index_write(
+        emb.filter(f"vec_id < {base_n}"), pa, seed_probe=seeds)
+    ivfpq_index_append(emb.filter(f"vec_id >= {base_n}"), pa, trained)
+
+    pw = str(tmp_path / "whole")
+    cells, Cm, cnm, cb = trained
+    quantize_embeddings(emb).mapInPandas(
+        _ivfpq_encode_fn(cells, Cm, cnm, cb),
+        "vid long, cell long, codes array<int>, rnorm2 long",
+    ).write.mode("overwrite").partitionBy("cell").parquet(pw)
+
+    probe = load_probe_matrix(f"{SF}/embeddings.parquet", 10)
+    a = ivfpq_topk_from_index(spark, pa, trained, probe=probe).collect()
+    b = ivfpq_topk_from_index(spark, pw, trained, probe=probe).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+    assert spark.read.parquet(pa).count() == n
+
+
+def test_probe_from_vectors_matches_parquet_probe():
+    """The arrival-time probe path (streaming serve) must quantize
+    bit-identically to the parquet probe path — same ids, Q, norm2."""
+    import pyarrow.dataset as ds
+
+    from trendmachine_spark.extensions.similarity import (
+        load_probe_matrix,
+        probe_from_vectors,
+    )
+
+    path = f"{SF}/embeddings.parquet"
+    tbl = ds.dataset(path).to_table(
+        columns=["vec_id", "embedding"], filter=ds.field("vec_id") < 10)
+    pm_file = load_probe_matrix(path, 10)
+    pm_wire = probe_from_vectors(
+        tbl["vec_id"].to_numpy(), tbl["embedding"].to_pylist())
+    for a, b in zip(pm_file, pm_wire):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_cte_builders_default_unchanged():
+    """train_max_sql=None must emit the historical SQL (no training
+    WHERE clause) — the hook exists only for the append oracle."""
+    from trendmachine_spark.registry_queries.ml_ann import (
+        _ivf_refined_ctes,
+        _pq_ctes,
+    )
+
+    assert "WHERE v.vec_id <" not in _ivf_refined_ctes(16)
+    assert "WHERE s.vec_id <" not in _pq_ctes()
+    bound = "(SELECT b FROM train_bound)"
+    assert f"WHERE v.vec_id < {bound}" in _ivf_refined_ctes(
+        16, train_max_sql=bound)
+    assert f"WHERE s.vec_id < {bound}" in _pq_ctes(
+        include_base=False, train_max_sql=bound)
+
+
 # ---------------------------- numpy-kernel properties (no Spark jobs)
 
 from hypothesis import given, settings

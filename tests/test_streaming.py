@@ -795,3 +795,18 @@ def test_streaming_video_dedup_matches_batch_families(spark):
     ).collect()
     assert all(r["c"] == 1 for r in got)
     assert {r["video_sig"] for r in got} == want
+
+
+def test_ann_serve_streaming_matches_batch_index_serve(spark):
+    """Round 14: the streaming serve answers a query stream against
+    the frozen at-rest IVFPQ index via foreachBatch running the batch
+    serve path — streamed answers must be bit-identical to the batch
+    at-rest serve (same index, same probe semantics, wire-quantized
+    queries)."""
+    from trendmachine_spark.registry import QUERIES
+
+    got = {tuple(r) for r in
+           QUERIES["ann_serve_streaming"].builder(spark, SF).collect()}
+    want = {tuple(r) for r in
+           QUERIES["similarity_ivfpq_index"].builder(spark, SF).collect()}
+    assert got == want and got

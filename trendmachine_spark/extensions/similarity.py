@@ -120,9 +120,27 @@ def load_probe_matrix(parquet_path: str, n_queries: int,
     )
     if tbl.num_rows == 0:
         return None
-    ids = tbl[id_col].to_numpy()
+    pm = probe_from_vectors(tbl[id_col].to_numpy(), tbl[vec_col].to_pylist())
+    pm.bound = n_queries
+    return pm
+
+
+def probe_from_vectors(ids, vecs) -> "_ProbeMatrix":
+    """Build a probe triple ``(qids, Q, norm2)`` from raw float
+    vectors already in driver memory, quantized BIT-IDENTICALLY to
+    :func:`quantize_embeddings` (the Decimal ROUND_HALF_UP path —
+    see :func:`load_probe_matrix` for the parity argument). This is
+    the arrival-time path: a serving layer receives query vectors
+    over the wire (a streaming micro-batch, an RPC) rather than
+    reading them back from the corpus parquet. No ``bound`` is set —
+    consumers value-filter via ``_truncate_probe`` as always."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    ids = np.asarray(ids)
     order = np.argsort(ids)
-    vecs = tbl[vec_col].to_pylist()
+    vecs = list(vecs)
     scale = float(QUANT_SCALE)
     one = Decimal(1)
     Q = np.array(
@@ -132,9 +150,7 @@ def load_probe_matrix(parquet_path: str, n_queries: int,
     )
     qids = ids[order].astype(np.int64)
     norm2 = (Q * Q).sum(axis=1)
-    pm = _ProbeMatrix((qids, Q, norm2))
-    pm.bound = n_queries
-    return pm
+    return _ProbeMatrix((qids, Q, norm2))
 
 
 def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
@@ -2227,6 +2243,42 @@ def ivfpq_index_write(emb: DataFrame, path: str,
         "vid long, cell long, codes array<int>, rnorm2 long")
     enc.write.mode("overwrite").partitionBy("cell").parquet(path)
     return cells, Cm, cnm, cb
+
+
+def ivfpq_index_append(emb_delta: DataFrame, path: str, trained,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> None:
+    """Incrementally append NEW vectors to an existing at-rest IVF+PQ
+    index (round 14) — the index-maintenance half of the lifecycle:
+    the nightly build trains structures and writes the base index
+    (:func:`ivfpq_index_write`); arriving vectors then encode against
+    the FROZEN centroids + codebooks (no retrain, no rebuild) and land
+    as new parquet files inside their cells' partition directories
+    (``mode("append")`` + ``partitionBy("cell")`` only ever adds
+    files). The serve path (:func:`ivfpq_topk_from_index`) is
+    unchanged: partition pruning, scoring, and tie-breaks treat base
+    and appended rows identically, so serve(base ∪ delta) ==
+    serve(an index built whole with the same frozen structures), by
+    construction.
+
+    This is the standard production trade: appended vectors are
+    quantized by structures trained WITHOUT them, so their ADC error
+    can exceed the base population's — the cure is a periodic retrain
+    + rebuild (a new index directory swapped in atomically), not
+    in-place mutation. NOT idempotent: replaying the same delta
+    duplicates rows — callers own exactly-once delivery (the registry
+    twin memoizes per (process, corpus) for exactly that reason).
+
+    SCALE: one zero-shuffle Arrow-batched encode pass over ONLY the
+    delta, then a partitioned file append — the base index's bytes
+    are never read or rewritten. At 100 TB a day's delta is encoded
+    and appended in time proportional to the delta alone."""
+    cells, Cm, cnm, cb = trained
+    qv = quantize_embeddings(emb_delta, vec_col, id_col)
+    enc = qv.mapInPandas(
+        _ivfpq_encode_fn(cells, Cm, cnm, cb),
+        "vid long, cell long, codes array<int>, rnorm2 long")
+    enc.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def ivfpq_topk_from_index(spark, index_path: str, trained,

@@ -183,6 +183,9 @@ from trendmachine_spark.registry_queries.ml_ann import (  # noqa: F401
     q_similarity_ivfpq_rerank_auto,
     _PQ_INDEX_CACHE,
     q_similarity_ivfpq_index,
+    _ivfpq_append_oracle,
+    q_similarity_ivfpq_append,
+    q_ann_serve_streaming,
     q_similarity_pq_rerank,
     q_similarity_pq_rerank_auto,
     q_similarity_pq_topk,
@@ -328,6 +331,8 @@ _WINDOW_PINNED: list[str] = [
     "similarity_pq_rerank_auto",  # r14 new query: density-adaptive rerank
     "similarity_sq8_rerank_auto",  # r14 new query: density-adaptive SQ8 rerank
     "similarity_ivfpq_rerank_auto",  # r14 new query: density-adaptive IVFPQ rerank
+    "similarity_ivfpq_append",  # r14 new query: incremental index append
+    "ann_serve_streaming",  # r14 new query: streaming serve from at-rest index
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -374,6 +379,7 @@ _DEMOTE_ODD = frozenset({
     "text_term_stats", "top_revenue_customers", "training_corpus_clean",
     "transition_matrix", "urim_projection",
     "similarity_sq8_rerank_auto",  # assigned by rotate_window.py
+    "similarity_ivfpq_append",  # assigned by rotate_window.py
 })
 
 
@@ -393,6 +399,7 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "first_last_capture", "gap_fill_closest", "gap_fill_identical",
     "minhash_accuracy", "multimodal_decode_png", "pq_distortion",
     "region_revenue", "similarity_ivfpq_topk",
+    "ann_serve_streaming",  # assigned by rotate_window.py
 })
 
 #: fourth rotation class — EMPTY (and unused) while _PARITY_PERIOD <= 3.

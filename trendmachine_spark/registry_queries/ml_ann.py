@@ -211,7 +211,8 @@ def q_tfidf_ml(spark, sf_dir):
     )
 
 
-def _ivf_refined_ctes(n_cells: int, materialize: bool = False) -> str:
+def _ivf_refined_ctes(n_cells: int, materialize: bool = False,
+                      train_max_sql: str | None = None) -> str:
     """CTE chain qv -> nv -> seed cents -> one exact Lloyd iteration ->
     cents2/aff/assigned — mirrors similarity.ivf_centroids(refine=1):
     members assigned by (aff DESC, cell) argmax against the seed
@@ -225,8 +226,17 @@ def _ivf_refined_ctes(n_cells: int, materialize: bool = False) -> str:
     chains (measured 2-10x slower with blanket hints at x20) — and ON
     only for composers whose downstream chains re-reference these CTEs
     multiplicatively (the residual-PQ oracle, where inlining
-    re-expanded the training chain into 83+ CPU-minutes at x10)."""
+    re-expanded the training chain into 83+ CPU-minutes at x10).
+
+    ``train_max_sql``: a SQL expression bounding the TRAINING
+    population (the Lloyd refinement pass sees only ``vec_id <
+    train_max_sql``) while seeds, the encode-side ``aff``/``assigned``
+    chain, and every downstream consumer still cover the full corpus —
+    the frozen-structure mirror for the incremental index-append
+    query. ``None`` (the default) emits byte-identical SQL to the
+    historical builder (asserted by a unit test)."""
     m = " MATERIALIZED" if materialize else ""
+    tw = f"\n      WHERE v.vec_id < {train_max_sql}" if train_max_sql else ""
     return f"""qv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
@@ -245,7 +255,7 @@ def _ivf_refined_ctes(n_cells: int, materialize: bool = False) -> str:
              CAST(list_sum(list_transform(generate_series(1, len(v.q)),
                                           i -> v.q[i] * c.cvec[i])) AS DOUBLE)
                / sqrt(CAST(c.cn AS DOUBLE)) AS _aff
-      FROM nv v, cents c
+      FROM nv v, cents c{tw}
     ),
     assigned1 AS (
       SELECT vec_id, q, norm2, cell FROM (
@@ -326,7 +336,8 @@ def q_similarity_ivf_topk(spark, sf_dir):
 
 
 def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
-             include_base: bool = True) -> str:
+             include_base: bool = True,
+             train_max_sql: str | None = None) -> str:
     """CTE chain qv -> nv -> subs -> seed codebooks -> one exact Lloyd
     iteration -> cb/codes — mirrors similarity.pq_codebooks(refine=1)
     + pq_encode: seeds are the subvectors of the ``n_codes`` lowest
@@ -342,7 +353,14 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
     chain can compose with another chain (the IVFPQ oracle) that
     already defines the identical qv/nv; internal names are
     pq_-prefixed where they would collide (csums/refined exist in
-    the IVF chain too)."""
+    the IVF chain too).
+
+    ``train_max_sql``: as in :func:`_ivf_refined_ctes` — the Lloyd
+    assignment/refinement pass (d1 -> a1 -> pq_csums) sees only
+    ``vec_id < train_max_sql``, while seeds and the final encode pass
+    (d2 -> codes) cover the full corpus. ``None`` emits byte-identical
+    SQL to the historical builder."""
+    tw = f"\n      WHERE s.vec_id < {train_max_sql}" if train_max_sql else ""
     base = f"""qv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
@@ -368,7 +386,7 @@ def _pq_ctes(n_sub: int = 8, n_codes: int = 16, ds: int = 8,
       SELECT s.vec_id, s.m, c.code,
              CAST(list_sum(list_transform(generate_series(1, {ds}),
                   i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS dist
-      FROM subs s JOIN seeds c ON s.m = c.m
+      FROM subs s JOIN seeds c ON s.m = c.m{tw}
     ),
     a1 AS (
       SELECT vec_id, m, code FROM (
@@ -1099,21 +1117,17 @@ def q_similarity_ivfpq_rerank_auto(spark, sf_dir):
 _PQ_INDEX_CACHE: dict = {}
 
 
-@register("similarity_ivfpq_index", _ivfpq_topk_oracle())
-def q_similarity_ivfpq_index(spark, sf_dir):
-    """IVF+PQ served from the AT-REST index (round 11): cells are
-    parquet partitions, so the query's n_probe cells prune every
-    other directory at the file level (PartitionFilters — asserted in
-    tests/test_plan_shapes.py). Same trained structures, scoring, and
-    tie-breaks as similarity_ivfpq_topk, hence the same oracle; what
-    changes is WHERE candidate bytes come from — a pruned file scan
-    instead of a full-corpus encode, the 100 TB serving path."""
+def _ivfpq_index_for(spark, sf_dir):
+    """Build-or-reuse the full-corpus at-rest IVF+PQ index for this
+    (process, corpus) — the shared nightly-build step behind both the
+    batch serve (q_similarity_ivfpq_index) and the streaming serve
+    (q_ann_serve_streaming). Returns ``(path, trained)``; ``trained``
+    is None on an empty corpus."""
     import hashlib
     import os
 
     from trendmachine_spark.extensions.similarity import (
         ivfpq_index_write,
-        ivfpq_topk_from_index,
         load_probe_matrix,
     )
 
@@ -1153,7 +1167,26 @@ def q_similarity_ivfpq_index(spark, sf_dir):
 
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         _PQ_INDEX_CACHE[key] = (path, trained)
-    path, trained = _PQ_INDEX_CACHE[key]
+    return _PQ_INDEX_CACHE[key]
+
+
+@register("similarity_ivfpq_index", _ivfpq_topk_oracle())
+def q_similarity_ivfpq_index(spark, sf_dir):
+    """IVF+PQ served from the AT-REST index (round 11): cells are
+    parquet partitions, so the query's n_probe cells prune every
+    other directory at the file level (PartitionFilters — asserted in
+    tests/test_plan_shapes.py). Same trained structures, scoring, and
+    tie-breaks as similarity_ivfpq_topk, hence the same oracle; what
+    changes is WHERE candidate bytes come from — a pruned file scan
+    instead of a full-corpus encode, the 100 TB serving path."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (
+        ivfpq_topk_from_index,
+        load_probe_matrix,
+    )
+
+    path, trained = _ivfpq_index_for(spark, sf_dir)
     if trained is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, adc_cosine double")
@@ -1161,6 +1194,202 @@ def q_similarity_ivfpq_index(spark, sf_dir):
         os.path.join(sf_dir, "embeddings.parquet"), 10)
     return ivfpq_topk_from_index(
         spark, path, trained, n_queries=10, k=5, n_probe=2, probe=probe)
+
+
+def _ivfpq_append_oracle(n_queries: int = 10, k: int = 5, n_cells: int = 16,
+                         n_probe: int = 2, n_sub: int = 8,
+                         n_codes: int = 16, ds: int = 8) -> str:
+    """Exact mirror of the incremental-append lifecycle: centroids and
+    codebooks train on the BASE 80% of the corpus only (train_bound =
+    count * 4 // 5; the Lloyd refinement passes carry ``vec_id <
+    train_bound`` via the builders' train_max_sql hook), every vector
+    — base and delta alike — encodes against those FROZEN structures,
+    and the probe-and-scan tail is the plain IVFPQ chain verbatim.
+    This is the oracle-side statement of the append guarantee:
+    serve(base index ∪ appended delta) == serve(an index built whole
+    with the same frozen structures)."""
+    bound = "(SELECT b FROM train_bound)"
+    return f"""WITH train_bound AS (
+      SELECT count(*) * 4 // 5 AS b FROM embeddings
+    ),
+    {_ivf_refined_ctes(n_cells, train_max_sql=bound)},
+    {_pq_ctes(n_sub, n_codes, ds, include_base=False, train_max_sql=bound)},
+    probes AS (
+      SELECT vec_id AS query_id, q, norm2 AS qn, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY _aff DESC, cell) AS _rk
+        FROM aff WHERE vec_id < {n_queries}
+      ) WHERE _rk <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, p.q, p.qn, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, max(c.qn) AS qn,
+             CAST(sum(list_sum(list_transform(generate_series(1, {ds}),
+                  i -> c.q[kk.m * {ds} + i] * b.cvec[i]))) AS BIGINT) AS adot
+      FROM cand c JOIN codes kk ON c.neighbor_id = kk.vec_id
+           JOIN cb b ON kk.m = b.m AND kk.code = b.code
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    recon AS (
+      SELECT vec_id, CAST(sum(cn2) AS BIGINT) AS rnorm2 FROM codes GROUP BY vec_id
+    ),
+    ivfpq_scored AS (
+      SELECT a.query_id, a.neighbor_id,
+             CAST(a.adot AS DOUBLE)
+               / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(r.rnorm2 AS DOUBLE))) AS adc_cosine
+      FROM adc a JOIN recon r ON a.neighbor_id = r.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_cosine DESC, neighbor_id) AS rank
+      FROM ivfpq_scored
+    ) WHERE rank <= {k}"""
+
+
+#: (process, corpus) memo for the APPENDED index — separate from
+#: _PQ_INDEX_CACHE because the two lifecycles train on different
+#: populations (full corpus vs the base 80%) and append is NOT
+#: idempotent: the memo is what guarantees exactly-once delta delivery
+#: within a process (a second build+append against the same corpus
+#: would duplicate every delta row).
+_PQ_APPEND_CACHE: dict = {}
+
+
+def _emb_row_count(sf_dir) -> int:
+    """Corpus row count from parquet FOOTERS (no Spark job, no data
+    read) — at 100 TB this is a metadata walk, not a scan."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return sum(f.metadata.num_rows
+               for f in ds.dataset(path).get_fragments())
+
+
+@register("similarity_ivfpq_append", _ivfpq_append_oracle())
+def q_similarity_ivfpq_append(spark, sf_dir):
+    """Incremental at-rest index maintenance (round 14): the base 80%
+    of the corpus trains centroids + codebooks and materializes the
+    cell-partitioned index; the remaining 20% arrives as a delta and
+    is encoded against the FROZEN structures and APPENDED — new files
+    in existing cell directories, base bytes never rewritten
+    (similarity.ivfpq_index_append). The serve path is the unchanged
+    partition-pruned reader, so base and appended vectors are
+    indistinguishable at query time. The oracle trains on the same
+    base-only population and encodes everyone — asserting
+    serve(base ∪ delta) == serve(built-whole-with-frozen-structures).
+    In-process memo = exactly-once delta delivery (append is not
+    idempotent by design; production owns this via its ingest log)."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    from trendmachine_spark.extensions.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_write,
+        ivfpq_topk_from_index,
+        load_probe_matrix,
+    )
+
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, adc_cosine double")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb_path)
+        content_id = (emb_path, st.st_size, st.st_mtime_ns)
+    except OSError:
+        content_id = (emb_path, -1, -1)
+    if content_id not in _PQ_APPEND_CACHE:
+        n = _emb_row_count(sf_dir)
+        base_n = n * 4 // 5
+        h = hashlib.md5(repr(content_id).encode()).hexdigest()[:10]
+        path = f"/tmp/trendmachine_pq_append_{h}_pid{os.getpid()}"
+        emb = _embeddings(spark, sf_dir)
+        seeds = load_probe_matrix(emb_path, 16)
+        trained = ivfpq_index_write(
+            emb.filter(F.col("vec_id") < base_n), path, seed_probe=seeds)
+        if trained is not None:
+            ivfpq_index_append(
+                emb.filter(F.col("vec_id") >= base_n), path, trained)
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _PQ_APPEND_CACHE[content_id] = (path, trained)
+    path, trained = _PQ_APPEND_CACHE[content_id]
+    if trained is None:
+        return spark.createDataFrame([], empty_schema)
+    return ivfpq_topk_from_index(
+        spark, path, trained, n_queries=10, k=5, n_probe=2,
+        probe=load_probe_matrix(emb_path, 10))
+
+
+@register("ann_serve_streaming", _ivfpq_topk_oracle())
+def q_ann_serve_streaming(spark, sf_dir):
+    """Streaming ANN serve (round 14) — the query-side completion of
+    the index lifecycle (build at rest -> append increments -> SERVE
+    a query stream): query vectors arrive as a readStream and each
+    micro-batch is answered against the FROZEN at-rest index via
+    foreachBatch running the batch serve path verbatim — partition
+    pruning, ADC scoring, and tie-breaks are shared code
+    (ivfpq_topk_from_index), so streamed answers are bit-identical to
+    batch answers and this third streaming entry carries the plain
+    IVFPQ value-hash oracle. Arriving vectors quantize through
+    probe_from_vectors (the same Decimal ROUND_HALF_UP path the
+    parquet probe uses), mirroring a production serving layer that
+    receives queries over the wire rather than reading them back from
+    the corpus.
+
+    Per-query results depend only on the static index, so micro-batch
+    boundaries cannot change values (arrival-order independent). The
+    driver-side accumulation is bounded by contract: <= k rows per
+    streamed query. SCALE: each micro-batch reads n_probe/n_cells of
+    the index (file-level pruning) and shuffles once for the rank
+    window over <= probed-cells rows."""
+    import hashlib as _hashlib
+
+    from trendmachine_spark.extensions.similarity import (
+        ivfpq_topk_from_index,
+        probe_from_vectors,
+    )
+
+    empty_schema = (
+        "query_id long, neighbor_id long, rank int, adc_cosine double")
+    path, trained = _ivfpq_index_for(spark, sf_dir)
+    if trained is None:
+        return spark.createDataFrame([], empty_schema)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") < 10)
+    )
+    rows: list = []
+
+    def serve_batch(bdf, _batch_id):
+        qrows = bdf.select("vec_id", "embedding").collect()  # <= 10 rows
+        if not qrows:
+            return
+        probe = probe_from_vectors(
+            [r["vec_id"] for r in qrows], [r["embedding"] for r in qrows])
+        out = ivfpq_topk_from_index(
+            spark, path, trained, n_queries=10, k=5, n_probe=2,
+            probe=probe)
+        rows.extend(tuple(r) for r in out.collect())
+
+    qname = ("_ann_serve_stream_q_"
+             + _hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    q = (
+        stream.writeStream.foreachBatch(serve_batch)
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.createDataFrame(rows, empty_schema)
 
 
 @register("similarity_pq_rerank", _pq_rerank_oracle())
