@@ -304,6 +304,43 @@ def main() -> None:
             f"stage-1 floor {pq['ivfpq,n_probe=2']} — the superset-rerank "
             "guarantee is broken")
 
+    # frozen-structure STALENESS (r14): the incremental-append
+    # lifecycle trains centroids+codebooks on the base 80% only, then
+    # serves every vector (base + appended delta) from the combined
+    # at-rest index. The recall delta vs the fully-trained
+    # ivfpq,n_probe=2 row at the same density IS the staleness cost of
+    # frozen structures — the number that decides the retrain cadence.
+    import shutil
+    import tempfile
+
+    from trendmachine_spark.extensions.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_write,
+        ivfpq_topk_from_index,
+        probe_from_vectors,
+    )
+
+    base_n = emb.count() * 4 // 5
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    probe = probe_from_vectors(
+        [r["vec_id"] for r in qrows], [r["embedding"] for r in qrows])
+    probe.bound = N_QUERIES
+    srows = emb.filter(F.col("vec_id") < 16).collect()
+    seeds = probe_from_vectors(
+        [r["vec_id"] for r in srows], [r["embedding"] for r in srows])
+    seeds.bound = 16
+    tmpd = tempfile.mkdtemp(prefix="ann_recall_append_")
+    try:
+        trained = ivfpq_index_write(
+            emb.filter(F.col("vec_id") < base_n), tmpd, seed_probe=seeds)
+        ivfpq_index_append(
+            emb.filter(F.col("vec_id") >= base_n), tmpd, trained)
+        pq["ivfpq,n_probe=2,train=base80"] = _recall(
+            ivfpq_topk_from_index(spark, tmpd, trained, N_QUERIES, K,
+                                  n_probe=2, probe=probe).collect(),
+            exact_sets)
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
 
     # RESIDUAL encoding (round 12): same cells, same code budget
     # (8 subspaces x 16 codes), but the fine quantizer codes
