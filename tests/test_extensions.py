@@ -224,6 +224,54 @@ def test_incremental_dedup_flags(spark):
     assert set(out) == {1, 2, 3, 4, 5}
 
 
+def test_cross_corpus_near_dup_semantics(spark):
+    """r14: cross pairs only (within-side dups never reported), exact
+    jaccard filter, and the per-side hot-bucket drop."""
+    from trendmachine_spark.extensions.dedup import cross_corpus_near_dup
+
+    a = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today ok"),
+            # within-A exact dup of 0 — must NOT appear in the output
+            (2, "the quick brown fox jumps over the lazy dog today ok"),
+            (4, "completely unrelated corpus content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [
+            # near-dup of A:0 (one word changed) — the cross pair
+            (1, "the quick brown fox jumps over the lazy cat today ok"),
+            (3, "some other novel document with entirely distinct words"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = cross_corpus_near_dup(a, b, min_jaccard=0.5).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in rows}
+    assert pairs == {(0, 1), (2, 1)}
+    for r in rows:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+    # hot-bucket drop: every A doc identical (boilerplate) — with the
+    # side cap below the family size the bucket is non-discriminative
+    # and emits nothing; at the default cap the pairs come back
+    a_hot = spark.createDataFrame(
+        [(i * 2, "shared boilerplate template text repeated here")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    b_one = spark.createDataFrame(
+        [(1, "shared boilerplate template text repeated here")],
+        "doc_id long, text string",
+    )
+    dropped = cross_corpus_near_dup(a_hot, b_one, min_jaccard=0.5,
+                                    max_side_bucket=2).collect()
+    assert dropped == []
+    kept = cross_corpus_near_dup(a_hot, b_one, min_jaccard=0.5).collect()
+    assert {(r["a_id"], r["b_id"]) for r in kept} == {
+        (0, 1), (2, 1), (4, 1), (6, 1)}
+
+
 def test_bpe_pair_stats_hand_counts(spark):
     # "low" x2, "lower" x1 — the Sennrich et al. worked example shape
     docs = spark.createDataFrame(

@@ -132,6 +132,11 @@ SHUFFLE_BUDGETS = {
     # LUT scoring map; the one exchange is the rank window (partition
     # pruning asserted separately below)
     "similarity_ivfpq_index": (1, True),
+    # cross-corpus near-dup (r14): band tables + candidate pairs are
+    # checkpoint-truncated, so the static plan holds the two per-side
+    # bucket-count aggs, the (band, bucket) candidate join, and the
+    # final verify joins — 4 exchanges, no NLJ/cartesian anywhere
+    "dedup_cross_corpus": (4, True),
     # incremental append (r14): the SERVE plan is the at-rest reader
     # verbatim — pruned file scan over base+appended files, broadcast
     # probe join, LUT map, ONE rank-window exchange (the build+append

@@ -1004,6 +1004,97 @@ def incremental_dedup(base: DataFrame, delta: DataFrame,
     )
 
 
+def cross_corpus_near_dup(a: DataFrame, b: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          min_jaccard: float = 0.8,
+                          max_side_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
+    """Verified near-duplicate pairs ACROSS two LARGE corpora (round
+    14) — the corpus-merge shape: two crawls (or a new crawl vs an
+    existing training set at comparable size) where NEITHER side fits
+    a broadcast, so :func:`incremental_dedup`'s broadcast-the-delta
+    plan does not apply and :func:`minhash_near_dup`'s self-join would
+    waste most of its pairs on within-side duplicates the per-corpus
+    dedup already handled.
+
+    Output: (a_id, b_id, jaccard) — one row per cross pair sharing an
+    LSH band bucket whose EXACT word-shingle jaccard >= ``min_jaccard``.
+
+    SCALE: each side computes signatures independently (one
+    map-combined shuffle per side), then the candidate join is a
+    co-partitioned equi-join on (band, bucket) emitting ONLY A x B
+    rows — within-side pairs never exist in this plan, cutting the
+    candidate volume roughly in half vs tagging a union. Hot buckets
+    (boilerplate shared by both crawls) would cost na*nb pairs, so a
+    bucket is DROPPED from candidates when either side exceeds
+    ``max_side_bucket`` members in it — the same non-discriminative-
+    template stance as ``max_frame_freq`` on video near-dup, mirrored
+    exactly in the oracle; a pair of genuinely near-dup docs loses
+    only that band's vote and still collides on its other bands.
+    Verification prunes both corpora to candidate ids (semi-joins)
+    before any shingle explode, so exact jaccard is computed for
+    candidate docs only.
+
+    Both sides use the explode+agg signature (map-combined shuffle):
+    unlike :func:`incremental_dedup`'s base side — where the narrow
+    zero-shuffle fold buys "the corpus never shuffles" at interpreted-
+    HOF CPU cost — the symmetric merge has no never-shuffle side, and
+    the fold measured 30x slower than the exchange it avoids
+    (34 s vs 1.2 s per side at x10; values identical either way)."""
+    sa = lsh_band_buckets(minhash_signatures(a, text_col, id_col), id_col)
+    sb = lsh_band_buckets(minhash_signatures(b, text_col, id_col), id_col)
+    sa = _materialize(sa)
+    sb = _materialize(sb)
+    ca = sa.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_na"))
+    cb = sb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_nb"))
+    ok = (
+        ca.join(cb, ["band", "bucket"])
+        .filter((F.col("_na") <= max_side_bucket)
+                & (F.col("_nb") <= max_side_bucket))
+        .select("band", "bucket")
+    )
+    cand = (
+        sa.join(ok, ["band", "bucket"])
+        .select(F.col(id_col).alias("a_id"), "band", "bucket")
+        .join(
+            sb.join(ok, ["band", "bucket"])
+            .select(F.col(id_col).alias("b_id"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # cand feeds THREE consumers (both keep-lists + the verify join);
+    # without truncation the bucket-join subtree re-executes per
+    # consumer (measured: 17 static exchanges vs 4, same AQE-reused
+    # runtime shape as the minhash band table)
+    cand = _materialize(cand)
+
+    def _sets(docs: DataFrame, keep: DataFrame) -> DataFrame:
+        src = docs.join(keep, id_col, "leftsemi")
+        return (
+            shingles(src, text_col, id_col, distinct=False)
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("_sh"))
+        )
+
+    a_sets = _sets(a, cand.select(F.col("a_id").alias(id_col)).distinct())
+    b_sets = _sets(b, cand.select(F.col("b_id").alias(id_col)).distinct())
+    return (
+        cand.join(a_sets.select(F.col(id_col).alias("a_id"),
+                                F.col("_sh").alias("_sha")), "a_id")
+        .join(b_sets.select(F.col(id_col).alias("b_id"),
+                            F.col("_sh").alias("_shb")), "b_id")
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.size("_sha") + F.size("_shb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 def decontaminate(train: DataFrame, eval_docs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 8) -> DataFrame:

@@ -111,6 +111,8 @@ from trendmachine_spark.registry_queries.dedup_text import (  # noqa: F401
     q_split_leakage_report,
     q_multimodal_resize,
     q_multimodal_frame_sample,
+    _cross_corpus_oracle,
+    q_dedup_cross_corpus,
 )
 from trendmachine_spark.registry_queries.relational_events import (  # noqa: F401
     q_pricing_summary,
@@ -333,6 +335,7 @@ _WINDOW_PINNED: list[str] = [
     "similarity_ivfpq_rerank_auto",  # r14 new query: density-adaptive IVFPQ rerank
     "similarity_ivfpq_append",  # r14 new query: incremental index append
     "ann_serve_streaming",  # r14 new query: streaming serve from at-rest index
+    "dedup_cross_corpus",  # r14 new query: cross-corpus near-dup
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -424,6 +427,7 @@ _DEMOTE_FOURTH: frozenset = frozenset({
     "similarity_ivfpq_residual_topk", "similarity_pq256_topk",
     "similarity_pq_rerank", "similarity_sq8_rerank", "similarity_sq8_topk",
     "split_semantic_leakage", "sq8_encode_streaming",
+    "dedup_cross_corpus",  # assigned by rotate_window.py
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under

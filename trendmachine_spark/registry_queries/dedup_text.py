@@ -1083,3 +1083,84 @@ def q_multimodal_frame_sample(spark, sf_dir):
     from trendmachine_spark.extensions.multimodal import frame_sample, to_binary_assets
 
     return frame_sample(to_binary_assets(_docs(spark, sf_dir)))
+
+
+def _cross_corpus_oracle(min_jaccard: float = 0.8) -> str:
+    """Exact mirror of dedup.cross_corpus_near_dup on the even/odd
+    doc_id split: shared shingle/signature/band chain (verbatim the
+    _minhash_ctes idioms), side = doc_id % 2, candidate buckets must
+    hold BOTH sides with NEITHER side over MAX_LSH_BUCKET (the
+    boilerplate-template drop, mirrored), pairs are A x B only, and
+    the verifier recomputes exact distinct-shingle jaccard as one
+    double division of exact integers (same expression order as the
+    Spark filter)."""
+    from trendmachine_spark.extensions.dedup import (
+        BANDS, HASH_MASKS, MAX_LSH_BUCKET, ROWS_PER_BAND,
+    )
+
+    sig_cols = ", ".join(
+        f"min(xor(h, {m})) AS mh{j}" for j, m in enumerate(HASH_MASKS)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""WITH {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
+    bands AS MATERIALIZED ({band_rows}),
+    sided AS (SELECT doc_id, band, bucket, doc_id % 2 AS side FROM bands),
+    scnt AS (
+      SELECT band, bucket,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+      FROM sided GROUP BY band, bucket
+    ),
+    ok AS (
+      SELECT band, bucket FROM scnt
+      WHERE na > 0 AND nb > 0
+        AND na <= {MAX_LSH_BUCKET} AND nb <= {MAX_LSH_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sided a
+           JOIN ok o ON a.band = o.band AND a.bucket = o.bucket
+           JOIN sided b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.side = 0 AND b.side = 1
+    ),
+    dsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a_id, c.b_id, count(*) AS i
+      FROM cand c JOIN sh x ON x.doc_id = c.a_id
+           JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+      GROUP BY c.a_id, c.b_id
+    )
+    SELECT t.a_id, t.b_id,
+           CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i) AS jaccard
+    FROM inter t JOIN dsizes sa ON sa.doc_id = t.a_id
+         JOIN dsizes sb ON sb.doc_id = t.b_id
+    WHERE CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i) >= {min_jaccard}"""
+
+
+@register("dedup_cross_corpus", _cross_corpus_oracle())
+def q_dedup_cross_corpus(spark, sf_dir):
+    """Cross-corpus near-dup (round 14) — the corpus-MERGE shape: two
+    large corpora (even/odd doc_id halves standing in for two crawls)
+    where neither side broadcasts; candidates come from a
+    co-partitioned (band, bucket) equi-join emitting ONLY cross-side
+    pairs, buckets where either side exceeds MAX_LSH_BUCKET dropped as
+    non-discriminative boilerplate (oracle-mirrored), and every
+    candidate verified by exact distinct-shingle jaccard >= 0.8.
+    Complements incremental_dedup (broadcast-delta asymmetric shape)
+    and minhash_near_dup (within-corpus self-join)."""
+    from trendmachine_spark.extensions.dedup import cross_corpus_near_dup
+
+    docs = _docs(spark, sf_dir)
+    return cross_corpus_near_dup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1))
