@@ -271,6 +271,19 @@ def test_cross_corpus_near_dup_semantics(spark):
     assert {(r["a_id"], r["b_id"]) for r in kept} == {
         (0, 1), (2, 1), (4, 1), (6, 1)}
 
+    # the health metric makes the drop visible: same corpus, same cap
+    # -> every band reports its shared bucket dropped with the exact
+    # na*nb pair volume; at the default cap the volume moves to kept
+    from trendmachine_spark.extensions.dedup import cross_corpus_bucket_health
+
+    h = cross_corpus_bucket_health(a_hot, b_one, max_side_bucket=2).collect()
+    assert h and all(
+        r["n_dropped"] == 1 and r["pairs_dropped"] == 4
+        and r["pairs_kept"] == 0 and r["max_side_a"] == 4 for r in h)
+    h2 = cross_corpus_bucket_health(a_hot, b_one).collect()
+    assert h2 and all(
+        r["n_dropped"] == 0 and r["pairs_kept"] == 4 for r in h2)
+
 
 def test_bpe_pair_stats_hand_counts(spark):
     # "low" x2, "lower" x1 — the Sennrich et al. worked example shape

@@ -137,6 +137,11 @@ SHUFFLE_BUDGETS = {
     # bucket-count aggs, the (band, bucket) candidate join, and the
     # final verify joins — 4 exchanges, no NLJ/cartesian anywhere
     "dedup_cross_corpus": (4, True),
+    # merge-shape health metric (r14): two per-side signature + bucket
+    # count aggs (2 each), the (band, bucket) join rides their
+    # partitioning, one band-sized final agg — 5 exchanges, nothing
+    # doc- or pair-sized crosses the wire
+    "cross_corpus_bucket_health": (5, True),
     # incremental append (r14): the SERVE plan is the at-rest reader
     # verbatim — pruned file scan over base+appended files, broadcast
     # probe join, LUT map, ONE rank-window exchange (the build+append

@@ -1095,6 +1095,52 @@ def cross_corpus_near_dup(a: DataFrame, b: DataFrame,
     )
 
 
+def cross_corpus_bucket_health(a: DataFrame, b: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               max_side_bucket: int = MAX_LSH_BUCKET
+                               ) -> DataFrame:
+    """The no-silent-caps companion to :func:`cross_corpus_near_dup`
+    (round 14), the cross-corpus analog of :func:`lsh_bucket_stats`:
+    per band, how many buckets both corpora share, how many the
+    per-side cap DROPPED, and the exact candidate-pair volume the drop
+    saved vs kept — so a run where boilerplate silently ate the
+    candidate generation is visible in one scan of the same band
+    tables the pair query builds.
+
+    Output per band: n_shared_buckets, n_dropped, max_side_a,
+    max_side_b, pairs_kept, pairs_dropped (pairs = na*nb per shared
+    bucket — the exact A x B candidate rows the join would emit).
+
+    SCALE: two map-combined bucket-count aggregations + one
+    (band, bucket)-sized join + one band-sized agg — no doc-sized or
+    pair-sized intermediate anywhere."""
+    ca = (
+        lsh_band_buckets(minhash_signatures(a, text_col, id_col), id_col)
+        .groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_na"))
+    )
+    cb = (
+        lsh_band_buckets(minhash_signatures(b, text_col, id_col), id_col)
+        .groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    shared = ca.join(cb, ["band", "bucket"]).withColumn(
+        "_drop",
+        ((F.col("_na") > max_side_bucket)
+         | (F.col("_nb") > max_side_bucket)).cast("long"),
+    )
+    pairs = F.col("_na") * F.col("_nb")
+    return shared.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_shared_buckets"),
+        F.sum("_drop").alias("n_dropped"),
+        F.max("_na").alias("max_side_a"),
+        F.max("_nb").alias("max_side_b"),
+        F.sum(F.when(F.col("_drop") == 0, pairs).otherwise(F.lit(0)))
+        .alias("pairs_kept"),
+        F.sum(F.when(F.col("_drop") == 1, pairs).otherwise(F.lit(0)))
+        .alias("pairs_dropped"),
+    )
+
+
 def decontaminate(train: DataFrame, eval_docs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 8) -> DataFrame:

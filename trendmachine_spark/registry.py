@@ -113,6 +113,8 @@ from trendmachine_spark.registry_queries.dedup_text import (  # noqa: F401
     q_multimodal_frame_sample,
     _cross_corpus_oracle,
     q_dedup_cross_corpus,
+    _cross_corpus_health_oracle,
+    q_cross_corpus_bucket_health,
 )
 from trendmachine_spark.registry_queries.relational_events import (  # noqa: F401
     q_pricing_summary,
@@ -336,6 +338,7 @@ _WINDOW_PINNED: list[str] = [
     "similarity_ivfpq_append",  # r14 new query: incremental index append
     "ann_serve_streaming",  # r14 new query: streaming serve from at-rest index
     "dedup_cross_corpus",  # r14 new query: cross-corpus near-dup
+    "cross_corpus_bucket_health",  # r14 new query: merge-shape no-silent-caps metric
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -366,6 +369,7 @@ _DEMOTE_EVEN = frozenset({
     "training_splits", "transition_matrix_filled", "vocab_coverage",
     "similarity_pq_rerank_auto",  # assigned by rotate_window.py
     "similarity_ivfpq_rerank_auto",  # assigned by rotate_window.py
+    "cross_corpus_bucket_health",  # assigned by rotate_window.py
 })
 _DEMOTE_ODD = frozenset({
     # class 0 — driver-checked in rounds where _ROUND % 4 == 0;

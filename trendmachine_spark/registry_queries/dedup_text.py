@@ -1164,3 +1164,64 @@ def q_dedup_cross_corpus(spark, sf_dir):
     return cross_corpus_near_dup(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1))
+
+
+def _cross_corpus_health_oracle() -> str:
+    """Per-band health of the cross-corpus candidate generation —
+    shares the sided/scnt chain with _cross_corpus_oracle and reports
+    the exact candidate-pair volume the per-side cap dropped vs kept
+    (the no-silent-caps metric for the merge shape)."""
+    from trendmachine_spark.extensions.dedup import (
+        BANDS, HASH_MASKS, MAX_LSH_BUCKET, ROWS_PER_BAND,
+    )
+
+    sig_cols = ", ".join(
+        f"min(xor(h, {m})) AS mh{j}" for j, m in enumerate(HASH_MASKS)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""WITH {_SHINGLES_SQL},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
+    bands AS MATERIALIZED ({band_rows}),
+    sided AS (SELECT doc_id, band, bucket, doc_id % 2 AS side FROM bands),
+    scnt AS (
+      SELECT band, bucket,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb
+      FROM sided GROUP BY band, bucket
+    ),
+    shared AS (
+      SELECT band, bucket, na, nb,
+             CASE WHEN na > {MAX_LSH_BUCKET} OR nb > {MAX_LSH_BUCKET}
+                  THEN 1 ELSE 0 END AS dropped
+      FROM scnt WHERE na > 0 AND nb > 0
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_shared_buckets,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           CAST(max(na) AS BIGINT) AS max_side_a,
+           CAST(max(nb) AS BIGINT) AS max_side_b,
+           CAST(sum(CASE WHEN dropped = 0 THEN na * nb ELSE 0 END) AS BIGINT) AS pairs_kept,
+           CAST(sum(CASE WHEN dropped = 1 THEN na * nb ELSE 0 END) AS BIGINT) AS pairs_dropped
+    FROM shared GROUP BY band"""
+
+
+@register("cross_corpus_bucket_health", _cross_corpus_health_oracle())
+def q_cross_corpus_bucket_health(spark, sf_dir):
+    """No-silent-caps metric for the cross-corpus merge (round 14):
+    per band, shared buckets, buckets the per-side cap dropped, and
+    the exact candidate-pair volume dropped vs kept."""
+    from trendmachine_spark.extensions.dedup import cross_corpus_bucket_health
+
+    docs = _docs(spark, sf_dir)
+    return cross_corpus_bucket_health(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1))
