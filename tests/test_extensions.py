@@ -284,6 +284,11 @@ def test_cross_corpus_near_dup_semantics(spark):
     assert h2 and all(
         r["n_dropped"] == 0 and r["pairs_kept"] == 4 for r in h2)
 
+    # empty-side robustness: no signatures -> no shared buckets -> empty
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert cross_corpus_near_dup(a, empty).count() == 0
+    assert cross_corpus_bucket_health(a, empty).count() == 0
+
 
 def test_bpe_pair_stats_hand_counts(spark):
     # "low" x2, "lower" x1 — the Sennrich et al. worked example shape
