@@ -114,6 +114,13 @@ SHUFFLE_BUDGETS = {
     # density-adaptive SQ8 two-stage (r14): band window rides stage-1's
     # query_id partitioning — same budget as the fixed form
     "similarity_sq8_rerank_auto": (2, True),
+    # filtered ANN, selector path (r14): the predicate pushes into the
+    # fused compressed scan — sq8_topk's exact shape, ONE rank window
+    "similarity_sq8_filtered": (1, True),
+    # filtered ANN, post-filter (r14): full-corpus stage-1 (1 rank
+    # window) + broadcast of the tiny stage-1 onto the label scan +
+    # the re-rank window — 2 exchanges, corpus never shuffles
+    "similarity_sq8_filtered_post": (2, True),
     # density-adaptive IVF+PQ two-stage (r14): cell-pruned compressed
     # stage-1 (broadcast probe join + rank window) + band + exact rank
     # window — the FAISS-standard serving stack, still two exchanges

@@ -455,6 +455,46 @@ def test_train_cte_builders_default_unchanged():
         include_base=False, train_max_sql=bound)
 
 
+# ---------------------------- filtered ANN serving (round 14)
+
+
+def test_sq8_filtered_pre_vs_post_semantics(spark, emb):
+    """Pre (selector) returns exactly k matching rows per query with
+    every neighbor satisfying the predicate; post is a subset of
+    stage-1 ∩ predicate and STARVES when the filter is selective —
+    the measured trade the pre/post pair exists to expose."""
+    from trendmachine_spark.extensions.similarity import (
+        sq8_topk,
+        sq8_topk_filtered,
+    )
+
+    labels = {r["vec_id"]: r["label"]
+              for r in emb.select("vec_id", "label").collect()}
+    n_label3 = sum(1 for v in labels.values() if v == 3)
+    assert n_label3 >= 5  # predicate satisfiable at k=5
+
+    pre = sq8_topk_filtered(emb, n_queries=5, k=5, label_value=3,
+                            mode="pre").collect()
+    assert len(pre) == 5 * 5
+    assert all(labels[r["neighbor_id"]] == 3 for r in pre)
+    per_q = {}
+    for r in pre:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+    stage1 = {(r["query_id"], r["neighbor_id"])
+              for r in sq8_topk(emb, n_queries=5, k=20).collect()}
+    post = sq8_topk_filtered(emb, n_queries=5, k=5, label_value=3,
+                             mode="post", expand=4).collect()
+    assert all((r["query_id"], r["neighbor_id"]) in stage1 for r in post)
+    assert all(labels[r["neighbor_id"]] == 3 for r in post)
+    # selective filter (~10% of the corpus) starves the naive pipeline
+    assert len(post) < len(pre)
+
+    with pytest.raises(ValueError):
+        sq8_topk_filtered(emb, mode="nope")
+
+
 # ---------------------------- numpy-kernel properties (no Spark jobs)
 
 from hypothesis import given, settings

@@ -320,7 +320,7 @@ def main() -> None:
         probe_from_vectors,
     )
 
-    base_n = emb.count() * 4 // 5
+    n_emb = emb.count()
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
     probe = probe_from_vectors(
         [r["vec_id"] for r in qrows], [r["embedding"] for r in qrows])
@@ -329,18 +329,59 @@ def main() -> None:
     seeds = probe_from_vectors(
         [r["vec_id"] for r in srows], [r["embedding"] for r in srows])
     seeds.bound = 16
-    tmpd = tempfile.mkdtemp(prefix="ann_recall_append_")
-    try:
-        trained = ivfpq_index_write(
-            emb.filter(F.col("vec_id") < base_n), tmpd, seed_probe=seeds)
-        ivfpq_index_append(
-            emb.filter(F.col("vec_id") >= base_n), tmpd, trained)
-        pq["ivfpq,n_probe=2,train=base80"] = _recall(
-            ivfpq_topk_from_index(spark, tmpd, trained, N_QUERIES, K,
-                                  n_probe=2, probe=probe).collect(),
-            exact_sets)
-    finally:
-        shutil.rmtree(tmpd, ignore_errors=True)
+    # swept over base fraction (r14 second pass): the cadence curve —
+    # how stale can the frozen structures get before recall moves
+    for num, den, tag in ((1, 2, "base50"), (4, 5, "base80"),
+                          (19, 20, "base95")):
+        base_n = n_emb * num // den
+        tmpd = tempfile.mkdtemp(prefix="ann_recall_append_")
+        try:
+            trained = ivfpq_index_write(
+                emb.filter(F.col("vec_id") < base_n), tmpd,
+                seed_probe=seeds)
+            ivfpq_index_append(
+                emb.filter(F.col("vec_id") >= base_n), tmpd, trained)
+            pq[f"ivfpq,n_probe=2,train={tag}"] = _recall(
+                ivfpq_topk_from_index(spark, tmpd, trained, N_QUERIES, K,
+                                      n_probe=2, probe=probe).collect(),
+                exact_sets)
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+
+    # FILTERED serving (r14): predicate x vector search. Ground truth
+    # is the exact quantized-cosine top-k among label-matching rows
+    # only (computed driver-side over probe_from_vectors-quantized
+    # ints — bit-identical quantization, same (cosine DESC, id) tie
+    # order). Pre (selector) recall isolates quantizer loss under the
+    # predicate; post (k*expand then filter) shows the starvation.
+    from trendmachine_spark.extensions.similarity import sq8_topk_filtered
+
+    FILTER_LABEL = 3
+    emb_l = emb.join(emb_raw.select("vec_id", "label"), "vec_id")
+    frows = (emb_l.filter(F.col("label") == FILTER_LABEL)
+             .select("vec_id", "embedding").collect())
+    import numpy as np
+
+    cf = probe_from_vectors(
+        [r["vec_id"] for r in frows], [r["embedding"] for r in frows])
+    cids, Cq, cn2 = (np.asarray(cf[0]), np.asarray(cf[1]),
+                     np.asarray(cf[2], dtype=np.float64))
+    qids_, Qq, qn2 = (np.asarray(probe[0]), np.asarray(probe[1]),
+                      np.asarray(probe[2], dtype=np.float64))
+    cos = (Qq @ Cq.T) / (np.sqrt(qn2)[:, None] * np.sqrt(cn2)[None, :])
+    exact_flt = {}
+    for j, qid in enumerate(qids_):
+        keep = cids != qid
+        key = np.where(np.isnan(cos[j, keep]), np.inf, -cos[j, keep])
+        order = np.lexsort((cids[keep], key))[:K]
+        exact_flt[int(qid)] = set(int(i) for i in cids[keep][order])
+    pq["sq8_filtered,mode=pre"] = _recall(
+        sq8_topk_filtered(emb_l, N_QUERIES, K, label_value=FILTER_LABEL,
+                          mode="pre", probe=probe).collect(), exact_flt)
+    pq["sq8_filtered,mode=post,expand=4"] = _recall(
+        sq8_topk_filtered(emb_l, N_QUERIES, K, label_value=FILTER_LABEL,
+                          mode="post", expand=4,
+                          probe=probe).collect(), exact_flt)
 
     # RESIDUAL encoding (round 12): same cells, same code budget
     # (8 subspaces x 16 codes), but the fine quantizer codes

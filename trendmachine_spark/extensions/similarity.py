@@ -1261,7 +1261,7 @@ def sq8_scales(qv: DataFrame):
 
 def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             probe=None) -> DataFrame:
+             probe=None, corpus: DataFrame | None = None) -> DataFrame:
     """Scalar-quantization (SQ8) approximate top-k — the FAISS ``SQ8``
     index family: each dimension quantizes independently to an int8
     code ``c_d = clamp(trunc(v_d / s_d), ±127)`` against the trained
@@ -1286,7 +1286,13 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     only its per-query top-k in the final window's exact total order —
     the same map-side-prune shape as brute_force_topk, ONE k-bounded
     rank exchange. At rest the index is dim int8 codes + one bigint
-    per vector."""
+    per vector.
+
+    ``corpus``: score against THIS DataFrame instead of ``emb`` while
+    ``emb`` still provides scale training and the query set — the
+    filtered-serving hook (:func:`sq8_topk_filtered`): the production
+    quantizer is frozen on the full corpus, the scan is the subset the
+    predicate selects."""
     import numpy as np
 
     qv = quantize_embeddings(emb, vec_col, id_col)
@@ -1346,7 +1352,9 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
 
     import pandas as pd  # noqa: F401  (closure capture)
 
-    scored = qv.mapInPandas(
+    scan = (qv if corpus is None
+            else quantize_embeddings(corpus, vec_col, id_col))
+    scored = scan.mapInPandas(
         score, "query_id long, neighbor_id long, sq_cosine double")
     from pyspark.sql import Window
 
@@ -1354,6 +1362,53 @@ def sq8_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         F.col("sq_cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sq_cosine")
+    )
+
+
+def sq8_topk_filtered(emb: DataFrame, n_queries: int = 10, k: int = 5,
+                      label_value: int = 3, label_col: str = "label",
+                      mode: str = "pre", expand: int = 4,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      probe=None) -> DataFrame:
+    """Filtered ANN serving (round 14): top-k among corpus vectors
+    matching a metadata predicate (``label_col == label_value``) — the
+    search-within-a-filter shape every production vector store needs
+    (FAISS IDSelector / Vespa-style filtered HNSW). The quantizer is
+    FROZEN on the full corpus (scales train on ``emb``, not the
+    subset) and queries come from the full corpus, mirroring a served
+    index answering a predicated query.
+
+    ``mode="pre"`` — the SELECTOR path: the predicate pushes into the
+    compressed scan, which reads and scores ONLY matching rows;
+    exact-filtered top-k at cost proportional to the selectivity.
+    ``mode="post"`` — the NAIVE pipeline: full-corpus stage-1 at
+    ``k*expand``, THEN the predicate. A selective filter starves it —
+    queries can return fewer than k rows, and recall degrades with
+    selectivity x density (measured in ANN_RECALL's filtered rows);
+    registered alongside pre precisely to keep that trade visible.
+
+    SCALE: pre scans selectivity x corpus bytes with the same fused
+    zero-shuffle pass + one k-bounded rank exchange as sq8_topk; post
+    adds only a broadcast of the tiny stage-1 result onto the label
+    scan (the corpus never shuffles in either form)."""
+    if mode not in ("pre", "post"):
+        raise ValueError(f"mode must be 'pre' or 'post', got {mode!r}")
+    flt = emb.filter(F.col(label_col) == label_value)
+    if mode == "pre":
+        return sq8_topk(emb, n_queries, k, vec_col, id_col, probe=probe,
+                        corpus=flt)
+    from pyspark.sql import Window
+
+    stage1 = sq8_topk(emb, n_queries, k * expand, vec_col, id_col,
+                      probe=probe)
+    matched = flt.select(F.col(id_col).alias("neighbor_id")).join(
+        F.broadcast(stage1.drop("rank")), "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq_cosine").desc(), F.col("neighbor_id"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sq_cosine")
     )

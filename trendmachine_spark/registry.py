@@ -177,6 +177,10 @@ from trendmachine_spark.registry_queries.ml_ann import (  # noqa: F401
     _sq8_rerank_oracle,
     q_similarity_sq8_topk,
     q_similarity_sq8_rerank,
+    _sq8_filtered_oracle,
+    _sq8_filtered_post_oracle,
+    q_similarity_sq8_filtered,
+    q_similarity_sq8_filtered_post,
     _sq8_rerank_auto_oracle,
     q_similarity_sq8_rerank_auto,
     _ivfsq8_topk_oracle,
@@ -339,6 +343,8 @@ _WINDOW_PINNED: list[str] = [
     "ann_serve_streaming",  # r14 new query: streaming serve from at-rest index
     "dedup_cross_corpus",  # r14 new query: cross-corpus near-dup
     "cross_corpus_bucket_health",  # r14 new query: merge-shape no-silent-caps metric
+    "similarity_sq8_filtered",  # r14 new query: filtered ANN selector path
+    "similarity_sq8_filtered_post",  # r14 new query: filtered ANN post-filter trade
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -387,6 +393,7 @@ _DEMOTE_ODD = frozenset({
     "transition_matrix", "urim_projection",
     "similarity_sq8_rerank_auto",  # assigned by rotate_window.py
     "similarity_ivfpq_append",  # assigned by rotate_window.py
+    "similarity_sq8_filtered",  # assigned by rotate_window.py
 })
 
 
@@ -407,6 +414,7 @@ _DEMOTE_THIRD: frozenset = frozenset({
     "minhash_accuracy", "multimodal_decode_png", "pq_distortion",
     "region_revenue", "similarity_ivfpq_topk",
     "ann_serve_streaming",  # assigned by rotate_window.py
+    "similarity_sq8_filtered_post",  # assigned by rotate_window.py
 })
 
 #: fourth rotation class — EMPTY (and unused) while _PARITY_PERIOD <= 3.

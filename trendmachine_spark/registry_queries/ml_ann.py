@@ -770,6 +770,90 @@ def _sq8_topk_oracle(n_queries: int = 10, k: int = 5) -> str:
     ) WHERE rank <= {k}"""
 
 
+def _sq8_filtered_oracle(n_queries: int = 10, k: int = 5,
+                         label: int = 3) -> str:
+    """Exact mirror of similarity.sq8_topk_filtered(mode='pre') — the
+    selector path: scales train on the FULL corpus (amax over all of
+    nv), scoring restricted to candidates whose embeddings.label
+    matches; rank over the filtered set only."""
+    return f"""WITH {_sq8_ctes(n_queries)},
+    flt AS (
+      SELECT s.query_id, s.neighbor_id, s.sq_cosine
+      FROM sq_scored s JOIN embeddings e ON s.neighbor_id = e.vec_id
+      WHERE e.label = {label}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sq_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sq_cosine DESC, neighbor_id) AS rank
+      FROM flt
+    ) WHERE rank <= {k}"""
+
+
+def _sq8_filtered_post_oracle(n_queries: int = 10, k: int = 5,
+                              label: int = 3, expand: int = 4) -> str:
+    """Exact mirror of similarity.sq8_topk_filtered(mode='post') — the
+    naive pipeline: full-corpus stage-1 at k*expand, THEN the label
+    predicate, re-ranked; a query whose stage-1 top-k*expand holds
+    fewer than k matching rows returns short — the starvation the
+    pre/post pair exists to measure."""
+    return f"""WITH {_sq8_ctes(n_queries)},
+    stage1 AS (
+      SELECT query_id, neighbor_id, sq_cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sq_cosine DESC, neighbor_id) AS _rk
+        FROM sq_scored
+      ) WHERE _rk <= {k * expand}
+    ),
+    flt AS (
+      SELECT s.query_id, s.neighbor_id, s.sq_cosine
+      FROM stage1 s JOIN embeddings e ON s.neighbor_id = e.vec_id
+      WHERE e.label = {label}
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sq_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sq_cosine DESC, neighbor_id) AS rank
+      FROM flt
+    ) WHERE rank <= {k}"""
+
+
+@register("similarity_sq8_filtered", _sq8_filtered_oracle())
+def q_similarity_sq8_filtered(spark, sf_dir):
+    """Filtered ANN serving, selector path (round 14): top-k among
+    label=3 vectors only — the predicate pushes into the compressed
+    scan (reads/scores selectivity x corpus), quantizer frozen on the
+    full corpus, queries from the full corpus."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (
+        load_probe_matrix,
+        sq8_topk_filtered,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return sq8_topk_filtered(
+        _embeddings(spark, sf_dir), n_queries=10, k=5, label_value=3,
+        mode="pre", probe=load_probe_matrix(path, 10))
+
+
+@register("similarity_sq8_filtered_post", _sq8_filtered_post_oracle())
+def q_similarity_sq8_filtered_post(spark, sf_dir):
+    """Filtered ANN serving, naive post-filter (round 14): full-corpus
+    stage-1 at k*expand THEN the label predicate — registered beside
+    the selector path so the starvation trade (short results, recall
+    loss at selectivity x density) stays measured and visible."""
+    import os
+
+    from trendmachine_spark.extensions.similarity import (
+        load_probe_matrix,
+        sq8_topk_filtered,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return sq8_topk_filtered(
+        _embeddings(spark, sf_dir), n_queries=10, k=5, label_value=3,
+        mode="post", expand=4, probe=load_probe_matrix(path, 10))
+
+
 def _sq8_rerank_oracle(n_queries: int = 10, k: int = 5,
                        expand: int = 4) -> str:
     """Exact mirror of similarity.sq8_rerank_topk — SQ8 candidate
