@@ -382,6 +382,15 @@ def main() -> None:
         sq8_topk_filtered(emb_l, N_QUERIES, K, label_value=FILTER_LABEL,
                           mode="post", expand=4,
                           probe=probe).collect(), exact_flt)
+    # the 1/selectivity point: at ~10% selectivity the naive pipeline
+    # needs expand ~= 40 (k*expand = 400 stage-1 rows) for its
+    # stage-1 top-list to contain the filter's true top-k — the
+    # quantitative form of "post-filter expand scales as
+    # 1/selectivity", vs the selector path paying selectivity x scan
+    pq["sq8_filtered,mode=post,expand=40"] = _recall(
+        sq8_topk_filtered(emb_l, N_QUERIES, K, label_value=FILTER_LABEL,
+                          mode="post", expand=40,
+                          probe=probe).collect(), exact_flt)
 
     # RESIDUAL encoding (round 12): same cells, same code budget
     # (8 subspaces x 16 codes), but the fine quantizer codes
