@@ -5,7 +5,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-
 insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The real surface lives in ``trendmachine_spark.registry``: 148 named
+The real surface lives in ``trendmachine_spark.registry``: 149 named
 queries covering SURVEY.md §2's operator inventory (capture pipeline,
 dashboard aggregates) plus the §2.6 extension operators (dedup incl.
 end-to-end clustering, segment/semantic/incremental dedup, containment,
@@ -40,8 +40,8 @@ baseline JPEGs, per-clip decode metadata/checksums, and frame
 signatures re-pointed at decoded pixels, plus frame-containment
 near-dup pairs, product-quantization ANN — PQ/ADC top-k over an
 8-codes-per-vector compressed corpus scan with exact-integer
-codebook training — the per-subspace PQ distortion report, the IVF+PQ compressed-domain probe-and-scan combination, two-stage PQ-candidates + exact re-rank, frozen-codebook streaming PQ encode (deterministic, so it is the first streaming entry carrying a full oracle), the at-rest cell-partitioned IVFPQ index whose serve path prunes unprobed cells at the file level, and normalization-insensitive "fuzzy exact" dedup; round 12 adds residual-encoding IVFPQ (the FAISS default — PQ codes quantize v − centroid(cell), exact-integer residuals keep the bit-parity oracle), the sqrt operating rule for SemDeDup cell counts, SQ8 and IVF+SQ8 scalar-quantization ANN (per-dimension int8 codes, exact-integer scales), and the frame-frequency skew guard on video near-dup; round 13 adds equal-byte-budget PQ at K=256 codes per subspace — similarity_pq256_topk — separating code budget from method in the quantizer recall story, the two-stage exact re-rank over SQ8 candidates — similarity_sq8_rerank — completing the quantizer x serving matrix, and semantic split-contamination pairs — split_semantic_leakage — the embedding-space complement to the opening-8-gram leakage report; round 14 adds the density-adaptive two-stage re-ranks — similarity_pq_rerank_auto, similarity_sq8_rerank_auto and similarity_ivfpq_rerank_auto (the FAISS-standard prune+scan+rerank stack) — whose exact-stage candidate budgets widen with the measured stage-1 near-tie plateau (never below the tuned fixed-expand floor) instead of assuming a corpus density, and completes the index lifecycle with incremental at-rest maintenance — similarity_ivfpq_append, delta vectors encoded against FROZEN structures and appended as new files in existing cell partitions, oracled against a base-only-training mirror — and streaming query serve — ann_serve_streaming, micro-batches answered against the frozen at-rest index through the batch serve path verbatim, the third streaming entry carrying a full value-hash oracle; plus cross-corpus near-dup — dedup_cross_corpus, the corpus-merge shape where neither side broadcasts: cross-side-only LSH bucket equi-join with a per-side hot-bucket drop and exact-jaccard verification, and its no-silent-caps companion cross_corpus_bucket_health reporting the exact candidate-pair volume the cap dropped vs kept per band; plus filtered ANN serving — similarity_sq8_filtered (the selector path: the metadata predicate pushes into the compressed scan, quantizer frozen on the full corpus) and similarity_sq8_filtered_post (the naive stage-1-then-filter pipeline, registered beside it so the starvation trade stays measured and visible)).
-135 have exactly-parallel DuckDB
+codebook training — the per-subspace PQ distortion report, the IVF+PQ compressed-domain probe-and-scan combination, two-stage PQ-candidates + exact re-rank, frozen-codebook streaming PQ encode (deterministic, so it is the first streaming entry carrying a full oracle), the at-rest cell-partitioned IVFPQ index whose serve path prunes unprobed cells at the file level, and normalization-insensitive "fuzzy exact" dedup; round 12 adds residual-encoding IVFPQ (the FAISS default — PQ codes quantize v − centroid(cell), exact-integer residuals keep the bit-parity oracle), the sqrt operating rule for SemDeDup cell counts, SQ8 and IVF+SQ8 scalar-quantization ANN (per-dimension int8 codes, exact-integer scales), and the frame-frequency skew guard on video near-dup; round 13 adds equal-byte-budget PQ at K=256 codes per subspace — similarity_pq256_topk — separating code budget from method in the quantizer recall story, the two-stage exact re-rank over SQ8 candidates — similarity_sq8_rerank — completing the quantizer x serving matrix, and semantic split-contamination pairs — split_semantic_leakage — the embedding-space complement to the opening-8-gram leakage report; round 14 adds the density-adaptive two-stage re-ranks — similarity_pq_rerank_auto, similarity_sq8_rerank_auto and similarity_ivfpq_rerank_auto (the FAISS-standard prune+scan+rerank stack) — whose exact-stage candidate budgets widen with the measured stage-1 near-tie plateau (never below the tuned fixed-expand floor) instead of assuming a corpus density, and completes the index lifecycle with incremental at-rest maintenance — similarity_ivfpq_append, delta vectors encoded against FROZEN structures and appended as new files in existing cell partitions, oracled against a base-only-training mirror — and streaming query serve — ann_serve_streaming, micro-batches answered against the frozen at-rest index through the batch serve path verbatim, the third streaming entry carrying a full value-hash oracle; plus cross-corpus near-dup — dedup_cross_corpus, the corpus-merge shape where neither side broadcasts: cross-side-only LSH bucket equi-join with a per-side hot-bucket drop and exact-jaccard verification, and its no-silent-caps companion cross_corpus_bucket_health reporting the exact candidate-pair volume the cap dropped vs kept per band, and corpus_merge_report — the per-document merge DECISION (exact-cross / within-incoming / near-cross / admit) on the no-broadcast symmetric plan, the sibling of dedup_incremental; plus filtered ANN serving — similarity_sq8_filtered (the selector path: the metadata predicate pushes into the compressed scan, quantizer frozen on the full corpus) and similarity_sq8_filtered_post (the naive stage-1-then-filter pipeline, registered beside it so the starvation trade stays measured and visible)).
+136 have exactly-parallel DuckDB
 oracles (dedup clustering is oracled via a recursive-CTE transitive
 closure); the O34/O35 recurrences, streaming operators, and the
 seed-dependent MLlib variants are rows-only by design (not

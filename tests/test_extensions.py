@@ -290,6 +290,42 @@ def test_cross_corpus_near_dup_semantics(spark):
     assert cross_corpus_bucket_health(a, empty).count() == 0
 
 
+def test_corpus_merge_report_flags(spark):
+    """r14: the symmetric merge decision report — same contract as
+    incremental_dedup's flags, built on the no-broadcast plan."""
+    from trendmachine_spark.extensions.dedup import corpus_merge_report
+
+    a = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today ok"),
+            (101, "completely unrelated corpus content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [
+            # exact copy of an A doc
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            # near-dup of A:100 (one word changed)
+            (2, "the quick brown fox jumps over the lazy cat today ok"),
+            # exact dup WITHIN b (of doc 3)
+            (3, "novel fresh content no corpus overlap here at all now"),
+            (4, "novel fresh content no corpus overlap here at all now"),
+            # genuinely new
+            (5, "another brand new document with its own unique words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in corpus_merge_report(a, b, min_jaccard=0.5).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["exact_dup_a"] == 1 and out[1]["admit"] == 0
+    assert out[2]["exact_dup_a"] == 0 and out[2]["near_dup_a"] == 1
+    assert out[3]["exact_dup_b"] == 0 and out[3]["admit"] == 1  # keeper
+    assert out[4]["exact_dup_b"] == 1 and out[4]["admit"] == 0
+    assert out[5]["admit"] == 1
+
+
 def test_bpe_pair_stats_hand_counts(spark):
     # "low" x2, "lower" x1 — the Sennrich et al. worked example shape
     docs = spark.createDataFrame(

@@ -144,6 +144,11 @@ SHUFFLE_BUDGETS = {
     # bucket-count aggs, the (band, bucket) candidate join, and the
     # final verify joins — 4 exchanges, no NLJ/cartesian anywhere
     "dedup_cross_corpus": (4, True),
+    # symmetric merge decision report (r14): co-partitioned md5
+    # equi-join (2) + within-B hash keeper window (1) + the near-dup
+    # leg's checkpointed chain (4) + the final doc_id reassembly — no
+    # broadcast assumption on either corpus, no NLJ/cartesian
+    "corpus_merge_report": (8, True),
     # merge-shape health metric (r14): two per-side signature + bucket
     # count aggs (2 each), the (band, bucket) join rides their
     # partitioning, one band-sized final agg — 5 exchanges, nothing

@@ -1141,6 +1141,59 @@ def cross_corpus_bucket_health(a: DataFrame, b: DataFrame,
     )
 
 
+def corpus_merge_report(a: DataFrame, b: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        min_jaccard: float = 0.8,
+                        max_side_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
+    """The per-document DECISION output of a symmetric corpus merge
+    (round 14): for every doc of the incoming corpus ``b``, classify
+    it against the existing corpus ``a`` and within ``b`` itself, and
+    emit the admit bit a merge job acts on. The symmetric sibling of
+    :func:`incremental_dedup` — same output contract, but built for a
+    ``b`` too large to broadcast (merging two crawls), on
+    :func:`cross_corpus_near_dup`'s plan.
+
+    Output, one row per ``b`` doc: (doc_id, exact_dup_a, exact_dup_b,
+    near_dup_a, admit) — exact_dup_a: content hash already in ``a``;
+    exact_dup_b: an earlier (lower-id) ``b`` doc has the same hash;
+    near_dup_a: a verified cross near-dup (LSH bucket + exact shingle
+    jaccard >= ``min_jaccard``) against ``a``; admit: none of the
+    above.
+
+    SCALE: the exact check is a co-partitioned shuffle equi-join on
+    the md5 (32-char keys, ``a``'s side pre-collapsed to distinct
+    hashes map-side) — NOT a broadcast, because neither side is
+    assumed small; within-``b`` keeper selection is one window over
+    the same hash partitioning; the near-dup leg is the
+    cross_corpus_near_dup plan whose candidate volume is bucket- and
+    cap-bounded. Nothing in the plan materializes A x B."""
+    b_h = b.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    a_h = (a.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+           .withColumn("_ea", F.lit(1)))
+    near = (
+        cross_corpus_near_dup(a, b, text_col, id_col, min_jaccard,
+                              max_side_bucket)
+        .select(F.col("b_id").alias(id_col)).distinct()
+        .withColumn("_na", F.lit(1))
+    )
+    keeper = Window.partitionBy("_h")
+    out = (
+        b_h.withColumn("_kmin", F.min(id_col).over(keeper))
+        .join(a_h, "_h", "left")
+        .join(near, id_col, "left")
+    )
+    ea = F.when(F.col("_ea").isNotNull(), 1).otherwise(0)
+    eb = F.when(F.col("_kmin") < F.col(id_col), 1).otherwise(0)
+    na = F.when(F.col("_na").isNotNull(), 1).otherwise(0)
+    return out.select(
+        id_col,
+        ea.cast("long").alias("exact_dup_a"),
+        eb.cast("long").alias("exact_dup_b"),
+        na.cast("long").alias("near_dup_a"),
+        ((ea + eb + na) == 0).cast("long").alias("admit"),
+    )
+
+
 def decontaminate(train: DataFrame, eval_docs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 8) -> DataFrame:

@@ -115,6 +115,7 @@ from trendmachine_spark.registry_queries.dedup_text import (  # noqa: F401
     q_dedup_cross_corpus,
     _cross_corpus_health_oracle,
     q_cross_corpus_bucket_health,
+    q_corpus_merge_report,
 )
 from trendmachine_spark.registry_queries.relational_events import (  # noqa: F401
     q_pricing_summary,
@@ -345,6 +346,7 @@ _WINDOW_PINNED: list[str] = [
     "cross_corpus_bucket_health",  # r14 new query: merge-shape no-silent-caps metric
     "similarity_sq8_filtered",  # r14 new query: filtered ANN selector path
     "similarity_sq8_filtered_post",  # r14 new query: filtered ANN post-filter trade
+    "corpus_merge_report",  # r14 new query: symmetric merge decision report
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
@@ -440,6 +442,7 @@ _DEMOTE_FOURTH: frozenset = frozenset({
     "similarity_pq_rerank", "similarity_sq8_rerank", "similarity_sq8_topk",
     "split_semantic_leakage", "sq8_encode_streaming",
     "dedup_cross_corpus",  # assigned by rotate_window.py
+    "corpus_merge_report",  # assigned by rotate_window.py
 })
 
 #: demoted list from TWO rounds ago — cascaded at each bump only under

@@ -1225,3 +1225,41 @@ def q_cross_corpus_bucket_health(spark, sf_dir):
     return cross_corpus_bucket_health(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1))
+
+
+@register(
+    "corpus_merge_report",
+    f"""WITH verified AS ({{CROSS}}),
+    bdocs AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+    ),
+    adocs AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ),
+    kmin AS (
+      SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS km FROM bdocs
+    ),
+    near AS (SELECT DISTINCT b_id FROM verified)
+    SELECT k.doc_id,
+           CAST(CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS exact_dup_a,
+           CAST(CASE WHEN k.km < k.doc_id THEN 1 ELSE 0 END AS BIGINT) AS exact_dup_b,
+           CAST(CASE WHEN n.b_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS near_dup_a,
+           CAST(CASE WHEN a.h IS NULL AND k.km >= k.doc_id AND n.b_id IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS admit
+    FROM kmin k LEFT JOIN adocs a ON k.h = a.h
+         LEFT JOIN near n ON k.doc_id = n.b_id""".replace(
+        "{CROSS}", _cross_corpus_oracle()),
+)
+def q_corpus_merge_report(spark, sf_dir):
+    """Per-document decision output of a symmetric corpus merge (round
+    14): every odd-half (incoming) doc classified against the even
+    half (existing) — exact cross dup (co-partitioned md5 equi-join,
+    no broadcast), within-incoming dup (hash-window keeper), verified
+    cross near-dup (the cross_corpus_near_dup plan), and the admit bit
+    a merge job acts on. The symmetric sibling of dedup_incremental."""
+    from trendmachine_spark.extensions.dedup import corpus_merge_report
+
+    docs = _docs(spark, sf_dir)
+    return corpus_merge_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1))
