@@ -67,3 +67,39 @@ def test_recurrence_matches_simulation(spark, seed):
         d = day0 + dt.timedelta(days=i)
         assert got[d][0] == pytest.approx(want_res[i], abs=1e-12), i
         assert got[d][1] == pytest.approx(want_fix[i], abs=1e-12), i
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_bucketed_grouping_is_url_invariant(spark, seed):
+    """r14: the grouped map is keyed on pmod(xxhash64(url), buckets),
+    so one pandas call scores MANY urls — a url boundary inside a
+    bucket must reset h to 0.5 exactly like a fresh per-url group.
+    Pin: url_buckets=1 (every url in ONE pandas frame, maximal
+    boundary mixing) is bit-identical to url_buckets large (urls
+    mostly alone), for both slim and full Arrow forms."""
+    rng = random.Random(seed)
+    import datetime as dt
+
+    day0 = dt.date(2019, 6, 1)
+    rows = []
+    for u in range(37):
+        for i in range(rng.randrange(1, 60)):
+            rows.append((
+                f"u{u:03d}",
+                day0 + dt.timedelta(days=i),
+                rng.choice(["2xx", "3xx", "4xx", "5xx", "~", "odd"]),
+                rng.choice(["Changed", "Unchanged", "Unknown"]),
+            ))
+    dense = spark.createDataFrame(
+        rows, "url string, day date, specimen string, content string"
+    )
+    def rows_of(df):
+        return sorted(
+            (r["url"], r["day"], r["resilience"], r["fixity"])
+            for r in df.collect()
+        )
+    one = rows_of(score_daily_series(dense, url_buckets=1))
+    many = rows_of(score_daily_series(dense, url_buckets=4096))
+    slim = rows_of(score_daily_series(dense, slim_arrow=True, url_buckets=7))
+    assert one == many  # bit-identical, not approx
+    assert one == slim
