@@ -60,13 +60,19 @@ SHUFFLE_BUDGETS = {
     # repartition(id) satisfies distinct + id-window (subset
     # partitioning). r5 guard = two-phase bucketed doc-freq count
     # (_candidate_rows: 8-byte phase-A exchange, exact string phase B)
-    # + broadcast anti-join + one explicit shingle repartition. r6:
-    # the guarded posting list is eager-localCheckpointed at shingle
-    # partitioning, so the self-join reads ONE materialized RDD per
-    # side (no per-side subtree re-instantiation — was 13 static
-    # exchanges) and only the final (id_a, id_b) agg exchanges.
-    "dedup_ngram_jaccard": (1, True),
-    "dedup_containment": (1, True),  # same inverted-index core as jaccard
+    # + broadcast anti-join + one explicit shingle repartition. r14:
+    # the localCheckpoint moved BEFORE the guard (the r6 after-guard
+    # checkpoint ran the explode+dedup+window pipeline 3x inside the
+    # checkpoint job — probe branch + both guard phases); the guard and
+    # the shingle repartition now stay lazy into the self-join, so the
+    # static plan carries them per join side (7 = 2x(guard _hh agg +
+    # guard _df agg + shingle repartition) + final pair agg). At
+    # RUNTIME the two sides canonicalize to the SAME shingle exchange
+    # and AQE materializes it once (ReusedExchange — pinned below in
+    # test_ngram_selfjoin_reuses_one_exchange); budget pins the static
+    # shape only.
+    "dedup_ngram_jaccard": (7, True),
+    "dedup_containment": (7, True),  # same inverted-index core as jaccard
     # per-source counts agg + the docs-side broadcast join; the one
     # BNLJ is the 1-row min(count) crossed against the tiny counts
     # table, so nested-loop is NOT forbidden here (corpus side is a
@@ -384,6 +390,26 @@ def test_suffix_window_guarded_by_hot_anti_join(spark, name):
     assert "LeftAnti, BuildRight" in plan, (
         f"{name}: hot-gram anti-join guard missing upstream of the "
         "suffix window")
+
+
+@pytest.mark.parametrize("name", ("dedup_ngram_jaccard", "dedup_containment"))
+def test_ngram_selfjoin_reuses_one_exchange(spark, name):
+    """r14 checkpoint-before-guard shape: the posting self-join's two
+    sides must canonicalize to ONE materialized shingle exchange
+    (ReusedExchange in the adaptive final plan), the pair join must be
+    a shuffled-hash join (never a driver broadcast of the full posting
+    table), and the hot-shingle guard must stay a broadcast anti-join."""
+    df = QUERIES[name].builder(spark, SF)
+    qe = df._jdf.queryExecution()
+    static = qe.executedPlan().toString()
+    assert "LeftAnti, BuildRight" in static, (
+        f"{name}: hot-shingle guard lost its broadcast anti-join")
+    df.collect()
+    final = qe.executedPlan().toString()
+    assert "ReusedExchange" in final, (
+        f"{name}: self-join sides no longer share the shingle exchange")
+    assert "ShuffledHashJoin [shingle" in final, (
+        f"{name}: pair self-join is not a shuffled-hash join on shingle")
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))

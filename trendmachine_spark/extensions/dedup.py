@@ -714,7 +714,12 @@ def ngram_jaccard(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     BOTH the (id, shingle) dropDuplicates (ClusteredDistribution on a
     superset of the partitioning key is satisfied — same-keyed rows
     are co-located) AND the per-id set-size count-window, so distinct
-    + sizes cost a single exchange instead of two. The doc-frequency
+    + sizes cost a single exchange instead of two; the result is
+    localCheckpointed ONCE (r14 — before the guard, so the guard's two
+    frequency branches read the checkpoint instead of re-instantiating
+    the posting pipeline) and the self-join runs as a shuffled-hash
+    join over the two identical shingle exchanges (AQE materializes
+    one). The doc-frequency
     guard is a map-combined ``groupBy(shingle)`` + anti-join against
     the tiny hot set (round 5; see the inline comment in
     `_shingle_pair_counts` — the round-2..4 count-window form
@@ -765,6 +770,19 @@ def _shingle_pair_counts(docs: DataFrame, text_col: str, id_col: str,
     sh = sh.withColumn(
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
+    # Materialize the deduped+windowed posting table BEFORE the
+    # doc-frequency guard (r14): the guard's phase-A frequency pass and
+    # phase-B recount each re-instantiated the whole
+    # explode+repartition(id)+dedup+window subtree (3 Generates /
+    # 5 Exchanges in the pre-r14 checkpoint job — plans/r14/
+    # dedup_ngram_jaccard_before.txt), so the corpus-wide posting
+    # pipeline ran ~3x per build. Checkpointing here runs it ONCE; the
+    # guard and the shingle repartition stay lazy and ride the final
+    # self-join, whose two sides canonicalize to the SAME exchanges and
+    # are deduplicated by AQE's shuffle-stage reuse at runtime
+    # (executedPlan shows ReusedExchange; measured sf0.1 interleaved
+    # best-of-10: 1.70 -> 1.27 s with the shuffled-hash join below).
+    sh = _materialize(sh)
     if max_shingle_freq is not None:
         # Doc-frequency guard as map-combined aggregations + anti-join
         # against the hot set, NOT a count-window over the shingle: a
@@ -791,23 +809,25 @@ def _shingle_pair_counts(docs: DataFrame, text_col: str, id_col: str,
         sh = sh.join(hot, "shingle", "left_anti")
         # ONE explicit shingle exchange ahead of the self-join: its
         # partitioning satisfies the join requirement on both sides, so
-        # the join adds no further exchange.
+        # the join adds no further exchange (both sides canonicalize to
+        # the same shuffle and AQE materializes it once).
         sh = sh.repartition("shingle")
-    # Materialize the guarded posting list ONCE (round 6): Spark plans
-    # are trees, so the self-join otherwise instantiates the whole
-    # shingle/distinct/guard subtree per side — the measured ~2x
-    # structural tax of the round-5 hot-key-safe rewrite. The eager
-    # localCheckpoint truncates the lineage WITHIN the query (the
-    # LogicalRDD keeps the repartition("shingle") partitioning, so the
-    # join still adds no exchange), and the bench rebuilds the
-    # DataFrame inside the timed window every pass, so nothing is
-    # cached across passes — unlike persist(), which round 5 rightly
-    # rejected as methodology gaming under the build-once bench.
-    sh = _materialize(sh)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
+    # SHUFFLE_HASH, not the planner's choice (r14): at bench SF the
+    # checkpointed posting table sits under the broadcast threshold, so
+    # the planner collected all ~1.5M posting rows to the driver and
+    # built one giant hashed relation (plans/r14/
+    # dedup_ngram_jaccard_before.txt shows the BroadcastHashJoin) —
+    # single-threaded build, and a shape that evaporates at corpus
+    # scale anyway. The hint keeps the self-join on the two identical
+    # co-partitioned exchanges at EVERY scale: per-partition hash build
+    # over the hot-guard-bounded postings (<= max_shingle_freq docs per
+    # shingle, so partitions stay balanced), no sort (vs merge join —
+    # measured sf0.1 best-of-10: SHJ 1.27 s, SMJ 1.29 s best but 1.63
+    # vs 1.39 median), no driver collect.
     return (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
