@@ -1841,3 +1841,42 @@ def test_semantic_oracle_pin_guard_self_invalidates():
         with pytest.raises(duckdb.Error, match="pinned n_cells=16"):
             con.sql(QUERIES[name].oracle).df()
         con.close()
+
+
+def test_primitive_cents_match_decimal(spark):
+    """r14 `_cents` exactness pin: the primitive (x*100+0.5)::long must
+    equal the decimal(_,2) HALF_UP cast on every money/quantity column
+    of the REAL testdata (the equivalence is data-dependent — it needs
+    2-decimal quanta and nonnegativity; a 3-decimal or negative value
+    would legitimately fail this test and must revert _cents). Also
+    guards synthetic edge values both ways."""
+    from trendmachine_spark.registry_core import _table
+    from trendmachine_spark.registry_queries.relational_events import _cents
+
+    sf = "/root/testdata/sf0.001"
+    for table, cols in (
+        ("lineitem", [("l_quantity", "decimal(12,2)"),
+                      ("l_extendedprice", "decimal(14,2)"),
+                      ("l_discount", "decimal(4,2)")]),
+        ("orders", [("o_totalprice", "decimal(14,2)")]),
+    ):
+        t = _table(spark, sf, table)
+        row = t.select(
+            *[F.sum(((F.col(c).cast(d) * 100).cast("long")
+                     != _cents(c)).cast("int")).alias(f"mism_{c}")
+              for c, d in cols],
+            *[F.min(F.col(c)).alias(f"min_{c}") for c, _ in cols],
+        ).collect()[0].asDict()
+        for c, _ in cols:
+            assert row[f"mism_{c}"] == 0, (table, c, row)
+            assert row[f"min_{c}"] >= 0, (table, c, row)
+
+    # synthetic: 2-decimal quanta round-trip exactly, including the
+    # doubles that sit just under their integer-cents value
+    vals = [(0.0,), (0.01,), (0.07,), (0.1,), (1.13,), (123.45,),
+            (9999.99,), (104749.5,), (None,)]
+    df = spark.createDataFrame(vals, "x double")
+    bad = df.select(
+        F.sum((((F.col("x").cast("decimal(14,2)") * 100).cast("long"))
+               != _cents("x")).cast("int")).alias("mism")).collect()[0][0]
+    assert (bad or 0) == 0

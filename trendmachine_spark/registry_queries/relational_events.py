@@ -26,6 +26,31 @@ from trendmachine_spark.registry_queries.captures import (
 
 # ------------------------------------------------------- relational / TPC-H
 
+
+def _cents(col: str) -> "F.Column":
+    """Exact integer cents from a nonnegative 2-decimal DOUBLE column,
+    fully primitive: (x*100 + 0.5)::long.
+
+    r14 (guide §4.1/§1.2): the previous `(col.cast(decimal(_,2)) *
+    100).cast(long)` allocated a BigDecimal per row per column —
+    measured 0.98 vs 0.76 s on the 600k-row per-order grouped sum at
+    sf0.1 (tools/exp_cents_primitive.py). Equivalence to the decimal
+    HALF_UP cast needs two facts, both checked on the real data:
+    (1) every value is a 2-decimal quantum (so x*100 in double lands
+    within +-0.5 ulp-scaled of the true integer and floor(x*100+0.5)
+    recovers it exactly; a >=3-decimal value like 1.005 would round
+    differently) and (2) every value is nonnegative (cast-to-long
+    truncates toward zero = floor only for positives; decimal HALF_UP
+    rounds away from zero). Verified: 0 mismatches across all of
+    lineitem at sf0.001/sf0.01/sf0.1 (min values nonnegative), pinned
+    by tests/test_extensions.py::test_primitive_cents_match_decimal
+    and by the unchanged DuckDB oracles (which still compute in
+    decimal). The x10-x40 scaled inputs reuse these price columns
+    byte-identically (tools/scale_testdata.py shifts only int64 keys).
+    """
+    return (F.col(col) * 100 + 0.5).cast("long")
+
+
 @register(
     "pricing_summary",
     """SELECT l_returnflag, l_linestatus,
@@ -48,8 +73,10 @@ def q_pricing_summary(spark, sf_dir):
     grow past precision 18, leaving the primitive-long codegen fast
     path for per-row BigDecimal allocation, which measured 2x slower
     on the x10 dataset (1.65 s vs 0.80 s). The cents are produced by
-    the same decimal(_,2) cast the oracle uses (then *100 -> long,
-    exact). Exactness at ANY scale: the long partials aggregate per
+    the fully primitive `_cents` (r14 — the decimal(_,2)-cast cents
+    still allocated one BigDecimal per row per column; see _cents for
+    the exactness argument). Exactness at ANY scale: the long partials
+    aggregate per
     (group, input partition) — bounded by partition row count, no
     overflow for any realistic partition — and a second tiny
     aggregation (|groups| x |partitions| rows) totals them in
@@ -62,9 +89,9 @@ def q_pricing_summary(spark, sf_dir):
     scan) instead of wrapping it in to_date(), which blocked pushdown.
     """
     li = _table(spark, sf_dir, "lineitem")
-    qc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
-    pc = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
-    dc = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+    qc = _cents("l_quantity")
+    pc = _cents("l_extendedprice")
+    dc = _cents("l_discount")
     as_d = lambda c, scale: (c / scale).cast("double")  # noqa: E731
     partials = (
         li.filter(
@@ -144,6 +171,13 @@ def q_shipping_priority(spark, sf_dir):
         F.col("l_shipdate")
         > F.lit("1995-03-15").cast(li.schema["l_shipdate"].dataType)
     ).select("l_orderkey", "l_extendedprice", "l_discount")
+    # Deliberately the decimal(_,2)-cast cents, NOT _cents (r14): in
+    # THIS query the primitive form measured consistently SLOWER
+    # (A/B best 0.641 vs 0.579 s, median 0.884 vs 0.713 s at sf0.1,
+    # order-alternated; tools/exp_cents_headtohead.py) even though the
+    # plans are structurally identical and the same expression wins in
+    # pricing_summary/top_revenue_customers — per-site measurement
+    # beats the pattern (guide §1).
     pc = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
     dc = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
     return (
@@ -243,8 +277,8 @@ def q_top_revenue_customers(spark, sf_dir):
     # disc_cents), exact), converting to decimal->double once per
     # CUSTOMER — same primitive-codegen win as pricing_summary (2.33 s
     # -> 1.57 s on x10, value-identical to the decimal formulation).
-    pc = (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast("long")
-    dc = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+    pc = _cents("l_extendedprice")
+    dc = _cents("l_discount")
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(pc * (100 - dc)).alias("order_rev_bp")
     )
@@ -293,7 +327,11 @@ def q_region_revenue(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
+            # r14: per-row sums in exact LONG cents (see _cents); ONE
+            # decimal division per group (25 nations) reproduces the
+            # oracle's SUM(decimal)->double bit-exactly
+            (F.sum(_cents("o_totalprice")).cast("decimal(38,2)") / 100)
+            .cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
