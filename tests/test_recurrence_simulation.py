@@ -71,12 +71,15 @@ def test_recurrence_matches_simulation(spark, seed):
 
 @pytest.mark.parametrize("seed", [11])
 def test_bucketed_grouping_is_url_invariant(spark, seed):
-    """r14: the grouped map is keyed on pmod(xxhash64(url), buckets),
-    so one pandas call scores MANY urls — a url boundary inside a
-    bucket must reset h to 0.5 exactly like a fresh per-url group.
-    Pin: url_buckets=1 (every url in ONE pandas frame, maximal
-    boundary mixing) is bit-identical to url_buckets large (urls
-    mostly alone), for both slim and full Arrow forms."""
+    """r14: the recurrence is a streaming mapInPandas over
+    repartition(P, url) + sortWithinPartitions(url, day), resuming the
+    active run across Arrow batch boundaries. Pin: the output is
+    bit-identical for ANY partition count (url_buckets override:
+    1 = every url in one task, maximal boundary mixing; 64 = urls
+    mostly alone) and for ANY Arrow batch size (maxRecordsPerBatch=3
+    forces url runs AND key runs to straddle batch boundaries, so the
+    carried [base, scale, x_next, h_last] state is exercised on every
+    path), for both slim and full Arrow forms."""
     rng = random.Random(seed)
     import datetime as dt
 
@@ -99,7 +102,18 @@ def test_bucketed_grouping_is_url_invariant(spark, seed):
             for r in df.collect()
         )
     one = rows_of(score_daily_series(dense, url_buckets=1))
-    many = rows_of(score_daily_series(dense, url_buckets=4096))
+    many = rows_of(score_daily_series(dense, url_buckets=64))
     slim = rows_of(score_daily_series(dense, slim_arrow=True, url_buckets=7))
     assert one == many  # bit-identical, not approx
     assert one == slim
+    # tiny Arrow batches: every run straddles batch boundaries
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "3")
+        tiny = rows_of(score_daily_series(dense, url_buckets=1))
+        tiny_many = rows_of(score_daily_series(dense, url_buckets=5))
+    finally:
+        spark.conf.set(key, prev)
+    assert tiny == one  # bit-identical across batch splits
+    assert tiny_many == one
