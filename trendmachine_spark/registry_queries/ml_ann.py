@@ -1614,11 +1614,16 @@ def q_pq_encode_streaming(spark, sf_dir):
         .option("pathGlobFilter", "embeddings*.parquet")
         .parquet(sf_dir)
     )
-    enc = pq_encode(quantize_embeddings(stream), cb)
-    out = enc.select(
-        F.col("vid").alias("vec_id"),
-        F.posexplode("codes").alias("subspace", "code"),
-    )
+    # r14 (guide §4.2/§5.3, measured in tools/exp_sq8_stream_decomp.py):
+    # (a) the encoder reads only (vid, qvec) — without the explicit
+    # select, mapInPandas ships EVERY input column, including the
+    # interpreted-HOF norm2 fold quantize_embeddings derives and
+    # pq_encode never uses (the prune alone halved the SQ8 stream leg);
+    # (b) the memory sink driver-collects every sunk row, so sink the
+    # COMPACT (vec_id, codes) rows and posexplode AFTER the sink read —
+    # n_sub x fewer rows through the driver, bit-identical output.
+    enc = pq_encode(quantize_embeddings(stream).select("vid", "qvec"), cb)
+    out = enc.select(F.col("vid").alias("vec_id"), "codes")
     # per-source query/table name: a fixed name would fail on the
     # duplicate active query if two constructions ever overlap in one
     # session (round-12 advisory — re-entrancy, not a harness need)
@@ -1634,7 +1639,8 @@ def q_pq_encode_streaming(spark, sf_dir):
     )
     q.processAllAvailable()
     q.stop()
-    return spark.sql(f"SELECT * FROM {qname}")
+    return spark.sql(f"SELECT * FROM {qname}").select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code"))
 
 
 @register(
@@ -1678,11 +1684,16 @@ def q_sq8_encode_streaming(spark, sf_dir):
         .option("pathGlobFilter", "embeddings*.parquet")
         .parquet(sf_dir)
     )
-    enc = sq8_encode(quantize_embeddings(stream), S)
-    out = enc.select(
-        F.col("vid").alias("vec_id"),
-        F.posexplode("codes").alias("pos", "code"),
-    ).select("vec_id", F.col("pos").cast("int"), F.col("code").cast("int"))
+    # r14 (guide §4.2/§5.3, measured in tools/exp_sq8_stream_decomp.py,
+    # x10 stream leg 7.79 -> 1.25 s, value-identical on 1.28M rows):
+    # (a) encode reads only (vid, qvec) — mapInPandas ships every input
+    # column, and quantize_embeddings' interpreted-HOF norm2 fold (64
+    # multiply-adds per row that sq8_encode never uses) was over half
+    # the stream-leg wall; (b) the memory sink driver-collects every
+    # sunk row, so sink the COMPACT (vec_id, codes) rows (1 per vector,
+    # not dim per vector) and posexplode AFTER the sink read.
+    enc = sq8_encode(quantize_embeddings(stream).select("vid", "qvec"), S)
+    out = enc.select(F.col("vid").alias("vec_id"), "codes")
     qname = ("_sq8_encode_stream_q_"
              + _hashlib.md5(sf_dir.encode()).hexdigest()[:8])
     q = (
@@ -1693,7 +1704,9 @@ def q_sq8_encode_streaming(spark, sf_dir):
     )
     q.processAllAvailable()
     q.stop()
-    return spark.sql(f"SELECT * FROM {qname}")
+    return spark.sql(f"SELECT * FROM {qname}").select(
+        "vec_id", F.posexplode("codes").alias("pos", "code")
+    ).select("vec_id", F.col("pos").cast("int"), F.col("code").cast("int"))
 
 
 @register("session_windows_streaming", None)  # native streaming sessions: rows-only
