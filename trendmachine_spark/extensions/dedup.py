@@ -1024,6 +1024,37 @@ def incremental_dedup(base: DataFrame, delta: DataFrame,
     )
 
 
+def _sided_tag(a: DataFrame, b: DataFrame, text_col: str,
+               id_col: str) -> DataFrame:
+    """Union of two corpora keyed by a (side, id) struct ``_sid`` —
+    the single-pipeline input of the cross-corpus operators (r14
+    optimization round): side 0 = ``a``, side 1 = ``b``. Grouping by
+    the struct keeps ids from the two corpora distinct even when the
+    raw id spaces overlap."""
+    return (
+        a.select(F.lit(0).alias("_side"), F.col(id_col).alias("_id"),
+                 F.col(text_col))
+        .unionByName(
+            b.select(F.lit(1).alias("_side"), F.col(id_col).alias("_id"),
+                     F.col(text_col)))
+        .select(F.struct(F.col("_side"), F.col("_id")).alias("_sid"),
+                F.col(text_col))
+    )
+
+
+def _sided_band_buckets(a: DataFrame, b: DataFrame, text_col: str,
+                        id_col: str) -> DataFrame:
+    """(_sid, band, bucket) for BOTH corpora through ONE shingle
+    explode + ONE signature aggregation + ONE band reshape — the
+    sided single-pipeline shape of the oracle's ``sided`` CTE. Halves
+    the number of heavy passes vs per-side pipelines (r14 optimization
+    round; signatures per (side, id) are bit-identical to per-side
+    runs: the group key changes, the per-group stream does not)."""
+    tagged = _sided_tag(a, b, text_col, id_col)
+    return lsh_band_buckets(
+        minhash_signatures(tagged, text_col, "_sid"), "_sid")
+
+
 def cross_corpus_near_dup(a: DataFrame, b: DataFrame,
                           text_col: str = "text", id_col: str = "doc_id",
                           min_jaccard: float = 0.8,
@@ -1059,25 +1090,47 @@ def cross_corpus_near_dup(a: DataFrame, b: DataFrame,
     zero-shuffle fold buys "the corpus never shuffles" at interpreted-
     HOF CPU cost — the symmetric merge has no never-shuffle side, and
     the fold measured 30x slower than the exchange it avoids
-    (34 s vs 1.2 s per side at x10; values identical either way)."""
-    sa = lsh_band_buckets(minhash_signatures(a, text_col, id_col), id_col)
-    sb = lsh_band_buckets(minhash_signatures(b, text_col, id_col), id_col)
-    sa = _materialize(sa)
-    sb = _materialize(sb)
-    ca = sa.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_na"))
-    cb = sb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_nb"))
+    (34 s vs 1.2 s per side at x10; values identical either way).
+
+    r14 optimization round: ONE sided pipeline instead of two per-side
+    pipelines — both corpora union into a (side, id)-keyed stream (the
+    oracle's own ``sided`` CTE shape), so the shingle explode, the
+    signature aggregation, the band reshape and the eager
+    materialization each run ONCE over the combined input instead of
+    once per side, and the two per-side bucket-count aggregations + the
+    (band, bucket) count join collapse into one conditional-sum
+    aggregation. The verify stage intersects the 60-bit md5 shingle
+    hashes (the exact integers the signatures already minimize) instead
+    of raw shingle strings: distinct-set sizes and intersections are
+    identical while the hash family is injective on the corpus vocab
+    (checked corpus-wide by tests/tools — the same stance minhash
+    itself takes), and the per-pair join payload drops from ~3.5 KB of
+    strings to ~0.9 KB of longs per side (measured 96k candidate pairs
+    x ~115-shingle docs at x10: the array payload through the pair
+    joins was the dominant verify cost)."""
+    sided = _sided_band_buckets(a, b, text_col, id_col)
+    sided = _materialize(sided)
+    side = F.col("_sid").getField("_side")
     ok = (
-        ca.join(cb, ["band", "bucket"])
-        .filter((F.col("_na") <= max_side_bucket)
-                & (F.col("_nb") <= max_side_bucket))
+        sided.groupBy("band", "bucket")
+        .agg(
+            F.sum(F.when(side == 0, 1).otherwise(0)).alias("_na"),
+            F.sum(F.when(side == 1, 1).otherwise(0)).alias("_nb"),
+        )
+        .filter(
+            (F.col("_na") > 0) & (F.col("_nb") > 0)
+            & (F.col("_na") <= max_side_bucket)
+            & (F.col("_nb") <= max_side_bucket)
+        )
         .select("band", "bucket")
     )
     cand = (
-        sa.join(ok, ["band", "bucket"])
-        .select(F.col(id_col).alias("a_id"), "band", "bucket")
+        sided.filter(side == 0)
+        .select(F.col("_sid").getField("_id").alias("a_id"), "band", "bucket")
+        .join(ok, ["band", "bucket"])
         .join(
-            sb.join(ok, ["band", "bucket"])
-            .select(F.col(id_col).alias("b_id"), "band", "bucket"),
+            sided.filter(side == 1)
+            .select(F.col("_sid").getField("_id").alias("b_id"), "band", "bucket"),
             ["band", "bucket"],
         )
         .select("a_id", "b_id")
@@ -1089,12 +1142,20 @@ def cross_corpus_near_dup(a: DataFrame, b: DataFrame,
     # runtime shape as the minhash band table)
     cand = _materialize(cand)
 
+    # verify sets stay PER SIDE (each leg has exactly one consumer —
+    # a unified sided set table would be filtered twice by the pair
+    # join and its full-corpus semi-join + explode + collect_set
+    # subtree would instantiate per consumer); the r14 win here is the
+    # hashed arrays, not unification
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+
     def _sets(docs: DataFrame, keep: DataFrame) -> DataFrame:
         src = docs.join(keep, id_col, "leftsemi")
         return (
             shingles(src, text_col, id_col, distinct=False)
+            .select(id_col, h.alias("_h"))
             .groupBy(id_col)
-            .agg(F.collect_set("shingle").alias("_sh"))
+            .agg(F.collect_set("_h").alias("_sh"))
         )
 
     a_sets = _sets(a, cand.select(F.col("a_id").alias(id_col)).distinct())
@@ -1132,18 +1193,20 @@ def cross_corpus_bucket_health(a: DataFrame, b: DataFrame,
     max_side_b, pairs_kept, pairs_dropped (pairs = na*nb per shared
     bucket — the exact A x B candidate rows the join would emit).
 
-    SCALE: two map-combined bucket-count aggregations + one
-    (band, bucket)-sized join + one band-sized agg — no doc-sized or
-    pair-sized intermediate anywhere."""
-    ca = (
-        lsh_band_buckets(minhash_signatures(a, text_col, id_col), id_col)
-        .groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_na"))
-    )
-    cb = (
-        lsh_band_buckets(minhash_signatures(b, text_col, id_col), id_col)
-        .groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_nb"))
-    )
-    shared = ca.join(cb, ["band", "bucket"]).withColumn(
+    SCALE: ONE map-combined conditional-sum bucket aggregation over the
+    sided single pipeline (r14 optimization round — was two per-side
+    signature pipelines + a (band, bucket) count join) + one band-sized
+    agg — no doc-sized or pair-sized intermediate anywhere."""
+    sided = _sided_band_buckets(a, b, text_col, id_col)
+    side = F.col("_sid").getField("_side")
+    shared = (
+        sided.groupBy("band", "bucket")
+        .agg(
+            F.sum(F.when(side == 0, 1).otherwise(0)).alias("_na"),
+            F.sum(F.when(side == 1, 1).otherwise(0)).alias("_nb"),
+        )
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+    ).withColumn(
         "_drop",
         ((F.col("_na") > max_side_bucket)
          | (F.col("_nb") > max_side_bucket)).cast("long"),
