@@ -1880,3 +1880,78 @@ def test_primitive_cents_match_decimal(spark):
         F.sum((((F.col("x").cast("decimal(14,2)") * 100).cast("long"))
                != _cents("x")).cast("int")).alias("mism")).collect()[0][0]
     assert (bad or 0) == 0
+
+
+def test_hashed_grams_match_string_grams(spark):
+    """r14 optimization round: duplicated_spans' default hashed gram
+    keys (xxhash64 over the win token columns) must be bit-equal to the
+    historical string-gram form on a corpus with cross-doc, within-doc
+    and overlapping duplicated spans, for both bench window sizes."""
+    from trendmachine_spark.extensions.dedup import duplicated_spans
+
+    span = [f"s{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([f"a{i}" for i in range(5)] + span)),
+            (2, " ".join(span + [f"b{i}" for i in range(5)])),
+            (3, " ".join([f"t{i}" for i in range(10)] + ["f0"]
+                         + [f"t{i}" for i in range(10)])),
+            (4, " ".join(f"u{i}" for i in range(30))),
+            (5, " ".join(span + span)),
+        ],
+        "doc_id long, text string",
+    )
+    for win in (5, 10):
+        hashed = sorted(map(tuple, duplicated_spans(
+            docs, win=win, hashed_grams=True).collect()))
+        strings = sorted(map(tuple, duplicated_spans(
+            docs, win=win, hashed_grams=False).collect()))
+        assert hashed == strings
+
+
+def test_segment_dedup_hashed_hot_key_matches_string(spark):
+    """r14 optimization round: segment_dedup's default xxhash64 hot-set
+    key must reproduce the string-keyed result bit-for-bit, including
+    partial last segments and fully-boilerplate docs."""
+    from trendmachine_spark.extensions.dedup import segment_dedup
+
+    boiler = "x1 x2 x3"
+    rows = [
+        (0, boiler + " a1 a2 a3"),
+        (1, boiler + " b1 b2 b3"),
+        (2, boiler + " c1 c2 c3"),
+        (3, "u1 u2 u3 u4 u5"),
+        (4, boiler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = sorted(map(tuple, segment_dedup(
+        docs, seg_words=3, max_doc_freq=1, hashed_hot_key=True).collect()))
+    strings = sorted(map(tuple, segment_dedup(
+        docs, seg_words=3, max_doc_freq=1, hashed_hot_key=False).collect()))
+    assert hashed == strings
+
+
+def test_suffix_hashed_tokens_match_string_tokens(spark):
+    """r14 optimization round: suffix_match_lengths' default
+    hashed-token alphabet (xxhash64 per token, array<long> suffixes)
+    must be bit-equal to the historical string form — the SA-adjacency
+    LCP is invariant under any injective alphabet remap. Exercises
+    cross-doc, within-doc, bound-capped and guard-excluded spans."""
+    from trendmachine_spark.extensions.dedup import suffix_match_lengths
+
+    docs = spark.createDataFrame([
+        (1, "x1 x2 a b c d e f g y1 y2"),
+        (2, "z1 a b c d e f g z2 z3 z4"),
+        (3, "p q r s t m1 m2 p q r s t m3"),
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        (5, "a b c d e f g h i j k l"),
+        (6, "a b c d e f g h i j k l"),
+    ], "doc_id long, text string")
+    for kwargs in ({"min_span": 5, "bound": 32, "max_group": None},
+                   {"min_span": 5, "bound": 8, "max_group": None},
+                   {"min_span": 5, "bound": 32, "max_group": 2}):
+        hashed = sorted(map(tuple, suffix_match_lengths(
+            docs, hashed_tokens=True, **kwargs).collect()))
+        strings = sorted(map(tuple, suffix_match_lengths(
+            docs, hashed_tokens=False, **kwargs).collect()))
+        assert hashed == strings, kwargs

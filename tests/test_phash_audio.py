@@ -429,3 +429,26 @@ def test_video_near_pairs_frame_freq_guard(spark):
               for r in video_near_pairs(frames, min_shared=2,
                                         max_frame_freq=None).collect()}
     assert legacy[(0, 1)] == 3 and legacy[(2, 3)] == 2
+
+
+def test_frame_md5_serialization_matches_reference_form():
+    """_frame_md5's table-lookup bytes join (r14 optimization round)
+    must stay byte-identical to the reference serialization the DuckDB
+    oracle reconstructs: md5 of the comma-joined decimal pixel values.
+    Exercises the full uint8 range including multi-digit boundaries."""
+    import hashlib
+
+    from trendmachine_spark.extensions.multimodal import _frame_md5
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 256, size=(24, 32)).astype(np.uint8),
+        np.array([[0, 9, 10, 99, 100, 255]], dtype=np.uint8),
+        np.zeros((1, 1), dtype=np.uint8),
+        np.full((8, 8), 255, dtype=np.uint8),
+    ]
+    for gray in cases:
+        ref = hashlib.md5(
+            ",".join(str(int(v)) for v in gray.ravel()).encode()
+        ).hexdigest()
+        assert _frame_md5(gray) == ref

@@ -145,20 +145,22 @@ SHUFFLE_BUDGETS = {
     # LUT scoring map; the one exchange is the rank window (partition
     # pruning asserted separately below)
     "similarity_ivfpq_index": (1, True),
-    # cross-corpus near-dup (r14): band tables + candidate pairs are
-    # checkpoint-truncated, so the static plan holds the two per-side
-    # bucket-count aggs, the (band, bucket) candidate join, and the
-    # final verify joins — 4 exchanges, no NLJ/cartesian anywhere
+    # cross-corpus near-dup (r14, sided rewrite in the optimization
+    # round): the ONE sided band table + candidate pairs are
+    # checkpoint-truncated, so the static plan holds the conditional-sum
+    # bucket agg, the (band, bucket) candidate join, and the hashed
+    # verify joins — ≤4 exchanges, no NLJ/cartesian anywhere
     "dedup_cross_corpus": (4, True),
     # symmetric merge decision report (r14): co-partitioned md5
     # equi-join (2) + within-B hash keeper window (1) + the near-dup
     # leg's checkpointed chain (4) + the final doc_id reassembly — no
     # broadcast assumption on either corpus, no NLJ/cartesian
     "corpus_merge_report": (8, True),
-    # merge-shape health metric (r14): two per-side signature + bucket
-    # count aggs (2 each), the (band, bucket) join rides their
-    # partitioning, one band-sized final agg — 5 exchanges, nothing
-    # doc- or pair-sized crosses the wire
+    # merge-shape health metric (r14, sided rewrite in the optimization
+    # round): ONE sided signature pipeline feeding one conditional-sum
+    # (band, bucket) agg + one band-sized final agg — ≤5 exchanges
+    # (now well under budget), nothing doc- or pair-sized crosses the
+    # wire
     "cross_corpus_bucket_health": (5, True),
     # incremental append (r14): the SERVE plan is the at-rest reader
     # verbatim — pruned file scan over base+appended files, broadcast

@@ -1447,7 +1447,8 @@ def simhash_near_dup(docs: DataFrame, text_col: str = "text",
 
 
 def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  seg_words: int = 10, max_doc_freq: int = 2) -> DataFrame:
+                  seg_words: int = 10, max_doc_freq: int = 2,
+                  hashed_hot_key: bool = True) -> DataFrame:
     """Sub-document exact dedup: drop boilerplate segments repeated
     across the corpus, keep each document's residual text.
 
@@ -1483,9 +1484,20 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     At 100 TB: the hot-segment table is bounded by true boilerplate
     (df > cap), orders of magnitude smaller than the segment universe;
     if even that overflows broadcast, the join degrades to a plain
-    shuffled equi-join on ``seg`` whose skew is capped by AQE skew
-    splitting. The doc-frequency aggregation's hot keys are exactly the
-    boilerplate segments, absorbed map-side by partial aggregation.
+    shuffled equi-join on the segment key whose skew is capped by AQE
+    skew splitting. The doc-frequency aggregation's hot keys are exactly
+    the boilerplate segments, absorbed map-side by partial aggregation.
+
+    ``hashed_hot_key`` (default True — r14 optimization round, guide
+    §2.3): the doc-frequency aggregation and the hot-set join are keyed
+    by ``xxhash64(seg)`` instead of the ~60-byte segment string (the
+    string itself still rides only the per-doc reassembly, where the
+    output needs it) — measured 2.24 → 1.74 s at x10 interleaved
+    best-of-6 (tools/exp_substr_hash.py). Values bit-identical while
+    the hash is injective on the corpus segment universe (checked at
+    every test SF + x10; a collision can only merge two segments'
+    doc-frequencies, i.e. over-remove — the conservative direction);
+    pass False for the string form.
     """
     assert seg_words >= 1
     words = F.split(F.col(text_col), " ")
@@ -1503,6 +1515,7 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             for j in range(seg_words)
         ],
     )
+    key = F.xxhash64(seg) if hashed_hot_key else seg
     segs = (
         base.select(
             F.col(id_col),
@@ -1510,15 +1523,16 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             "_w",
             F.explode(F.sequence(F.lit(0), nseg - 1)).alias("seg_id"),
         )
-        .select(id_col, "n_segments", "seg_id", seg.alias("seg"))
+        .select(id_col, "n_segments", "seg_id", seg.alias("seg"),
+                key.alias("_segkey"))
     )
     hot = (
-        segs.groupBy("seg")
+        segs.groupBy("_segkey")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
         .filter(F.col("_df") > max_doc_freq)
-        .select("seg", F.lit(True).alias("_hot"))
+        .select("_segkey", F.lit(True).alias("_hot"))
     )
-    flagged = segs.join(hot, "seg", "left")
+    flagged = segs.join(hot, "_segkey", "left")
     kept_struct = F.when(
         F.col("_hot").isNull(), F.struct(F.col("seg_id"), F.col("seg"))
     )
@@ -1538,10 +1552,26 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def window_occurrences(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", win: int = 10) -> DataFrame:
+                       id_col: str = "doc_id", win: int = 10,
+                       hashed: bool = False) -> DataFrame:
     """(id, pos, gram) — every ``win``-word window with its 1-based
     token position, in the codegen explode idiom of :func:`shingles`
-    (index sequence + ``element_at``, no higher-order functions)."""
+    (index sequence + ``element_at``, no higher-order functions).
+
+    ``hashed=True`` (r14 optimization round, guide §2.3 — shuffle keys,
+    not payloads) emits ``gram`` as the seed-chained ``xxhash64`` of the
+    ``win`` token columns instead of the ~60-byte concat string: no
+    intermediate string is ever built and every downstream
+    exchange/checkpoint carries an 8-byte long. Only valid where the
+    gram is used purely as a group/join KEY and the hash is injective
+    on the corpus gram universe (checked corpus-wide:
+    distinct(gram) == distinct(hash) at sf0.001/0.01/0.1 and x10 —
+    tools/exp_substr_hash.py; pinned hashed-vs-string bit-equality in
+    tests). A collision can only MERGE two distinct grams, i.e.
+    over-mark duplication — at true 100 TB gram universes (≳2^32
+    distinct grams) collisions become expected, which is conservative
+    for dedup marking; callers needing exactness there pass
+    ``hashed=False`` and pay the string shuffle."""
     words = F.split(F.col(text_col), " ")
     base = rebalance_for_fanout(
         docs.select(F.col(id_col), F.col(text_col))
@@ -1552,9 +1582,8 @@ def window_occurrences(docs: DataFrame, text_col: str = "text",
         F.col(id_col), "_w",
         F.explode(F.sequence(F.lit(1), F.size("_w") - (win - 1))).alias("pos"),
     )
-    gram = F.concat_ws(
-        " ", *[F.element_at(F.col("_w"), F.col("pos") + j) for j in range(win)]
-    )
+    toks = [F.element_at(F.col("_w"), F.col("pos") + j) for j in range(win)]
+    gram = F.xxhash64(*toks) if hashed else F.concat_ws(" ", *toks)
     return idx.select(F.col(id_col), "pos", gram.alias("gram"))
 
 
@@ -1584,7 +1613,8 @@ def _lcp(a, b):
 def suffix_match_lengths(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", min_span: int = 5,
                          bound: int = SUFFIX_BOUND,
-                         max_group: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
+                         max_group: int | None = MAX_SHINGLE_FREQ,
+                         hashed_tokens: bool = True) -> DataFrame:
     """Bounded suffix-array pass (Lee et al., "Deduplicating Training
     Data Makes Language Models Better", ACL 2022, §4 ExactSubstr —
     /root/reference has no analog; extension mandate): for every token
@@ -1628,12 +1658,39 @@ def suffix_match_lengths(docs: DataFrame, text_col: str = "text",
     (:func:`_candidate_rows`) and removed by a broadcast anti-join,
     exactly the :func:`ngram_jaccard` guard. ``max_group=None``
     disables the guard (small corpora / tests).
+
+    ``hashed_tokens`` (default True — r14 optimization round, guide
+    §2.3): every token is mapped ONCE per document through ``xxhash64``
+    and the bounded suffixes become fixed-width ``array<long>`` instead
+    of ``array<string>``. The SA-adjacency property is invariant under
+    any injective alphabet remap — suffixes sharing a prefix still form
+    contiguous blocks in the remapped lexicographic order and every LCP
+    value is unchanged — so match lengths are bit-identical while the
+    hash is injective on the corpus token VOCABULARY (a far smaller
+    universe than the gram space; checked at every test SF + x10,
+    pinned by tests). The exchange payload drops from ~20 B/token
+    strings to 8 B longs and the per-gram sort compares longs instead
+    of strings — measured 6.63 → 3.46 s (profile) / 5.86 → 3.39 s
+    (histogram) at x10 interleaved best-of-6
+    (tools/exp_suffix_hash.py). Pass False for the string form.
     """
     words = F.split(F.col(text_col), " ")
+    toks = (F.transform(words, lambda x: F.xxhash64(x))
+            if hashed_tokens else words)
+    # length filter on the SPLIT (codegen), not on the aliased toks
+    # projection: Catalyst inlines the alias into the Filter, and for
+    # the hashed form that would re-evaluate the interpreted
+    # transform(xxhash64) per doc just to check its size
     base = rebalance_for_fanout(
         docs.select(F.col(id_col), F.col(text_col))
-    ).select(F.col(id_col), words.alias("_w")).filter(
-        F.size("_w") >= min_span
+    ).filter(F.size(words) >= min_span).select(
+        F.col(id_col), toks.alias("_w")
+    )
+    gram = (
+        F.xxhash64(*[F.element_at(F.col("_w"), F.col("pos") + j)
+                     for j in range(min_span)])
+        if hashed_tokens
+        else F.concat_ws(" ", F.slice("_w", F.col("pos"), F.lit(min_span)))
     )
     occ = base.select(
         F.col(id_col),
@@ -1644,9 +1701,7 @@ def suffix_match_lengths(docs: DataFrame, text_col: str = "text",
     ).select(
         F.col(id_col),
         "pos",
-        F.concat_ws(
-            " ", F.slice("_w", F.col("pos"), F.lit(min_span))
-        ).alias("_g"),
+        gram.alias("_g"),
         F.slice("_w", F.col("pos"), F.lit(bound)).alias("_sfx"),
     )
     if max_group is not None:
@@ -1673,7 +1728,8 @@ def suffix_match_lengths(docs: DataFrame, text_col: str = "text",
 def dup_span_profile(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", min_span: int = 5,
                      bound: int = SUFFIX_BOUND,
-                     max_group: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
+                     max_group: int | None = MAX_SHINGLE_FREQ,
+                     hashed_tokens: bool = True) -> DataFrame:
     """Per-document duplicated-span profile from the bounded
     suffix-array pass: (doc_id, n_tokens, max_dup_len,
     n_dup_positions) — max_dup_len the longest exactly-duplicated span
@@ -1683,7 +1739,7 @@ def dup_span_profile(docs: DataFrame, text_col: str = "text",
     :func:`suffix_match_lengths`; every doc appears (left join onto
     the corpus)."""
     m = suffix_match_lengths(docs, text_col, id_col, min_span, bound,
-                             max_group)
+                             max_group, hashed_tokens)
     per_doc = m.groupBy(id_col).agg(
         F.max("match_len").alias("_mx"),
         F.count(F.lit(1)).alias("_np"),
@@ -1704,7 +1760,8 @@ def dup_span_profile(docs: DataFrame, text_col: str = "text",
 def dup_span_histogram(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", min_span: int = 5,
                        bound: int = SUFFIX_BOUND,
-                       max_group: int | None = MAX_SHINGLE_FREQ) -> DataFrame:
+                       max_group: int | None = MAX_SHINGLE_FREQ,
+                       hashed_tokens: bool = True) -> DataFrame:
     """Corpus duplicated-span length distribution: (match_len,
     n_positions) for match_len in [min_span, bound] — the evidence a
     dedup operator's window choice should rest on (SUBSTRING_WIN_SWEEP
@@ -1714,7 +1771,7 @@ def dup_span_histogram(docs: DataFrame, text_col: str = "text",
     over the match table."""
     return (
         suffix_match_lengths(docs, text_col, id_col, min_span, bound,
-                             max_group)
+                             max_group, hashed_tokens)
         .groupBy("match_len")
         .agg(F.count(F.lit(1)).alias("n_positions"))
     )
@@ -1849,7 +1906,8 @@ def _mark_join(occ: DataFrame, dup_grams: DataFrame,
 def duplicated_spans(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", win: int = 10,
                      mark_salt: int | str | None = "auto",
-                     auto_salt_grams: int = AUTO_MARK_SALT_GRAMS) -> DataFrame:
+                     auto_salt_grams: int = AUTO_MARK_SALT_GRAMS,
+                     hashed_grams: bool = True) -> DataFrame:
     """Per-doc duplicated-substring report — the bounded-window form of
     exact-substring dedup (Lee et al., "Deduplicating Training Data
     Makes Language Models Better", ACL 2022: any 50-token span occurring
@@ -1883,8 +1941,20 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
     ``mark_salt=None`` or an explicit int for a fully-lazy plan, and
     see :func:`set_materialization` for the fault-tolerant persist
     variant on multi-executor clusters.
+
+    ``hashed_grams`` (default True — r14 optimization round): the gram
+    is a pure group/join key here (never output), so the occurrence
+    stream, the frequency exchange, the checkpointed dup-gram table and
+    the mark semi-join all carry 8-byte xxhash64 keys instead of
+    ~60-byte strings (guide §2.3) — measured 5.40 → 4.46 s at x10
+    interleaved best-of-6 (tools/exp_substr_hash.py). Values are
+    bit-identical while the hash is injective on the corpus gram
+    universe (checked at every test SF + x10; a collision can only
+    over-mark — see :func:`window_occurrences`); pass False for the
+    string form.
     """
-    occ = window_occurrences(docs, text_col, id_col, win)
+    occ = window_occurrences(docs, text_col, id_col, win,
+                             hashed=hashed_grams)
     # Window frequency as a map-combined aggregation + semi-join, not a
     # count-window over the gram: a window partition cannot
     # partial-aggregate, so a boilerplate gram with 10^8 corpus

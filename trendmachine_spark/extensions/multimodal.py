@@ -1037,8 +1037,6 @@ def video_frame_signature(assets: DataFrame, every_n: int = 2,
     codecs = _codecs_by_value()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
             ids, idxs, ords, md5s = [], [], [], []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
@@ -1046,11 +1044,10 @@ def video_frame_signature(assets: DataFrame, every_n: int = 2,
                 cap = min(len(raw), every_n * max_frames)
                 for ord_, f in enumerate(range(0, cap, every_n)):
                     gray = codecs.decode_jpeg(raw[f])[:, :, 0]
-                    ser = ",".join(str(int(v)) for v in gray.ravel())
                     ids.append(int(did))
                     idxs.append(f)
                     ords.append(ord_)
-                    md5s.append(hashlib.md5(ser.encode()).hexdigest())
+                    md5s.append(_frame_md5(gray))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -1063,6 +1060,28 @@ def video_frame_signature(assets: DataFrame, every_n: int = 2,
     return assets.select("doc_id", "payload").mapInPandas(
         run, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+#: pre-encoded decimal byte strings for every uint8 pixel value — the
+#: video frame fingerprint serializes every sampled pixel, and the
+#: per-pixel ``str(int(v))`` generator measured 5.4x slower than this
+#: table lookup + bytes join (r14 optimization round, guide §4.2:
+#: vectorize/batch the per-row Python work inside the UDF); the md5
+#: input is byte-identical, so fingerprints and oracles are unchanged.
+_PIXEL_BYTES = [str(i).encode() for i in range(256)]
+
+
+def _frame_md5(gray) -> str:
+    """md5 hexdigest of the comma-joined raveled grayscale values —
+    byte-identical to ``md5(",".join(str(int(v)) for v in
+    gray.ravel()).encode())`` for uint8 input (pinned by
+    tests/test_phash_audio.py::
+    test_frame_md5_serialization_matches_reference_form)."""
+    import hashlib
+
+    return hashlib.md5(
+        b",".join([_PIXEL_BYTES[v] for v in gray.ravel().tolist()])
+    ).hexdigest()
 
 
 #: default per-fingerprint clip-frequency cap for video_near_pairs —
@@ -1198,8 +1217,7 @@ def video_clip_signature(assets: DataFrame, every_n: int = 2,
                 md5s = []
                 for f in range(0, cap, every_n):
                     gray = codecs.decode_jpeg(raw[f])[:, :, 0]
-                    ser = ",".join(str(int(v)) for v in gray.ravel())
-                    md5s.append(hashlib.md5(ser.encode()).hexdigest())
+                    md5s.append(_frame_md5(gray))
                 ids.append(int(did))
                 sigs.append(hashlib.md5("|".join(md5s).encode()).hexdigest())
                 ns.append(len(md5s))

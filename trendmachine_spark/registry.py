@@ -347,6 +347,12 @@ _WINDOW_PINNED: list[str] = [
     "similarity_sq8_filtered",  # r14 new query: filtered ANN selector path
     "similarity_sq8_filtered_post",  # r14 new query: filtered ANN post-filter trade
     "corpus_merge_report",  # r14 new query: symmetric merge decision report
+    "substring_dup_report",
+    "substring_dup_report_fine",
+    "dedup_segments",
+    "dup_span_profile",
+    "dup_span_histogram",
+    "dedup_video_frames",
 ]
 
 #: frozen per-name demotion CLASS (period 3 since r9 — the 101st
