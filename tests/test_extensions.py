@@ -1955,3 +1955,31 @@ def test_suffix_hashed_tokens_match_string_tokens(spark):
         strings = sorted(map(tuple, suffix_match_lengths(
             docs, hashed_tokens=False, **kwargs).collect()))
         assert hashed == strings, kwargs
+
+
+def test_strip_reassembly_paths_match(spark):
+    """r14 optimization round: the default Arrow reassembly of
+    strip_duplicated_spans (per-doc scatter mask + Python split/join)
+    must be bit-equal to the historical pure-SQL join form, including
+    overlapping spans, fully-stripped docs, docs shorter than the
+    window, and the win=5 fine setting."""
+    from trendmachine_spark.extensions.dedup import strip_duplicated_spans
+
+    span = [f"s{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([f"a{i}" for i in range(5)] + span)),
+            (2, " ".join(span + [f"b{i}" for i in range(5)])),
+            (3, " ".join(span)),                       # fully stripped
+            (4, " ".join(f"u{i}" for i in range(30))),  # untouched
+            (5, "short doc"),                          # < win tokens
+            (6, " ".join(span + ["gap"] + span)),      # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    for win in (5, 10):
+        arrow = sorted(map(tuple, strip_duplicated_spans(
+            docs, win=win, reassembly="arrow").collect()))
+        join = sorted(map(tuple, strip_duplicated_spans(
+            docs, win=win, reassembly="join").collect()))
+        assert arrow == join, win

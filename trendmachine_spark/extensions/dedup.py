@@ -2018,7 +2018,8 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
 def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", win: int = 10,
                            mark_salt: int | str | None = "auto",
-                           auto_salt_grams: int = AUTO_MARK_SALT_GRAMS) -> DataFrame:
+                           auto_salt_grams: int = AUTO_MARK_SALT_GRAMS,
+                           reassembly: str = "arrow") -> DataFrame:
     """Remove every NON-FIRST occurrence of a duplicated window — the
     destructive half of exact-substring dedup: the corpus keeps exactly
     one copy of each duplicated span (its globally-first occurrence by
@@ -2032,19 +2033,40 @@ def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
     ties are impossible (the key is unique), and the min
     partial-aggregates map-side where the round-4 ``row_number`` window
     sorted each gram's full occurrence list in one task (the hot-gram
-    skew cliff). Coverage is the union of removable
-    windows' token ranges, materialized by exploding each removable
-    window into its positions (bounded: ``win`` rows per removable
-    window) and anti-joining the token stream — linear everywhere, no
-    self-join, same no-quadratic-path property as
-    :func:`duplicated_spans`. Reassembly reuses the
-    :func:`segment_dedup` idiom (array_sort on (pos, token) structs —
-    never collect_list arrival order).
+    skew cliff).
+
+    ``reassembly`` (r14 optimization round):
+
+    * ``"arrow"`` (default) — removable window STARTS aggregate per doc
+      (one map-combined collect_list over the removable rows, which the
+      plan shuffles anyway) and join the docs table by id; one
+      ``mapInPandas`` pass tokenizes, scatter-masks the covered
+      positions (numpy) and rejoins surviving tokens. The corpus token
+      stream is never exploded: the covered-position
+      explode+distinct, the (id, pos) anti-join of the full token
+      stream and the collect_list/array_sort reassembly exchange all
+      disappear (guide §2.4/§4.2; the per-doc text crosses the Arrow
+      boundary once). Values are bit-identical — ``str.split(" ")`` /
+      ``" ".join`` match Spark's single-space ``split``/``concat_ws``
+      including empty-token edge cases — pinned by
+      tests/test_extensions.py::test_strip_reassembly_paths_match plus
+      full collect-compares at every SF and x10
+      (tools/exp_strip_arrow.py). Per-doc state is bounded by document
+      length; starts lists are capped by n_tokens.
+    * ``"join"`` — the historical pure-SQL form: coverage exploded to
+      (id, pos) rows, anti-joined against the posexploded token
+      stream, reassembled via array_sort on (pos, token) structs —
+      linear everywhere, no self-join, same no-quadratic-path property
+      as :func:`duplicated_spans`. Keep for engines where the Python
+      boundary is unavailable.
 
     EAGERNESS: same ``mark_salt='auto'`` construction-time jobs as
     :func:`duplicated_spans` — ``mark_salt=None``/int is the lazy
     path, :func:`set_materialization` the fault-tolerant one.
     """
+    if reassembly not in ("arrow", "join"):
+        raise ValueError(
+            f"reassembly must be 'arrow' or 'join', got {reassembly!r}")
     occ = window_occurrences(docs, text_col, id_col, win)
     # Keeper per gram via min-of-struct aggregation, not
     # row_number() over (partition by gram): min(struct(id, pos)) is
@@ -2093,6 +2115,57 @@ def strip_duplicated_spans(docs: DataFrame, text_col: str = "text",
         )
         .select(id_col, "pos")
     )
+    if reassembly == "arrow":
+        starts = removable.groupBy(id_col).agg(
+            F.collect_list("pos").alias("_starts")
+        )
+        src = docs.select(F.col(id_col), F.col(text_col)).join(
+            starts, id_col, "left"
+        )
+
+        def _reassemble(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                ids, ntoks, nrem, clean = [], [], [], []
+                for did, text, st in zip(
+                    pdf[id_col], pdf[text_col], pdf["_starts"]
+                ):
+                    toks = text.split(" ")
+                    n = len(toks)
+                    if st is None or len(st) == 0:
+                        ids.append(did)
+                        ntoks.append(n)
+                        nrem.append(0)
+                        clean.append(text)
+                        continue
+                    # scatter-mask the union of [start, start+win) —
+                    # order-insensitive, so collect_list arrival order
+                    # cannot matter; the +win slack absorbs windows
+                    # ending at the doc tail
+                    mask = np.zeros(n + win, dtype=bool)
+                    s = np.asarray(st, dtype=np.int64) - 1  # 1-based
+                    for j in range(win):
+                        mask[s + j] = True
+                    mask = mask[:n]
+                    kept_toks = [t for t, m in zip(toks, mask) if not m]
+                    ids.append(did)
+                    ntoks.append(n)
+                    nrem.append(int(mask.sum()))
+                    clean.append(" ".join(kept_toks))
+                yield pd.DataFrame({
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_tokens": pd.Series(ntoks, dtype="int64"),
+                    "n_removed_tokens": pd.Series(nrem, dtype="int64"),
+                    "clean_text": pd.Series(clean, dtype="object"),
+                })
+
+        return src.mapInPandas(
+            _reassemble,
+            schema=(f"{id_col} long, n_tokens long, "
+                    "n_removed_tokens long, clean_text string"),
+        )
     covered = removable.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos"), F.col("pos") + (win - 1))).alias("pos"),
