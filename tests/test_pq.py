@@ -895,3 +895,29 @@ def test_pq256_codebooks_use_256_seed_rows(spark):
     assert cb.shape[1] == 256
     codes = np.stack([r["codes"] for r in pq_encode(qv, cb).collect()])
     assert codes.max() > 15 and codes.max() <= 255
+
+
+def test_pq_assign_expanded_matches_direct_form():
+    """r14 optimization round: _pq_assign's expanded-form argmin
+    (|c|^2 - 2 v.c via float64 matmul, the row-constant |v|^2 dropped)
+    must reproduce the direct (v-c)^2 int64 argmin EXACTLY — every term
+    is an integer far below 2^53, so the float arithmetic is exact and
+    ties (planted duplicate codebook rows) still resolve to the lowest
+    code. Sweeps K=16 and K=256 and the residual magnitude range."""
+    from trendmachine_spark.extensions.similarity import _pq_assign
+
+    rng = np.random.RandomState(11)
+    for K, lim in ((16, 5001), (256, 5001), (16, 10001)):
+        V = rng.randint(-lim, lim, size=(3000, 64)).astype(np.int64)
+        cb = rng.randint(-lim, lim, size=(8, K, 8)).astype(np.int64)
+        cb[:, K // 2] = cb[:, 0]          # exact ties across codes
+        V[0, :8] = cb[0, 0]               # exact zero-distance row
+        got = _pq_assign(V, cb)
+        n_sub, _, ds = cb.shape
+        want = np.empty((len(V), n_sub), dtype=np.int64)
+        for m in range(n_sub):
+            sub = V[:, m * ds:(m + 1) * ds]
+            d = ((sub[:, None, :] - cb[m][None]) ** 2).sum(axis=2)
+            want[:, m] = np.argmin(d, axis=1)
+        assert (got == want).all(), (K, lim)
+        assert got[0, 0] == 0             # tie -> lowest code
