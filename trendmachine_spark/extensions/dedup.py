@@ -102,6 +102,17 @@ LSH_CHAIN_SHARDS: int | str = "auto"
 #: automatically with MARK_SALT_DEFAULT; results are identical for any
 #: salt (tested), so oracles need no mirroring.
 AUTO_MARK_SALT_GRAMS = 100_000
+#: hashed-gram variant of the auto-salt threshold (r14 optimization
+#: round): the threshold is a proxy for "the dup-gram build side has
+#: outgrown the broadcast regime", and an 8-byte xxhash64 key extends
+#: that regime ~8x over the ~60-byte gram strings it was calibrated
+#: for. Measured at x20 (464k hashed dup grams): the premature salted
+#: path let Spark BROADCAST the x16-replicated 7.4M-row build — a
+#: driver collect + single-threaded hash build — at 6.06 s, while the
+#: unsalted broadcast semi-join of the unreplicated 464k-long table
+#: runs 0.52 s (tools/exp_* salted probes, r14 §7 addendum). Results
+#: are identical on either path for any salt (tested).
+AUTO_MARK_SALT_GRAMS_HASHED = 8 * AUTO_MARK_SALT_GRAMS
 #: salt used by the automatic path — 16 measured balanced on the
 #: planted 1M-occurrence gram stress (max task 509k ≈ even split)
 MARK_SALT_DEFAULT = 16
@@ -1900,13 +1911,22 @@ def _mark_join(occ: DataFrame, dup_grams: DataFrame,
         "_salt",
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))),
     )
-    return salted.join(replicated, ["gram", "_salt"], "left_semi").drop("_salt")
+    # shuffle_hash, never broadcast, once salted (r14 optimization
+    # round): the salt exists because the build side outgrew the
+    # broadcast regime — letting the planner broadcast the REPLICATED
+    # table (which narrow hashed keys size-estimate under the
+    # threshold) is a driver collect + single-threaded build of a
+    # salt-times-bigger relation, measured 6.06 s vs 1.67 s with the
+    # hint at x20; the per-partition hash build stays balanced by the
+    # salt's construction
+    return salted.join(replicated.hint("shuffle_hash"),
+                       ["gram", "_salt"], "left_semi").drop("_salt")
 
 
 def duplicated_spans(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", win: int = 10,
                      mark_salt: int | str | None = "auto",
-                     auto_salt_grams: int = AUTO_MARK_SALT_GRAMS,
+                     auto_salt_grams: int | None = None,
                      hashed_grams: bool = True) -> DataFrame:
     """Per-doc duplicated-substring report — the bounded-window form of
     exact-substring dedup (Lee et al., "Deduplicating Training Data
@@ -1952,7 +1972,17 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text",
     universe (checked at every test SF + x10; a collision can only
     over-mark — see :func:`window_occurrences`); pass False for the
     string form.
+
+    ``auto_salt_grams=None`` (the default) resolves to the
+    representation-aware threshold:
+    :data:`AUTO_MARK_SALT_GRAMS_HASHED` for hashed grams (8-byte keys
+    stay broadcastable ~8x longer) and :data:`AUTO_MARK_SALT_GRAMS`
+    for strings; results are identical on either side of the
+    threshold for any salt.
     """
+    if auto_salt_grams is None:
+        auto_salt_grams = (AUTO_MARK_SALT_GRAMS_HASHED if hashed_grams
+                           else AUTO_MARK_SALT_GRAMS)
     occ = window_occurrences(docs, text_col, id_col, win,
                              hashed=hashed_grams)
     # Window frequency as a map-combined aggregation + semi-join, not a
