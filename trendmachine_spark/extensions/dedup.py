@@ -1066,6 +1066,37 @@ def _sided_band_buckets(a: DataFrame, b: DataFrame, text_col: str,
         minhash_signatures(tagged, text_col, "_sid"), "_sid")
 
 
+def _sided_sig_sets(a: DataFrame, b: DataFrame, text_col: str,
+                    id_col: str, num_hashes: int = NUM_HASHES,
+                    k: int = SHINGLE_K) -> DataFrame:
+    """Per-doc (_sid, mh0..mh{n-1}, _sh) — the sided minhash signatures
+    AND the distinct hashed-shingle set, from ONE shingle explode and
+    ONE group aggregation (r15 optimization round).
+
+    The verify stage of :func:`cross_corpus_near_dup` needs exactly the
+    distinct set of the 60-bit shingle hashes the signatures already
+    minimize; computing ``collect_set(_h)`` in the SAME groupBy rides
+    the existing exchange (one row per (doc, map partition) after
+    partial aggregation) instead of re-scanning both corpora,
+    re-exploding shingles and re-hashing grams for the candidate docs.
+    Measured at x10: the fused agg costs the same as the signature-only
+    agg within noise (1.1-1.3 s both, tools/exp_cross_sets2.py) while
+    the whole second sets-build subtree disappears. Set values are
+    identical to the historical verify-leg sets by construction — same
+    ``_h`` expression, and ``collect_set`` over the non-distinct stream
+    equals the distinct set."""
+    tagged = _sided_tag(a, b, text_col, id_col)
+    sh = shingles(tagged, text_col, "_sid", k, distinct=False)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    with_h = sh.select("_sid", h.alias("_h"))
+    aggs = [
+        F.min(F.expr(f"_h ^ {HASH_MASKS[j]}L")).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    aggs.append(F.collect_set("_h").alias("_sh"))
+    return with_h.groupBy("_sid").agg(*aggs)
+
+
 def cross_corpus_near_dup(a: DataFrame, b: DataFrame,
                           text_col: str = "text", id_col: str = "doc_id",
                           min_jaccard: float = 0.8,
@@ -1118,9 +1149,24 @@ def cross_corpus_near_dup(a: DataFrame, b: DataFrame,
     itself takes), and the per-pair join payload drops from ~3.5 KB of
     strings to ~0.9 KB of longs per side (measured 96k candidate pairs
     x ~115-shingle docs at x10: the array payload through the pair
-    joins was the dominant verify cost)."""
-    sided = _sided_band_buckets(a, b, text_col, id_col)
-    sided = _materialize(sided)
+    joins was the dominant verify cost).
+
+    r15 optimization round: the per-doc hashed-shingle SET is computed
+    in the SAME aggregation as the signatures (:func:`_sided_sig_sets`)
+    and carried through the eager materialization, so the verify stage
+    joins candidates directly against the checkpointed per-doc table —
+    the whole second sets-build subtree (two corpus semi-joins + two
+    shingle explodes + two collect_set aggregations) is gone. The band
+    table derives NARROWLY (stack, no shuffle) from the same checkpoint
+    and is materialized separately so its three consumers read the
+    slim (sid, band, bucket) rows, not the array payload. Measured x10
+    interleaved best: 6.55 -> 4.19-4.75 s (tools/exp_cross_sets.py,
+    value-identity asserted first); every same-pass comparison under
+    co-tenant load favors the carried-sets shape ~2x."""
+    doc_tbl = _materialize(_sided_sig_sets(a, b, text_col, id_col))
+    sided = _materialize(lsh_band_buckets(
+        doc_tbl.select("_sid", *[f"mh{j}" for j in range(NUM_HASHES)]),
+        "_sid"))
     side = F.col("_sid").getField("_side")
     ok = (
         sided.groupBy("band", "bucket")
@@ -1153,29 +1199,20 @@ def cross_corpus_near_dup(a: DataFrame, b: DataFrame,
     # runtime shape as the minhash band table)
     cand = _materialize(cand)
 
-    # verify sets stay PER SIDE (each leg has exactly one consumer —
-    # a unified sided set table would be filtered twice by the pair
-    # join and its full-corpus semi-join + explode + collect_set
-    # subtree would instantiate per consumer); the r14 win here is the
-    # hashed arrays, not unification
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
-
-    def _sets(docs: DataFrame, keep: DataFrame) -> DataFrame:
-        src = docs.join(keep, id_col, "leftsemi")
-        return (
-            shingles(src, text_col, id_col, distinct=False)
-            .select(id_col, h.alias("_h"))
-            .groupBy(id_col)
-            .agg(F.collect_set("_h").alias("_sh"))
-        )
-
-    a_sets = _sets(a, cand.select(F.col("a_id").alias(id_col)).distinct())
-    b_sets = _sets(b, cand.select(F.col("b_id").alias(id_col)).distinct())
+    # verify sets come straight off the checkpointed per-doc table
+    # (r15): each side is a filter+projection of doc_tbl — no corpus
+    # re-scan, no second explode, no collect_set rebuild. Every
+    # candidate doc has a set row by construction (candidates come
+    # from band buckets, which exist only for docs with >= 1 shingle).
+    a_sets = (doc_tbl.filter(side == 0)
+              .select(F.col("_sid").getField("_id").alias("a_id"),
+                      F.col("_sh").alias("_sha")))
+    b_sets = (doc_tbl.filter(side == 1)
+              .select(F.col("_sid").getField("_id").alias("b_id"),
+                      F.col("_sh").alias("_shb")))
     return (
-        cand.join(a_sets.select(F.col(id_col).alias("a_id"),
-                                F.col("_sh").alias("_sha")), "a_id")
-        .join(b_sets.select(F.col(id_col).alias("b_id"),
-                            F.col("_sh").alias("_shb")), "b_id")
+        cand.join(a_sets, "a_id")
+        .join(b_sets, "b_id")
         .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
         .withColumn(
             "jaccard",
